@@ -1,13 +1,634 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Sim, Text}
+import graft.operators.{Ann, Dedup, Gaps, Latest, AsOf}
+import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the
+  * operator is SQL-expressible. Column aliases match the SQL exactly
+  * (the driver's compare sorts columns by name before hashing).
+  *
+  * Every query body delegates to the library operators under
+  * `graft.query` / `graft.operators` / `graft.functions` — these entries
+  * are the operators' public exercise, not standalone implementations.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T = Tables
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0):
+    * the 5-table enrichment join + aggregation (SURVEY §2.4/§2.5).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoinEnrich(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- §2.5 A1-A8
+
+  /** A1/A2/A6-lite: grouped sum/avg/count over lineitem (TPC-H Q1 shape). */
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        // round at the data's terminal decimal count (price×(1−disc) is
+        // 4-decimal-exact): snaps summation-order noise back to the exact
+        // value without ever sitting on a rounding tie
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        // deterministic avg: exact integer-valued sum ÷ count is
+        // bit-identical in any engine — no rounding needed or wanted
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A6: extended_stats (count/min/max/avg/sum/std/variance) per group. */
+  private def qExtendedStats(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"),
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_v"),
+        round(sum(col("value")), 2).as("sum_v"),
+        round(stddev_samp(col("value")), 2).as("std_v"),
+        round(var_samp(col("value")), 2).as("var_v"))
+      .orderBy(col("event_type"))
+
+  /** A7: percentiles (reference: t-digest p-levels on resource usage;
+    * here the exact interpolated percentile, matching DuckDB
+    * quantile_cont).
+    */
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.50)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** A5: distinct cardinality per group (exact; the approx HLL variant is
+    * qApproxCardinality, rows-only checked).
+    */
+  private def qCardinality(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** A5 approx: HLL++ `approx_count_distinct` with the reference's
+    * precision-threshold spirit (get_action_usage.ts:38-56). Not
+    * SQL-oracle-able (sketch-dependent); spec-tested for <5% error.
+    */
+  private def qApproxCardinality(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** A8+O6: terms group-by with sub-aggs, top-N by doc count. */
+  private def qGroupTopN(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_v"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(3)
+
+  /** A9: date_histogram — calendar-day buckets with sub-aggs. */
+  private def qDateHistogram(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_v"),
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_v"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** A14: difference-of-sequence count between two time points. */
+  private def qSeqDiff(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).agg(
+      (max(when(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"), col("event_id")))
+        - max(when(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"), col("event_id"))))
+        .as("action_count"))
+
+  // ---------------------------------------------------------------- §2.2 filters
+
+  /** F2/F3/F6: IN-list + negation + numeric range via the filter compiler. */
+  private def qFilterMulti(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .filter(
+        FC.multiVar("event_type", "purchase,signup") &&
+          FC.multiVar("user_id", "!13") &&
+          col("value").between(50, 150))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** F5: after/before time-range filter (ISO shape → timestamp column). */
+  private def qTimeRange(s: SparkSession, d: String): DataFrame = {
+    val cond = FC.timeFilter(
+      after = Some("2024-01-05 00:00:00"),
+      before = Some("2024-01-10 00:00:00"),
+      tsCol = "ts", blockCol = "event_id").get
+    T.events(s, d)
+      .filter(cond)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** F8: disjunction-of-conjunctions (`filter=code:name,...` shape). */
+  private def qDisjunction(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .filter(
+        (col("event_type") === "purchase" && col("user_id").isin(1, 2, 3)) ||
+          (col("event_type") === "error" && col("value") > 150))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** F14/F16: meta-filter DSL over the opaque JSON `props` blob —
+    * numeric-coerced gte on a JSON path, evaluated post-scan like the
+    * reference's checkMetaFilter.
+    */
+  private def qMetaFilterJson(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    ev.filter(MetaFilters.compile(ev, MetaFilter("props.k", "gte", "50")))
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C13/F16: JSON value extraction + group-by over the extracted key. */
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k_val"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("k_val"))
+
+  // ---------------------------------------------------------------- §2.4 joins
+
+  /** J1/J5-style multi-table enrichment join + agg (broadcast dims). */
+  private def qJoinEnrich(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  /** Left-semi join (EXISTS). */
+  private def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(
+        T.orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS) — reconciliation shape (J6). */
+  private def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(T.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J1: event-time as-of join — for each purchase, the user's most recent
+    * signup at-or-before it (exact ABI-dimension semantics, union+window
+    * plan: one shuffle, no per-row lookups).
+    */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("sig_id"))
+    AsOf.join(probe, dim,
+        keys = Seq("user_id"), probeSeq = "ts", dimSeq = "ts",
+        payload = Seq("sig_id"))
+      .select(col("event_id"), col("user_id"), col("sig_id").as("asof_sig"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- §2.6/2.7
+
+  /** W1/A11: latest-row-per-key via window row_number == 1. */
+  private def qLatestPerKey(s: SparkSession, d: String): DataFrame =
+    Latest.rowNumber(
+        T.events(s, d),
+        keys = Seq("user_id"),
+        orderBy = Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** S5/W1: last-writer-wins state snapshot via map-side-combining argmax
+    * (the scalable path for the reference's scripted upserts).
+    */
+  private def qStateLww(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        round(max_by(col("value"), col("event_id")), 2).as("last_value"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  /** Running aggregate window (per-key cumulative sum). */
+  private def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    T.events(s, d)
+      .filter(col("user_id") <= 3)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** O1/O5: top-k by sort + limit. */
+  private def qTopHolders(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"))
+      .orderBy(col("bal").desc, col("c_custkey"))
+      .limit(20)
+
+  /** O3: skip/limit paging (with the reference's caps enforced). */
+  private def qSkipLimit(s: SparkSession, d: String): DataFrame = {
+    val (skip, limit) = Paging.skipLimit(Some(100), Some(25))
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderkey"))
+      .offset(skip)
+      .limit(limit)
+  }
+
+  /** O6: capped count (track_total_hits=false semantics, cap=500) —
+    * the scan early-terminates at cap+1 rows instead of counting all.
+    */
+  private def qCappedCount(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .filter(col("value") > 100)
+      .limit(501)
+      .agg(least(count(lit(1)), lit(500L)).as("total"))
+
+  // ---------------------------------------------------------------- §2.8 / misc
+
+  /** U1/U2: union of alternative predicates + distinct. */
+  private def qUnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      .union(ev.filter(col("event_type") === "signup").select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** P3/C5/C7-style projection shaping. */
+  private def qProjection(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        concat(col("o_orderstatus"), lit(":"), col("o_orderpriority")).as("status_priority"),
+        upper(col("o_orderpriority")).as("pri"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .orderBy(col("o_orderkey"))
+      .limit(1000)
+
+  /** Gap detection (repair-scan re-expression, §4). */
+  private def qGapDetect(s: SparkSession, d: String): DataFrame =
+    Gaps.detect(T.events(s, d).filter(col("value") > 180), "event_id")
+      .orderBy(col("gap_start"))
+
+  // ------------------------------------------------- training-data operators
+
+  /** Exact dedup by normalized-text digest. */
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  /** Exact 1-gram Jaccard near-dup pairs via inverted-index join. */
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(
+        T.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        n = 1, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash signatures + LSH band keys (deterministic; pair extraction is
+    * spec-tested on planted near-dups — the synthetic corpus has none).
+    */
+  private def qMinhashSig(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        Sim.minHash(Sim.shingles(col("text"), 2), 16).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("h0"),
+        element_at(col("sig"), 2).as("h1"),
+        element_at(Sim.lshBands(col("sig"), 4, 4), 1).getField("bucket").as("band0_bucket"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash 64-bit fingerprints (hamming-pair extraction spec-tested). */
+  private def qSimhash(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), Sim.simHash(Text.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-k ANN against the corpus (query = vector 0). */
+  private def qAnnCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    Ann.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+  }
+
+  /** Text analysis: token counting + length stats per language. */
+  private def qTokenStats(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        (sum(Text.tokenCountSimple(col("text"))).cast("double") / count(lit(1)))
+          .as("avg_tokens"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** Language-ID n-gram heuristic (marker-token scoring). */
+  private def qLangId(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        Text.langIdScore(col("text"), Map(
+          "en" -> Seq("the", "and", "of"),
+          "es" -> Seq("el", "la", "de"),
+          "fr" -> Seq("le", "un", "et"))).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_extended_stats" -> (qExtendedStats _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_cardinality" -> (qCardinality _),
+    "q_approx_cardinality" -> (qApproxCardinality _),
+    "q_group_topn" -> (qGroupTopN _),
+    "q_date_histogram" -> (qDateHistogram _),
+    "q_seq_diff" -> (qSeqDiff _),
+    "q_filter_multi" -> (qFilterMulti _),
+    "q_time_range" -> (qTimeRange _),
+    "q_disjunction" -> (qDisjunction _),
+    "q_meta_filter_json" -> (qMetaFilterJson _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_join_enrich" -> (qJoinEnrich _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_latest_per_key" -> (qLatestPerKey _),
+    "q_state_lww" -> (qStateLww _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_top_holders" -> (qTopHolders _),
+    "q_skip_limit" -> (qSkipLimit _),
+    "q_capped_count" -> (qCappedCount _),
+    "q_union_distinct" -> (qUnionDistinct _),
+    "q_projection" -> (qProjection _),
+    "q_gap_detect" -> (qGapDetect _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_sig" -> (qMinhashSig _),
+    "q_simhash" -> (qSimhash _),
+    "q_ann_cosine" -> (qAnnCosine _),
+    "q_token_stats" -> (qTokenStats _),
+    "q_lang_id" -> (qLangId _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         sum(l_quantity) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_extended_stats" ->
+      """SELECT event_type, count(*) AS cnt,
+         round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+         round(sum(value), 2) / count(*) AS avg_v, round(sum(value), 2) AS sum_v,
+         round(stddev_samp(value), 2) AS std_v, round(var_samp(value), 2) AS var_v
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 4) AS p25,
+         round(quantile_cont(value, 0.50), 4) AS p50,
+         round(quantile_cont(value, 0.95), 4) AS p95,
+         round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_group_topn" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""",
+    "q_date_histogram" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS cnt, round(sum(value), 2) AS sum_v,
+         round(sum(value), 2) / count(*) AS avg_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_seq_diff" ->
+      """SELECT max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN event_id END)
+           - max(CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN event_id END)
+           AS action_count FROM events""",
+    "q_filter_multi" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type IN ('purchase', 'signup') AND user_id <> 13
+           AND value BETWEEN 50 AND 150
+         ORDER BY event_id""",
+    "q_time_range" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "q_disjunction" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE (event_type = 'purchase' AND user_id IN (1, 2, 3))
+            OR (event_type = 'error' AND value > 150)
+         ORDER BY event_id""",
+    "q_meta_filter_json" ->
+      """SELECT event_id, user_id FROM events
+         WHERE CAST(regexp_extract(props, '[0-9]+', 0) AS DOUBLE) >= 50
+         ORDER BY event_id""",
+    "q_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k_val,
+         count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_join_enrich" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_asof_join" ->
+      """WITH u AS (
+           SELECT event_id, user_id, ts, 1 AS is_probe, NULL AS sig_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, user_id, ts, 0 AS is_probe, event_id AS sig_id
+           FROM events WHERE event_type = 'signup'),
+         c AS (
+           SELECT *, last_value(sig_id IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, is_probe
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_sig
+           FROM u)
+         SELECT event_id, user_id, asof_sig FROM c WHERE is_probe = 1
+         ORDER BY event_id""",
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_state_lww" ->
+      """SELECT user_id,
+         arg_max(event_type, event_id) AS last_type,
+         round(arg_max(value, event_id), 2) AS last_value,
+         max(event_id) AS last_event_id,
+         count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_running_total" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events WHERE user_id <= 3
+         ORDER BY user_id, event_id""",
+    "q_top_holders" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+         FROM customer ORDER BY bal DESC, c_custkey LIMIT 20""",
+    "q_skip_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS total
+         FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 100""",
+    "q_capped_count" ->
+      """SELECT least(count(*), 500) AS total FROM (
+           SELECT * FROM events WHERE value > 100 LIMIT 501) t""",
+    "q_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         ORDER BY user_id""",
+    "q_projection" ->
+      """SELECT o_orderkey,
+         concat(o_orderstatus, ':', o_orderpriority) AS status_priority,
+         upper(o_orderpriority) AS pri,
+         CAST(year(o_orderdate) AS INTEGER) AS yr
+         FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    "q_gap_detect" ->
+      """WITH f AS (SELECT event_id FROM events WHERE value > 180),
+         g AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM f)
+         SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end FROM g
+         WHERE nxt > event_id + 1 ORDER BY gap_start""",
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+         count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS gram
+           FROM documents WHERE doc_id < 300),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM t a JOIN t b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           i * 1.0 / (sa.n_grams + sb.n_grams - i) AS jaccard
+         FROM inter
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q_ann_cosine" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+         qe AS (
+           SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+         d AS (
+           SELECT vec_id, sum(x * qx) AS dot, sqrt(sum(x * x)) AS na
+           FROM e JOIN qe USING (i) GROUP BY 1),
+         qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
+         SELECT vec_id, round(dot / (na * nq), 4) AS cos
+         FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) * 1.0
+           / count(*) AS avg_tokens,
+         sum(length(text)) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' the ', ''))) / 5.0) AS BIGINT)
+             + CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' and ', ''))) / 5.0) AS BIGINT)
+             + CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' of ', ''))) / 4.0) AS BIGINT) AS s_en,
+             CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' el ', ''))) / 4.0) AS BIGINT)
+             + CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' la ', ''))) / 4.0) AS BIGINT)
+             + CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' de ', ''))) / 4.0) AS BIGINT) AS s_es,
+             CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' le ', ''))) / 4.0) AS BIGINT)
+             + CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' un ', ''))) / 4.0) AS BIGINT)
+             + CAST(floor((length(' ' || trim(text) || ' ')
+               - length(replace(' ' || trim(text) || ' ', ' et ', ''))) / 4.0) AS BIGINT) AS s_fr
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_es, s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
+                ELSE 'en' END AS lang_pred
+         FROM s ORDER BY doc_id"""
+  )
 }

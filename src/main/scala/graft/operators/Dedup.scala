@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.functions.{Sim, Text}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed as a
+  * shuffle-minimal distributed plan:
+  *
+  *  - exact: hash-groupBy on a normalized digest (1 shuffle, map-side
+  *    partial agg);
+  *  - minhashLsh: shingle → minhash → band-explode → bucket self-join —
+  *    the self-join is on (band, bucket), so only colliding docs meet;
+  *    never an O(n²) cross join;
+  *  - simhash: 64-bit fingerprint + banded key join for hamming ≤ k;
+  *  - ngramJaccard: token-postings join (inverted-index style) — pairs
+  *    are generated only for docs sharing a token, then exact Jaccard;
+  *  - embeddingCosine: LSH-bucketed (random hyperplane) near-dup join.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct normalized text; keeps min id,
+    * reports group size. Single hash shuffle.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("text_hash", Text.exactKey(col(textCol)))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash+LSH candidate pairs with estimated Jaccard ≥ threshold.
+    *
+    * Plan: docs → shingle+sign (narrow) → explode band keys (×bands) →
+    * shuffle on (band,bucket) self-join → distinct pairs → verify with the
+    * signature estimate. The join key cardinality ≈ n·bands, each bucket
+    * small, so the shuffle is linear in data size; skewed buckets (e.g.
+    * empty-text) should be pre-filtered by the caller.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val signed = docs
+      .select(col(idCol).as("id"),
+        Sim.minHash(Sim.shingles(col(textCol), shingleN), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = signed
+      .select(col("id"), col("sig"), explode(Sim.lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Sim.minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
+    *
+    * Banding: a 64-bit simhash split into (maxHamming+1) chunks — any pair
+    * within distance k agrees on at least one chunk (pigeonhole), so a
+    * join per chunk index finds all candidates without a cross join.
+    */
+  def simhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val hashed = docs.select(col(idCol).as("id"),
+      Sim.simHash(Text.tokens(col(textCol))).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Sim.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .groupBy("id_a", "id_b")
+      .agg(first("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted-index join: explode
+    * distinct n-grams, join postings on the gram, count intersections,
+    * then |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 gram ever meet.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(Sim.shingles(col(textCol), n)).as("gram"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col("gram"), col("id").as("id_a"))
+    val b = grams.select(col("gram"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      // raw ratio, never rounded: a single division of exact integers is
+      // bit-identical in any engine, while rounding a decimal-exact
+      // rational can land on a tie and differ between rounding paths
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
+    * cosine within buckets. `planes` fixed-seed hyperplanes → bucket key;
+    * docs within cosine θ collide with probability (1−θ/π)^planes per
+    * table; `tables` repetitions boost recall.
+    */
+  def embeddingCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val dim = 64
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until tables).map { t =>
+        val bits = (0 until planes).map { pl =>
+          // fixed pseudo-random hyperplane: deterministic per (t, pl, dim i)
+          val proj = Sim.dot(col(vecCol),
+            array((0 until dim).map { i =>
+              lit(math.sin(1.0 + t * 97.0 + pl * 31.0 + i * 7.0))
+            }: _*))
+          when(proj >= 0, shiftleft(lit(1L), pl)).otherwise(lit(0L))
+        }
+        struct(lit(t).as("table"), bits.reduce((x, y) => x.bitwiseOR(y)).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.table").as("table"), col("bk.bucket").as("bucket"))
+    val a = keyed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = keyed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Sim.cosine(col("v_a"), col("v_b")).as("cos"))
+      .groupBy("id_a", "id_b")
+      .agg(first("cos").as("cos"))
+      .filter(col("cos") >= threshold)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+}

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output vs
+DuckDB oracle on the same parquet tables. Dev tooling only (not library)."""
+import sys, json, glob, os
+import duckdb, pandas as pd, numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    spark_path = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_path):
+        print(f"MISSING  {name} (no spark output)"); fail += 1; continue
+    try:
+        got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{spark_path}/*.parquet"))])
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fail += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    problems = []
+    if list(got.columns) != list(exp.columns):
+        problems.append(f"schema: spark={list(got.columns)} duck={list(exp.columns)}")
+    elif len(got) != len(exp):
+        problems.append(f"rows: spark={len(got)} duck={len(exp)}")
+    else:
+        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        for c in got.columns:
+            a, b = gs[c], es[c]
+            try:
+                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                    same = np.allclose(a.astype(float).fillna(np.nan), b.astype(float).fillna(np.nan),
+                                       rtol=0, atol=0, equal_nan=True)
+                else:
+                    same = a.astype(str).equals(b.astype(str))
+            except Exception as e:
+                same = False
+            if not same:
+                diffs = (gs[c].astype(str) != es[c].astype(str))
+                idx = diffs[diffs].index[:3].tolist()
+                problems.append(f"col {c}: first diffs at rows {idx}: "
+                                f"spark={gs.loc[idx, c].tolist()} duck={es.loc[idx, c].tolist()}")
+    if problems:
+        print(f"FAIL     {name}: " + " | ".join(problems)); fail += 1
+    else:
+        print(f"OK       {name} ({len(got)} rows)"); ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
