@@ -1,0 +1,121 @@
+package graft.etl
+
+import graft.schema._
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic Hyperion-shaped fixtures, mirroring the reference's e2e
+  * load-generator profile (tests/e2e/lib/load-generator.ts:43-48: 100
+  * transfers + 50 custom actions, inline depth 3) and its manifest-driven
+  * integrity checks. Seeded arithmetic only — stable across runs/JVMs.
+  */
+object Fixtures {
+
+  val accounts = Vector("alice", "bob", "carol", "dave")
+  private def ts(block: Long): Timestamp =
+    new Timestamp(1700000000000L + block * 500L) // 500 ms block cadence
+
+  private def blockId(n: Long): String = f"00${n}%014x"
+
+  /** Raw per-receipt trace rows: `transfers` transfer transactions (one
+    * action, 3 receipts: contract + from + to) and `customs` custom
+    * actions with `depth` inline children (1 receipt each, distinct
+    * digests). Matches the shapes exercised by the reference's
+    * action-dedup unit tests (tests/unit/action-dedup.test.ts).
+    */
+  def rawTraces(spark: SparkSession, transfers: Int = 100, customs: Int = 50,
+      depth: Int = 3): Dataset[RawTrace] = {
+    import spark.implicits._
+    var gs = 1000000L
+    val rows = Vector.newBuilder[RawTrace]
+
+    (0 until transfers).foreach { i =>
+      val block = 100L + i
+      val from = accounts(i % accounts.size)
+      val to = accounts((i + 1) % accounts.size)
+      val trx = f"trx${i}%08d"
+      val digest = f"digest-transfer-$i%05d"
+      val act = Act("eosio.token", "transfer",
+        Seq(Authorization(from, "active")),
+        s"""{"from":"$from","to":"$to","quantity":"${(i % 50) + 1}.0000 TST","memo":"payment $i"}""")
+      Seq("eosio.token", from, to).zipWithIndex.foreach { case (recv, j) =>
+        gs += 1
+        rows += RawTrace(ts(block), block, blockId(block), "eosio", trx,
+          action_ordinal = 1, creator_action_ordinal = 0, act = act,
+          receipt = Receipt(recv, gs, 10L + i + j,
+            if (j == 0) Seq(AuthSequence(from, i.toLong)) else Nil),
+          act_digest = digest, cpu_usage_us = 150 + i, net_usage_words = 16,
+          signatures = Seq(s"SIG_K1_$i"))
+      }
+    }
+
+    (0 until customs).foreach { i =>
+      val block = 300L + i
+      val actor = accounts(i % accounts.size)
+      val trx = f"ctrx${i}%08d"
+      (0 to depth).foreach { lvl =>
+        gs += 1
+        val act = Act("hyp.test", if (lvl == 0) "doit" else "inline",
+          Seq(Authorization(actor, "active")),
+          s"""{"id":$i,"level":$lvl,"payload":"${"x" * 64}"}""")
+        rows += RawTrace(ts(block), block, blockId(block), "eosio", trx,
+          action_ordinal = lvl + 1, creator_action_ordinal = lvl, act = act,
+          receipt = Receipt("hyp.test", gs, 20L + i, Seq(AuthSequence(actor, i.toLong))),
+          act_digest = f"digest-custom-$i%05d-$lvl",
+          cpu_usage_us = 80 + lvl, net_usage_words = 24, signatures = Nil)
+      }
+    }
+    spark.createDataset(rows.result())
+  }
+
+  /** Per-transaction status rows for light-block derivation: one status
+    * row per fixture transaction; every 13th custom trx fails (status 2).
+    */
+  def trxStatuses(spark: SparkSession, transfers: Int = 100, customs: Int = 50): Dataset[TrxStatus] = {
+    import spark.implicits._
+    val t = (0 until transfers).map { i =>
+      TrxStatus(100L + i, f"trx${i}%08d", 0, 250L + i, 48L)
+    }
+    val c = (0 until customs).map { i =>
+      TrxStatus(300L + i, f"ctrx${i}%08d", if (i % 13 == 12) 2 else 0, 320L, 96L)
+    }
+    spark.createDataset(t ++ c)
+  }
+
+  /** ABI as-of dimension: per contract, versions at increasing blocks. */
+  def abis(spark: SparkSession): Dataset[AbiDoc] = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      AbiDoc(50L, "eosio.token", """{"version":"eosio::abi/1.1","rev":1}""", "0a11"),
+      AbiDoc(150L, "eosio.token", """{"version":"eosio::abi/1.2","rev":2}""", "0a12"),
+      AbiDoc(80L, "hyp.test", """{"version":"eosio::abi/1.1","rev":1}""", "0b11"),
+      AbiDoc(320L, "hyp.test", """{"version":"eosio::abi/1.2","rev":2}""", "0b12")))
+  }
+
+  /** Delta rows for a contract table with updates and a deletion —
+    * exercises last-writer-wins + present==0 semantics.
+    */
+  def deltas(spark: SparkSession, n: Int = 120): Dataset[DeltaDoc] = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val key = s"row${i % 10}"  // 10 keys, repeatedly updated
+      val block = 200L + i
+      DeltaDoc(ts(block), block, blockId(block),
+        code = "hyp.test", scope = accounts(i % accounts.size), table = "kv",
+        payer = accounts(i % accounts.size), primary_key = key,
+        present = if (i % 37 == 36) 0 else 1,
+        data = s"""{"k":"$key","v":$i}""")
+    }
+    spark.createDataset(rows)
+  }
+
+  /** Fork events: block ids retracted (and one re-adopted). */
+  def forkEvents(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (blockId(150L), 150L, 1L, true),   // forked
+      (blockId(151L), 151L, 2L, true),   // forked
+      (blockId(151L), 151L, 3L, false)   // re-adopted → tombstone cancelled
+    ).toDF("block_id", "block_num", "seq", "retracted")
+  }
+}

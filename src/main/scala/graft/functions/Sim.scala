@@ -26,15 +26,18 @@ object Sim {
     * machines. Returns array<long> of length numHashes.
     */
   def minHash(tokenArr: Column, numHashes: Int = 64): Column = {
-    // Overflow-free under ANSI mode: base hash masked to 30 bits, odd
-    // 31-bit multipliers → products stay under 2^61; p = 2^61-1.
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-    val mask = (1L << 30) - 1
+    // Universal hashing mod the Mersenne prime p = 2^31-1: base hashes and
+    // multipliers both live in [0, p), so products (< 2^62, no ANSI
+    // overflow) wrap the modulus many times over — each (a_j, b_j) yields
+    // a genuinely different ordering. (A modulus much larger than a·x
+    // would make every h_j order-preserving and all components pick the
+    // same min token.)
+    val p = 2147483647L // 2^31 - 1
     val cs = (0 until numHashes).map { j =>
-      val a = ((2654435761L + 40503L * j) % Int.MaxValue) | 1L
-      val b = (22695477L + 1103515245L * j) % mask
+      val a = (2654435761L * (j + 1) + 40503L) % (p - 1) + 1
+      val b = (1103515245L * (j + 1) + 12345L) % p
       array_min(transform(tokenArr,
-        t => pmod(xxhash64(t).bitwiseAND(lit(mask)) * lit(a) + lit(b), lit(p))))
+        t => pmod(pmod(xxhash64(t), lit(p)) * lit(a) + lit(b), lit(p))))
     }
     array(cs: _*)
   }

@@ -84,7 +84,7 @@ object Gaps {
           transform(array_sort(__vals),
             (v, i) -> named_struct(
               'gap_start', v + 1,
-              'gap_end', element_at(array_sort(__vals), i + 2) - 1)),
+              'gap_end', try_element_at(array_sort(__vals), i + 2) - 1)),
           x -> x.gap_end >= x.gap_start)
         """)).as("g"))
       .select(col("g.gap_start"), col("g.gap_end"))

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "el perro la casa de la madre el dia"),
+    (3L, ""),
+    (4L, "   spaced   out   "),
+    (5L, "word")).toDF("id", "text").cache()
+
+  test("token counts") {
+    val got = docs.select($"id", Text.tokenCount($"text")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 9L, 2L -> 9L, 3L -> 0L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("bpe-ish token estimate ≥ word count, scales with word length") {
+    val got = docs.filter($"id" === 1).select(Text.bpeTokenEstimate($"text")).as[Long].head()
+    assert(got >= 9L && got <= 2 * 9L)
+  }
+
+  test("quality score in [0,1]; empty text scores low") {
+    val scores = docs.select($"id", Text.qualityScore($"text")).as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(3L) < scores(1L))
+  }
+
+  test("language id picks the language with most marker hits") {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of"),
+      "es" -> Seq("el", "la", "de"))
+    val got = docs.select($"id", Text.langIdScore($"text", markers)).as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(5L) === "und")
+  }
+
+  test("fingerprint and exact key are normalization-invariant") {
+    val df = Seq(Tuple1("Hello World"), Tuple1("  hello world  ")).toDF("t")
+    assert(df.select(Text.fingerprint(lower($"t"))).distinct().count() === 1)
+    assert(df.select(Text.exactKey($"t")).distinct().count() === 1)
+  }
+}
+
+class AssetsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.etl.Assets
+
+  test("asset parse splits amount and symbol; rejects malformed") {
+    val df = Seq("12.3456 EOS", "1 TST", "-3.5 ABC", "garbage", "1.0EOS").toDF("a")
+    val got = df.select(Assets.parse($"a").as("p"))
+      .select($"p.amount", $"p.symbol").collect()
+    assert(got(0).getDouble(0) === 12.3456 && got(0).getString(1) === "EOS")
+    assert(got(1).getDouble(0) === 1.0 && got(1).getString(1) === "TST")
+    assert(got(2).getDouble(0) === -3.5)
+    assert(got(3).isNullAt(0) && got(4).isNullAt(0))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{Sim, Text}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Near-dup detection on planted duplicates (the synthetic corpus has no
+  * natural near-dups, so these suites construct them).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new Random(42)
+    val vocab = Vector("spark", "query", "table", "scan", "merge", "join", "filter",
+      "group", "sort", "window", "hash", "batch", "row", "value", "data", "key")
+    val base = (0L until 60L).map { i =>
+      i -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // plant near-dups: 100..102 are light edits of docs 0..2
+    val dups = (0L until 3L).map { i =>
+      (100L + i) -> (base(i.toInt)._2.split(" ").updated(5, "EDITED").mkString(" "))
+    }
+    // plant one exact dup of doc 3
+    base ++ dups :+ (200L -> base(3)._2)
+  }
+
+  private lazy val docs = corpus.toDF("doc_id", "text").cache()
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    val dupGroups = d.filter($"dup_count" > 1).collect()
+    assert(dupGroups.length === 1)
+    assert(dupGroups.head.getAs[Long]("keep_id") === 3L)
+    assert(d.count() === 63) // 64 docs, one merged pair
+  }
+
+  test("minhash LSH finds planted near-dups without O(n²) compare") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0L until 3L).foreach { i =>
+      assert(pairs.contains((i, 100L + i)), s"planted pair ($i, ${100 + i}) missed")
+    }
+    assert(pairs.contains((3L, 200L)), "exact dup pair missed")
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    val withSets = docs.select($"doc_id",
+      Sim.shingles($"text", 2).as("grams"),
+      Sim.minHash(Sim.shingles($"text", 2), 128).as("sig"))
+    val a = withSets.filter($"doc_id" === 0).select($"grams", $"sig").head()
+    val b = withSets.filter($"doc_id" === 100).select($"grams", $"sig").head()
+    val exact = a.getSeq[String](0).toSet.intersect(b.getSeq[String](0).toSet).size.toDouble /
+      a.getSeq[String](0).toSet.union(b.getSeq[String](0).toSet).size
+    val est = a.getSeq[Long](1).zip(b.getSeq[Long](1)).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(exact - est) < 0.15, s"exact=$exact est=$est")
+  }
+
+  test("simhash: near-dups within small hamming distance, others far") {
+    val hashed = docs.select($"doc_id", Sim.simHash(Text.tokens($"text")).as("sh"))
+    val h = hashed.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(3L), h(200L)) === 0, "identical docs → identical simhash")
+    val dupDist = ham(h(0L), h(100L))
+    val randDist = ham(h(0L), h(50L))
+    assert(dupDist < randDist, s"dup=$dupDist rand=$randDist")
+  }
+
+  test("simhash banded pair join finds near pairs") {
+    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 200L)))
+  }
+
+  test("embedding cosine LSH finds planted near-identical vectors") {
+    val rnd = new Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = base.take(3).map { case (i, v) =>
+      (100L + i, v.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x })
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold = 0.98)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0 until 3).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"planted vector pair $i missed")
+    }
+  }
+
+  test("ngram jaccard pairs: exact scores, only sharing docs meet") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((3L, 200L)))
+    val exactPair = pairs.find(p => p._1 == 3L && p._2 == 200L).get
+    assert(exactPair._3 === 1.0)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+
+  test("brute-force top-k is ordered and self-consistent") {
+    val q = emb.filter($"vec_id" === 1).select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val top = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.length === 5)
+    assert(top.head.getAs[Long]("vec_id") === 1L, "query vector is its own nearest neighbor")
+    val sims = top.map(_.getAs[Double]("cos"))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("IVF probe achieves high recall vs brute force at nProbe=4") {
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids).cache()
+    assert(assigned.select($"centroid_id").distinct().count() === 8)
+    val q = emb.filter($"vec_id" === 2).select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, q, 10, nProbe = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(exact.intersect(approx).size >= 3,
+      s"IVF recall too low: ${exact.intersect(approx).size}/10")
+  }
+}

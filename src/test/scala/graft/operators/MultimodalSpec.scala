@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "tiny"), (2L, "a" * 100), (3L, "b" * 1000)).toDF("doc_id", "text")
+
+  test("media table shape: binary content + typed metadata") {
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName === "binary")
+    val meta = media.select($"meta.byte_len").as[Long].collect().sorted
+    assert(meta.toSeq === Seq(4L, 100L, 1000L))
+  }
+
+  test("stub decode runs partition-parallel and is deterministic") {
+    val media = Multimodal.toMediaTable(docs.repartition(3), "doc_id", "text")
+    val f1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    assert(f1.toSeq === f2.toSeq)
+    val tiny = f1.head
+    assert(tiny.byte_len === 4L && tiny.width === (4 * 7 % 512 + 16) && tiny.n_frames === 5)
+    assert(f1.map(_.content_hash).distinct.length === 3)
+  }
+
+  test("frame sampling explodes every k-th frame index") {
+    val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text"))
+    val frames = Multimodal.sampleFrames(features, everyK = 2)
+    val tiny = frames.filter($"doc_id" === 1).select($"frame_idx").as[Long].collect().toSeq
+    assert(tiny === Seq(0L, 2L, 4L)) // n_frames=5 → 0,2,4
+  }
+
+  test("resize plan preserves aspect and caps the long side") {
+    val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
+    val resized = Multimodal.resizePlan(features, maxSide = 64)
+    val bad = resized.filter($"out_width" > 64 || $"out_height" > 64)
+    assert(bad.count() === 0)
+    val noUpscale = resized.filter($"out_width" > $"width" || $"out_height" > $"height")
+    assert(noUpscale.count() === 0)
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL approx_count_distinct within 5% of exact on events (A5)") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = ev.select(countDistinct($"user_id")).as[Long].head().toDouble
+    val approx = ev.select(approx_count_distinct($"user_id", 0.01)).as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
