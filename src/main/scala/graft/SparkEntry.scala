@@ -370,6 +370,135 @@ object SparkEntry {
         sum(length(col("text"))).as("total_chars"))
       .orderBy(col("lang"))
 
+  /** Quality scoring (Gopher/C4-style rule blend), per-doc. */
+  private def qQualityScore(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish token estimate (chars/4 per word heuristic), aggregated. */
+  private def qBpeEstimate(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(Text.bpeTokenEstimate(col("text"))).as("est_tokens"))
+      .orderBy(col("lang"))
+
+  /** Multimodal plumbing: binary media column → stub decode (mapPartitions
+    * typed pipeline) → feature columns. The decode stub's arithmetic is
+    * mirrored exactly by the SQL oracle; content_hash stays library-only.
+    */
+  private def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    val media = Multimodal.toMediaTable(T.documents(s, d), "doc_id", "text")
+    Multimodal.decodeStub(media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal frame-sampling stage (explode-shaped), every 3rd frame. */
+  private def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    val media = Multimodal.toMediaTable(T.documents(s, d), "doc_id", "text")
+    Multimodal.sampleFrames(Multimodal.decodeStub(media), everyK = 3)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** 64-bit content fingerprints (xxhash64; no SQL oracle — DuckDB has no
+    * xxhash64). Deterministic; spec-tested for normalization invariance.
+    */
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------- Hyperion fixture operators
+  // The reference-domain operators run on the deterministic in-memory
+  // fixture chain (graft.etl.Fixtures) — not SQL-expressible against the
+  // driver's tables, so these entries carry no oracle (rows-only check);
+  // their semantics are covered by the ScalaTest suite.
+
+  import graft.etl.{ActionDedup, Extensions, Fixtures, LightBlocks}
+  import graft.query.{Endpoints, GetActionsParams}
+
+  private def fixtureActions(s: SparkSession) =
+    Extensions.liftTransfer(
+      ActionDedup.mergeReceipts(Fixtures.rawTraces(s, 100, 50, 3))(s))
+
+  /** ST9: receipts-merge dedup over the raw trace stream. */
+  private def qHypDedup(s: SparkSession, d: String): DataFrame =
+    ActionDedup.mergeReceipts(Fixtures.rawTraces(s, 100, 50, 3))(s)
+      .select(col("global_sequence"), col("trx_id"), col("act_digest"),
+        size(col("receipts")).as("n_receipts"), col("inline_count"))
+      .orderBy(col("global_sequence"))
+
+  /** get_actions endpoint: account + code:action + paging + simple shape. */
+  private def qHypGetActions(s: SparkSession, d: String): DataFrame =
+    Endpoints.getActions(fixtureActions(s), GetActionsParams(
+      account = Some("alice"), filter = Some("eosio.token:transfer"),
+      limit = Some(50), simple = true))
+
+  /** ST10: light-block derivation. */
+  private def qHypLightBlocks(s: SparkSession, d: String): DataFrame =
+    LightBlocks.derive(Fixtures.trxStatuses(s, 100, 50))(s).orderBy(col("block_num"))
+
+  /** J1: ABI as-of join over the fixture dimension. */
+  private def qHypAbiAsof(s: SparkSession, d: String): DataFrame = {
+    val actions = fixtureActions(s).withColumn("account", col("act.account"))
+    graft.operators.AsOf.join(actions, Fixtures.abis(s).toDF(),
+        keys = Seq("account"), probeSeq = "block_num", dimSeq = "block",
+        payload = Seq("abi"))
+      .select(col("global_sequence"), col("account"), col("block_num"), col("abi"))
+      .orderBy(col("global_sequence"))
+  }
+
+  /** S5-S7: last-writer-wins state from the delta history. */
+  private def qHypStateMerge(s: SparkSession, d: String): DataFrame =
+    graft.state.StateMerge.fromHistory(Fixtures.deltas(s, 120).toDF(),
+        Seq("code", "table", "scope", "primary_key"))
+      .select(col("scope"), col("primary_key"), col("block_num"), col("data"))
+      .orderBy(col("scope"), col("primary_key"))
+
+  /** ST5: fork tombstones applied to a history view. */
+  private def qHypForks(s: SparkSession, d: String): DataFrame = {
+    val history = fixtureActions(s)
+    val tombs = graft.state.Forks.effectiveTombstones(Fixtures.forkEvents(s))
+    graft.state.Forks.liveView(history, tombs)
+      .select(col("global_sequence"), col("block_num"), col("block_id"))
+      .orderBy(col("global_sequence"))
+  }
+
+  /** ST1/ST2: subscription router fan-out. */
+  private def qHypRouter(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Router, Subscription}
+    val actions = fixtureActions(s)
+    Router.route(actions, Seq(
+        Subscription("transfers", contract = "eosio.token", action = "transfer"),
+        Subscription("alice", account = "alice"),
+        Subscription("filtered", contract = "eosio.token",
+          filters = Seq(graft.query.MetaFilter("act.data.from", "eq", "bob")))))
+      .select(col("sub_id"), col("global_sequence"), col("trx_id"))
+      .orderBy(col("sub_id"), col("global_sequence"))
+  }
+
+  /** ST3/ST4: bounded replay batches + live handoff dedup. */
+  private def qHypReplay(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Replay
+    val history = fixtureActions(s)
+    val out = Replay.handoff(
+      Replay.replay(history, 100L, 180L, batchSize = 25).drop("batch_seq"),
+      history.filter(col("block_num") >= 170), liveStartBlock = 170L)
+    out.select(col("global_sequence"), col("block_num")).orderBy(col("global_sequence"))
+  }
+
+  /** A10/A11: table-state snapshot with keyset pagination. */
+  private def qHypTableState(s: SparkSession, d: String): DataFrame =
+    Endpoints.getTableState(Fixtures.deltas(s, 120).toDF(), "hyp.test", "kv",
+      atBlock = 319L, pageSize = 25)
+
   /** Language-ID n-gram heuristic (marker-token scoring). */
   private def qLangId(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -416,7 +545,21 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_token_stats" -> (qTokenStats _),
-    "q_lang_id" -> (qLangId _)
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_bpe_estimate" -> (qBpeEstimate _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_frame_sample" -> (qFrameSample _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_hyperion_dedup" -> (qHypDedup _),
+    "q_hyperion_get_actions" -> (qHypGetActions _),
+    "q_hyperion_lightblocks" -> (qHypLightBlocks _),
+    "q_hyperion_abi_asof" -> (qHypAbiAsof _),
+    "q_hyperion_state_merge" -> (qHypStateMerge _),
+    "q_hyperion_forks" -> (qHypForks _),
+    "q_hyperion_router" -> (qHypRouter _),
+    "q_hyperion_replay" -> (qHypReplay _),
+    "q_hyperion_table_state" -> (qHypTableState _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -602,6 +745,40 @@ object SparkEntry {
            / count(*) AS avg_tokens,
          sum(length(text)) AS total_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, trim(text) AS tt,
+             CAST(length(trim(text)) AS DOUBLE) AS n,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS toks
+           FROM documents WHERE doc_id < 200),
+         m AS (
+           SELECT doc_id, n, toks,
+             CAST(length(tt) - length(regexp_replace(tt, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             (n - toks + 1) / greatest(toks, 1.0) AS mean_word
+           FROM t)
+         SELECT doc_id,
+           round(
+             (CASE WHEN n < 50 THEN n / 50.0 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN punct / greatest(n, 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4)
+             AS quality
+         FROM m ORDER BY doc_id""",
+    "q_bpe_estimate" ->
+      """SELECT lang,
+         sum(list_sum(list_transform(string_split(trim(text), ' '),
+           w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))) AS est_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_multimodal_decode" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+         CAST((strlen(text) * 7) % 512 + 16 AS INTEGER) AS width,
+         CAST((strlen(text) * 13) % 512 + 16 AS INTEGER) AS height,
+         CAST(strlen(text) % 10 + 1 AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "q_frame_sample" ->
+      """SELECT doc_id, unnest(range(0, strlen(text) % 10 + 1, 3)) AS frame_idx
+         FROM documents ORDER BY doc_id, frame_idx""",
     "q_lang_id" ->
       """WITH s AS (
            SELECT doc_id,
