@@ -29,10 +29,11 @@ object Ann {
       vecCol: String,
       query: Seq[Double],
       k: Int): DataFrame = {
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val dot = Sim.dot(col(vecCol), vecLit(query))
-    emb.select(col(idCol),
-      round(dot / (Sim.norm(col(vecCol)) * lit(qn)), 4).as("cos"))
+    // native fused-loop expression (graft.exprs.CosineSim) — one codegen'd
+    // pass per row, no intermediate arrays; the plan is scan → project →
+    // TakeOrderedAndProject (no shuffle until the final k·partitions merge)
+    val cos = graft.exprs.CosineSim(col(vecCol), vecLit(query))
+    emb.select(col(idCol), round(cos, 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }

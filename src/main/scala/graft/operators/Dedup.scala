@@ -157,7 +157,7 @@ object Dedup {
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Sim.cosine(col("v_a"), col("v_b")).as("cos"))
+        graft.exprs.CosineSim(col("v_a"), col("v_b")).as("cos"))
       .groupBy("id_a", "id_b")
       .agg(first("cos").as("cos"))
       .filter(col("cos") >= threshold)
