@@ -118,6 +118,26 @@ object SparkEntry {
         (round(sum(col("value")), 2) / count(lit(1))).as("avg_v"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Skew-safe two-phase salted aggregation — must equal the plain
+    * GROUP BY (the oracle), while spreading hot keys over many reducers.
+    */
+  private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedAgg(T.events(s, d), Seq("event_type"),
+        Seq(("value", "sum", "sum_v"), ("value", "count", "cnt"),
+          ("event_id", "min", "min_id"), ("event_id", "max", "max_id")))
+      .withColumn("sum_v", round(col("sum_v"), 2))
+      .orderBy(col("event_type"))
+
+  /** A9 variant: fixed-width tumbling event-time windows (6 h), the
+    * streaming-native bucket shape (vs calendar date_trunc buckets).
+    */
+  private def qTumblingWindow(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("bucket"), col("event_type"))
+
   /** A14: difference-of-sequence count between two time points. */
   private def qSeqDiff(s: SparkSession, d: String): DataFrame =
     T.events(s, d).agg(
@@ -499,6 +519,52 @@ object SparkEntry {
     Endpoints.getTableState(Fixtures.deltas(s, 120).toDF(), "hyp.test", "kv",
       atBlock = 319L, pageSize = 25)
 
+  import graft.query.StateEndpoints
+
+  /** J3: creator fallback chain. */
+  private def qHypCreator(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getCreator(Fixtures.newAccountActions(s), None, "bob")
+
+  /** U2: key→accounts union fallback. */
+  private def qHypKeyAccounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    StateEndpoints.getKeyAccounts(Fixtures.permissions(s),
+      Seq(("dave", "PUB_K1_key0")).toDF("account", "pubkey"), "PUB_K1_key0")
+  }
+
+  /** J5: token balances with broadcast precision enrichment. */
+  private def qHypTokens(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getTokens(Fixtures.accountBalances(s),
+      Fixtures.tokenPrecisions(s), "alice")
+
+  /** A12: per-producer missed blocks. */
+  private def qHypMissedBlocks(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getMissedBlocks(Fixtures.blocks(s, 200).toDF())
+
+  /** A1-A4/A8: trx-count producer buckets. */
+  private def qHypTrxCount(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getTrxCountByProducer(Fixtures.blocks(s, 200).toDF())
+
+  /** J6: blocks↔actions reconciliation. */
+  private def qHypValidate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val actions = ActionDedup.mergeReceipts(Fixtures.rawTraces(s, 10, 0, 0))(s)
+    val blocks = (0 until 10).map(i => (100L + i, 1L)).toDF("block_num", "trx_count")
+    StateEndpoints.validateActions(blocks, actions)
+  }
+
+  /** O7/P7: v1 pos/offset windowing + v1 response shape. */
+  private def qHypV1Actions(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getActionsV1(fixtureActions(s), "alice", 0L, 19L)
+
+  /** F12: schedule activated/proposed exists filter. */
+  private def qHypSchedule(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getSchedule(Fixtures.schedules(s), activatedOnly = true)
+
+  /** F13: links live-rows filter. */
+  private def qHypLinks(s: SparkSession, d: String): DataFrame =
+    Endpoints.getLinks(Fixtures.links(s).toDF(), Some("carol"))
+
   /** Language-ID n-gram heuristic (marker-token scoring). */
   private def qLangId(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -559,7 +625,18 @@ object SparkEntry {
     "q_hyperion_forks" -> (qHypForks _),
     "q_hyperion_router" -> (qHypRouter _),
     "q_hyperion_replay" -> (qHypReplay _),
-    "q_hyperion_table_state" -> (qHypTableState _)
+    "q_hyperion_table_state" -> (qHypTableState _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_tumbling_window" -> (qTumblingWindow _),
+    "q_hyperion_creator" -> (qHypCreator _),
+    "q_hyperion_key_accounts" -> (qHypKeyAccounts _),
+    "q_hyperion_tokens" -> (qHypTokens _),
+    "q_hyperion_missed_blocks" -> (qHypMissedBlocks _),
+    "q_hyperion_trx_count" -> (qHypTrxCount _),
+    "q_hyperion_validate" -> (qHypValidate _),
+    "q_hyperion_v1_actions" -> (qHypV1Actions _),
+    "q_hyperion_schedule" -> (qHypSchedule _),
+    "q_hyperion_links" -> (qHypLinks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -595,6 +672,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          count(*) AS cnt, round(sum(value), 2) AS sum_v,
          round(sum(value), 2) / count(*) AS avg_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_v, count(value) AS cnt,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,
+         event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_seq_diff" ->
       """SELECT max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN event_id END)

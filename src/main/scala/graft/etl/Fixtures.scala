@@ -109,6 +109,82 @@ object Fixtures {
     spark.createDataset(rows)
   }
 
+  /** Light blocks with a rotating producer schedule and planted holes —
+    * producers p0..p3 each produce 6-block rounds; blocks where
+    * `num % 50 == 49` are missing (missed-block detection fodder).
+    */
+  def blocks(spark: SparkSession, n: Int = 200): Dataset[BlockDoc] = {
+    import spark.implicits._
+    val producers = Vector("prodalpha", "prodbeta", "prodgamma", "proddelta")
+    val rows = (0 until n).filter(i => i % 50 != 49).map { i =>
+      val num = 100L + i
+      BlockDoc(ts(num), num, blockId(num), blockId(num - 1),
+        producers((i / 6) % producers.size),
+        schedule_version = 1L + i / 100,
+        trx_count = (i % 5).toLong, cpu_usage = 1000L + i, net_usage = 500L + i)
+    }
+    spark.createDataset(rows)
+  }
+
+  /** Token-balance state rows (the `*:accounts` lifted table): one row per
+    * (account, symbol) with an asset-string balance.
+    */
+  def accountBalances(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val syms = Vector("TST", "EOS", "HYP")
+    accounts.flatMap { a =>
+      syms.zipWithIndex.collect {
+        case (s, i) if (a.length + i) % 4 != 0 =>
+          (a, "eosio.token", s, f"${(a.length * 17 + i * 31) % 1000}%d.${1000 + i}%04d $s")
+      }
+    }.toDF("account", "code", "symbol", "balance")
+  }
+
+  /** Token precision dimension (per code+symbol), the J5 broadcast dim. */
+  def tokenPrecisions(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(("eosio.token", "TST", 4), ("eosio.token", "EOS", 4), ("eosio.token", "HYP", 8))
+      .toDF("code", "symbol", "precision")
+  }
+
+  /** Permission rows keyed by public key (for get_key_accounts). */
+  def permissions(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    accounts.zipWithIndex.flatMap { case (a, i) =>
+      Seq((a, "owner", s"PUB_K1_key$i"), (a, "active", s"PUB_K1_key${i % 2}"))
+    }.toDF("account", "permission", "pubkey")
+  }
+
+  /** Permission links (account → code::action grants). */
+  def links(spark: SparkSession): Dataset[LinkDoc] = {
+    import spark.implicits._
+    spark.createDataset(accounts.zipWithIndex.flatMap { case (a, i) =>
+      Seq(
+        LinkDoc(ts(400L + i), 400L + i, 1, a, "hyp.test", "doit", "active"),
+        LinkDoc(ts(450L + i), 450L + i, if (i == 2) 0 else 1, a, "eosio.token", "transfer", "active"))
+    })
+  }
+
+  /** newaccount actions (creator chain for get_creator). */
+  def newAccountActions(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    accounts.zipWithIndex.map { case (a, i) =>
+      val creator = if (i == 0) "eosio" else accounts(i - 1)
+      (10L + i, 10L + i, f"ntrx$i%08d", "eosio", "newaccount",
+        s"""{"creator":"$creator","newact":"$a"}""", creator, a)
+    }.toDF("global_sequence", "block_num", "trx_id", "code", "action",
+      "data", "creator", "newact")
+  }
+
+  /** Producer schedule versions (for get_schedule / F12). */
+  def schedules(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 100L, """["prodalpha","prodbeta","prodgamma","proddelta"]""", Some(1L)),
+      (2L, 200L, """["prodalpha","prodbeta","prodgamma"]""", None))
+      .toDF("version", "block_num", "producers", "activated_version")
+  }
+
   /** Fork events: block ids retracted (and one re-adopted). */
   def forkEvents(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

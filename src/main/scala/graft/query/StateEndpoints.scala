@@ -1,0 +1,169 @@
+package graft.query
+
+import graft.etl.Assets
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** State/stats endpoint family (SURVEY §2.4 J3-J6, §2.5 A12, §2.7 O5,
+  * §2.8 U2, §2.2 F11/F12) — params → DataFrame compilers over the state
+  * tables maintained by graft.state.StateMerge.
+  */
+object StateEndpoints {
+
+  /** GET /v2/history/get_creator (J3): the creator fallback chain —
+    * primary source is the newaccount action; a dimension of known
+    * account-info rows fills gaps (left join + coalesce), mirroring the
+    * reference's sequential fallbacks collapsed into one declarative plan.
+    */
+  def getCreator(
+      newAccountActions: DataFrame,
+      accountInfoDim: Option[DataFrame],
+      account: String): DataFrame = {
+    val primary = newAccountActions
+      .filter(col("action") === "newaccount" && col("newact") === account)
+      .select(col("newact").as("account"), col("creator"),
+        col("block_num"), col("trx_id"))
+    accountInfoDim match {
+      case None => primary
+      case Some(dim) =>
+        val fb = broadcast(dim.select(col("account").as("__a"),
+          col("creator").as("__c")))
+        primary.join(fb, primary("account") === col("__a"), "full_outer")
+          .select(
+            coalesce(col("account"), col("__a")).as("account"),
+            coalesce(col("creator"), col("__c")).as("creator"),
+            col("block_num"), col("trx_id"))
+          .filter(col("account") === account)
+    }
+  }
+
+  /** GET /v2/state/get_key_accounts (U2): accounts controlled by a key —
+    * permission-table hits ∪ action-history authorizations, deduped.
+    * The reference tries these sequentially with early return; the
+    * union is semantically identical and one distributed pass.
+    */
+  def getKeyAccounts(
+      permissions: DataFrame,
+      actionAuths: DataFrame,
+      pubkey: String): DataFrame = {
+    val fromPerms = permissions.filter(col("pubkey") === pubkey)
+      .select(col("account"))
+    val fromActions = actionAuths.filter(col("pubkey") === pubkey)
+      .select(col("account"))
+    fromPerms.union(fromActions).distinct().orderBy(col("account"))
+  }
+
+  /** GET /v2/state/get_tokens (J5): balances with broadcast precision
+    * enrichment; asset strings parsed into (amount, symbol).
+    */
+  def getTokens(balances: DataFrame, precisions: DataFrame, account: String): DataFrame =
+    balances
+      .filter(col("account") === account)
+      .withColumn("amount", Assets.amount(col("balance")))
+      .join(broadcast(precisions), Seq("code", "symbol"), "left")
+      .select(col("code"), col("symbol"), col("amount"),
+        coalesce(col("precision"), lit(4)).as("precision"))
+      .orderBy(col("symbol"))
+
+  /** GET /v2/state/get_top_holders (O5): top-k balance holders of a
+    * symbol. TakeOrderedAndProject — no global sort materialization.
+    */
+  def getTopHolders(balances: DataFrame, symbol: String, k: Int): DataFrame =
+    balances
+      .filter(col("symbol") === symbol)
+      .withColumn("amount", Assets.amount(col("balance")))
+      .select(col("account"), col("amount"))
+      .orderBy(col("amount").desc, col("account"))
+      .limit(k)
+
+  /** GET /v2/stats/get_missed_blocks (A12): per-producer missed-slot
+    * counts — a block is "missed" when the gap to the previous block's
+    * number exceeds 1; the miss is attributed to the producer of the
+    * following block's round (simplified single-pass model of the
+    * reference's client-side aggregation).
+    */
+  def getMissedBlocks(blocks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("block_num"))
+    blocks
+      .select(col("block_num"), col("producer"))
+      .withColumn("__prev", lag(col("block_num"), 1).over(w))
+      .withColumn("missed", (col("block_num") - col("__prev") - 1))
+      .filter(col("missed") > 0)
+      .groupBy(col("producer"))
+      .agg(sum(col("missed")).as("missed_blocks"), count(lit(1)).as("gaps"))
+      .orderBy(col("producer"))
+  }
+
+  /** GET /v2/stats/get_trx_count (A1-A4/A8/A9): totals + per-producer
+    * buckets + hourly histogram in one pass each.
+    */
+  def getTrxCount(blocks: DataFrame): DataFrame =
+    blocks.agg(
+      sum(col("trx_count")).as("total_trx"),
+      count(col("trx_count")).as("blocks_counted"),
+      min(col("block_num")).as("first_block"),
+      max(col("block_num")).as("last_block"))
+
+  def getTrxCountByProducer(blocks: DataFrame, topN: Int = 1000): DataFrame =
+    blocks.groupBy(col("producer"))
+      .agg(sum(col("trx_count")).as("total_trx"), count(lit(1)).as("blocks"))
+      .orderBy(col("total_trx").desc, col("producer"))
+      .limit(topN)
+
+  def getTrxCountHistogram(blocks: DataFrame, unit: String = "hour"): DataFrame =
+    blocks.groupBy(date_trunc(unit, col("timestamp")).as("bucket"))
+      .agg(sum(col("trx_count")).as("total_trx"), count(lit(1)).as("blocks"))
+      .orderBy(col("bucket"))
+
+  /** validate_actions (J6): reconciliation — blocks' summed trx_count vs
+    * the action table's distinct executed transactions (excluding
+    * eosio::onblock), reported as a comparison row.
+    */
+  def validateActions(blocks: DataFrame, actions: DataFrame): DataFrame = {
+    val fromBlocks = blocks.agg(sum(col("trx_count")).as("n")).select(col("n"))
+    val fromActions = actions
+      .filter(!(col("act.account") === "eosio" && col("act.name") === "onblock"))
+      .select(countDistinct(col("trx_id")).as("n"))
+    fromBlocks.withColumnRenamed("n", "block_trx_sum")
+      .crossJoin(fromActions.withColumnRenamed("n", "action_trx_count"))
+      .withColumn("consistent", col("block_trx_sum") === col("action_trx_count"))
+  }
+
+  /** GET /v2/history/get_schedule (F12): activated vs proposed — an
+    * exists/null-check filter.
+    */
+  def getSchedule(schedules: DataFrame, activatedOnly: Boolean): DataFrame =
+    (if (activatedOnly) schedules.filter(FilterCompiler.existsField("activated_version"))
+     else schedules.filter(col("activated_version").isNull))
+      .orderBy(col("version").desc)
+
+  /** GET /v2/state/get_voter_scopes (F11): wildcard autocomplete. */
+  def getVoterScopes(voters: DataFrame, term: String): DataFrame =
+    voters.filter(FilterCompiler.wildcard("voter", term))
+      .select(col("voter")).distinct().orderBy(col("voter"))
+
+  /** v1 /v1/history/get_actions (O7/P7): eosio pos/offset windowing +
+    * v1 response reshaping {global_action_seq, account_action_seq,
+    * action_trace{...}}.
+    */
+  def getActionsV1(actions: DataFrame, account: String, pos: Long, offset: Long): DataFrame = {
+    val (skip, limit, asc) = Paging.posOffset(pos, offset)
+    val filtered = actions.filter(FilterCompiler.accountExpansion(account))
+    val ordered = filtered.orderBy(
+      if (asc) col("global_sequence").asc else col("global_sequence").desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(if (asc) col("global_sequence").asc else col("global_sequence").desc)
+    ordered
+      .offset(skip.toInt).limit(limit.toInt)
+      .withColumn("account_action_seq", row_number().over(w) - 1 + skip)
+      .select(
+        col("global_sequence").as("global_action_seq"),
+        col("account_action_seq"),
+        col("block_num"),
+        struct(
+          col("receipts").as("receipt"),
+          col("act"),
+          col("trx_id"),
+          col("timestamp").as("block_time")).as("action_trace"))
+  }
+}
