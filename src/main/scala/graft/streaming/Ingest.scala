@@ -47,6 +47,10 @@ object Ingest {
         merged
           .dropDuplicates("global_sequence")
           .withColumn("block_bucket", blockBucket(partitionSize))
+          // write-time sort (the reference's index.sort on global_sequence,
+          // index-templates.ts:35-38): parquet row-group min/max stats then
+          // skip row groups for block/sequence range predicates
+          .sortWithinPartitions(col("block_bucket"), col("block_num"), col("global_sequence"))
           .write.mode("append")
           .partitionBy("block_bucket")
           .parquet(outDir)
