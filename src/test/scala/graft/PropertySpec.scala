@@ -1,0 +1,97 @@
+package graft
+
+import graft.etl.{ActionDedup, Fixtures}
+import graft.functions.Sim
+import graft.query.Paging
+import graft.schema._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5: adopt ScalaCheck where the
+  * reference has table-driven matrices — dedup invariants, filter
+  * operator matrix, paging arithmetic).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, min: Int = 10): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSession.spark
+  import spark.implicits._
+
+  private val ts0 = new java.sql.Timestamp(1700000000000L)
+  private def mkTrace(trx: Int, digest: Int, gs: Long): RawTrace =
+    RawTrace(ts0, 1L + trx, f"b$trx%04d", "p", s"trx$trx", 1, 0,
+      Act("c", "a", Seq(Authorization("x", "active")), "{}"),
+      Receipt(s"recv${gs % 3}", gs, 1L, Nil), s"dig$digest", 1, 1, Nil)
+
+  test("dedup invariants: receipts conserved, groups = distinct (trx,digest), gs = min") {
+    val genTraces = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        trx <- Gen.choose(0, 5)
+        digest <- Gen.choose(0, 4)
+      } yield (trx, digest))
+    } yield rows.zipWithIndex.map { case ((t, dg), i) => mkTrace(t, dg, 1000L + i) }
+
+    check(Prop.forAll(genTraces) { traces =>
+      val ds = spark.createDataset(traces)
+      val out = ActionDedup.mergeReceipts(ds).cache()
+      val receiptsOut = out.select(explode($"receipts")).count()
+      val expectedGroups = traces.map(t => (t.trx_id, t.act_digest)).toSet.size
+      val gsOk = out.select($"global_sequence", $"receipts").collect().forall { r =>
+        r.getLong(0) == r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).min
+      }
+      receiptsOut == traces.size &&
+        out.count() == expectedGroups.toLong &&
+        gsOk
+    }, 15)
+  }
+
+  test("minhash estimate is within statistical bounds of exact jaccard") {
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val genDoc = Gen.choose(5, 20).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    check(Prop.forAll(genDoc, genDoc) { (a, b) =>
+      val sa = a.toSet; val sb = b.toSet
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("id", "text")
+        .select($"id", Sim.minHash(Sim.shingles($"text", 1), 256).as("sig"))
+      val sigs = df.orderBy($"id").collect().map(_.getSeq[Long](1))
+      val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 256.0
+      // 256 hashes → σ = sqrt(J(1-J)/256) ≤ 0.032; allow 5σ
+      math.abs(exact - est) <= 0.16
+    }, 10)
+  }
+
+  test("jaccard column function equals set-arithmetic jaccard") {
+    val genSet = Gen.choose(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 20).map(i => s"t$i")))
+    check(Prop.forAll(genSet, genSet) { (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      val got = Seq((a.distinct, b.distinct)).toDF("a", "b")
+        .select(Sim.jaccard($"a", $"b")).as[Double].head()
+      math.abs(got - expected) < 1e-12
+    }, 20)
+  }
+
+  test("posOffset: window always non-negative, sized |offset|+1") {
+    check(Prop.forAll(Gen.choose(-1L, 10000L), Gen.choose(-500L, 500L)) { (pos, off) =>
+      val (skip, limit, _) = Paging.posOffset(pos, off)
+      skip >= 0 && limit == math.abs(off) + 1
+    })
+  }
+
+  test("simhash of identical token multisets is identical; hamming symmetric") {
+    val genDoc = Gen.choose(3, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 10).map(i => s"w$i")))
+    check(Prop.forAll(genDoc) { doc =>
+      val df = Seq((1L, doc.mkString(" ")), (2L, doc.mkString(" "))).toDF("id", "text")
+        .select(Sim.simHash(graft.functions.Text.tokens($"text")).as("sh"))
+      val hs = df.as[Long].collect()
+      hs(0) == hs(1)
+    }, 10)
+  }
+}
