@@ -565,6 +565,37 @@ object SparkEntry {
   private def qHypLinks(s: SparkSession, d: String): DataFrame =
     Endpoints.getLinks(Fixtures.links(s).toDF(), Some("carol"))
 
+  import graft.query.AccountEndpoints
+
+  /** J4: account page fan-out (actions ∥ tokens ∥ links). */
+  private def qHypAccount(s: SparkSession, d: String): DataFrame =
+    AccountEndpoints.getAccount(fixtureActions(s), Fixtures.accountBalances(s),
+      Fixtures.tokenPrecisions(s), Fixtures.links(s).toDF(), "alice")
+
+  /** J2: trx lookup with LIB merge + block-hint partition pruning. */
+  private def qHypTransaction(s: SparkSession, d: String): DataFrame =
+    AccountEndpoints.getTransaction(fixtureActions(s), "trx00000003",
+      lib = 150L, blockHint = Some(103L), partitionSize = 100L)
+
+  /** F2/F5 over block headers. */
+  private def qHypBlocks(s: SparkSession, d: String): DataFrame =
+    AccountEndpoints.getBlocks(Fixtures.blocks(s, 200).toDF(),
+      producer = Some("prodalpha,prodbeta"), after = Some("100"),
+      before = Some("250"), limit = Some(100))
+
+  /** C8: ABI codec boundary — decode ladder with ds_error semantics. */
+  private def qHypAbiDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = fixtureActions(s)
+      .select(col("global_sequence"), col("act.account").as("code"),
+        col("act.name").as("name"),
+        concat(lit("hex:"), col("act.data")).as("payload"),
+        lit("{}").as("abi"))
+    graft.functions.AbiCodec.decode(payloads, "payload", "abi")
+      .select(col("global_sequence"), col("data"), col("ds_error"))
+      .orderBy(col("global_sequence"))
+  }
+
   /** Language-ID n-gram heuristic (marker-token scoring). */
   private def qLangId(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -636,7 +667,11 @@ object SparkEntry {
     "q_hyperion_validate" -> (qHypValidate _),
     "q_hyperion_v1_actions" -> (qHypV1Actions _),
     "q_hyperion_schedule" -> (qHypSchedule _),
-    "q_hyperion_links" -> (qHypLinks _)
+    "q_hyperion_links" -> (qHypLinks _),
+    "q_hyperion_account" -> (qHypAccount _),
+    "q_hyperion_transaction" -> (qHypTransaction _),
+    "q_hyperion_blocks" -> (qHypBlocks _),
+    "q_hyperion_abi_decode" -> (qHypAbiDecode _)
   )
 
   def oracleSql: Map[String, String] = Map(

