@@ -95,6 +95,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Greedy near-dup removal: given candidate pairs (id_a < id_b), keep
+    * every doc that never appears on the b-side — the standard one-pass
+    * survivor rule for LSH dedup (each cluster keeps its smallest id;
+    * no transitive-closure iteration, which at 100 TB would be an
+    * unbounded iterative join). The pair set is usually ≪ corpus, so
+    * the anti-join broadcasts.
+    */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    docs.join(
+      broadcast(pairs.select(col("id_b").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard pairs via an inverted-index join: explode
     * distinct n-grams, join postings on the gram, count intersections,
     * then |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 gram ever meet.

@@ -113,6 +113,21 @@ class AnnSpec extends SparkSpec {
     assert(sims.sameElements(sims.sortBy(-_)))
   }
 
+  test("IVF assignment persisted partitionBy(centroid_id) prunes probe scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
+    Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .write.partitionBy("centroid_id").parquet(tmp)
+    val index = spark.read.parquet(tmp)
+    val probed = index.filter($"centroid_id".isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("centroid_id") && probed.count() > 0)
+    // partition pruning: only 2 of 8 directories are read
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("centroid_id=5") || scanned.contains("PartitionFilters"))
+  }
+
   test("IVF probe achieves high recall vs brute force at nProbe=4") {
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
     val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids).cache()
