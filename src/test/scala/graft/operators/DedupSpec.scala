@@ -114,7 +114,7 @@ class AnnSpec extends SparkSpec {
   }
 
   test("IVF assignment persisted partitionBy(centroid_id) prunes probe scans") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
     Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
       .write.partitionBy("centroid_id").parquet(tmp)
