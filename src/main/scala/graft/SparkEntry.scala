@@ -379,6 +379,65 @@ object SparkEntry {
     Ann.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
   }
 
+  /** IVF ANN (scale path): 8 seeded centroids, assign the corpus, probe
+    * only the 2 centroid partitions nearest the query, exact top-k within
+    * them. At 100 TB the assignment is written out partitioned by
+    * `centroid_id` so a probe scans nProbe/nCentroids of the corpus
+    * (AnnSpec proves the partition pruning); here the whole path —
+    * seed → assign → probe → top-k — runs in one job and is
+    * oracle-mirrored in SQL.
+    */
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val assigned = Ann.ivfAssign(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
+    Ann.ivfTopK(assigned, "vec_id", "embedding", cents, q, 10, 2)
+  }
+
+  /** Embedding-cosine near-dup pairs (Dedup.embeddingCosine): corpus ∪
+    * deterministic scaled copies (cos ≈ 1 planted pairs — the synthetic
+    * embeddings have no natural near-dups, max pairwise cos ≈ 0.51),
+    * random-hyperplane LSH bucketing, exact cosine within buckets.
+    * The float scale-by-1.001 is IEEE-identical in Spark and DuckDB
+    * (correctly-rounded float product), so the LSH buckets mirror exactly.
+    */
+  private def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = T.embeddings(s, d).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    Dedup.embeddingCosine(base.union(copies), "vec_id", "embedding", threshold = 0.99)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Batch sessionization (the batch analog of streaming session windows):
+    * per-user 30-minute-gap sessions via lag + cumulative-sum session ids,
+    * then per-session aggregates. One shuffle on user_id serves both
+    * windows and the final group-by (same partitioning reused).
+    */
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800000000L // 30 min in microseconds (exact integer compare)
+    val sessions = T.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > lit(gapUs), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Text analysis: token counting + length stats per language. */
   private def qTokenStats(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -641,6 +700,9 @@ object SparkEntry {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_sessionize" -> (qSessionize _),
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -858,6 +920,80 @@ object SparkEntry {
          qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
          SELECT vec_id, round(dot / (na * nq), 4) AS cos
          FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, value,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM e)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event,
+           round(sum(value), 2) AS sum_v
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ann_ivf" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id <> 0),
+         q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         assign AS (
+           SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, c) DESC, cid DESC) AS rn
+           FROM corpus CROSS JOIN cent),
+         probes AS (
+           SELECT cid FROM cent, q
+           ORDER BY list_cosine_similarity(c, qv) DESC, cid ASC LIMIT 2)
+         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos
+         FROM assign, q
+         WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_embed_neardup" ->
+      """WITH base AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 2000
+           UNION ALL
+           SELECT vec_id + 100000 AS id,
+             CAST(list_transform(embedding,
+               x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 2000),
+         ex AS (
+           SELECT id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i
+           FROM base),
+         proj AS (
+           SELECT id, t.t, pl.pl,
+             sum(x * sin(1.0 + t.t * 97.0 + pl.pl * 31.0 + i * 7.0)) AS p
+           FROM ex,
+             (SELECT unnest(range(4)) AS t) t,
+             (SELECT unnest(range(8)) AS pl) pl
+           GROUP BY 1, 2, 3),
+         bkt AS (
+           SELECT id, t,
+             sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << pl) ELSE 0 END) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+         SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(va.v, vb.v), 4) AS cos
+         FROM cand c
+         JOIN base va ON c.id_a = va.id
+         JOIN base vb ON c.id_b = vb.id
+         WHERE list_cosine_similarity(va.v, vb.v) >= 0.99
+         ORDER BY id_a, id_b""",
     "q_token_stats" ->
       """SELECT lang, count(*) AS docs,
          sum(CASE WHEN length(trim(text)) = 0 THEN 0

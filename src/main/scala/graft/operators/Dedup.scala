@@ -154,7 +154,10 @@ object Dedup {
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(array((0 until tables).map { t =>
         val bits = (0 until planes).map { pl =>
-          // fixed pseudo-random hyperplane: deterministic per (t, pl, dim i)
+          // fixed pseudo-random hyperplane: deterministic per (t, pl, dim i).
+          // HOF dot product deliberately: 32 native CosineSim loops inlined
+          // in one projection blow past codegen/JIT method limits and fall
+          // back to slow interpreted eval (measured 4× slower).
           val proj = Sim.dot(col(vecCol),
             array((0 until dim).map { i =>
               lit(math.sin(1.0 + t * 97.0 + pl * 31.0 + i * 7.0))
