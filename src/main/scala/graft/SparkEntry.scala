@@ -413,6 +413,48 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** F10: fuzzy match — token containment + bounded Levenshtein
+    * (FC.memoMatch). p_brand is single-token, so the exists-over-split
+    * reduces to a direct levenshtein on the column, which is what the
+    * oracle states.
+    */
+  private def qFuzzyMatch(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .filter(FC.memoMatch("p_brand", "Brand#3", fuzziness = 1))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand"))
+
+  /** F11: wildcard containment (`*term*` autocomplete shape). */
+  private def qWildcard(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .filter(FC.wildcard("p_name", "*al*"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** A10+A11: composite-bucket snapshot with after_key keyset pagination
+    * (the get_table_state shape on the events table): latest value per
+    * (user, event_type) bucket via map-side-combining argmax, resumed
+    * after a composite key, page of 25. Keyset beats offset at scale:
+    * the filter pushes to the scan instead of skipping rows post-sort.
+    */
+  private def qKeysetPage(s: SparkSession, d: String): DataFrame = {
+    val after = "12-purchase"
+    T.events(s, d)
+      .withColumn("composite_key",
+        concat_ws("-", col("user_id"), col("event_type")))
+      .groupBy(col("composite_key"))
+      .agg(max_by(
+        struct(col("value"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("top"))
+      .select(col("composite_key"),
+        col("top.value").as("value"),
+        col("top.event_id").as("event_id"))
+      .filter(col("composite_key") > after)
+      .orderBy(col("composite_key"))
+      .limit(25)
+  }
+
   /** Batch sessionization (the batch analog of streaming session windows):
     * per-user 30-minute-gap sessions via lag + cumulative-sum session ids,
     * then per-session aggregates. One shuffle on user_id serves both
@@ -703,6 +745,9 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_sessionize" -> (qSessionize _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_wildcard" -> (qWildcard _),
+    "q_keyset_page" -> (qKeysetPage _),
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -920,6 +965,24 @@ object SparkEntry {
          qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
          SELECT vec_id, round(dot / (na * nq), 4) AS cos
          FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_fuzzy_match" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+         WHERE contains(p_brand, 'Brand#3')
+            OR levenshtein(p_brand, 'Brand#3') <= 1
+         GROUP BY 1 ORDER BY 1""",
+    "q_wildcard" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE contains(p_name, 'al') ORDER BY p_partkey""",
+    "q_keyset_page" ->
+      """WITH snap AS (
+           SELECT user_id || '-' || event_type AS composite_key,
+                  value, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT composite_key, value, event_id FROM snap
+         WHERE rn = 1 AND composite_key > '12-purchase'
+         ORDER BY composite_key LIMIT 25""",
     "q_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, value,
