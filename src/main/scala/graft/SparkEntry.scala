@@ -455,6 +455,33 @@ object SparkEntry {
       .limit(25)
   }
 
+  /** P4/C7: noBinary truncation — strings > 256 chars shortened to
+    * 32 + "..." (the reference's response-size guard), as a pure
+    * projection over the documents table.
+    */
+  private def qTruncate(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.etl.Extensions.noBinary(col("text")).as("text_nb"))
+      .orderBy(col("doc_id"))
+
+  /** J2: parallel scalar lookup merged into every result row (the
+    * get_info/LIB merge shape): a 1-row aggregate frame cross-joined in —
+    * Catalyst broadcasts the single row, so the fact side never shuffles
+    * for the join.
+    */
+  private def qScalarLookup(s: SparkSession, d: String): DataFrame = {
+    val lib = T.events(s, d).agg(max(col("event_id")).as("last_event"))
+    T.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(lib)
+      .select(col("user_id"), col("cnt"), col("last_event"))
+      .orderBy(col("user_id"))
+  }
+
   /** Batch sessionization (the batch analog of streaming session windows):
     * per-user 30-minute-gap sessions via lag + cumulative-sum session ids,
     * then per-session aggregates. One shuffle on user_id serves both
@@ -748,6 +775,8 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_wildcard" -> (qWildcard _),
     "q_keyset_page" -> (qKeysetPage _),
+    "q_truncate" -> (qTruncate _),
+    "q_scalar_lookup" -> (qScalarLookup _),
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -965,6 +994,17 @@ object SparkEntry {
          qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
          SELECT vec_id, round(dot / (na * nq), 4) AS cos
          FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_truncate" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) > 256
+                THEN substring(text, 1, 32) || '...'
+                ELSE text END AS text_nb
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
+    "q_scalar_lookup" ->
+      """SELECT user_id, count(*) AS cnt,
+           (SELECT max(event_id) FROM events) AS last_event
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     "q_fuzzy_match" ->
       """SELECT p_brand, count(*) AS cnt FROM part
          WHERE contains(p_brand, 'Brand#3')
