@@ -693,6 +693,31 @@ object SparkEntry {
   private def qHypLinks(s: SparkSession, d: String): DataFrame =
     Endpoints.getLinks(Fixtures.links(s).toDF(), Some("carol"))
 
+  /** J3 inverse: accounts created by a creator (get_created_accounts). */
+  private def qHypCreatedAccounts(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getCreatedAccounts(Fixtures.newAccountActions(s), "alice")
+
+  /** J1 endpoint shape: ABI valid at a block (get_abi_snapshot). */
+  private def qHypAbiSnapshot(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getAbiSnapshot(Fixtures.abis(s).toDF(), "eosio.token", 200L)
+
+  /** Voters state query: producer array-any filter + weight top-N. */
+  private def qHypVoters(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getVoters(Fixtures.voters(s), producer = Some("prodbeta"))
+
+  /** Msig proposals: account-in-approvals (requested ∪ provided). */
+  private def qHypProposals(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getProposals(Fixtures.proposals(s), account = Some("carol"))
+
+  /** F16 endpoint: dynamic contract-state rows w/ scope + JSON filter. */
+  private def qHypTableRows(s: SparkSession, d: String): DataFrame = {
+    import graft.query.{StateEndpoints => SE}
+    val state = graft.state.StateMerge.fromHistory(
+      Fixtures.deltas(s).toDF(), Seq("code", "scope", "table", "primary_key"), "block_num")
+    SE.getTableRows(state, scope = Some("alice"),
+      filters = Seq(MetaFilter("data.v", "gte", "50")))
+  }
+
   import graft.query.AccountEndpoints
 
   /** J4: account page fan-out (actions ∥ tokens ∥ links). */
@@ -804,6 +829,11 @@ object SparkEntry {
     "q_hyperion_v1_actions" -> (qHypV1Actions _),
     "q_hyperion_schedule" -> (qHypSchedule _),
     "q_hyperion_links" -> (qHypLinks _),
+    "q_hyperion_created_accounts" -> (qHypCreatedAccounts _),
+    "q_hyperion_abi_snapshot" -> (qHypAbiSnapshot _),
+    "q_hyperion_voters" -> (qHypVoters _),
+    "q_hyperion_proposals" -> (qHypProposals _),
+    "q_hyperion_table_rows" -> (qHypTableRows _),
     "q_hyperion_account" -> (qHypAccount _),
     "q_hyperion_transaction" -> (qHypTransaction _),
     "q_hyperion_blocks" -> (qHypBlocks _),

@@ -185,6 +185,31 @@ object Fixtures {
       .toDF("version", "block_num", "producers", "activated_version")
   }
 
+  /** Voter state rows (for get_voters): deterministic producer slates,
+    * every third voter a proxy, weight monotone in index.
+    */
+  def voters(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val producers = Vector("prodalpha", "prodbeta", "prodgamma", "proddelta")
+    accounts.zipWithIndex.map { case (a, i) =>
+      (a, producers.take(i % producers.size + 1), i % 3 == 0,
+        1000.0 * (i + 1), 500L + i)
+    }.toDF("voter", "producers", "is_proxy", "last_vote_weight", "block_num")
+  }
+
+  /** Msig proposal state rows (for get_proposals): requested vs provided
+    * approval sets, one executed.
+    */
+  def proposals(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("alice", "upgrade", Seq("bob", "carol"), Seq("bob"), false, 600L),
+      ("alice", "payout", Seq("dave"), Seq.empty[String], true, 610L),
+      ("bob", "upgrade2", Seq("alice", "carol"), Seq("alice", "carol"), false, 620L))
+      .toDF("proposer", "proposal_name", "requested_approvals",
+        "provided_approvals", "executed", "block_num")
+  }
+
   /** Fork events: block ids retracted (and one re-adopted). */
   def forkEvents(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

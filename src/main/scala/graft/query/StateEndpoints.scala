@@ -142,6 +142,85 @@ object StateEndpoints {
     voters.filter(FilterCompiler.wildcard("voter", term))
       .select(col("voter")).distinct().orderBy(col("voter"))
 
+  /** GET /v2/history/get_created_accounts (J3 inverse): accounts created
+    * by `creator`, from the newaccount action stream
+    * (v2-history/get_created_accounts in the reference).
+    */
+  def getCreatedAccounts(newAccountActions: DataFrame, creator: String): DataFrame =
+    newAccountActions
+      .filter(col("action") === "newaccount" && col("creator") === creator)
+      .select(col("newact").as("account"), col("trx_id"), col("block_num"))
+      .orderBy(col("block_num"), col("account"))
+
+  /** GET /v2/history/get_abi_snapshot (J1 endpoint shape): the ABI valid
+    * at `block` for `contract` — argmax over versions with
+    * `block <= target` (map-side-combining max_by; the abi dimension is
+    * metadata-sized at any scale, so this never shuffles meaningfully).
+    */
+  def getAbiSnapshot(abis: DataFrame, contract: String, block: Long): DataFrame =
+    abis
+      .filter(col("account") === contract && col("block") <= block)
+      .agg(max_by(struct(col("block"), col("abi")), col("block")).as("top"))
+      .select(lit(contract).as("contract"),
+        col("top.block").as("valid_from"), col("top.abi").as("abi"))
+      .filter(col("valid_from").isNotNull)
+
+  /** GET /v2/state/get_voters: optional producer filter (array-any),
+    * optional proxy flag, top-N by vote weight
+    * (TakeOrderedAndProject — no global sort materialization).
+    */
+  def getVoters(
+      voters: DataFrame,
+      producer: Option[String] = None,
+      proxies: Option[Boolean] = None,
+      limit: Int = 100): DataFrame = {
+    val p1 = producer.map(p => voters.filter(array_contains(col("producers"), p)))
+      .getOrElse(voters)
+    val p2 = proxies.map(fl => p1.filter(col("is_proxy") === fl)).getOrElse(p1)
+    p2.select(col("voter"), col("producers"), col("is_proxy"),
+        col("last_vote_weight"), col("block_num"))
+      .orderBy(col("last_vote_weight").desc, col("voter"))
+      .limit(limit)
+  }
+
+  /** GET /v2/state/get_proposals (msig): proposer/proposal filters,
+    * account-in-approvals (requested ∪ provided, array-any), executed
+    * flag; newest-first with a page cap.
+    */
+  def getProposals(
+      proposals: DataFrame,
+      proposer: Option[String] = None,
+      proposal: Option[String] = None,
+      account: Option[String] = None,
+      executed: Option[Boolean] = None,
+      limit: Int = 100): DataFrame = {
+    var df = proposals
+    proposer.foreach(p => df = df.filter(col("proposer") === p))
+    proposal.foreach(p => df = df.filter(col("proposal_name") === p))
+    account.foreach(a => df = df.filter(
+      array_contains(col("requested_approvals"), a) ||
+        array_contains(col("provided_approvals"), a)))
+    executed.foreach(e => df = df.filter(col("executed") === e))
+    df.orderBy(col("block_num").desc, col("proposal_name")).limit(limit)
+  }
+
+  /** GET /v2/state/get_table_rows (F16 endpoint): dynamic contract-state
+    * query — scope equality (pushed to the scan) + JSON meta-filters over
+    * the decoded row (`MetaFilters`, post-scan only where the path enters
+    * the opaque blob), keyset-ordered with a page cap.
+    */
+  def getTableRows(
+      state: DataFrame,
+      scope: Option[String] = None,
+      filters: Seq[MetaFilter] = Nil,
+      limit: Int = 100): DataFrame = {
+    val scoped = scope.map(sc => state.filter(col("scope") === sc)).getOrElse(state)
+    val filtered =
+      if (filters.isEmpty) scoped
+      else scoped.filter(MetaFilters.compileAll(scoped, filters))
+    filtered.orderBy(col("primary_key")).limit(limit)
+  }
+
   /** v1 /v1/history/get_actions (O7/P7): eosio pos/offset windowing +
     * v1 response reshaping {global_action_seq, account_action_seq,
     * action_trace{...}}.

@@ -90,6 +90,64 @@ class StateEndpointsSpec extends SparkSpec {
     assert(got === Seq("alice.vt", "alicorn"))
   }
 
+  test("get_created_accounts: creator's accounts from newaccount stream") {
+    val na = Fixtures.newAccountActions(spark)
+    val got = StateEndpoints.getCreatedAccounts(na, "alice")
+      .select($"account").as[String].collect().toSeq
+    assert(got === Seq("bob")) // alice created exactly bob in the fixture chain
+    assert(StateEndpoints.getCreatedAccounts(na, "eosio")
+      .select($"account").as[String].collect().toSeq === Seq("alice"))
+  }
+
+  test("get_abi_snapshot: as-of argmax picks the version valid at block") {
+    val abis = Fixtures.abis(spark).toDF()
+    val at200 = StateEndpoints.getAbiSnapshot(abis, "eosio.token", 200L).head()
+    assert(at200.getAs[Long]("valid_from") === 150L)
+    assert(at200.getAs[String]("abi").contains("\"rev\":2"))
+    val at100 = StateEndpoints.getAbiSnapshot(abis, "eosio.token", 100L).head()
+    assert(at100.getAs[Long]("valid_from") === 50L)
+    // before any version: empty result, not a null row
+    assert(StateEndpoints.getAbiSnapshot(abis, "eosio.token", 10L).count() === 0)
+  }
+
+  test("get_voters: producer array-any filter, proxy flag, weight order") {
+    val v = Fixtures.voters(spark)
+    // prodbeta appears in slates of voters with index % 4 >= 1
+    val forBeta = StateEndpoints.getVoters(v, producer = Some("prodbeta"))
+      .select($"voter").as[String].collect().toSeq
+    assert(forBeta === Seq("dave", "carol", "bob")) // weight-desc order
+    val proxies = StateEndpoints.getVoters(v, proxies = Some(true))
+      .select($"voter").as[String].collect().toSeq
+    assert(proxies === Seq("dave", "alice")) // indices 0 and 3
+  }
+
+  test("get_proposals: approval-membership filter spans requested ∪ provided") {
+    val p = Fixtures.proposals(spark)
+    val carol = StateEndpoints.getProposals(p, account = Some("carol"))
+      .select($"proposal_name").as[String].collect().toSeq
+    assert(carol === Seq("upgrade2", "upgrade")) // block-desc
+    val executed = StateEndpoints.getProposals(p, executed = Some(true))
+      .select($"proposal_name").as[String].collect().toSeq
+    assert(executed === Seq("payout"))
+    val byProposer = StateEndpoints.getProposals(p, proposer = Some("alice"))
+    assert(byProposer.count() === 2)
+  }
+
+  test("get_table_rows: scope + JSON meta-filter over compacted state") {
+    val state = graft.state.StateMerge.fromHistory(
+      Fixtures.deltas(spark).toDF(),
+      Seq("code", "scope", "table", "primary_key"), "block_num")
+    val rows = StateEndpoints.getTableRows(state, scope = Some("alice"),
+      filters = Seq(MetaFilter("data.v", "gte", "50")))
+    assert(rows.count() > 0)
+    // every returned row respects both the scope and the JSON filter
+    rows.collect().foreach { r =>
+      assert(r.getAs[String]("scope") === "alice")
+      val v = r.getAs[String]("data").split("\"v\":")(1).dropRight(1).toInt
+      assert(v >= 50)
+    }
+  }
+
   test("v1 get_actions: pos/offset arithmetic + v1 shape (O7/P7)") {
     val actions = ActionDedup.mergeReceipts(Fixtures.rawTraces(spark, 30, 0, 0))
     // last action (pos=-1): offset -4 → 5 most recent, desc
