@@ -709,6 +709,14 @@ object SparkEntry {
   private def qHypProposals(s: SparkSession, d: String): DataFrame =
     StateEndpoints.getProposals(Fixtures.proposals(s), account = Some("carol"))
 
+  /** v1 controlled-accounts disjunction (newaccount ∪ updateauth). */
+  private def qHypControlledAccounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val delegations = Seq(("bob", "carol2")).toDF("actor", "account")
+    StateEndpoints.getControlledAccounts(
+      Fixtures.newAccountActions(s), Some(delegations), "bob")
+  }
+
   /** F16 endpoint: dynamic contract-state rows w/ scope + JSON filter. */
   private def qHypTableRows(s: SparkSession, d: String): DataFrame = {
     import graft.query.{StateEndpoints => SE}
@@ -834,6 +842,7 @@ object SparkEntry {
     "q_hyperion_voters" -> (qHypVoters _),
     "q_hyperion_proposals" -> (qHypProposals _),
     "q_hyperion_table_rows" -> (qHypTableRows _),
+    "q_hyperion_controlled_accounts" -> (qHypControlledAccounts _),
     "q_hyperion_account" -> (qHypAccount _),
     "q_hyperion_transaction" -> (qHypTransaction _),
     "q_hyperion_blocks" -> (qHypBlocks _),

@@ -221,6 +221,26 @@ object StateEndpoints {
     filtered.orderBy(col("primary_key")).limit(limit)
   }
 
+  /** POST /v1/history/get_controlled_accounts: accounts controlled by a
+    * controlling account — newaccount actions it authorized ∪ updateauth
+    * delegations naming it as actor (the reference's two-should
+    * disjunction, v1-history/get_controlled_accounts), deduped.
+    */
+  def getControlledAccounts(
+      newAccountActions: DataFrame,
+      updateauthDelegations: Option[DataFrame],
+      controlling: String): DataFrame = {
+    val fromNew = newAccountActions
+      .filter(col("action") === "newaccount" && col("creator") === controlling)
+      .select(col("newact").as("account"))
+    val unioned = updateauthDelegations match {
+      case Some(d) => fromNew.union(
+        d.filter(col("actor") === controlling).select(col("account")))
+      case None => fromNew
+    }
+    unioned.distinct().orderBy(col("account"))
+  }
+
   /** v1 /v1/history/get_actions (O7/P7): eosio pos/offset windowing +
     * v1 response reshaping {global_action_seq, account_action_seq,
     * action_trace{...}}.

@@ -148,6 +148,17 @@ class StateEndpointsSpec extends SparkSpec {
     }
   }
 
+  test("get_controlled_accounts: newaccount ∪ updateauth disjunction") {
+    val na = Fixtures.newAccountActions(spark)
+    val delegations = Seq(("bob", "zeta"), ("alice", "omega")).toDF("actor", "account")
+    val got = StateEndpoints.getControlledAccounts(na, Some(delegations), "bob")
+      .as[String].collect().toSeq
+    assert(got === Seq("carol", "zeta")) // bob created carol; zeta delegated
+    // no delegation source → newaccount-only path
+    assert(StateEndpoints.getControlledAccounts(na, None, "bob")
+      .as[String].collect().toSeq === Seq("carol"))
+  }
+
   test("v1 get_actions: pos/offset arithmetic + v1 shape (O7/P7)") {
     val actions = ActionDedup.mergeReceipts(Fixtures.rawTraces(spark, 30, 0, 0))
     // last action (pos=-1): offset -4 → 5 most recent, desc
