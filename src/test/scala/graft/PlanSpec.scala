@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan contracts for the headline queries — the PLANS.md claims,
+  * enforced. These properties (shuffle counts, broadcast choices, filter
+  * pushdown, partial aggregation / group-limit rewrites) are what make the
+  * plans hold at 100 TB; a regression here is a performance bug even while
+  * results stay correct, so it must fail `sbt test`, not wait for a bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q1_agg: partial aggregation before a single hash shuffle, pruned scan") {
+    val p = plan("q1_agg")
+    assert(hashExchanges(p) === 1)
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "map-side partial aggregation missing")
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q_join_enrich: broadcast chain, no sort-merge join, pushed dim filter") {
+    val p = plan("q_join_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("EqualTo(r_name,ASIA)"), "dim filter not pushed to scan")
+  }
+
+  test("q_latest_per_key: WindowGroupLimit partial top-1 before the shuffle") {
+    val p = plan("q_latest_per_key")
+    assert(p.contains("WindowGroupLimit"))
+    assert(hashExchanges(p) === 1)
+  }
+
+  test("q_ann_cosine: zero shuffles, native expression, top-k merge") {
+    val p = plan("q_ann_cosine")
+    assert(!p.contains("Exchange"), "ANN scan must not shuffle")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.toLowerCase.contains("cosinesim"), "native CosineSim not in plan")
+  }
+
+  test("q_asof_join: union + exactly one keyed shuffle") {
+    assert(hashExchanges(plan("q_asof_join")) === 1)
+  }
+
+  test("q_sessionize: windows and session aggregate share one hash shuffle") {
+    assert(hashExchanges(plan("q_sessionize")) === 1)
+  }
+
+  test("q_keyset_page: single shuffle on the composite key") {
+    assert(hashExchanges(plan("q_keyset_page")) === 1)
+  }
+
+  test("q_top_holders: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("q_top_holders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not materialize a global sort")
+  }
+}
