@@ -455,6 +455,24 @@ object SparkEntry {
       .limit(25)
   }
 
+  /** F4: OR + NOT mix in one multi-value param (`a,b,!c`) — disjunction
+    * of positives AND'd with negations, the reference's processMultiVars.
+    */
+  private def qOrNotMix(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .filter(FC.multiVar("event_type", "purchase,click,!signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** F6: generic `lo-hi` field range (open ends supported). */
+  private def qRangeField(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .filter(FC.rangeQuery("p_size", "5-10"))
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("p_size"))
+
   /** P4/C7: noBinary truncation — strings > 256 chars shortened to
     * 32 + "..." (the reference's response-size guard), as a pure
     * projection over the documents table.
@@ -809,6 +827,8 @@ object SparkEntry {
     "q_wildcard" -> (qWildcard _),
     "q_keyset_page" -> (qKeysetPage _),
     "q_truncate" -> (qTruncate _),
+    "q_or_not_mix" -> (qOrNotMix _),
+    "q_range_field" -> (qRangeField _),
     "q_scalar_lookup" -> (qScalarLookup _),
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
@@ -1033,6 +1053,14 @@ object SparkEntry {
          qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
          SELECT vec_id, round(dot / (na * nq), 4) AS cos
          FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_or_not_mix" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         WHERE event_type IN ('purchase', 'click') AND event_type <> 'signup'
+         GROUP BY 1 ORDER BY 1""",
+    "q_range_field" ->
+      """SELECT p_size, count(*) AS cnt FROM part
+         WHERE p_size >= 5 AND p_size <= 10
+         GROUP BY 1 ORDER BY 1""",
     "q_truncate" ->
       """SELECT doc_id,
            CASE WHEN length(text) > 256
