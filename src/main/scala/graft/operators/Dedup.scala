@@ -151,22 +151,15 @@ object Dedup {
       planes: Int = 8,
       tables: Int = 4): DataFrame = {
     val dim = 64
-    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array((0 until tables).map { t =>
-        val bits = (0 until planes).map { pl =>
-          // fixed pseudo-random hyperplane: deterministic per (t, pl, dim i).
-          // HOF dot product deliberately: 32 native CosineSim loops inlined
-          // in one projection blow past codegen/JIT method limits and fall
-          // back to slow interpreted eval (measured 4× slower).
-          val proj = Sim.dot(col(vecCol),
-            array((0 until dim).map { i =>
-              lit(math.sin(1.0 + t * 97.0 + pl * 31.0 + i * 7.0))
-            }: _*))
-          when(proj >= 0, shiftleft(lit(1L), pl)).otherwise(lit(0L))
-        }
-        struct(lit(t).as("table"), bits.reduce((x, y) => x.bitwiseOR(y)).as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.table").as("table"), col("bk.bucket").as("bucket"))
+    // all tables×planes sign bits in ONE native fused loop per row
+    // (graft.exprs.HyperplaneBuckets): the HOF form is tables×planes
+    // interpreted lambda-aggregate trees per row, and inlining that many
+    // separate native loops blows codegen method limits — one expression,
+    // one JIT'd method. posexplode yields (table, bucket) directly.
+    val keyed = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(graft.exprs.HyperplaneBuckets(col(vecCol), tables, planes, dim)))
+      .select(col("id"), col("v"), col("pos").as("table"), col("col").as("bucket"))
     val a = keyed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = keyed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("table", "bucket"))

@@ -1,0 +1,66 @@
+package graft.exprs
+
+import graft.SparkSpec
+import graft.functions.Sim
+import org.apache.spark.sql.functions._
+
+/** HyperplaneBuckets must equal the composable HOF formula bit-for-bit —
+  * it exists purely as the fused fast path, never as different semantics.
+  */
+class HyperplaneBucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val tables = 3
+  private val planes = 5
+
+  private def hofBuckets(vecCol: String) =
+    array((0 until tables).map { t =>
+      (0 until planes).map { pl =>
+        val proj = Sim.dot(col(vecCol),
+          array((0 until dim).map { i =>
+            lit(math.sin(1.0 + t * 97.0 + pl * 31.0 + i * 7.0))
+          }: _*))
+        when(proj >= 0, shiftleft(lit(1L), pl)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
+
+  test("matches the HOF hyperplane formula on float vectors") {
+    val vecs = (0 until 50).map { k =>
+      (k.toLong, (0 until dim).map(i => math.sin(k * 13.0 + i).toFloat))
+    }.toDF("id", "v")
+    val both = vecs.select(
+      HyperplaneBuckets(col("v"), tables, planes, dim).as("fused"),
+      hofBuckets("v").as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() === 0)
+  }
+
+  test("interpreted eval equals codegen output") {
+    val vecs = (0 until 20).map { k =>
+      (k.toLong, (0 until dim).map(i => math.cos(k * 7.0 + i * 3.0)))
+    }.toDF("id", "v")
+    val fused = vecs.select(HyperplaneBuckets(col("v"), tables, planes, dim).as("b"))
+    val collected = fused.collect().map(_.getSeq[Long](0))
+    // interpreted path: eval the expression over a typed literal child
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rows = (0 until 20).map { k =>
+      val lit = Literal.create(
+        (0 until dim).map(i => math.cos(k * 7.0 + i * 3.0)),
+        ArrayType(DoubleType))
+      HyperplaneBuckets(lit, tables, planes, dim)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    }
+    assert(collected.map(_.toSeq).toSeq === rows)
+  }
+
+  test("null vector yields null; buckets are stable per row") {
+    val vecs = Seq((1L, Some(Seq(1.0, -1.0, 0.5, 0.0, 2.0, -2.0, 1.5, -0.5))),
+      (2L, None)).toDF("id", "v")
+    val out = vecs.select(col("id"),
+      HyperplaneBuckets(col("v"), tables, planes, 8).as("b")).collect()
+    assert(out.find(_.getLong(0) == 2L).get.isNullAt(1))
+    assert(!out.find(_.getLong(0) == 1L).get.isNullAt(1))
+  }
+}
