@@ -16,5 +16,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (children: Seq[Expression]) => {
+        // hyperplane_buckets(vec, tables, planes, dim) — int literals
+        def intLit(e: Expression): Int =
+          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.toString.toInt
+        HyperplaneBuckets(children(0),
+          intLit(children(1)), intLit(children(2)), intLit(children(3)))
+      }))
   }
 }

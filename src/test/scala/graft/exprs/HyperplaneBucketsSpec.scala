@@ -55,6 +55,23 @@ class HyperplaneBucketsSpec extends SparkSpec {
     assert(collected.map(_.toSeq).toSeq === rows)
   }
 
+  test("SQL registration via GraftExtensions-style injection") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_buckets",
+      exprs => HyperplaneBuckets(exprs(0),
+        exprs(1).asInstanceOf[Literal].value.toString.toInt,
+        exprs(2).asInstanceOf[Literal].value.toString.toInt,
+        exprs(3).asInstanceOf[Literal].value.toString.toInt),
+      "built-in")
+    Seq((1L, Seq(1.0, -1.0, 0.5, 0.25))).toDF("id", "v")
+      .createOrReplaceTempView("hb_v")
+    val got = spark.sql(
+      s"SELECT hyperplane_buckets(v, $tables, $planes, 4) FROM hb_v")
+      .head().getSeq[Long](0)
+    assert(got.length === tables)
+  }
+
   test("null vector yields null; buckets are stable per row") {
     val vecs = Seq((1L, Some(Seq(1.0, -1.0, 0.5, 0.0, 2.0, -2.0, 1.5, -0.5))),
       (2L, None)).toDF("id", "v")
