@@ -390,9 +390,10 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
     val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toIndexedSeq
+    // query = vector 0 = the first seeded centroid (seeding orders by id),
+    // so the seed collect doubles as the query-vector fetch — one driver
+    // job instead of two before the distributed probe
+    val q = cents.head._2
     val assigned = Ann.ivfAssign(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
     Ann.ivfTopK(assigned, "vec_id", "embedding", cents, q, 10, 2)
   }
