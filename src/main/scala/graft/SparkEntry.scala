@@ -225,8 +225,12 @@ object SparkEntry {
 
   /** Left-anti join (NOT EXISTS) — reconciliation shape (J6). */
   private def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    // "customers with no large order": the threshold keeps the anti side
+    // non-empty at every SF (plain customers-without-orders is vacuously
+    // empty on this data — a broken anti-join would pass unnoticed)
     T.customer(s, d)
-      .join(T.orders(s, d).select(col("o_custkey")),
+      .join(T.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -958,7 +962,8 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
          ORDER BY c_custkey""",
     "q_asof_join" ->
       """WITH u AS (
