@@ -78,6 +78,38 @@ object Ann {
       idCol, vecCol, query, k)
   }
 
+  /** One Lloyd refinement step: recompute each centroid as the mean of
+    * its assigned vectors (dropping centroids that lost all members).
+    * One distributed aggregation over the corpus per step — partial
+    * (map-side) mean accumulation, shuffle volume = k × dim doubles per
+    * task regardless of corpus size, centroids collected to the driver
+    * (k·dim values — metadata-sized). Chain `ivfAssign → lloydStep`
+    * a few times before the final assignment for tighter partitions;
+    * seeding alone suffices for recall, refinement reduces probe skew
+    * (balanced partitions → balanced probe cost at 100 TB).
+    */
+  def lloydStep(
+      assigned: DataFrame,
+      vecCol: String): Seq[(Int, Seq[Double])] = {
+    import scala.jdk.CollectionConverters._
+    // explode to (centroid, dim-index, component): the per-(centroid, dim)
+    // mean aggregates map-side first, so the only shuffle carries
+    // k × dim partial sums per task — never vectors, never groups
+    val rows = assigned
+      .select(col("centroid_id"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("mean"))
+      .collectAsList().asScala
+    rows.map { r =>
+      (r.getInt(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double])
+    }.toSeq.sortBy(_._1)
+  }
+
   /** Mini-batch centroid seeding: deterministic sample of `k` corpus
     * vectors as centroids (k-means|| seeding step; full Lloyd iterations
     * optional — for LSH-style bucketing recall, seeds suffice).

@@ -128,6 +128,32 @@ class AnnSpec extends SparkSpec {
     assert(!scanned.contains("centroid_id=5") || scanned.contains("PartitionFilters"))
   }
 
+  test("Lloyd step tightens clusters and never degrades assignment quality") {
+    val seeds = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
+    val assigned0 = Ann.ivfAssign(emb, "vec_id", "embedding", seeds).cache()
+
+    // mean cosine of each vector to its assigned centroid, for a given book
+    def meanSim(assigned: org.apache.spark.sql.DataFrame,
+        cents: Seq[(Int, Seq[Double])]): Double = {
+      val simCols = cents.map { case (cid, c) =>
+        org.apache.spark.sql.functions.when($"centroid_id" === cid,
+          graft.exprs.CosineSim($"embedding",
+            org.apache.spark.sql.functions.array(c.map(
+              org.apache.spark.sql.functions.lit): _*)))
+      }
+      assigned.select(org.apache.spark.sql.functions.coalesce(simCols: _*).as("s"))
+        .agg(org.apache.spark.sql.functions.avg($"s")).head().getDouble(0)
+    }
+
+    val refined = Ann.lloydStep(assigned0, "embedding")
+    assert(refined.nonEmpty && refined.forall(_._2.length === 64))
+    val assigned1 = Ann.ivfAssign(emb, "vec_id", "embedding", refined)
+    val before = meanSim(assigned0, seeds)
+    val after = meanSim(assigned1, refined)
+    assert(after >= before - 1e-9,
+      s"Lloyd step degraded mean centroid similarity: $before -> $after")
+  }
+
   test("IVF probe achieves high recall vs brute force at nProbe=4") {
     val centroids = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
     val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids).cache()
