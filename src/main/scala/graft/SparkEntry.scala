@@ -1104,11 +1104,11 @@ object SparkEntry {
            FROM events),
          s AS (
            SELECT user_id, event_id, value,
-             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                  THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
            FROM e)
          SELECT user_id, session_id, count(*) AS n_events,
            min(event_id) AS first_event, max(event_id) AS last_event,
@@ -1175,7 +1175,7 @@ object SparkEntry {
          sum(CASE WHEN length(trim(text)) = 0 THEN 0
            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) * 1.0
            / count(*) AS avg_tokens,
-         sum(length(text)) AS total_chars
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_quality_score" ->
       """WITH t AS (
@@ -1199,8 +1199,9 @@ object SparkEntry {
          FROM m ORDER BY doc_id""",
     "q_bpe_estimate" ->
       """SELECT lang,
-         sum(list_sum(list_transform(string_split(trim(text), ' '),
-           w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))) AS est_tokens
+         CAST(sum(list_sum(list_transform(string_split(trim(text), ' '),
+           w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))) AS BIGINT)
+           AS est_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_multimodal_decode" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,

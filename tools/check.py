@@ -31,6 +31,20 @@ for name, sql in sorted(oracle.items()):
     elif len(got) != len(exp):
         problems.append(f"rows: spark={len(got)} duck={len(exp)}")
     else:
+        # The driver hashes typed values — an int column on one side vs a
+        # float on the other (e.g. DuckDB sum(int)→HUGEINT→float64) fails
+        # its hash even when numerically equal. Flag dtype-kind drift.
+        for c in got.columns:
+            gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+            if gk != ek and {gk, ek} <= {'i', 'u', 'f'}:
+                problems.append(f"dtype col {c}: spark={got[c].dtype} duck={exp[c].dtype}"
+                                " (hash-mismatch risk: cast oracle to BIGINT/DOUBLE)")
+        for c in got.columns:
+            if got[c].dtype == object and len(got) and isinstance(
+                    got[c].iloc[0], (np.ndarray, list, dict)):
+                problems.append(f"col {c}: complex type (ndarray/dict) — driver sort will crash;"
+                                " serialize with to_json")
+    if not problems:
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         for c in got.columns:
@@ -52,5 +66,19 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL     {name}: " + " | ".join(problems)); fail += 1
     else:
         print(f"OK       {name} ({len(got)} rows)"); ok += 1
+# Rows-only outputs (no oracle SQL) still get read + sorted by the driver:
+# a column holding ndarrays/dicts crashes its pandas sort (r1: six
+# q_hyperion_* queries got spark_rows=null). Vet sortability here too.
+for d in sorted(os.listdir(out_dir)):
+    path = os.path.join(out_dir, d)
+    if not os.path.isdir(path) or d in oracle:
+        continue
+    try:
+        got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{path}/*.parquet"))])
+        got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        print(f"OK-ROWS  {d} ({len(got)} rows, sortable)"); ok += 1
+    except Exception as e:
+        print(f"FAIL     {d}: rows-only output unsortable/unreadable: {e}"); fail += 1
+
 print(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)
