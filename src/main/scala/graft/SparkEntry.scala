@@ -20,6 +20,25 @@ object SparkEntry {
 
   private def T = Tables
 
+  /** Driver-compat shim for registered wrappers only: the driver's oracle
+    * harness sorts result columns with pandas, which cannot hash
+    * array/struct/map cells. Serialize complex columns to their JSON text
+    * (deterministic field order = schema order) so rows-only queries are
+    * sortable and hashable. The library endpoints keep returning typed
+    * columns — this wraps at the registry boundary, not in the operators.
+    */
+  private def jsonSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0):
     * the 5-table enrichment join + aggregation (SURVEY §2.4/§2.5).
     */
@@ -336,9 +355,14 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
       .limit(1000)
 
-  /** Gap detection (repair-scan re-expression, §4). */
+  /** Gap detection (repair-scan re-expression, §4) on the scale path:
+    * per-bucket local gaps + boundary window over ~n/bucketSize rows
+    * (GapsSpec proves detect ≡ detectBucketed). The small bucketSize
+    * exercises the cross-bucket boundary branch at sf0.01.
+    */
   private def qGapDetect(s: SparkSession, d: String): DataFrame =
-    Gaps.detect(T.events(s, d).filter(col("value") > 180), "event_id")
+    Gaps.detectBucketed(T.events(s, d).filter(col("value") > 180), "event_id",
+        bucketSize = 1000L)
       .orderBy(col("gap_start"))
 
   // ------------------------------------------------- training-data operators
@@ -429,6 +453,17 @@ object SparkEntry {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("p_brand"))
+
+  /** F10 multi-token branch: fuzzy memo match over a multi-word column —
+    * the term matches no substring, so only memoMatch's exists-over-split
+    * bounded-Levenshtein branch can select rows (mirrors the reference's
+    * transaction-memo fuzzy search, get_actions/functions.ts:154-169).
+    */
+  private def qFuzzyMemoMulti(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .filter(FC.memoMatch("p_name", "boltz", fuzziness = 1))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
 
   /** F11: wildcard containment (`*term*` autocomplete shape). */
   private def qWildcard(s: SparkSession, d: String): DataFrame =
@@ -608,9 +643,9 @@ object SparkEntry {
 
   /** get_actions endpoint: account + code:action + paging + simple shape. */
   private def qHypGetActions(s: SparkSession, d: String): DataFrame =
-    Endpoints.getActions(fixtureActions(s), GetActionsParams(
+    jsonSafe(Endpoints.getActions(fixtureActions(s), GetActionsParams(
       account = Some("alice"), filter = Some("eosio.token:transfer"),
-      limit = Some(50), simple = true))
+      limit = Some(50), simple = true)))
 
   /** ST10: light-block derivation. */
   private def qHypLightBlocks(s: SparkSession, d: String): DataFrame =
@@ -706,7 +741,7 @@ object SparkEntry {
 
   /** O7/P7: v1 pos/offset windowing + v1 response shape. */
   private def qHypV1Actions(s: SparkSession, d: String): DataFrame =
-    StateEndpoints.getActionsV1(fixtureActions(s), "alice", 0L, 19L)
+    jsonSafe(StateEndpoints.getActionsV1(fixtureActions(s), "alice", 0L, 19L))
 
   /** F12: schedule activated/proposed exists filter. */
   private def qHypSchedule(s: SparkSession, d: String): DataFrame =
@@ -726,11 +761,11 @@ object SparkEntry {
 
   /** Voters state query: producer array-any filter + weight top-N. */
   private def qHypVoters(s: SparkSession, d: String): DataFrame =
-    StateEndpoints.getVoters(Fixtures.voters(s), producer = Some("prodbeta"))
+    jsonSafe(StateEndpoints.getVoters(Fixtures.voters(s), producer = Some("prodbeta")))
 
   /** Msig proposals: account-in-approvals (requested ∪ provided). */
   private def qHypProposals(s: SparkSession, d: String): DataFrame =
-    StateEndpoints.getProposals(Fixtures.proposals(s), account = Some("carol"))
+    jsonSafe(StateEndpoints.getProposals(Fixtures.proposals(s), account = Some("carol")))
 
   /** v1 controlled-accounts disjunction (newaccount ∪ updateauth). */
   private def qHypControlledAccounts(s: SparkSession, d: String): DataFrame = {
@@ -753,19 +788,42 @@ object SparkEntry {
 
   /** J4: account page fan-out (actions ∥ tokens ∥ links). */
   private def qHypAccount(s: SparkSession, d: String): DataFrame =
-    AccountEndpoints.getAccount(fixtureActions(s), Fixtures.accountBalances(s),
-      Fixtures.tokenPrecisions(s), Fixtures.links(s).toDF(), "alice")
+    jsonSafe(AccountEndpoints.getAccount(fixtureActions(s), Fixtures.accountBalances(s),
+      Fixtures.tokenPrecisions(s), Fixtures.links(s).toDF(), "alice"))
 
   /** J2: trx lookup with LIB merge + block-hint partition pruning. */
   private def qHypTransaction(s: SparkSession, d: String): DataFrame =
-    AccountEndpoints.getTransaction(fixtureActions(s), "trx00000003",
-      lib = 150L, blockHint = Some(103L), partitionSize = 100L)
+    jsonSafe(AccountEndpoints.getTransaction(fixtureActions(s), "trx00000003",
+      lib = 150L, blockHint = Some(103L), partitionSize = 100L))
 
   /** F2/F5 over block headers. */
   private def qHypBlocks(s: SparkSession, d: String): DataFrame =
     AccountEndpoints.getBlocks(Fixtures.blocks(s, 200).toDF(),
       producer = Some("prodalpha,prodbeta"), after = Some("100"),
       before = Some("250"), limit = Some(100))
+
+  /** get_deltas endpoint: code/scope/table/payer multiVar + ISO time
+    * filter + sort + paging (get_deltas.ts:30-75 parameter surface).
+    */
+  private def qHypDeltas(s: SparkSession, d: String): DataFrame =
+    Endpoints.getDeltas(Fixtures.deltas(s).toDF(),
+      code = Some("hyp.test"), scope = Some("alice,bob"), table = Some("kv"),
+      payer = Some("alice,bob"),
+      after = Some("2023-11-14 22:15:05"), before = Some("2023-11-14 22:15:50"),
+      sort = Some("asc"), skip = Some(3), limit = Some(30))
+
+  /** get_resource_usage endpoint: per-(code,action) cpu/net stats with a
+    * percentile ladder (array serialized for the driver's sort).
+    */
+  private def qHypResourceUsage(s: SparkSession, d: String): DataFrame =
+    jsonSafe(Endpoints.getResourceUsage(fixtureActions(s), "eosio.token", "transfer"))
+
+  /** get_action_usage endpoint: windowed action count via monotonic
+    * global_sequence difference + HLL unique actors.
+    */
+  private def qHypActionUsage(s: SparkSession, d: String): DataFrame =
+    Endpoints.getActionUsage(fixtureActions(s),
+      fromTs = "2023-11-14 22:14:30", toTs = "2023-11-14 22:16:00")
 
   /** C8: ABI codec boundary — decode ladder with ds_error semantics. */
   private def qHypAbiDecode(s: SparkSession, d: String): DataFrame = {
@@ -871,7 +929,11 @@ object SparkEntry {
     "q_hyperion_account" -> (qHypAccount _),
     "q_hyperion_transaction" -> (qHypTransaction _),
     "q_hyperion_blocks" -> (qHypBlocks _),
-    "q_hyperion_abi_decode" -> (qHypAbiDecode _)
+    "q_hyperion_abi_decode" -> (qHypAbiDecode _),
+    "q_hyperion_deltas" -> (qHypDeltas _),
+    "q_hyperion_resource_usage" -> (qHypResourceUsage _),
+    "q_hyperion_action_usage" -> (qHypActionUsage _),
+    "q_fuzzy_memo_multi" -> (qFuzzyMemoMulti _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1083,6 +1145,12 @@ object SparkEntry {
          WHERE contains(p_brand, 'Brand#3')
             OR levenshtein(p_brand, 'Brand#3') <= 1
          GROUP BY 1 ORDER BY 1""",
+    "q_fuzzy_memo_multi" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE contains(p_name, 'boltz')
+            OR len(list_filter(string_split_regex(p_name, '\s+'),
+                 t -> levenshtein(t, 'boltz') <= 1)) > 0
+         ORDER BY p_partkey""",
     "q_wildcard" ->
       """SELECT p_partkey, p_name FROM part
          WHERE contains(p_name, 'al') ORDER BY p_partkey""",

@@ -20,12 +20,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (children: Seq[Expression]) => {
-        // hyperplane_buckets(vec, tables, planes, dim) — int literals
-        def intLit(e: Expression): Int =
-          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-            .value.toString.toInt
+        // hyperplane_buckets(vec, tables, planes, dim) — int literals.
+        // Arity/shape errors surface as AnalysisException (what SQL users
+        // expect from a malformed call), never a raw ClassCastException.
+        def fail(msg: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"hyperplane_buckets(vec, tables, planes, dim): $msg"))
+        if (children.size != 4)
+          fail(s"expected 4 arguments, got ${children.size}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+              if dt.isInstanceOf[org.apache.spark.sql.types.IntegralType] && v != null =>
+            v.toString.toInt
+          case other => fail(s"$name must be an integer literal, got $other")
+        }
         HyperplaneBuckets(children(0),
-          intLit(children(1)), intLit(children(2)), intLit(children(3)))
+          intLit(children(1), "tables"), intLit(children(2), "planes"),
+          intLit(children(3), "dim"))
       }))
   }
 }

@@ -32,13 +32,19 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: I
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Only element types the typed getters below actually read — a wider
+    * NumericType match would route array<decimal> (no primitive getter)
+    * or array<int> (getLong misread) into undefined behavior. Null
+    * elements are allowed and contribute 0.0 to the projection (the same
+    * policy as a sparse-vector missing coordinate).
+    */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(_: NumericType, _) =>
+      case ArrayType(FloatType | DoubleType | LongType | IntegerType | ShortType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"hyperplane_buckets expects a numeric array, got $other")
+          s"hyperplane_buckets expects array<float|double|long|int|short>, got $other")
     }
 
   /** matrix(t*planes + pl)(i) = sin(1 + t·97 + pl·31 + i·7) */
@@ -64,11 +70,17 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: I
         var proj = 0.0
         var i = 0
         while (i < n) {
-          val x = et match {
-            case FloatType  => a.getFloat(i).toDouble
-            case DoubleType => a.getDouble(i)
-            case _          => a.getLong(i).toDouble
-          }
+          val x =
+            if (a.isNullAt(i)) 0.0
+            else et match {
+              case FloatType   => a.getFloat(i).toDouble
+              case DoubleType  => a.getDouble(i)
+              case LongType    => a.getLong(i).toDouble
+              case IntegerType => a.getInt(i).toDouble
+              case ShortType   => a.getShort(i).toDouble
+              case other => throw new IllegalStateException(
+                s"unreachable: checkInputDataTypes admitted $other")
+            }
           proj += x * h(i)
           i += 1
         }
@@ -83,11 +95,17 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: I
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mref = ctx.addReferenceObj("matrix", matrix, "double[][]")
-    val getter = elemType match {
-      case FloatType  => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
-      case DoubleType => (arr: String, i: String) => s"$arr.getDouble($i)"
-      case _          => (arr: String, i: String) => s"(double) $arr.getLong($i)"
+    val rawGetter: (String, String) => String = elemType match {
+      case FloatType   => (arr, i) => s"(double) $arr.getFloat($i)"
+      case DoubleType  => (arr, i) => s"$arr.getDouble($i)"
+      case LongType    => (arr, i) => s"(double) $arr.getLong($i)"
+      case IntegerType => (arr, i) => s"(double) $arr.getInt($i)"
+      case ShortType   => (arr, i) => s"(double) $arr.getShort($i)"
+      case other => throw new IllegalStateException(
+        s"unreachable: checkInputDataTypes admitted $other")
     }
+    val getter: (String, String) => String =
+      (arr, i) => s"($arr.isNullAt($i) ? 0.0 : ${rawGetter(arr, i)})"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")

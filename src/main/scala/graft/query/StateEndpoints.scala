@@ -82,11 +82,24 @@ object StateEndpoints {
     * following block's round (simplified single-pass model of the
     * reference's client-side aggregation).
     */
-  def getMissedBlocks(blocks: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("block_num"))
-    blocks
+  def getMissedBlocks(blocks: DataFrame, blockBucket: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Bucketed lag: rows lag inside block-number buckets (distributed
+    // window); each bucket's first row takes its predecessor from a tiny
+    // per-bucket-max table (one row per bucket, broadcast back), so no
+    // single-reducer sort over the full blocks table at scale.
+    val b = blocks
       .select(col("block_num"), col("producer"))
-      .withColumn("__prev", lag(col("block_num"), 1).over(w))
+      .withColumn("__b", floor(col("block_num") / blockBucket))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("block_num"))
+    val wBuckets = Window.orderBy(col("__b"))
+    val prevBucketMax = b.groupBy(col("__b"))
+      .agg(max(col("block_num")).as("__bmax"))
+      .withColumn("__prev_bmax", lag(col("__bmax"), 1).over(wBuckets))
+      .select(col("__b"), col("__prev_bmax"))
+    b.join(broadcast(prevBucketMax), "__b")
+      .withColumn("__prev",
+        coalesce(lag(col("block_num"), 1).over(wIn), col("__prev_bmax")))
       .withColumn("missed", (col("block_num") - col("__prev") - 1))
       .filter(col("missed") > 0)
       .groupBy(col("producer"))

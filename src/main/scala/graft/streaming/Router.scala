@@ -89,19 +89,37 @@ object Replay {
   /** Bounded history replay: rows in [startBlock, endBlock], block order,
     * chunked by `batchSize` rows into a `batch_seq` column the sink can
     * page/ack on (the reference's scroll batches of 500).
+    *
+    * The global ordinal is derived without a global window: rows rank
+    * inside block-number buckets (distributed window, one partition per
+    * bucket), and each bucket's starting offset comes from a tiny
+    * cumulative-count table (one row per bucket, broadcast back). An
+    * unbounded re-sync therefore never funnels history through a single
+    * reducer — the only serial structure is over ~n/blockBucket rows.
     */
   def replay(
       history: DataFrame,
       startBlock: Long,
       endBlock: Long,
-      batchSize: Int = 500): DataFrame =
-    history
+      batchSize: Int = 500,
+      blockBucket: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = history
       .filter(col("block_num").between(startBlock, endBlock))
-      .withColumn("__ord",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("block_num"), col("global_sequence"))))
+      .withColumn("__b", floor(col("block_num") / blockBucket))
+    val wBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slice.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wBuckets), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wInBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("block_num"), col("global_sequence"))
+    slice.join(broadcast(offsets), "__b")
+      .withColumn("__ord", col("__off") + row_number().over(wInBucket))
       .withColumn("batch_seq", floor((col("__ord") - 1) / batchSize))
-      .drop("__ord")
+      .drop("__b", "__off", "__ord")
+  }
 
   /** Handoff merge: history replay up to `liveStartBlock` (exclusive) ∪
     * live rows ≥ liveStartBlock, deduped on the natural key — the
