@@ -32,7 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           fail(s"expected 4 arguments, got ${children.size}")
         def intLit(e: Expression, name: String): Int = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
-              if dt.isInstanceOf[org.apache.spark.sql.types.IntegralType] && v != null =>
+              if (dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.LongType ||
+                dt == org.apache.spark.sql.types.ShortType ||
+                dt == org.apache.spark.sql.types.ByteType) && v != null =>
             v.toString.toInt
           case other => fail(s"$name must be an integer literal, got $other")
         }

@@ -62,12 +62,11 @@ object Gaps {
     * work distributed and the final window over ~n/bucketSize rows.
     */
   def detectBucketed(df: DataFrame, seqCol: String, bucketSize: Long = 1000000L): DataFrame = {
-    val s = col(seqCol)
-    val bucket = floor(s / bucketSize)
+    val bucket = floor(col("seq") / bucketSize)
     // Per-bucket dense check: a bucket with count == distinct-span has no
     // internal gaps only if count == (max-min+1); otherwise find gaps
     // inside the bucket locally; cross-bucket gaps via boundary compare.
-    val perBucket = df.select(s.as("seq"))
+    val perBucket = df.select(col(seqCol).as("seq"))
       .distinct()
       .groupBy(bucket.as("__b"))
       .agg(min("seq").as("__min"), max("seq").as("__max"),

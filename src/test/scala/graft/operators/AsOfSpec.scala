@@ -74,4 +74,10 @@ class GapsSpec extends SparkSpec {
     assert(Gaps.detect(df, "seq").count() === 0)
     assert(Gaps.detectBucketed(df, "seq", 16).count() === 0)
   }
+
+  test("bucketed variant works when the source column is not named seq") {
+    val df = Seq(1L, 2L, 5L, 9L, 10L).toDF("event_id")
+    val got = Gaps.detectBucketed(df, "event_id", bucketSize = 4).as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 4L), (6L, 8L)))
+  }
 }
