@@ -42,6 +42,10 @@ object Bench {
       "q_asof_join", "q_latest_per_key", "q_sessionize", "q_json_extract",
       "q_dedup_exact", "q_ngram_jaccard", "q_ann_cosine", "q_ann_ivf",
       "q_embed_neardup")
+    // a rename that orphans a headline name must fail loudly, not silently
+    // drop its per-query entry from the bench line
+    val orphaned = headline.filterNot(SparkEntry.queries.keySet)
+    require(orphaned.isEmpty, s"headline names not in SparkEntry.queries: $orphaned")
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
@@ -51,10 +55,14 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         s"""{"total":$total,"queries":$all,"sf":"$sfDir"}\n""".getBytes)
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        Console.err.println(s"[bench] could not write full timings to $fullPath: $e")
+    }
     println(line)
     spark.stop()
   }

@@ -374,9 +374,12 @@ object SparkEntry {
 
   /** Exact 1-gram Jaccard near-dup pairs via inverted-index join. */
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
+    // maxDf = corpus size: provably a no-op on scores (no gram can exceed
+    // it), but drives the df-filtered postings path — the plan a 100 TB
+    // corpus must run — through the DuckDB oracle.
     Dedup.ngramJaccard(
         T.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
-        n = 1, threshold = 0.5)
+        n = 1, threshold = 0.5, maxDf = 300L)
       .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash signatures + LSH band keys (deterministic; pair extraction is
@@ -1214,16 +1217,20 @@ object SparkEntry {
              CAST(list_transform(embedding,
                x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 2000),
-         ex AS (
-           SELECT id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i
-           FROM base),
          proj AS (
+           -- ordered left fold, NOT sum() over an unordered GROUP BY:
+           -- float addition is non-associative, and the native expression
+           -- (exprs.HyperplaneBuckets) accumulates in ascending dim order,
+           -- so the oracle must fold in the same order to be bit-identical
+           -- when a projection lands within rounding distance of 0
            SELECT id, t.t, pl.pl,
-             sum(x * sin(1.0 + t.t * 97.0 + pl.pl * 31.0 + i * 7.0)) AS p
-           FROM ex,
+             list_reduce(
+               list_transform(v, (x, i) ->
+                 x * sin(1.0 + t.t * 97.0 + pl.pl * 31.0 + (i - 1) * 7.0)),
+               (acc, x) -> acc + x) AS p
+           FROM base,
              (SELECT unnest(range(4)) AS t) t,
-             (SELECT unnest(range(8)) AS pl) pl
-           GROUP BY 1, 2, 3),
+             (SELECT unnest(range(8)) AS pl) pl),
          bkt AS (
            SELECT id, t,
              sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << pl) ELSE 0 END) AS bucket

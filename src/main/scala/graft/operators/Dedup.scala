@@ -110,15 +110,36 @@ object Dedup {
   /** Exact n-gram Jaccard pairs via an inverted-index join: explode
     * distinct n-grams, join postings on the gram, count intersections,
     * then |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 gram ever meet.
+    *
+    * `maxDf` caps a gram's document frequency before the postings join:
+    * a gram present in d docs yields O(d²) candidate rows, so stop-word
+    * grams ("the", "of") form quadratic hot buckets at corpus scale. The
+    * standard fix is to drop grams with df > maxDf from BOTH the postings
+    * and the per-doc sizes, i.e. Jaccard is computed over the filtered
+    * gram sets — still exact for every gram that survives, and pairs
+    * sharing only ubiquitous grams (which say nothing about similarity)
+    * are never generated. The df filter shuffles on the same key as the
+    * postings join, so it adds one aggregation, not a new partitioning.
+    * Default Long.MaxValue = no cutoff (bit-identical to the plain plan).
     */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 1,
-      threshold: Double = 0.5): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"),
+      threshold: Double = 0.5,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val allGrams = docs.select(col(idCol).as("id"),
       explode(Sim.shingles(col(textCol), n)).as("gram"))
+    val grams =
+      if (maxDf == Long.MaxValue) allGrams
+      else {
+        val rare = allGrams.groupBy("gram")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select("gram")
+        allGrams.join(rare, Seq("gram"))
+      }
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("gram"), col("id").as("id_a"))
     val b = grams.select(col("gram"), col("id").as("id_b"))

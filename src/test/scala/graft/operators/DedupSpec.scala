@@ -96,6 +96,37 @@ class DedupSpec extends SparkSpec {
     val exactPair = pairs.find(p => p._1 == 3L && p._2 == 200L).get
     assert(exactPair._3 === 1.0)
   }
+
+  test("ngram jaccard df-cutoff above corpus max df is a no-op") {
+    val plain = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // 64 docs → no gram can appear in more than 64 of them
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.5,
+      maxDf = 64L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped === plain)
+  }
+
+  test("ngram jaccard df-cutoff drops stop-gram hot buckets") {
+    // "the" appears in every doc (the quadratic bucket); rare grams don't
+    val stopDocs = Seq(
+      1L -> "the alpha beta gamma",
+      2L -> "the alpha beta delta",
+      3L -> "the omega psi chi",
+      4L -> "the mu nu xi").toDF("doc_id", "text")
+    val plain = Dedup.ngramJaccard(stopDocs, "doc_id", "text", n = 1, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // without a cutoff every pair meets through "the"
+    assert(plain.map(p => (p._1, p._2)) === Set(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val capped = Dedup.ngramJaccard(stopDocs, "doc_id", "text", n = 1, threshold = 0.1,
+      maxDf = 3L)
+      .as[(Long, Long, Double)].collect().toSet
+    // with df("the")=4 > 3 dropped, only the genuinely-overlapping pair
+    // remains, scored over the filtered gram sets: |{alpha,beta}| / |{alpha,
+    // beta,gamma,delta}| = 0.5
+    assert(capped === Set((1L, 2L, 0.5)))
+  }
 }
 
 class AnnSpec extends SparkSpec {

@@ -26,6 +26,7 @@ for name, sql in sorted(oracle.items()):
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     problems = []
+    warnings = []  # hash-risk flags that should NOT suppress the value diff
     if list(got.columns) != list(exp.columns):
         problems.append(f"schema: spark={list(got.columns)} duck={list(exp.columns)}")
     elif len(got) != len(exp):
@@ -37,13 +38,17 @@ for name, sql in sorted(oracle.items()):
         for c in got.columns:
             gk, ek = got[c].dtype.kind, exp[c].dtype.kind
             if gk != ek and {gk, ek} <= {'i', 'u', 'f'}:
-                problems.append(f"dtype col {c}: spark={got[c].dtype} duck={exp[c].dtype}"
+                warnings.append(f"dtype col {c}: spark={got[c].dtype} duck={exp[c].dtype}"
                                 " (hash-mismatch risk: cast oracle to BIGINT/DOUBLE)")
         for c in got.columns:
-            if got[c].dtype == object and len(got) and isinstance(
-                    got[c].iloc[0], (np.ndarray, list, dict)):
-                problems.append(f"col {c}: complex type (ndarray/dict) — driver sort will crash;"
-                                " serialize with to_json")
+            # first non-null value, not iloc[0]: a leading None/NaN would
+            # mask ndarrays/dicts further down the column
+            if got[c].dtype == object and len(got):
+                nonnull = got[c].dropna()
+                if len(nonnull) and isinstance(
+                        nonnull.iloc[0], (np.ndarray, list, dict)):
+                    problems.append(f"col {c}: complex type (ndarray/dict) — driver sort"
+                                    " will crash; serialize with to_json")
     if not problems:
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
@@ -62,8 +67,8 @@ for name, sql in sorted(oracle.items()):
                 idx = diffs[diffs].index[:3].tolist()
                 problems.append(f"col {c}: first diffs at rows {idx}: "
                                 f"spark={gs.loc[idx, c].tolist()} duck={es.loc[idx, c].tolist()}")
-    if problems:
-        print(f"FAIL     {name}: " + " | ".join(problems)); fail += 1
+    if problems or warnings:
+        print(f"FAIL     {name}: " + " | ".join(warnings + problems)); fail += 1
     else:
         print(f"OK       {name} ({len(got)} rows)"); ok += 1
 # Rows-only outputs (no oracle SQL) still get read + sorted by the driver:
