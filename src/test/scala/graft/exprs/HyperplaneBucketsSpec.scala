@@ -72,6 +72,39 @@ class HyperplaneBucketsSpec extends SparkSpec {
     assert(got.length === tables)
   }
 
+  test("integral element types read correctly (same buckets as double)") {
+    val asInt = Seq((1L, Seq(3, -2, 5, 0, 7, -1, 4, -6))).toDF("id", "v")
+    val asDouble = Seq((1L, Seq(3.0, -2.0, 5.0, 0.0, 7.0, -1.0, 4.0, -6.0)))
+      .toDF("id", "v")
+    val bInt = asInt.select(HyperplaneBuckets(col("v"), tables, planes, 8).as("b"))
+      .head().getSeq[Long](0)
+    val bDouble = asDouble.select(HyperplaneBuckets(col("v"), tables, planes, 8).as("b"))
+      .head().getSeq[Long](0)
+    assert(bInt === bDouble)
+    val asLong = Seq((1L, Seq(3L, -2L, 5L, 0L, 7L, -1L, 4L, -6L))).toDF("id", "v")
+    assert(asLong.select(HyperplaneBuckets(col("v"), tables, planes, 8).as("b"))
+      .head().getSeq[Long](0) === bDouble)
+  }
+
+  test("array<decimal> is rejected at analysis, never silently misread") {
+    val dec = Seq((1L, Seq(BigDecimal(1.5), BigDecimal(-2.5)))).toDF("id", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      dec.select(HyperplaneBuckets(col("v"), tables, planes, 2)).collect()
+    }
+    assert(e.getMessage.contains("hyperplane_buckets"))
+  }
+
+  test("null elements contribute 0.0 (same bucket as explicit zero)") {
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 0.5, -2.0)))
+      .toDF("id", "v")
+    val withZero = Seq((1L, Seq(1.0, 0.0, 0.5, -2.0))).toDF("id", "v")
+    val a = withNull.select(HyperplaneBuckets(col("v"), tables, planes, 4).as("b"))
+      .head().getSeq[Long](0)
+    val b = withZero.select(HyperplaneBuckets(col("v"), tables, planes, 4).as("b"))
+      .head().getSeq[Long](0)
+    assert(a === b)
+  }
+
   test("null vector yields null; buckets are stable per row") {
     val vecs = Seq((1L, Some(Seq(1.0, -1.0, 0.5, 0.0, 2.0, -2.0, 1.5, -0.5))),
       (2L, None)).toDF("id", "v")
