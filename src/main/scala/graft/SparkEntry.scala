@@ -1314,6 +1314,233 @@ object SparkEntry {
                 WHEN s_fr = greatest(s_en, s_es, s_fr) THEN 'fr'
                 WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
                 ELSE 'en' END AS lang_pred
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+
+    // ---- Hyperion endpoint oracles over regenerated fixtures ----
+    // The fixtures (etl/Fixtures.scala) are seeded arithmetic, so the
+    // oracle can regenerate the INPUT tables in SQL (range()/VALUES) and
+    // express the QUERY logic independently — upgrading these endpoints
+    // from rows-only to full hash verification. Fixture formulas are
+    // restated here, never the expected outputs.
+    "q_hyperion_missed_blocks" ->
+      """WITH blocks AS (
+           SELECT 100 + i AS block_num,
+             ['prodalpha','prodbeta','prodgamma','proddelta'][((i // 6) % 4) + 1]
+               AS producer
+           FROM (SELECT unnest(range(200)) AS i) WHERE i % 50 <> 49),
+         g AS (
+           SELECT producer,
+             block_num - lag(block_num) OVER (ORDER BY block_num) - 1 AS missed
+           FROM blocks)
+         SELECT producer, CAST(sum(missed) AS BIGINT) AS missed_blocks,
+           count(*) AS gaps
+         FROM g WHERE missed > 0 GROUP BY 1 ORDER BY 1""",
+    "q_hyperion_trx_count" ->
+      """WITH b AS (
+           SELECT ['prodalpha','prodbeta','prodgamma','proddelta'][((i // 6) % 4) + 1]
+               AS producer,
+             CAST(i % 5 AS BIGINT) AS trx_count
+           FROM (SELECT unnest(range(200)) AS i) WHERE i % 50 <> 49)
+         SELECT producer, CAST(sum(trx_count) AS BIGINT) AS total_trx,
+           count(*) AS blocks
+         FROM b GROUP BY 1 ORDER BY total_trx DESC, producer LIMIT 1000""",
+    "q_hyperion_blocks" ->
+      """WITH blocks AS (
+           SELECT epoch_ms(1700000000000 + (100 + i) * 500) AS timestamp,
+             100 + i AS block_num,
+             printf('00%014x', 100 + i) AS block_id,
+             printf('00%014x', 99 + i) AS prev_id,
+             ['prodalpha','prodbeta','prodgamma','proddelta'][((i // 6) % 4) + 1]
+               AS producer,
+             CAST(1 + i // 100 AS BIGINT) AS schedule_version,
+             CAST(i % 5 AS BIGINT) AS trx_count,
+             CAST(1000 + i AS BIGINT) AS cpu_usage,
+             CAST(500 + i AS BIGINT) AS net_usage
+           FROM (SELECT unnest(range(200)) AS i) WHERE i % 50 <> 49)
+         SELECT * FROM blocks
+         WHERE producer IN ('prodalpha', 'prodbeta')
+           AND block_num >= 100 AND block_num <= 250
+         ORDER BY block_num DESC LIMIT 100""",
+    "q_hyperion_schedule" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(100 AS BIGINT),
+            '["prodalpha","prodbeta","prodgamma","proddelta"]', CAST(1 AS BIGINT)),
+           (CAST(2 AS BIGINT), CAST(200 AS BIGINT),
+            '["prodalpha","prodbeta","prodgamma"]', CAST(NULL AS BIGINT)))
+           AS t(version, block_num, producers, activated_version)
+         WHERE activated_version IS NOT NULL ORDER BY version DESC""",
+    "q_hyperion_links" ->
+      """WITH links(timestamp, block_num, present, account, code, action, permission) AS (VALUES
+           (epoch_ms(1700000200000), CAST(400 AS BIGINT), CAST(1 AS INTEGER), 'alice', 'hyp.test', 'doit', 'active'),
+           (epoch_ms(1700000225000), CAST(450 AS BIGINT), CAST(1 AS INTEGER), 'alice', 'eosio.token', 'transfer', 'active'),
+           (epoch_ms(1700000200500), CAST(401 AS BIGINT), CAST(1 AS INTEGER), 'bob', 'hyp.test', 'doit', 'active'),
+           (epoch_ms(1700000225500), CAST(451 AS BIGINT), CAST(1 AS INTEGER), 'bob', 'eosio.token', 'transfer', 'active'),
+           (epoch_ms(1700000201000), CAST(402 AS BIGINT), CAST(1 AS INTEGER), 'carol', 'hyp.test', 'doit', 'active'),
+           (epoch_ms(1700000226000), CAST(452 AS BIGINT), CAST(0 AS INTEGER), 'carol', 'eosio.token', 'transfer', 'active'),
+           (epoch_ms(1700000201500), CAST(403 AS BIGINT), CAST(1 AS INTEGER), 'dave', 'hyp.test', 'doit', 'active'),
+           (epoch_ms(1700000226500), CAST(453 AS BIGINT), CAST(1 AS INTEGER), 'dave', 'eosio.token', 'transfer', 'active'))
+         SELECT * FROM links
+         WHERE account = 'carol' AND present <> 0
+         ORDER BY block_num DESC""",
+    "q_hyperion_creator" ->
+      """WITH na(global_sequence, block_num, trx_id, code, action, creator, newact) AS (VALUES
+           (CAST(10 AS BIGINT), CAST(10 AS BIGINT), 'ntrx00000000', 'eosio', 'newaccount', 'eosio', 'alice'),
+           (CAST(11 AS BIGINT), CAST(11 AS BIGINT), 'ntrx00000001', 'eosio', 'newaccount', 'alice', 'bob'),
+           (CAST(12 AS BIGINT), CAST(12 AS BIGINT), 'ntrx00000002', 'eosio', 'newaccount', 'bob', 'carol'),
+           (CAST(13 AS BIGINT), CAST(13 AS BIGINT), 'ntrx00000003', 'eosio', 'newaccount', 'carol', 'dave'))
+         SELECT newact AS account, creator, block_num, trx_id
+         FROM na WHERE action = 'newaccount' AND newact = 'bob'""",
+    "q_hyperion_created_accounts" ->
+      """WITH na(block_num, trx_id, action, creator, newact) AS (VALUES
+           (CAST(10 AS BIGINT), 'ntrx00000000', 'newaccount', 'eosio', 'alice'),
+           (CAST(11 AS BIGINT), 'ntrx00000001', 'newaccount', 'alice', 'bob'),
+           (CAST(12 AS BIGINT), 'ntrx00000002', 'newaccount', 'bob', 'carol'),
+           (CAST(13 AS BIGINT), 'ntrx00000003', 'newaccount', 'carol', 'dave'))
+         SELECT newact AS account, trx_id, block_num
+         FROM na WHERE action = 'newaccount' AND creator = 'alice'
+         ORDER BY block_num, account""",
+    "q_hyperion_key_accounts" ->
+      """WITH perms(account, permission, pubkey) AS (VALUES
+           ('alice', 'owner', 'PUB_K1_key0'), ('alice', 'active', 'PUB_K1_key0'),
+           ('bob', 'owner', 'PUB_K1_key1'), ('bob', 'active', 'PUB_K1_key1'),
+           ('carol', 'owner', 'PUB_K1_key2'), ('carol', 'active', 'PUB_K1_key0'),
+           ('dave', 'owner', 'PUB_K1_key3'), ('dave', 'active', 'PUB_K1_key1')),
+         auths(account, pubkey) AS (VALUES ('dave', 'PUB_K1_key0'))
+         SELECT DISTINCT account FROM (
+           SELECT account FROM perms WHERE pubkey = 'PUB_K1_key0'
+           UNION ALL
+           SELECT account FROM auths WHERE pubkey = 'PUB_K1_key0')
+         ORDER BY account""",
+    "q_hyperion_tokens" ->
+      """WITH bal(account, code, symbol, balance) AS (VALUES
+           ('alice', 'eosio.token', 'TST', '85.1000 TST'),
+           ('alice', 'eosio.token', 'EOS', '116.1001 EOS'),
+           ('alice', 'eosio.token', 'HYP', '147.1002 HYP'),
+           ('bob', 'eosio.token', 'TST', '51.1000 TST'),
+           ('bob', 'eosio.token', 'HYP', '113.1002 HYP'),
+           ('carol', 'eosio.token', 'TST', '85.1000 TST'),
+           ('carol', 'eosio.token', 'EOS', '116.1001 EOS'),
+           ('carol', 'eosio.token', 'HYP', '147.1002 HYP'),
+           ('dave', 'eosio.token', 'EOS', '99.1001 EOS'),
+           ('dave', 'eosio.token', 'HYP', '130.1002 HYP')),
+         prec(code, symbol, precision) AS (VALUES
+           ('eosio.token', 'TST', 4), ('eosio.token', 'EOS', 4), ('eosio.token', 'HYP', 8))
+         SELECT b.code, b.symbol,
+           CAST(split_part(b.balance, ' ', 1) AS DOUBLE) AS amount,
+           CAST(coalesce(p.precision, 4) AS INTEGER) AS precision
+         FROM bal b LEFT JOIN prec p USING (code, symbol)
+         WHERE b.account = 'alice' ORDER BY b.symbol""",
+    "q_hyperion_abi_snapshot" ->
+      """WITH abis(block, account, abi) AS (VALUES
+           (CAST(50 AS BIGINT), 'eosio.token', '{"version":"eosio::abi/1.1","rev":1}'),
+           (CAST(150 AS BIGINT), 'eosio.token', '{"version":"eosio::abi/1.2","rev":2}'),
+           (CAST(80 AS BIGINT), 'hyp.test', '{"version":"eosio::abi/1.1","rev":1}'),
+           (CAST(320 AS BIGINT), 'hyp.test', '{"version":"eosio::abi/1.2","rev":2}'))
+         SELECT 'eosio.token' AS contract, block AS valid_from, abi
+         FROM abis WHERE account = 'eosio.token' AND block <= 200
+         ORDER BY block DESC LIMIT 1""",
+    "q_hyperion_voters" ->
+      """WITH voters(voter, producers, is_proxy, last_vote_weight, block_num) AS (VALUES
+           ('alice', ['prodalpha'], TRUE, 1000.0, CAST(500 AS BIGINT)),
+           ('bob', ['prodalpha','prodbeta'], FALSE, 2000.0, CAST(501 AS BIGINT)),
+           ('carol', ['prodalpha','prodbeta','prodgamma'], FALSE, 3000.0, CAST(502 AS BIGINT)),
+           ('dave', ['prodalpha','prodbeta','prodgamma','proddelta'], TRUE, 4000.0, CAST(503 AS BIGINT)))
+         SELECT voter, to_json(producers) AS producers, is_proxy,
+           last_vote_weight, block_num
+         FROM voters WHERE list_contains(producers, 'prodbeta')
+         ORDER BY last_vote_weight DESC, voter LIMIT 100""",
+    "q_hyperion_proposals" ->
+      """WITH props(proposer, proposal_name, requested_approvals, provided_approvals, executed, block_num) AS (VALUES
+           ('alice', 'upgrade', ['bob','carol'], ['bob'], FALSE, CAST(600 AS BIGINT)),
+           ('alice', 'payout', ['dave'], CAST([] AS VARCHAR[]), TRUE, CAST(610 AS BIGINT)),
+           ('bob', 'upgrade2', ['alice','carol'], ['alice','carol'], FALSE, CAST(620 AS BIGINT)))
+         SELECT proposer, proposal_name,
+           to_json(requested_approvals) AS requested_approvals,
+           to_json(provided_approvals) AS provided_approvals,
+           executed, block_num
+         FROM props
+         WHERE list_contains(requested_approvals, 'carol')
+            OR list_contains(provided_approvals, 'carol')
+         ORDER BY block_num DESC, proposal_name LIMIT 100""",
+    "q_hyperion_state_merge" ->
+      """WITH d AS (
+           SELECT 200 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,
+             'row' || (i % 10) AS primary_key,
+             CAST(CASE WHEN i % 37 = 36 THEN 0 ELSE 1 END AS INTEGER) AS present,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data
+           FROM (SELECT unnest(range(120)) AS i)),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY scope, primary_key ORDER BY block_num DESC) AS rn
+           FROM d)
+         SELECT scope, primary_key, block_num, data
+         FROM r WHERE rn = 1 AND present <> 0
+         ORDER BY scope, primary_key""",
+    "q_hyperion_table_state" ->
+      """WITH d AS (
+           SELECT epoch_ms(1700000000000 + (200 + i) * 500) AS timestamp,
+             200 + i AS block_num,
+             printf('00%014x', 200 + i) AS block_id,
+             'hyp.test' AS code,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,
+             'kv' AS "table",
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS payer,
+             'row' || (i % 10) AS primary_key,
+             CAST(CASE WHEN i % 37 = 36 THEN 0 ELSE 1 END AS INTEGER) AS present,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data
+           FROM (SELECT unnest(range(120)) AS i)),
+         r AS (
+           SELECT scope || '-' || primary_key AS composite_key, *,
+             row_number() OVER (PARTITION BY scope || '-' || primary_key
+               ORDER BY block_num DESC) AS rn
+           FROM d WHERE code = 'hyp.test' AND "table" = 'kv' AND block_num <= 319)
+         SELECT composite_key, timestamp, block_num, block_id, code, scope,
+           "table", payer, primary_key, present, data
+         FROM r WHERE rn = 1 AND present <> 0
+         ORDER BY composite_key LIMIT 25""",
+    "q_hyperion_deltas" ->
+      """WITH d AS (
+           SELECT epoch_ms(1700000000000 + (200 + i) * 500) AS timestamp,
+             200 + i AS block_num,
+             printf('00%014x', 200 + i) AS block_id,
+             'hyp.test' AS code,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,
+             'kv' AS "table",
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS payer,
+             'row' || (i % 10) AS primary_key,
+             CAST(CASE WHEN i % 37 = 36 THEN 0 ELSE 1 END AS INTEGER) AS present,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data
+           FROM (SELECT unnest(range(120)) AS i))
+         SELECT * FROM d
+         WHERE code = 'hyp.test' AND scope IN ('alice', 'bob')
+           AND "table" = 'kv' AND payer IN ('alice', 'bob')
+           AND timestamp >= TIMESTAMP '2023-11-14 22:15:05'
+           AND timestamp <= TIMESTAMP '2023-11-14 22:15:50'
+         ORDER BY block_num LIMIT 30 OFFSET 3""",
+    "q_hyperion_table_rows" ->
+      """WITH d AS (
+           SELECT epoch_ms(1700000000000 + (200 + i) * 500) AS timestamp,
+             200 + i AS block_num,
+             printf('00%014x', 200 + i) AS block_id,
+             'hyp.test' AS code,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,
+             'kv' AS "table",
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS payer,
+             'row' || (i % 10) AS primary_key,
+             CAST(CASE WHEN i % 37 = 36 THEN 0 ELSE 1 END AS INTEGER) AS present,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data
+           FROM (SELECT unnest(range(120)) AS i)),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY code, scope, "table", primary_key
+             ORDER BY block_num DESC) AS rn
+           FROM d)
+         SELECT code, scope, "table", primary_key, timestamp, block_num,
+           block_id, payer, present, data
+         FROM r
+         WHERE rn = 1 AND present <> 0 AND scope = 'alice'
+           AND CAST(json_extract_string(data, '$.v') AS DOUBLE) >= 50
+         ORDER BY primary_key LIMIT 100"""
   )
 }

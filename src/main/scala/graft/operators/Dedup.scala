@@ -28,13 +28,28 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** A candidate pair colliding in k buckets would surface k times; keep
+    * it only where the collision index equals the FIRST index at which the
+    * two key arrays agree. Emitting each pair exactly once this way is a
+    * per-row filter — the alternative, `groupBy(id_a, id_b)`, is a full
+    * shuffle of the candidate-pair stream, the largest intermediate of
+    * any LSH plan at corpus scale.
+    */
+  private def firstCollision(keysA: Column, keysB: Column, idx: Column): Column =
+    array_position(zip_with(keysA, keysB, (x, y) => x === y), true) === idx + 1
+
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ threshold.
     *
     * Plan: docs → shingle+sign (narrow) → explode band keys (×bands) →
-    * shuffle on (band,bucket) self-join → distinct pairs → verify with the
-    * signature estimate. The join key cardinality ≈ n·bands, each bucket
-    * small, so the shuffle is linear in data size; skewed buckets (e.g.
-    * empty-text) should be pre-filtered by the caller.
+    * shuffle on (band,bucket) self-join → verify with the signature
+    * estimate. The join key cardinality ≈ n·bands, each bucket small, so
+    * the shuffle is linear in data size; skewed buckets (e.g. empty-text)
+    * should be pre-filtered by the caller. Pairs colliding in several
+    * bands are kept only at their first shared bucket (`firstCollision`
+    * over the carried per-band bucket arrays — bucket equality, not raw
+    * band-slice equality, so the kept row is exactly one of the emitted
+    * ones even under a bucket-hash collision), so no pair-dedup shuffle
+    * is needed.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -50,16 +65,20 @@ object Dedup {
         Sim.minHash(Sim.shingles(col(textCol), shingleN), numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
     val banded = signed
-      .select(col("id"), col("sig"), explode(Sim.lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+      .select(col("id"), col("sig"),
+        transform(Sim.lshBands(col("sig"), bands, rows), x => x("bucket")).as("bkts"))
+      .select(col("id"), col("sig"), col("bkts"), posexplode(col("bkts")))
+      .select(col("id"), col("sig"), col("bkts"),
+        col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"), col("bkts").as("bkts_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"), col("bkts").as("bkts_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstCollision(col("bkts_a"), col("bkts_b"), col("band")))
       .select(col("id_a"), col("id_b"),
         Sim.minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -76,22 +95,26 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    def chunkKey(sh: Column, c: Column): Column =
+      call_function("shiftright", sh, (c * bitsPer).cast("int"))
+        .bitwiseAND(lit((1L << bitsPer) - 1))
     val hashed = docs.select(col(idCol).as("id"),
       Sim.simHash(Text.tokens(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * bitsPer)
-            .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))
+        struct(lit(c).as("chunk"), chunkKey(col("sh"), lit(c)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
     val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // chunk keys are recomputable from the carried fingerprints, so the
+    // first-collision pair-emit check needs no extra carried state at all
+    val chunkMatches = transform(sequence(lit(0), lit(chunks - 1)),
+      c => chunkKey(col("sh_a"), c) === chunkKey(col("sh_b"), c))
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
+      .filter(array_position(chunkMatches, true) === col("chunk") + 1)
       .select(col("id_a"), col("id_b"), Sim.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-      .groupBy("id_a", "id_b")
-      .agg(first("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -162,7 +185,8 @@ object Dedup {
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine within buckets. `planes` fixed-seed hyperplanes → bucket key;
     * docs within cosine θ collide with probability (1−θ/π)^planes per
-    * table; `tables` repetitions boost recall.
+    * table; `tables` repetitions boost recall. Pairs colliding in several
+    * tables are kept only in the first shared one (no dedup shuffle).
     */
   def embeddingCosine(
       emb: DataFrame,
@@ -179,16 +203,20 @@ object Dedup {
     // one JIT'd method. posexplode yields (table, bucket) directly.
     val keyed = emb
       .select(col(idCol).as("id"), col(vecCol).as("v"),
-        posexplode(graft.exprs.HyperplaneBuckets(col(vecCol), tables, planes, dim)))
-      .select(col("id"), col("v"), col("pos").as("table"), col("col").as("bucket"))
-    val a = keyed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = keyed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+        graft.exprs.HyperplaneBuckets(col(vecCol), tables, planes, dim).as("bks"))
+      .select(col("id"), col("v"), col("bks"), posexplode(col("bks")))
+      .select(col("id"), col("v"), col("bks"), col("pos").as("table"), col("col").as("bucket"))
+    val a = keyed.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("bks").as("bks_a"))
+    val b = keyed.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("bks").as("bks_b"))
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // keep a pair only in its first shared table: exact cosine then runs
+      // once per pair and no pair-dedup shuffle exists in the plan
+      .filter(firstCollision(col("bks_a"), col("bks_b"), col("table")))
       .select(col("id_a"), col("id_b"),
         graft.exprs.CosineSim(col("v_a"), col("v_b")).as("cos"))
-      .groupBy("id_a", "id_b")
-      .agg(first("cos").as("cos"))
       .filter(col("cos") >= threshold)
       .withColumn("cos", round(col("cos"), 4))
   }

@@ -62,4 +62,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       "top-k must not materialize a global sort")
   }
+
+  test("LSH dedup joins: no pair-level shuffle after the bucket self-join") {
+    // first-collision pair emit replaces groupBy(id_a, id_b): the only
+    // hash exchanges allowed are the bucket-key self-join's (and the
+    // final sort for q_embed_neardup's registered ordering). An
+    // aggregate keyed on the pair would be a full shuffle of the
+    // candidate stream — the scale killer this plan shape exists to avoid.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val p = graft.operators.Dedup.embeddingCosine(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(id_a"),
+      "pair-keyed exchange found — candidate pairs are being shuffled")
+    val docs = Tables.documents(spark, sf).limit(200)
+    Seq(
+      graft.operators.Dedup.minhashLsh(docs, "doc_id", "text"),
+      graft.operators.Dedup.simhash(docs, "doc_id", "text")
+    ).foreach { d =>
+      val pp = d.queryExecution.executedPlan.toString
+      assert(!pp.contains("hashpartitioning(id_a"),
+        "pair-keyed exchange found — candidate pairs are being shuffled")
+    }
+  }
 }

@@ -37,9 +37,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds planted near-dups without O(n²) compare") {
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+    val rows = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val pairs = rows.toSet
+    assert(rows.length === pairs.size,
+      "a pair colliding in several bands must be emitted exactly once")
     (0L until 3L).foreach { i =>
       assert(pairs.contains((i, 100L + i)), s"planted pair ($i, ${100 + i}) missed")
     }
@@ -68,9 +71,13 @@ class DedupSpec extends SparkSpec {
     assert(dupDist < randDist, s"dup=$dupDist rand=$randDist")
   }
 
-  test("simhash banded pair join finds near pairs") {
-    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+  test("simhash banded pair join finds near pairs, each exactly once") {
+    val rows = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val pairs = rows.toSet
+    // identical docs collide in ALL chunks — emitted once regardless
+    assert(rows.length === pairs.size,
+      "a pair colliding in several chunks must be emitted exactly once")
     assert(pairs.contains((3L, 200L)))
   }
 
@@ -81,8 +88,13 @@ class DedupSpec extends SparkSpec {
       (100L + i, v.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x })
     }
     val emb = (base ++ planted).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold = 0.98)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val rows = Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold = 0.98)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val pairs = rows.toSet
+    // near-identical vectors land in the same bucket in every table —
+    // emitted once via the first-collision rule, never deduped by shuffle
+    assert(rows.length === pairs.size,
+      "a pair colliding in several tables must be emitted exactly once")
     (0 until 3).foreach { i =>
       assert(pairs.contains((i.toLong, 100L + i)), s"planted vector pair $i missed")
     }
