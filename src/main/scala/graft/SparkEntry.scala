@@ -1541,6 +1541,199 @@ object SparkEntry {
          FROM r
          WHERE rn = 1 AND present <> 0 AND scope = 'alice'
            AND CAST(json_extract_string(data, '$.v') AS DOUBLE) >= 50
-         ORDER BY primary_key LIMIT 100"""
+         ORDER BY primary_key LIMIT 100""",
+
+    // ---- Oracles over the regenerated raw-trace fixture ----
+    // rawTraces (Fixtures.scala:26-69): 100 transfers (3 receipts each,
+    // shared digest → merge to one action at the min receipt gs) + 50
+    // customs × 4 inline levels (distinct digests). gs starts at 1000001;
+    // customs continue at 1000301. ts(block) = epoch_ms(1700000000000 +
+    // block·500); accounts cycle [alice,bob,carol,dave].
+    "q_hyperion_dedup" ->
+      """WITH tr AS (SELECT i FROM (SELECT unnest(range(100)) AS i)),
+         cu AS (SELECT i, lvl
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT * FROM (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             printf('trx%08d', i) AS trx_id,
+             printf('digest-transfer-%05d', i) AS act_digest,
+             CAST(3 AS INTEGER) AS n_receipts, CAST(2 AS INTEGER) AS inline_count
+           FROM tr
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, printf('ctrx%08d', i),
+             printf('digest-custom-%05d-%d', i, lvl),
+             CAST(1 AS INTEGER), CAST(0 AS INTEGER)
+           FROM cu)
+         ORDER BY global_sequence""",
+    "q_hyperion_lightblocks" ->
+      """WITH s AS (
+           SELECT 100 + i AS block_num, 0 AS status, 250 + i AS cpu, 48 AS net
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 300 + i, CASE WHEN i % 13 = 12 THEN 2 ELSE 0 END, 320, 96
+           FROM (SELECT unnest(range(50)) AS i))
+         SELECT block_num,
+           CAST(sum(CASE WHEN status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS trx_count,
+           CAST(sum(cpu) AS BIGINT) AS cpu_usage,
+           CAST(sum(net) AS BIGINT) AS net_usage,
+           CAST(sum(CASE WHEN status <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_count
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q_hyperion_forks" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence, 100 + i AS block_num
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 300 + i
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl)),
+         tomb AS (
+           SELECT block_id FROM (
+             SELECT block_id, retracted,
+               row_number() OVER (PARTITION BY block_id ORDER BY seq DESC) AS rn
+             FROM (VALUES
+               (printf('00%014x', 150), 1, TRUE),
+               (printf('00%014x', 151), 2, TRUE),
+               (printf('00%014x', 151), 3, FALSE)) v(block_id, seq, retracted))
+           WHERE rn = 1 AND retracted)
+         SELECT global_sequence, block_num,
+           printf('00%014x', block_num) AS block_id
+         FROM acts
+         WHERE printf('00%014x', block_num) NOT IN (SELECT block_id FROM tomb)
+         ORDER BY global_sequence""",
+    "q_hyperion_replay" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence, 100 + i AS block_num
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 300 + i
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl)),
+         hist AS (
+           SELECT * FROM acts
+           WHERE block_num BETWEEN 100 AND 180 AND block_num < 170
+           UNION ALL
+           SELECT * FROM acts WHERE block_num >= 170)
+         SELECT global_sequence, block_num FROM hist ORDER BY global_sequence""",
+    "q_hyperion_router" ->
+      """WITH tr AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             printf('trx%08d', i) AS trx_id,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS f,
+             ['alice','bob','carol','dave'][((i + 1) % 4) + 1] AS t
+           FROM (SELECT unnest(range(100)) AS i))
+         SELECT sub_id, global_sequence, trx_id FROM (
+           SELECT 'transfers' AS sub_id, global_sequence, trx_id FROM tr
+           UNION ALL
+           SELECT 'alice', global_sequence, trx_id FROM tr
+           WHERE f = 'alice' OR t = 'alice'
+           UNION ALL
+           SELECT 'filtered', global_sequence, trx_id FROM tr WHERE f = 'bob')
+         ORDER BY sub_id, global_sequence""",
+    "q_hyperion_validate" ->
+      """WITH traces AS (
+           SELECT printf('trx%08d', i) AS trx_id
+           FROM (SELECT unnest(range(10)) AS i), (SELECT unnest(range(3)) AS j)),
+         b AS (SELECT CAST(1 AS BIGINT) AS trx_count
+           FROM (SELECT unnest(range(10)) AS i))
+         SELECT CAST(sum(trx_count) AS BIGINT) AS block_trx_sum,
+           (SELECT count(DISTINCT trx_id) FROM traces) AS action_trx_count,
+           CAST(sum(trx_count) AS BIGINT)
+             = (SELECT count(DISTINCT trx_id) FROM traces) AS consistent
+         FROM b""",
+    "q_hyperion_abi_asof" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             'eosio.token' AS account, 100 + i AS block_num
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 'hyp.test', 300 + i
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl)),
+         abis(block, account, abi) AS (VALUES
+           (CAST(50 AS BIGINT), 'eosio.token', '{"version":"eosio::abi/1.1","rev":1}'),
+           (CAST(150 AS BIGINT), 'eosio.token', '{"version":"eosio::abi/1.2","rev":2}'),
+           (CAST(80 AS BIGINT), 'hyp.test', '{"version":"eosio::abi/1.1","rev":1}'),
+           (CAST(320 AS BIGINT), 'hyp.test', '{"version":"eosio::abi/1.2","rev":2}'))
+         SELECT a.global_sequence, a.account, a.block_num,
+           (SELECT x.abi FROM abis x
+            WHERE x.account = a.account AND x.block <= a.block_num
+            ORDER BY x.block DESC LIMIT 1) AS abi
+         FROM acts a ORDER BY a.global_sequence""",
+    "q_hyperion_abi_decode" ->
+      """SELECT * FROM (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             '{"from":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","to":"' || ['alice','bob','carol','dave'][((i + 1) % 4) + 1]
+               || '","quantity":"' || ((i % 50) + 1)
+               || '.0000 TST","memo":"payment ' || i || '"}' AS data,
+             FALSE AS ds_error
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1,
+             '{"id":' || i || ',"level":' || lvl || ',"payload":"'
+               || repeat('x', 64) || '"}',
+             FALSE
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         ORDER BY global_sequence""",
+    "q_hyperion_get_actions" ->
+      """WITH tr AS (
+           SELECT i, 1000000 + 3 * i + 1 AS global_sequence, 100 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS f,
+             ['alice','bob','carol','dave'][((i + 1) % 4) + 1] AS t,
+             printf('trx%08d', i) AS trx_id
+           FROM (SELECT unnest(range(100)) AS i))
+         SELECT block_num AS block,
+           epoch_ms(1700000000000 + (100 + i) * 500) AS timestamp,
+           'eosio.token' AS contract, 'transfer' AS action,
+           f || '@active' AS actors,
+           '["eosio.token","' || f || '","' || t || '"]' AS notified,
+           trx_id AS transaction_id,
+           '{"from":"' || f || '","to":"' || t || '","quantity":"'
+             || ((i % 50) + 1) || '.0000 TST","memo":"payment ' || i || '"}' AS data
+         FROM tr WHERE f = 'alice' OR t = 'alice'
+         ORDER BY global_sequence DESC LIMIT 50""",
+    "q_hyperion_controlled_accounts" ->
+      """WITH na(action, creator, newact) AS (VALUES
+           ('newaccount', 'eosio', 'alice'), ('newaccount', 'alice', 'bob'),
+           ('newaccount', 'bob', 'carol'), ('newaccount', 'carol', 'dave')),
+         d(actor, account) AS (VALUES ('bob', 'carol2'))
+         SELECT DISTINCT account FROM (
+           SELECT newact AS account FROM na
+           WHERE action = 'newaccount' AND creator = 'bob'
+           UNION ALL
+           SELECT account FROM d WHERE actor = 'bob')
+         ORDER BY account""",
+    "q_hyperion_action_usage" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             epoch_ms(1700000000000 + (100 + i) * 500) AS ts,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS actor
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1,
+             epoch_ms(1700000000000 + (300 + i) * 500),
+             ['alice','bob','carol','dave'][(i % 4) + 1]
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT
+           CAST(max(CASE WHEN ts < TIMESTAMP '2023-11-14 22:16:00'
+                    THEN global_sequence END)
+              - max(CASE WHEN ts < TIMESTAMP '2023-11-14 22:14:30'
+                    THEN global_sequence END) AS BIGINT) AS action_count,
+           CAST(count(DISTINCT CASE
+             WHEN ts BETWEEN TIMESTAMP '2023-11-14 22:14:30'
+                         AND TIMESTAMP '2023-11-14 22:16:00'
+             THEN actor END) AS BIGINT) AS unique_actors
+         FROM acts""",
+    "q_hyperion_resource_usage" ->
+      """WITH tr AS (
+           SELECT 150 + i AS cpu, 16 AS net
+           FROM (SELECT unnest(range(100)) AS i))
+         SELECT count(*) AS cnt,
+           CAST(min(cpu) AS INTEGER) AS cpu_min,
+           CAST(max(cpu) AS INTEGER) AS cpu_max,
+           avg(cpu) AS cpu_avg,
+           to_json(quantile_cont(cpu,
+             [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])) AS cpu_percentiles,
+           CAST(min(net) AS INTEGER) AS net_min,
+           CAST(max(net) AS INTEGER) AS net_max,
+           avg(net) AS net_avg
+         FROM tr"""
   )
 }
