@@ -1734,6 +1734,124 @@ object SparkEntry {
            CAST(min(net) AS INTEGER) AS net_min,
            CAST(max(net) AS INTEGER) AS net_max,
            avg(net) AS net_avg
-         FROM tr"""
+         FROM tr""",
+    "q_hyperion_v1_actions" ->
+      """WITH tr AS (
+           SELECT i, 1000000 + 3 * i + 1 AS gs0, 100 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS f,
+             ['alice','bob','carol','dave'][((i + 1) % 4) + 1] AS t,
+             printf('trx%08d', i) AS trx_id,
+             '{"from":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","to":"' || ['alice','bob','carol','dave'][((i + 1) % 4) + 1]
+               || '","quantity":"' || ((i % 50) + 1)
+               || '.0000 TST","memo":"payment ' || i || '"}' AS dat
+           FROM (SELECT unnest(range(100)) AS i)),
+         matched AS (
+           -- accountExpansion(alice): for transfers, alice in notified
+           -- [eosio.token, from, to]; customs sort later (higher gs) so
+           -- the first page is transfers only
+           SELECT * FROM tr WHERE f = 'alice' OR t = 'alice'
+           ORDER BY gs0 LIMIT 20),
+         shaped AS (
+           SELECT gs0 AS global_action_seq,
+             row_number() OVER (ORDER BY gs0) - 1 AS account_action_seq,
+             block_num,
+             '{"receipt":['
+               || '{"receiver":"eosio.token","global_sequence":' || gs0
+               || ',"recv_sequence":' || (10 + i)
+               || ',"auth_sequence":[{"account":"' || f || '","sequence":' || i || '}]},'
+               || '{"receiver":"' || f || '","global_sequence":' || (gs0 + 1)
+               || ',"recv_sequence":' || (11 + i) || ',"auth_sequence":[]},'
+               || '{"receiver":"' || t || '","global_sequence":' || (gs0 + 2)
+               || ',"recv_sequence":' || (12 + i) || ',"auth_sequence":[]}'
+               || '],"act":{"account":"eosio.token","name":"transfer",'
+               || '"authorization":[{"actor":"' || f || '","permission":"active"}],'
+               || '"data":' || to_json(dat) || '},'
+               || '"trx_id":"' || trx_id || '",'
+               || '"block_time":"'
+               || strftime(epoch_ms(1700000000000 + block_num * 500), '%Y-%m-%dT%H:%M:%S')
+               || printf('.%03dZ', (block_num * 500) % 1000) || '"}'
+               AS action_trace
+           FROM matched)
+         SELECT * FROM shaped ORDER BY global_action_seq""",
+    "q_hyperion_transaction" ->
+      """WITH tr AS (
+           SELECT i, 1000000 + 3 * i + 1 AS gs0, 100 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS f,
+             ['alice','bob','carol','dave'][((i + 1) % 4) + 1] AS t,
+             printf('trx%08d', i) AS trx_id,
+             '{"from":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","to":"' || ['alice','bob','carol','dave'][((i + 1) % 4) + 1]
+               || '","quantity":"' || ((i % 50) + 1)
+               || '.0000 TST","memo":"payment ' || i || '"}' AS dat
+           FROM (SELECT unnest(range(100)) AS i))
+         SELECT
+           epoch_ms(1700000000000 + block_num * 500) AS timestamp,
+           gs0 AS global_sequence, block_num,
+           printf('00%014x', block_num) AS block_id,
+           'eosio' AS producer, trx_id,
+           CAST(1 AS INTEGER) AS action_ordinal,
+           CAST(0 AS INTEGER) AS creator_action_ordinal,
+           '{"account":"eosio.token","name":"transfer","authorization":[{"actor":"'
+             || f || '","permission":"active"}],"data":' || to_json(dat) || '}' AS act,
+           '[{"receiver":"eosio.token","global_sequence":' || gs0
+             || ',"recv_sequence":' || (10 + i)
+             || ',"auth_sequence":[{"account":"' || f || '","sequence":' || i || '}]},'
+             || '{"receiver":"' || f || '","global_sequence":' || (gs0 + 1)
+             || ',"recv_sequence":' || (11 + i) || ',"auth_sequence":[]},'
+             || '{"receiver":"' || t || '","global_sequence":' || (gs0 + 2)
+             || ',"recv_sequence":' || (12 + i) || ',"auth_sequence":[]}]' AS receipts,
+           '["eosio.token","' || f || '","' || t || '"]' AS notified,
+           printf('digest-transfer-%05d', i) AS act_digest,
+           CAST(150 + i AS INTEGER) AS cpu_usage_us,
+           CAST(16 AS INTEGER) AS net_usage_words,
+           CAST(2 AS INTEGER) AS inline_count,
+           '["SIG_K1_' || i || '"]' AS signatures,
+           '{"from":"' || f || '","to":"' || t || '","amount":' || ((i % 50) + 1)
+             || '.0,"symbol":"TST","memo":"payment ' || i || '"}' AS transfer,
+           CAST(150 AS BIGINT) AS last_irreversible_block,
+           block_num <= 150 AS irreversible
+         FROM tr WHERE trx_id = 'trx00000003'
+         ORDER BY gs0""",
+    "q_hyperion_account" ->
+      """WITH cu AS (
+           SELECT i, lvl, 1000300 + 4 * i + lvl + 1 AS gs, 300 + i AS block_num,
+             CASE WHEN lvl = 0 THEN 'doit' ELSE 'inline' END AS name,
+             printf('ctrx%08d', i) AS trx_id,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS actor
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl)),
+         recent AS (
+           -- top 10 alice-touching actions by gs desc: all are customs
+           -- authorized by alice (customs outrank every transfer gs)
+           SELECT * FROM cu WHERE actor = 'alice' ORDER BY gs DESC LIMIT 10),
+         ra AS (
+           SELECT '[' || string_agg(
+             '{"block":' || block_num || ',"action":"' || name
+               || '","transaction_id":"' || trx_id || '"}', ',' ORDER BY gs DESC)
+             || ']' AS recent_actions
+           FROM recent),
+         toks AS (
+           SELECT '[' || string_agg(
+             '{"symbol":"' || symbol || '","amount":' || to_json(amount)
+               || ',"precision":' || precision || '}', ',' ORDER BY symbol)
+             || ']' AS tokens
+           FROM (
+             SELECT symbol, CAST(split_part(balance, ' ', 1) AS DOUBLE) AS amount,
+               precision
+             FROM (VALUES
+               ('TST', '85.1000 TST', 4), ('EOS', '116.1001 EOS', 4),
+               ('HYP', '147.1002 HYP', 8)) b(symbol, balance, precision))),
+         lks AS (
+           SELECT '[' || string_agg(
+             '{"code":"' || code || '","action":"' || action
+               || '","permission":"active"}', ',' ORDER BY block_num DESC)
+             || ']' AS links
+           FROM (VALUES
+             (CAST(400 AS BIGINT), 'hyp.test', 'doit', 1),
+             (CAST(450 AS BIGINT), 'eosio.token', 'transfer', 1))
+             l(block_num, code, action, present)
+           WHERE present <> 0)
+         SELECT 'alice' AS account, recent_actions, tokens, links
+         FROM ra, toks, lks"""
   )
 }
