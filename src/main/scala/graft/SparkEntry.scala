@@ -734,6 +734,24 @@ object SparkEntry {
   private def qHypTrxCount(s: SparkSession, d: String): DataFrame =
     StateEndpoints.getTrxCountByProducer(Fixtures.blocks(s, 200).toDF())
 
+  /** A13: time-bucketed usage counters (get_trx_count histogram). */
+  private def qHypTrxHistogram(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.getTrxCountHistogram(Fixtures.blocks(s, 200).toDF(), "minute")
+
+  /** F9: generic dotted-field filter dispatch — multiVar, range and
+    * negation branches of `genericFilter` chained like the reference's
+    * `applyGenericFilters` (the term branch is oracled by q_filter_multi).
+    */
+  private def qGenericFilter(s: SparkSession, d: String): DataFrame =
+    Seq(("o_orderstatus", "F,P"), ("o_custkey", "100-200"),
+        ("o_orderpriority", "!1-URGENT"))
+      .foldLeft(T.table(s, d, "orders")) { case (df, (f, v)) =>
+        df.filter(FC.genericFilter(f, v))
+      }
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
   /** J6: blocks↔actions reconciliation. */
   private def qHypValidate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -918,6 +936,8 @@ object SparkEntry {
     "q_hyperion_key_accounts" -> (qHypKeyAccounts _),
     "q_hyperion_tokens" -> (qHypTokens _),
     "q_hyperion_missed_blocks" -> (qHypMissedBlocks _),
+    "q_hyperion_trx_histogram" -> (qHypTrxHistogram _),
+    "q_generic_filter" -> (qGenericFilter _),
     "q_hyperion_trx_count" -> (qHypTrxCount _),
     "q_hyperion_validate" -> (qHypValidate _),
     "q_hyperion_v1_actions" -> (qHypV1Actions _),
@@ -1852,6 +1872,21 @@ object SparkEntry {
              l(block_num, code, action, present)
            WHERE present <> 0)
          SELECT 'alice' AS account, recent_actions, tokens, links
-         FROM ra, toks, lks"""
+         FROM ra, toks, lks""",
+    "q_hyperion_trx_histogram" ->
+      """WITH b AS (
+           SELECT epoch_ms(1700000000000 + (100 + i) * 500) AS ts,
+             CAST(i % 5 AS BIGINT) AS trx_count
+           FROM (SELECT unnest(range(200)) AS i) WHERE i % 50 <> 49)
+         SELECT date_trunc('minute', ts) AS bucket,
+           CAST(sum(trx_count) AS BIGINT) AS total_trx, count(*) AS blocks
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q_generic_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('F', 'P')
+           AND o_custkey >= 100 AND o_custkey <= 200
+           AND o_orderpriority <> '1-URGENT'
+         ORDER BY o_orderkey"""
   )
 }
