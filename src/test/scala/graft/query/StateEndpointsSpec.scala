@@ -53,6 +53,17 @@ class StateEndpointsSpec extends SparkSpec {
     assert(total === 3)
   }
 
+  test("get_missed_blocks: bucketed lag equals the single-bucket result") {
+    // blockBucket smaller than the block range forces the per-bucket lag
+    // + boundary-handoff path (blocks 100-299 → several 64-wide buckets,
+    // with bucket seams landing between consecutive present blocks); the
+    // default bucket covers the whole range and reduces to a global lag.
+    val blocks = Fixtures.blocks(spark, 200).toDF()
+    val fine = StateEndpoints.getMissedBlocks(blocks, blockBucket = 64L)
+    val coarse = StateEndpoints.getMissedBlocks(blocks)
+    assert(fine.exceptAll(coarse).count() === 0 && coarse.exceptAll(fine).count() === 0)
+  }
+
   test("get_trx_count: totals, producer buckets, histogram (A1-A4/A8/A9)") {
     val blocks = Fixtures.blocks(spark, 200).toDF()
     val totals = StateEndpoints.getTrxCount(blocks).head()

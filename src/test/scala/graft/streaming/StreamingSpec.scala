@@ -56,6 +56,17 @@ class ReplaySpec extends SparkSpec {
     assert(firstOfLast > lastOfFirst)
   }
 
+  test("replay bucketed ordinals equal the single-bucket computation") {
+    // blockBucket smaller than the range forces the per-bucket offset
+    // path (many buckets); a bucket covering the whole range reduces to
+    // the plain global row_number. batch_seq must be identical.
+    val fine = Replay.replay(history.toDF(), 100L, 180L, batchSize = 7, blockBucket = 16L)
+      .select($"global_sequence", $"batch_seq")
+    val coarse = Replay.replay(history.toDF(), 100L, 180L, batchSize = 7, blockBucket = 1000000L)
+      .select($"global_sequence", $"batch_seq")
+    assert(fine.exceptAll(coarse).count() === 0 && coarse.exceptAll(fine).count() === 0)
+  }
+
   test("handoff: no gap, no duplicates across the live seam (ST4)") {
     val historySlice = history.filter($"block_num" <= 180)   // replay covers ≤ 180
     val liveSlice = history.filter($"block_num" >= 170)      // live attached at 170 (overlap!)
