@@ -59,26 +59,63 @@ object Ingest {
   }
 
   /** Start a state-table maintenance stream: delta rows → last-writer-wins
-    * compacted state at `stateDir` (rewritten per batch; with a
-    * Delta-style table this becomes MERGE).
+    * compacted state at `stateDir`.
+    *
+    * The state table is partitioned by a stable key-hash bucket `__kb`
+    * (`xxhash64(keys) mod nBuckets`), so each micro-batch:
+    *   1. computes the buckets its keys touch (≤ nBuckets values — a
+    *      metadata-sized collect);
+    *   2. reads ONLY those partitions of the previous state (Catalyst
+    *      partition pruning on `__kb`);
+    *   3. merges and rewrites ONLY those partitions (dynamic partition
+    *      overwrite).
+    * Per-batch work is therefore O(touched buckets), not O(state) — the
+    * plain-parquet equivalent of a keyed MERGE; a Delta/Iceberg table or
+    * an upsert KV sink drops in at this same `foreachBatch` boundary. The
+    * staging round-trip (`__next`) exists because Spark refuses to
+    * overwrite a path that feeds the plan being written; it also only
+    * carries the touched buckets.
     */
   def startStateMerge(
       deltas: DataFrame,
       stateDir: String,
       checkpointDir: String,
-      keys: Seq[String])(implicit spark: SparkSession): StreamingQuery =
+      keys: Seq[String],
+      nBuckets: Int = 256)(implicit spark: SparkSession): StreamingQuery =
     deltas.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prev =
-          try spark.read.parquet(stateDir)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        val next = StateMerge.merge(prev, batch, keys)
-        val tmp = stateDir + "__next"
-        next.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+        val keyBucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+        val bucketed = batch.withColumn("__kb", keyBucket)
+        val touched = bucketed.select(col("__kb")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          val prev =
+            try spark.read.parquet(stateDir)
+              .filter(col("__kb").isin(touched: _*))
+            catch { case _: Exception => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketed.schema) }
+          val next = StateMerge.merge(prev, bucketed, keys)
+          val tmp = stateDir + "__next"
+          next.write.mode("overwrite").partitionBy("__kb").parquet(tmp)
+          import org.apache.hadoop.fs.Path
+          val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val written = fs.listStatus(new Path(tmp)).map(_.getPath.getName)
+            .filter(_.startsWith("__kb=")).map(_.stripPrefix("__kb=").toInt).toSet
+          if (written.nonEmpty)
+            spark.read.parquet(tmp)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__kb")
+              .parquet(stateDir)
+          // dynamic overwrite only replaces partitions present in `next`;
+          // a bucket whose keys were ALL deleted this batch has no rows
+          // and would keep its stale partition — remove it explicitly
+          (touched.toSet -- written).foreach { b =>
+            fs.delete(new Path(stateDir, s"__kb=$b"), true)
+          }
+        }
       }
       .start()
 }

@@ -112,5 +112,58 @@ class IngestSpec extends SparkSpec {
     val expected = graft.state.StateMerge.fromHistory(
       Fixtures.deltas(spark, 120).toDF(), Seq("code", "table", "scope", "primary_key"))
     assert(state.count() === expected.count())
+    // content equality modulo the partition column (align column order:
+    // fromHistory puts the grouping keys first)
+    assert(state.select(expected.columns.map(col).toIndexedSeq: _*)
+      .exceptAll(expected).count() === 0)
+  }
+
+  test("state merge rewrites only touched buckets; emptied buckets vanish") {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_inc").toString
+    val stateDir = s"$tmp/state"
+    val deltas = Fixtures.deltas(spark, 120).toDF()
+    def run(batchDf: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val rawDir = s"$tmp/deltas$n"; val ckpt = s"$tmp/ckpt$n"
+      batchDf.write.parquet(rawDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(rawDir).schema).parquet(rawDir)
+      Ingest.startStateMerge(stream, stateDir, ckpt,
+        keys = Seq("code", "table", "scope", "primary_key"), nBuckets = 4)
+        .awaitTermination(60000)
+    }
+    run(deltas, 1)
+    // materialize on the driver: caching the DataFrame would be wrong —
+    // the post-rewrite read of the same path canonicalizes to the same
+    // plan and would silently return the cached pre-rewrite data
+    val beforeRows = spark.read.parquet(stateDir).collect()
+      .map(_.toSeq).toSet
+    // batch 2: delete EVERY key of one hash bucket (present = 0 at a
+    // later block) — that bucket's partition must disappear entirely
+    // while untouched buckets keep their rows byte-identically
+    val kb = pmod(xxhash64(Seq("code", "table", "scope", "primary_key").map(col): _*),
+      lit(4)).cast("int")
+    val victims = deltas.withColumn("__kb", kb).filter(col("__kb") === 0)
+      .select("code", "table", "scope", "primary_key").distinct()
+    val deletions = deltas.join(victims, Seq("code", "table", "scope", "primary_key"))
+      .groupBy("code", "table", "scope", "primary_key")
+      .agg(org.apache.spark.sql.functions.max("block_num").as("old_block"),
+        org.apache.spark.sql.functions.first("timestamp").as("timestamp"),
+        org.apache.spark.sql.functions.first("block_id").as("block_id"),
+        org.apache.spark.sql.functions.first("payer").as("payer"),
+        org.apache.spark.sql.functions.first("data").as("data"))
+      .withColumn("block_num", col("old_block") + 1000)
+      .withColumn("present", lit(0))
+      .drop("old_block")
+      .select(deltas.columns.map(col).toIndexedSeq: _*)
+    assert(deletions.count() > 0, "fixture must hash some keys into bucket 0")
+    run(deletions, 2)
+    val after = spark.read.parquet(stateDir)
+    assert(after.filter(col("__kb") === 0).count() === 0,
+      "fully-deleted bucket must not survive the dynamic overwrite")
+    val kbIdx = spark.read.parquet(stateDir).columns.indexOf("__kb")
+    val keptBefore = beforeRows.filter(r => r(kbIdx) != 0)
+    val afterRows = after.collect().map(_.toSeq).toSet
+    assert(afterRows === keptBefore, "untouched buckets must carry over unchanged")
   }
 }
