@@ -63,6 +63,37 @@ class PlanSpec extends SparkSpec {
       "top-k must not materialize a global sort")
   }
 
+  test("bucketed windows: single-partition exchange only on bucket summaries") {
+    // missed-blocks, replay ordinals and gap detection each keep the full
+    // table on a distributed hashpartitioning(__b) window; the only
+    // Exchange SinglePartition allowed is the metadata-sized
+    // bucket-boundary/offset frame (one row per bucket). A second one, or
+    // the full table feeding it, is the single-reducer sort these plans
+    // were rewritten to avoid.
+    val blocks = graft.etl.Fixtures.blocks(spark, 200).toDF()
+    val hist = graft.etl.ActionDedup.mergeReceipts(
+      graft.etl.Fixtures.rawTraces(spark, 100, 0, 0))(spark)
+    // (gap_detect's bucket floor() is extracted by Catalyst as an
+    // anonymous _groupingexpression, so its marker is the distributed
+    // aggregate exchange rather than the __b name)
+    val plans = Seq(
+      ("missed_blocks", "hashpartitioning(__b",
+        graft.query.StateEndpoints.getMissedBlocks(blocks)
+          .queryExecution.executedPlan.toString),
+      ("replay", "hashpartitioning(__b",
+        graft.streaming.Replay.replay(hist, 100L, 180L)
+          .queryExecution.executedPlan.toString),
+      ("gap_detect", "Exchange hashpartitioning",
+        graft.operators.Gaps.detectBucketed(Tables.events(spark, sf), "event_id")
+          .queryExecution.executedPlan.toString))
+    plans.foreach { case (name, marker, p) =>
+      assert("Exchange SinglePartition".r.findAllIn(p).length === 1,
+        s"$name: expected exactly one single-partition exchange (bucket summaries)")
+      assert(p.contains(marker),
+        s"$name: full-table work must stay on a distributed bucket partitioning")
+    }
+  }
+
   test("LSH dedup joins: no pair-level shuffle after the bucket self-join") {
     // first-collision pair emit replaces groupBy(id_a, id_b): the only
     // hash exchanges allowed are the bucket-key self-join's (and the
