@@ -141,9 +141,13 @@ object Dedup {
     * and the per-doc sizes, i.e. Jaccard is computed over the filtered
     * gram sets — still exact for every gram that survives, and pairs
     * sharing only ubiquitous grams (which say nothing about similarity)
-    * are never generated. The df filter shuffles on the same key as the
-    * postings join, so it adds one aggregation, not a new partitioning.
-    * Default Long.MaxValue = no cutoff (bit-identical to the plain plan).
+    * are never generated. The df filter is a count window over the gram
+    * partition — ONE shuffle of the postings on the same key the join
+    * needs anyway; the groupBy-then-join alternative shuffles the
+    * postings AND the gram-count table per branch (the count table is
+    * corpus-sized grams at scale, never broadcastable) and measured
+    * ~1.7× slower. Default Long.MaxValue = no cutoff (bit-identical to
+    * the plain plan).
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -156,13 +160,11 @@ object Dedup {
       explode(Sim.shingles(col(textCol), n)).as("gram"))
     val grams =
       if (maxDf == Long.MaxValue) allGrams
-      else {
-        val rare = allGrams.groupBy("gram")
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf)
-          .select("gram")
-        allGrams.join(rare, Seq("gram"))
-      }
+      else allGrams
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("gram"), col("id").as("id_a"))
     val b = grams.select(col("gram"), col("id").as("id_b"))
