@@ -388,7 +388,8 @@ object SparkEntry {
   private def qMinhashSig(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"),
-        Sim.minHash(Sim.shingles(col("text"), 2), 16).as("sig"))
+        // fused native signing; bit-equal to Sim.minHash (MinHashSigSpec)
+        graft.exprs.MinHashSig(Sim.shingles(col("text"), 2), 16).as("sig"))
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("h0"),
         element_at(col("sig"), 2).as("h1"),

@@ -17,6 +17,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        def fail(msg: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" -> s"minhash_sig(tokens, numHashes): $msg"))
+        if (children.size != 2) fail(s"expected 2 arguments, got ${children.size}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+              if (dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.LongType) && v != null =>
+            v.toString.toInt
+          case other => fail(s"numHashes must be an integer literal, got $other")
+        }
+        MinHashSig(children(0), n)
+      }))
+    e.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (children: Seq[Expression]) => {

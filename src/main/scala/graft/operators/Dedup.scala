@@ -62,7 +62,9 @@ object Dedup {
     val rows = numHashes / bands
     val signed = docs
       .select(col(idCol).as("id"),
-        Sim.minHash(Sim.shingles(col(textCol), shingleN), numHashes).as("sig"))
+        // fused native signing (one pass, all minima in registers) —
+        // MinHashSigSpec proves bit-equality with the HOF Sim.minHash
+        graft.exprs.MinHashSig(Sim.shingles(col(textCol), shingleN), numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
     val banded = signed
       .select(col("id"), col("sig"),
