@@ -399,7 +399,8 @@ object SparkEntry {
   /** SimHash 64-bit fingerprints (hamming-pair extraction spec-tested). */
   private def qSimhash(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .select(col("doc_id"), Sim.simHash(Text.tokens(col("text"))).as("simhash"))
+      // fused native fingerprinting; bit-equal to Sim.simHash (SimHash64Spec)
+      .select(col("doc_id"), graft.exprs.SimHash64(Text.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-k ANN against the corpus (query = vector 0). */

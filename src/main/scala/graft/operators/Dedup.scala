@@ -101,7 +101,9 @@ object Dedup {
       call_function("shiftright", sh, (c * bitsPer).cast("int"))
         .bitwiseAND(lit((1L << bitsPer) - 1))
     val hashed = docs.select(col(idCol).as("id"),
-      Sim.simHash(Text.tokens(col(textCol))).as("sh"))
+      // fused native fingerprinting (one pass per token) — SimHash64Spec
+      // proves bit-equality with the HOF Sim.simHash
+      graft.exprs.SimHash64(Text.tokens(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"), chunkKey(col("sh"), lit(c)).as("key"))
