@@ -389,7 +389,7 @@ object SparkEntry {
     T.documents(s, d)
       .select(col("doc_id"),
         // fused native signing; bit-equal to Sim.minHash (MinHashSigSpec)
-        graft.exprs.MinHashSig(Sim.shingles(col("text"), 2), 16).as("sig"))
+        graft.exprs.MinHashSig(graft.exprs.Shingles(col("text"), 2), 16).as("sig"))
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("h0"),
         element_at(col("sig"), 2).as("h1"),

@@ -17,6 +17,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (children: Seq[Expression]) => {
+        def fail(msg: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" -> s"shingles(text, n): $msg"))
+        if (children.size != 2) fail(s"expected 2 arguments, got ${children.size}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+              if (dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.LongType) && v != null =>
+            v.toString.toInt
+          case other => fail(s"n must be an integer literal, got $other")
+        }
+        Shingles(children(0), n)
+      }))
+    e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => {

@@ -64,7 +64,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         // fused native signing (one pass, all minima in registers) —
         // MinHashSigSpec proves bit-equality with the HOF Sim.minHash
-        graft.exprs.MinHashSig(Sim.shingles(col(textCol), shingleN), numHashes).as("sig"))
+        graft.exprs.MinHashSig(graft.exprs.Shingles(col(textCol), shingleN), numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
     val banded = signed
       .select(col("id"), col("sig"),
@@ -161,7 +161,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxDf: Long = Long.MaxValue): DataFrame = {
     val allGrams = docs.select(col(idCol).as("id"),
-      explode(Sim.shingles(col(textCol), n)).as("gram"))
+      explode(graft.exprs.Shingles(col(textCol), n)).as("gram"))
     val grams =
       if (maxDf == Long.MaxValue) allGrams
       else allGrams
