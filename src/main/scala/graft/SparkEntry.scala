@@ -393,7 +393,7 @@ object SparkEntry {
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("h0"),
         element_at(col("sig"), 2).as("h1"),
-        element_at(Sim.lshBands(col("sig"), 4, 4), 1).getField("bucket").as("band0_bucket"))
+        element_at(graft.exprs.LshBandKeys(col("sig"), 4, 4), 1).as("band0_bucket"))
       .orderBy(col("doc_id"))
 
   /** SimHash 64-bit fingerprints (hamming-pair extraction spec-tested). */

@@ -68,7 +68,9 @@ object Dedup {
       .filter(size(col("sig")) > 0)
     val banded = signed
       .select(col("id"), col("sig"),
-        transform(Sim.lshBands(col("sig"), bands, rows), x => x("bucket")).as("bkts"))
+        // fused native banding — LshBandKeysSpec proves bit-equality with
+        // the HOF Sim.lshBands bucket field
+        graft.exprs.LshBandKeys(col("sig"), bands, rows).as("bkts"))
       .select(col("id"), col("sig"), col("bkts"), posexplode(col("bkts")))
       .select(col("id"), col("sig"), col("bkts"),
         col("pos").as("band"), col("col").as("bucket"))
