@@ -4,8 +4,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis columns for large-scale training-data pipelines.
-  * All pure `functions._` compositions — every one stays inside
-  * whole-stage codegen; no UDFs in the hot path.
+  * Pure `functions._` compositions, no UDFs. All are codegen'd string
+  * arithmetic except `bpeTokenEstimate`, whose per-word fold is a
+  * higher-order `aggregate` (HOFs never enter whole-stage codegen) —
+  * acceptable because it is ONE interpreted pass with a two-op lambda,
+  * unlike the 64-pass signing chains that justified the fused native
+  * expressions in `graft.exprs`.
   */
 object Text {
 
