@@ -97,12 +97,18 @@ object FilterCompiler {
   /** F7: account OR-expansion — an account "touches" an action when it is
     * in `notified`, is a receipt receiver, or an authorizing actor
     * (reference terms list definitions.ts:1-5).
+    *
+    * Struct-array membership goes through field extraction
+    * (`receipts.receiver` → GetArrayStructFields, codegen'd) +
+    * `array_contains`, NOT an `exists` higher-order function: HOFs never
+    * enter whole-stage codegen, and this predicate runs once per action
+    * row on the reference's most-used endpoint.
     */
   def accountExpansion(account: String): Column = {
     val a = lit(account)
     array_contains(col("notified"), a) ||
-      exists(col("receipts"), r => r.getField("receiver") === a) ||
-      exists(col("act.authorization"), x => x.getField("actor") === a)
+      array_contains(col("receipts.receiver"), a) ||
+      array_contains(col("act.authorization.actor"), a)
   }
 
   /** F8: `filter=code:name,code2:*` → disjunction of conjunctions over

@@ -49,6 +49,18 @@ class FilterCompilerSpec extends SparkSpec {
     assert(alice.count() === expected.count() && alice.count() > 0)
   }
 
+  test("F7 compiles to codegen-friendly membership, never an exists HOF") {
+    // this predicate runs once per action row on the hottest endpoint;
+    // a higher-order function here drags the filter out of whole-stage
+    // codegen (the hazard class behind the fused exprs.* rewrites)
+    val pred = org.apache.spark.sql.GraftShim.expression(
+      FilterCompiler.accountExpansion("alice"))
+    val hofs = pred.collect {
+      case h: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction => h
+    }
+    assert(hofs.isEmpty, s"HOFs found in accountExpansion: $hofs")
+  }
+
   test("F8 code:action filter list with wildcards") {
     val c = FilterCompiler.codeActionFilters("eosio.token:transfer,hyp.test:*")
     assert(actions.filter(c).count() === actions.count())
