@@ -81,7 +81,13 @@ object Ingest {
       stateDir: String,
       checkpointDir: String,
       keys: Seq[String],
-      nBuckets: Int = 256)(implicit spark: SparkSession): StreamingQuery =
+      nBuckets: Int = 256)(implicit spark: SparkSession): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    // The bucket layout is a pure function of nBuckets; a run with a
+    // different value would prune reads to the WRONG partitions and leave
+    // stale rows behind (two rows per key). Persist it once and fail fast
+    // on mismatch rather than corrupt silently.
+    checkBucketMarker(stateDir, nBuckets)
     deltas.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -91,16 +97,20 @@ object Ingest {
         val touched = bucketed.select(col("__kb")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
         if (touched.nonEmpty) {
+          val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // First batch ever (no state yet) → empty prior. ANY other read
+          // failure — legacy unbucketed layout, corrupt files, transient IO
+          // — must propagate and fail the batch: falling back to "no prior
+          // state" here would let the dynamic overwrite below silently drop
+          // the touched buckets' existing rows.
           val prev =
-            try spark.read.parquet(stateDir)
-              .filter(col("__kb").isin(touched: _*))
-            catch { case _: Exception => spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketed.schema) }
+            if (fs.exists(new Path(stateDir)))
+              spark.read.parquet(stateDir).filter(col("__kb").isin(touched: _*))
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketed.schema)
           val next = StateMerge.merge(prev, bucketed, keys)
           val tmp = stateDir + "__next"
           next.write.mode("overwrite").partitionBy("__kb").parquet(tmp)
-          import org.apache.hadoop.fs.Path
-          val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
           val written = fs.listStatus(new Path(tmp)).map(_.getPath.getName)
             .filter(_.startsWith("__kb=")).map(_.stripPrefix("__kb=").toInt).toSet
           if (written.nonEmpty)
@@ -118,4 +128,27 @@ object Ingest {
         }
       }
       .start()
+  }
+
+  /** Persisted alongside the state so a later run cannot silently re-bucket
+    * with a different modulus (which would break last-writer-wins: a key's
+    * fresh row lands in a new bucket while its stale row survives the old).
+    */
+  private def checkBucketMarker(stateDir: String, nBuckets: Int)(
+      implicit spark: SparkSession): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(stateDir + "__meta", "nbuckets")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val persisted =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(persisted == nBuckets,
+        s"state at $stateDir was bucketed with nBuckets=$persisted; refusing to run with nBuckets=$nBuckets")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 }

@@ -166,4 +166,41 @@ class IngestSpec extends SparkSpec {
     val afterRows = after.collect().map(_.toSeq).toSet
     assert(afterRows === keptBefore, "untouched buckets must carry over unchanged")
   }
+
+  test("state merge refuses to run against a layout bucketed with a different nBuckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_nb").toString
+    val stateDir = s"$tmp/state"
+    def run(n: Int, nBuckets: Int): Unit = {
+      val rawDir = s"$tmp/deltas$n"; val ckpt = s"$tmp/ckpt$n"
+      Fixtures.deltas(spark, 40).write.parquet(rawDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(rawDir).schema).parquet(rawDir)
+      Ingest.startStateMerge(stream, stateDir, ckpt,
+        keys = Seq("code", "table", "scope", "primary_key"), nBuckets = nBuckets)
+        .awaitTermination(60000)
+    }
+    run(1, 4)
+    val e = intercept[IllegalArgumentException](run(2, 8))
+    assert(e.getMessage.contains("nBuckets=4"))
+  }
+
+  test("a broken prior state fails the batch instead of silently dropping rows") {
+    // legacy layout with no __kb column: the filter must fail the batch
+    // (the old catch-all would have treated it as 'no prior state' and the
+    // dynamic overwrite would then have destroyed the touched buckets)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_legacy").toString
+    val stateDir = s"$tmp/state"
+    Fixtures.deltas(spark, 10).toDF().write.parquet(stateDir)  // unbucketed
+    val rawDir = s"$tmp/deltas"; val ckpt = s"$tmp/ckpt"
+    Fixtures.deltas(spark, 40).write.parquet(rawDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(rawDir).schema).parquet(rawDir)
+    val q = Ingest.startStateMerge(stream, stateDir, ckpt,
+      keys = Seq("code", "table", "scope", "primary_key"), nBuckets = 4)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    assert(e.getMessage.toLowerCase.contains("__kb") ||
+      Option(e.getCause).exists(_.getMessage.contains("__kb")))
+  }
 }
