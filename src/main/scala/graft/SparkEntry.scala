@@ -872,6 +872,132 @@ object SparkEntry {
           "fr" -> Seq("le", "un", "et"))).as("lang_pred"))
       .orderBy(col("doc_id"))
 
+  // --------------------------------------- spec-only operators, driver-checked
+  // Round-5: each previously spec-only operator gets a registered query
+  // with a fixture-regenerating oracle (same technique as the endpoint
+  // queries: the oracle SQL restates the Fixtures formulas and expresses
+  // the operator's semantics independently).
+
+  /** P2: the DEFAULT (simple=false) get_actions output shape —
+    * `mergeActionMeta` (functions.ts:842-865) folds the lifted @transfer
+    * struct back into `act.data` as JSON; non-extension rows pass their
+    * raw data through untouched. Exercises both branches over the full
+    * fixture chain (100 transfers + 200 custom actions).
+    */
+  private def qHypGetActionsFull(s: SparkSession, d: String): DataFrame =
+    Endpoints.getActions(fixtureActions(s), GetActionsParams(limit = Some(400)))
+      .select(col("global_sequence"), col("block_num"), col("trx_id"),
+        col("act.account").as("contract"), col("act.name").as("action"),
+        col("act.data").as("data"))
+      .orderBy(col("global_sequence"))
+
+  /** O2: the `sortedBy` field:dir override branch of the compile pipeline
+    * (get_actions sortedBy, functions.ts:3-14) — orders by an arbitrary
+    * field instead of global_sequence, with skip/limit paging on top.
+    */
+  private def qSortedBy(s: SparkSession, d: String): DataFrame =
+    jsonSafe(Endpoints.getActions(fixtureActions(s), GetActionsParams(
+      filter = Some("eosio.token:transfer"), sortedBy = Some("block_num:asc"),
+      skip = Some(5), limit = Some(30), simple = true)))
+
+  /** F15: indexer black/whitelist rules (base-parser.ts:40-70) — the
+    * whitelist admits eosio.token::* and hyp.test::*; the blacklist
+    * removes *::inline even though hyp.test::* whitelists it
+    * (blacklist-wins, like the reference's checkBlacklist-first order).
+    */
+  private def qRulesFilter(s: SparkSession, d: String): DataFrame =
+    graft.etl.Rules.filterActions(fixtureActions(s), graft.etl.FilterRules(
+        whitelist = Seq("eosio.token::*", "hyp.test::*"),
+        blacklist = Seq("*::inline")))
+      .select(col("global_sequence"), col("act.account").as("contract"),
+        col("act.name").as("action"))
+      .orderBy(col("global_sequence"))
+
+  /** P5/C10: variant `[type, value]` unwrap (extractDeltaStruct,
+    * deserializer.ts:28-36) — even-block delta payloads are wrapped as a
+    * 2-element variant array (type branch), odd blocks stay bare JSON
+    * (fallback branch: null type, payload passthrough).
+    */
+  private def qVariantUnwrap(s: SparkSession, d: String): DataFrame =
+    Fixtures.deltas(s, 120).toDF()
+      .withColumn("payload",
+        when(col("block_num") % 2 === 0,
+          concat(lit("[\"kv_v1\","), col("data"), lit("]")))
+          .otherwise(col("data")))
+      .select(col("block_num"), col("primary_key"),
+        Extensions.unwrapVariant(col("payload")).as("v"))
+      .select(col("block_num"), col("primary_key"),
+        col("v.type").as("vtype"), col("v.value").as("vvalue"))
+      .orderBy(col("block_num"))
+
+  /** W2: last indexed block — whole-top-row sorted head, not an agg max
+    * (common_functions.ts:66-97); plan is TakeOrderedAndProject.
+    */
+  private def qLastBlock(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.lastIndexedBlock(Fixtures.blocks(s, 200).toDF())
+
+  /** W3: first indexed block at-or-after a block floor — size-1 asc
+    * search (common_functions.ts:99-153); the floor predicate is the
+    * partition-pruning fast path on a block-bucketed table.
+    */
+  private def qFirstBlock(s: SparkSession, d: String): DataFrame =
+    StateEndpoints.firstIndexedBlock(Fixtures.blocks(s, 200).toDF(), from = 250L)
+
+  /** C4/C5/C6: request cache key (sha256 over joined parts), canonical id
+    * normalization, and the account/trx-id/signature validation regexes —
+    * all pure codegen'd column expressions.
+    */
+  private def qCacheKey(s: SparkSession, d: String): DataFrame =
+    fixtureActions(s)
+      .filter(col("act.name") === "transfer")
+      .select(col("global_sequence"),
+        graft.functions.Names.cacheKey(
+          col("trx_id"), col("act.account"), col("act.name")).as("cache_key"),
+        graft.functions.Names.normalizeId(
+          concat(lit("  "), upper(col("trx_id")), lit(" "))).as("norm_id"),
+        graft.functions.Names.isValidAccount(
+          element_at(col("act.authorization"), 1).getField("actor")).as("actor_valid"),
+        graft.functions.Names.isValidAccount(
+          concat(element_at(col("act.authorization"), 1).getField("actor"), lit(".")))
+          .as("trailing_dot_valid"),
+        graft.functions.Names.isValidTrxId(col("trx_id")).as("trx_id_hex"),
+        graft.functions.Names.isValidSignature(
+          element_at(col("signatures"), 1)).as("sig_valid"))
+      .orderBy(col("global_sequence"))
+
+  /** ST6: LIB-watermark tombstone pruning (master.ts:451-470) — effective
+    * tombstones (latest fork event per block id, re-adoptions cancel)
+    * pruned to the reversible window above LIB.
+    */
+  private def qForkPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val extra = Seq(
+      (f"00${120L}%014x", 120L, 4L, true),
+      (f"00${160L}%014x", 160L, 5L, true))
+      .toDF("block_id", "block_num", "seq", "retracted")
+    val events = Fixtures.forkEvents(s).unionByName(extra)
+    val tombs = Latest.argmax(events, Seq("block_id"), col("seq"))
+      .filter(col("retracted") === true)
+      .select(col("block_id"), col("block_num"))
+    graft.state.Forks.pruneBelowLib(tombs, lib = 150L).orderBy(col("block_num"))
+  }
+
+  /** X1: plugin transform registry (loader.ts) — two pattern-scoped
+    * schema-preserving transforms applied to their matching slices, the
+    * remainder untouched.
+    */
+  private def qPluginRegistry(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.PluginRegistry, PluginRegistry.Plugin
+    PluginRegistry.apply(fixtureActions(s), Seq(
+        Plugin("hyp.test::doit",
+          _.withColumn("cpu_usage_us", col("cpu_usage_us") + 1000)),
+        Plugin("eosio.token::*",
+          _.withColumn("cpu_usage_us", col("cpu_usage_us") * 2))))
+      .select(col("global_sequence"), col("act.account").as("contract"),
+        col("act.name").as("action"), col("cpu_usage_us"))
+      .orderBy(col("global_sequence"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -958,7 +1084,16 @@ object SparkEntry {
     "q_hyperion_deltas" -> (qHypDeltas _),
     "q_hyperion_resource_usage" -> (qHypResourceUsage _),
     "q_hyperion_action_usage" -> (qHypActionUsage _),
-    "q_fuzzy_memo_multi" -> (qFuzzyMemoMulti _)
+    "q_fuzzy_memo_multi" -> (qFuzzyMemoMulti _),
+    "q_hyperion_get_actions_full" -> (qHypGetActionsFull _),
+    "q_sorted_by" -> (qSortedBy _),
+    "q_rules_filter" -> (qRulesFilter _),
+    "q_variant_unwrap" -> (qVariantUnwrap _),
+    "q_last_block" -> (qLastBlock _),
+    "q_first_block" -> (qFirstBlock _),
+    "q_cache_key" -> (qCacheKey _),
+    "q_fork_prune" -> (qForkPrune _),
+    "q_plugin_registry" -> (qPluginRegistry _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1889,6 +2024,124 @@ object SparkEntry {
          WHERE o_orderstatus IN ('F', 'P')
            AND o_custkey >= 100 AND o_custkey <= 200
            AND o_orderpriority <> '1-URGENT'
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "q_hyperion_get_actions_full" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence, 100 + i AS block_num,
+             printf('trx%08d', i) AS trx_id,
+             'eosio.token' AS contract, 'transfer' AS action,
+             '{"from":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","to":"' || ['alice','bob','carol','dave'][((i + 1) % 4) + 1]
+               || '","amount":' || ((i % 50) + 1) || '.0,"symbol":"TST","memo":"payment '
+               || i || '"}' AS data
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 300 + i, printf('ctrx%08d', i),
+             'hyp.test', CASE WHEN lvl = 0 THEN 'doit' ELSE 'inline' END,
+             '{"id":' || i || ',"level":' || lvl || ',"payload":"'
+               || repeat('x', 64) || '"}'
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT * FROM acts ORDER BY global_sequence""",
+    "q_sorted_by" ->
+      """WITH tr AS (
+           SELECT i, 100 + i AS block,
+             epoch_ms(1700000000000 + (100 + i) * 500) AS timestamp,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS f,
+             ['alice','bob','carol','dave'][((i + 1) % 4) + 1] AS t,
+             printf('trx%08d', i) AS trx_id
+           FROM (SELECT unnest(range(100)) AS i))
+         SELECT block, timestamp,
+           'eosio.token' AS contract, 'transfer' AS action,
+           f || '@active' AS actors,
+           '["eosio.token","' || f || '","' || t || '"]' AS notified,
+           trx_id AS transaction_id,
+           '{"from":"' || f || '","to":"' || t || '","quantity":"'
+             || ((i % 50) + 1) || '.0000 TST","memo":"payment ' || i || '"}' AS data
+         FROM tr ORDER BY block ASC LIMIT 30 OFFSET 5""",
+    "q_rules_filter" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             'eosio.token' AS contract, 'transfer' AS action
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 'hyp.test',
+             CASE WHEN lvl = 0 THEN 'doit' ELSE 'inline' END
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT * FROM acts
+         WHERE NOT (action = 'inline')
+           AND (contract = 'eosio.token' OR contract = 'hyp.test')
+         ORDER BY global_sequence""",
+    "q_variant_unwrap" ->
+      """WITH d AS (
+           SELECT 200 + i AS block_num, 'row' || (i % 10) AS primary_key,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data, i
+           FROM (SELECT unnest(range(120)) AS i))
+         SELECT block_num, primary_key,
+           CASE WHEN i % 2 = 0 THEN 'kv_v1' END AS vtype,
+           data AS vvalue
+         FROM d ORDER BY block_num""",
+    "q_last_block" ->
+      """WITH b AS (
+           SELECT 100 + i AS block_num,
+             ['prodalpha','prodbeta','prodgamma','proddelta'][((i // 6) % 4) + 1]
+               AS producer,
+             epoch_ms(1700000000000 + (100 + i) * 500) AS timestamp
+           FROM (SELECT unnest(range(200)) AS i) WHERE i % 50 <> 49)
+         SELECT block_num, producer, timestamp FROM b
+         ORDER BY block_num DESC LIMIT 1""",
+    "q_first_block" ->
+      """WITH b AS (
+           SELECT 100 + i AS block_num,
+             ['prodalpha','prodbeta','prodgamma','proddelta'][((i // 6) % 4) + 1]
+               AS producer,
+             epoch_ms(1700000000000 + (100 + i) * 500) AS timestamp
+           FROM (SELECT unnest(range(200)) AS i) WHERE i % 50 <> 49)
+         SELECT block_num, producer, timestamp FROM b
+         WHERE block_num >= 250 ORDER BY block_num ASC LIMIT 1""",
+    "q_cache_key" ->
+      """WITH tr AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             printf('trx%08d', i) AS trx_id,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS actor,
+             'SIG_K1_' || i AS sig
+           FROM (SELECT unnest(range(100)) AS i))
+         SELECT global_sequence,
+           sha256(trx_id || '|eosio.token|transfer') AS cache_key,
+           lower(trim('  ' || upper(trx_id) || ' ')) AS norm_id,
+           (regexp_matches(actor, '^[a-z1-5][a-z1-5.]{0,10}[a-z1-5]$')
+             OR regexp_matches(actor, '^[a-z1-5]$')) AS actor_valid,
+           (regexp_matches(actor || '.', '^[a-z1-5][a-z1-5.]{0,10}[a-z1-5]$')
+             OR regexp_matches(actor || '.', '^[a-z1-5]$')) AS trailing_dot_valid,
+           regexp_matches(lower(trx_id), '^[0-9a-f]{64}$') AS trx_id_hex,
+           regexp_matches(sig, '^SIG_(K1|R1|WA)_[1-9A-HJ-NP-Za-km-z]+$') AS sig_valid
+         FROM tr ORDER BY global_sequence""",
+    "q_fork_prune" ->
+      """WITH ev(block_id, block_num, seq, retracted) AS (VALUES
+           (printf('00%014x', 150), CAST(150 AS BIGINT), 1, TRUE),
+           (printf('00%014x', 151), CAST(151 AS BIGINT), 2, TRUE),
+           (printf('00%014x', 151), CAST(151 AS BIGINT), 3, FALSE),
+           (printf('00%014x', 120), CAST(120 AS BIGINT), 4, TRUE),
+           (printf('00%014x', 160), CAST(160 AS BIGINT), 5, TRUE)),
+         latest AS (
+           SELECT block_id, block_num, retracted,
+             row_number() OVER (PARTITION BY block_id ORDER BY seq DESC) AS rn
+           FROM ev)
+         SELECT block_id, block_num FROM latest
+         WHERE rn = 1 AND retracted AND block_num > 150
+         ORDER BY block_num""",
+    "q_plugin_registry" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             'eosio.token' AS contract, 'transfer' AS action,
+             (150 + i) * 2 AS cpu
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 'hyp.test',
+             CASE WHEN lvl = 0 THEN 'doit' ELSE 'inline' END,
+             CASE WHEN lvl = 0 THEN 1080 ELSE 80 + lvl END
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT global_sequence, contract, action,
+           CAST(cpu AS INTEGER) AS cpu_usage_us
+         FROM acts ORDER BY global_sequence"""
   )
 }

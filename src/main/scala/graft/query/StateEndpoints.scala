@@ -117,6 +117,32 @@ object StateEndpoints {
       min(col("block_num")).as("first_block"),
       max(col("block_num")).as("last_block"))
 
+  /** W2: last indexed block — the reference's sorted-head query (size-1
+    * sort-desc, src/indexer/helpers/common_functions.ts:66-97): the whole
+    * top ROW, not just `max(block_num)`. Compiles to
+    * TakeOrderedAndProject — per-partition top-1 then a driver-side merge
+    * of one row per partition; no global sort at any scale.
+    */
+  def lastIndexedBlock(blocks: DataFrame): DataFrame =
+    blocks
+      .select(col("block_num"), col("producer"), col("timestamp"))
+      .orderBy(col("block_num").desc)
+      .limit(1)
+
+  /** W3: first indexed block at-or-after `from` — the reference's size-1
+    * asc search with a partition-arithmetic fast path
+    * (common_functions.ts:99-153). The `block_num >= from` predicate is
+    * exactly the partition-pruning fast path when the history table is
+    * block-bucket partitioned; the sorted head is again
+    * TakeOrderedAndProject.
+    */
+  def firstIndexedBlock(blocks: DataFrame, from: Long = 0L): DataFrame =
+    blocks
+      .filter(col("block_num") >= from)
+      .select(col("block_num"), col("producer"), col("timestamp"))
+      .orderBy(col("block_num").asc)
+      .limit(1)
+
   def getTrxCountByProducer(blocks: DataFrame, topN: Int = 1000): DataFrame =
     blocks.groupBy(col("producer"))
       .agg(sum(col("trx_count")).as("total_trx"), count(lit(1)).as("blocks"))
