@@ -998,6 +998,71 @@ object SparkEntry {
       .orderBy(col("global_sequence"))
   }
 
+  /** S1/S2/S4: the streaming ingest round-trip, driver-checked — raw
+    * trace files → AvailableNow stream → receipts-merge dedup →
+    * block-bucket-partitioned history (S1); the SAME checkpoint is then
+    * restarted with no new data and must append nothing (S4 idempotency —
+    * any duplicate row would break the oracle hash); finally the bucketed
+    * layout is read back with its partition column (S2).
+    */
+  private def qHypIngestRoundtrip(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_rt").toString
+    val raw = s"$tmp/raw"; val hist = s"$tmp/hist"; val ckpt = s"$tmp/ckpt"
+    Fixtures.rawTraces(s, 100, 50, 3).toDF().write.parquet(raw)
+    val schema = s.read.parquet(raw).schema
+    def runOnce(): Unit = {
+      graft.streaming.Ingest.startActionIngest(
+        s.readStream.schema(schema).parquet(raw), hist, ckpt,
+        partitionSize = 100L).awaitTermination(180000)
+      ()
+    }
+    runOnce(); runOnce()
+    s.read.parquet(hist)
+      .select(col("global_sequence"), col("block_num"),
+        col("block_bucket").cast("long").as("block_bucket"), col("trx_id"),
+        col("act.account").as("contract"), col("act.name").as("action"),
+        size(col("receipts")).as("n_receipts"), col("inline_count"))
+      .orderBy(col("global_sequence"))
+  }
+
+  /** S7 (bucketed incremental path, driver-checked): two delta chunks
+    * ingested as separate micro-batches (single-file chunks whose
+    * modtimes force chunk order; maxFilesPerTrigger=1) through the
+    * `__kb`-bucketed state merge; the compacted state read back must
+    * equal the full-history LWW snapshot (same oracle as
+    * q_hyperion_state_merge).
+    */
+  private def qHypStateRoundtrip(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_rt").toString
+    val raw = s"$tmp/raw"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+    val all = Fixtures.deltas(s, 120).toDF()
+    all.filter(col("block_num") < 260).coalesce(1).write.parquet(s"$tmp/c0")
+    all.filter(col("block_num") >= 260).coalesce(1).write.parquet(s"$tmp/c1")
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(raw))
+    // chain order is ingest order: the file source orders by modtime, so
+    // stage chunk-0 strictly older than chunk-1
+    Seq("c0" -> 1000000L, "c1" -> 2000000L).foreach { case (c, t) =>
+      fs.listStatus(new Path(s"$tmp/$c"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val dst = new Path(raw, s"$c-$i.parquet")
+          fs.rename(f.getPath, dst)
+          fs.setTimes(dst, t, -1)
+        }
+    }
+    graft.streaming.Ingest.startStateMerge(
+      s.readStream.schema(all.schema).option("maxFilesPerTrigger", "1").parquet(raw),
+      state, ckpt, keys = Seq("code", "table", "scope", "primary_key"),
+      nBuckets = 8).awaitTermination(180000)
+    s.read.parquet(state)
+      .select(col("scope"), col("primary_key"), col("block_num"), col("data"))
+      .orderBy(col("scope"), col("primary_key"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1093,7 +1158,9 @@ object SparkEntry {
     "q_first_block" -> (qFirstBlock _),
     "q_cache_key" -> (qCacheKey _),
     "q_fork_prune" -> (qForkPrune _),
-    "q_plugin_registry" -> (qPluginRegistry _)
+    "q_plugin_registry" -> (qPluginRegistry _),
+    "q_hyperion_ingest_roundtrip" -> (qHypIngestRoundtrip _),
+    "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2142,6 +2209,35 @@ object SparkEntry {
            FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
          SELECT global_sequence, contract, action,
            CAST(cpu AS INTEGER) AS cpu_usage_us
-         FROM acts ORDER BY global_sequence"""
+         FROM acts ORDER BY global_sequence""",
+    "q_hyperion_ingest_roundtrip" ->
+      """WITH rows AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence, 100 + i AS block_num,
+             printf('trx%08d', i) AS trx_id, 'eosio.token' AS contract,
+             'transfer' AS action, 3 AS n_receipts, 2 AS inline_count
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 300 + i, printf('ctrx%08d', i),
+             'hyp.test', CASE WHEN lvl = 0 THEN 'doit' ELSE 'inline' END, 1, 0
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT global_sequence, block_num, block_num // 100 AS block_bucket,
+           trx_id, contract, action, CAST(n_receipts AS INTEGER) AS n_receipts,
+           CAST(inline_count AS INTEGER) AS inline_count
+         FROM rows ORDER BY global_sequence""",
+    "q_hyperion_state_roundtrip" ->
+      """WITH d AS (
+           SELECT 200 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,
+             'row' || (i % 10) AS primary_key,
+             CAST(CASE WHEN i % 37 = 36 THEN 0 ELSE 1 END AS INTEGER) AS present,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data
+           FROM (SELECT unnest(range(120)) AS i)),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY scope, primary_key ORDER BY block_num DESC) AS rn
+           FROM d)
+         SELECT scope, primary_key, block_num, data
+         FROM r WHERE rn = 1 AND present <> 0
+         ORDER BY scope, primary_key"""
   )
 }
