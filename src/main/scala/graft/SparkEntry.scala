@@ -1063,6 +1063,30 @@ object SparkEntry {
       .orderBy(col("scope"), col("primary_key"))
   }
 
+  /** X2 (actions): the full action-lift family — every handled system
+    * action lifted to its typed struct, then folded back into `act.data`
+    * via the multi-extension merge; the unhandled row passes through raw.
+    */
+  private def qHypActionLift(s: SparkSession, d: String): DataFrame =
+    Extensions.mergeActionMetaAll(
+        graft.etl.Lifts.liftSystemActions(Fixtures.systemActionTraces(s)),
+        graft.etl.Lifts.actionExtCols)
+      .select(col("global_sequence"), col("act.account").as("contract"),
+        col("act.name").as("action"), col("act.data").as("data"))
+      .orderBy(col("global_sequence"))
+
+  /** X2/X3 (deltas): the tableHandler family — voters/global/producers/
+    * userres/delband/wildcard-accounts lifted and folded back; the
+    * guard-miss userres row passes through raw.
+    */
+  private def qHypDeltaLift(s: SparkSession, d: String): DataFrame =
+    Extensions.mergeDeltaMetaAll(
+        graft.etl.Lifts.liftSystemDeltas(Fixtures.systemDeltas(s)),
+        graft.etl.Lifts.deltaExtCols)
+      .select(col("block_num"), col("code"), col("table"),
+        col("primary_key"), col("data"))
+      .orderBy(col("block_num"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1160,7 +1184,9 @@ object SparkEntry {
     "q_fork_prune" -> (qForkPrune _),
     "q_plugin_registry" -> (qPluginRegistry _),
     "q_hyperion_ingest_roundtrip" -> (qHypIngestRoundtrip _),
-    "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _)
+    "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _),
+    "q_hyperion_action_lift" -> (qHypActionLift _),
+    "q_hyperion_delta_lift" -> (qHypDeltaLift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2238,6 +2264,59 @@ object SparkEntry {
            FROM d)
          SELECT scope, primary_key, block_num, data
          FROM r WHERE rn = 1 AND present <> 0
-         ORDER BY scope, primary_key"""
+         ORDER BY scope, primary_key""",
+    "q_hyperion_action_lift" ->
+      """SELECT * FROM (VALUES
+           (CAST(2001 AS BIGINT), 'eosio.token', 'transfer',
+            '{"from":"alice","to":"bob","amount":12.5,"symbol":"TST","memo":"m1"}'),
+           (2002, 'fake.token', 'transfer',
+            '{"from":"carol","to":"dave","amount":3.0,"symbol":"FAKE","memo":""}'),
+           (2003, 'eosio', 'newaccount',
+            '{"active":{"threshold":1,"keys":[{"key":"PUB_K1_key2","weight":1}],"accounts":[],"waits":[]},"owner":{"threshold":1,"keys":[{"key":"PUB_K1_key1","weight":1}],"accounts":[],"waits":[]},"newact":"newbie1"}'),
+           (2004, 'eosio', 'newaccount',
+            '{"active":{"threshold":1,"keys":[{"key":"PUB_K1_key4","weight":1}],"accounts":[],"waits":[]},"owner":{"threshold":1,"keys":[{"key":"PUB_K1_key3","weight":1}],"accounts":[],"waits":[]},"newact":"newbie2"}'),
+           (2005, 'eosio', 'updateauth',
+            '{"permission":"deposit","parent":"active","auth":{"threshold":2,"keys":[{"key":"PUB_K1_key5","weight":1},{"key":"PUB_K1_key6","weight":1}]}}'),
+           (2006, 'eosio', 'delegatebw',
+            '{"amount":3.75,"stake_cpu_quantity":2.25,"stake_net_quantity":1.5,"from":"alice","receiver":"bob","transfer":false}'),
+           (2007, 'eosio', 'undelegatebw',
+            '{"amount":1.5,"unstake_cpu_quantity":1.0,"unstake_net_quantity":0.5,"from":"bob","receiver":"bob"}'),
+           (2008, 'eosio', 'buyram',
+            '{"payer":"carol","receiver":"dave","quant":4.5}'),
+           (2009, 'eosio', 'buyrambytes',
+            '{"bytes":8192,"payer":"dave","receiver":"dave"}'),
+           (2010, 'eosio', 'buyrex',
+            '{"amount":100.0,"from":"alice"}'),
+           (2011, 'eosio', 'unstaketorex',
+            '{"amount":1.25,"owner":"bob","receiver":"bob"}'),
+           (2012, 'eosio', 'voteproducer',
+            '{"proxy":"","producers":["prodalpha","prodbeta"]}'),
+           (2013, 'eosio', 'voteproducer',
+            '{"proxy":"bigproxy","producers":[]}'),
+           (2014, 'hyp.test', 'doit', '{"id":1}'))
+         t(global_sequence, contract, action, data)
+         ORDER BY global_sequence""",
+    "q_hyperion_delta_lift" ->
+      """SELECT * FROM (VALUES
+           (CAST(600 AS BIGINT), 'eosio', 'voters', 'alice',
+            '{"is_proxy":false,"producers":["prodalpha"],"last_vote_weight":123.5,"proxied_vote_weight":0.0,"staked":1000.0}'),
+           (601, 'eosio', 'voters', 'bob',
+            '{"is_proxy":false,"proxy":"bigproxy","last_vote_weight":10.0,"proxied_vote_weight":0.0,"staked":50.0}'),
+           (602, 'eosio', 'global', 'global',
+            '{"max_block_net_usage":1048576}'),
+           (603, 'eosio', 'producers', 'prodalpha',
+            '{"total_votes":9999.125,"is_active":true,"unpaid_blocks":42}'),
+           (604, 'eosio', 'userres', 'alice',
+            '{"owner":"alice","net_weight":1.5,"cpu_weight":2.25,"total_weight":3.75,"ram_bytes":4096}'),
+           (605, 'eosio', 'delband', 'bob',
+            '{"from":"alice","to":"bob","net_weight":0.5,"cpu_weight":0.75,"total_weight":1.25}'),
+           (606, 'eosio.token', 'accounts', 'TST',
+            '{"amount":99.1234,"symbol":"TST"}'),
+           (607, 'fake.token', 'accounts', 'FAKE',
+            '{"amount":5.0,"symbol":"FAKE"}'),
+           (608, 'eosio', 'userres', 'carol',
+            '{"owner":"carol","ram_bytes":1}'))
+         t(block_num, code, "table", primary_key, data)
+         ORDER BY block_num"""
   )
 }

@@ -63,6 +63,36 @@ object Extensions {
         when(col(extCol).isNotNull, to_json(col(extCol)))
           .otherwise(col("act.data")).as("data")))
 
+  /** Read-time merge across the FULL extension family (P2/X2): fold
+    * whichever `@`-extension struct is non-null back into `act.data` as
+    * JSON — at most one lift matches per row by construction, so this is
+    * a `coalesce` over the serialized candidates with the raw blob as the
+    * fallback (mergeActionMeta over all handler outputs,
+    * functions.ts:842-865).
+    */
+  def mergeActionMetaAll(actions: DataFrame, extCols: Seq[String]): DataFrame = {
+    val candidates = extCols.map(e => to_json(col(e))) :+ col("act.data")
+    actions.withColumn("act",
+      struct(
+        col("act.account").as("account"),
+        col("act.name").as("name"),
+        col("act.authorization").as("authorization"),
+        coalesce(candidates: _*).as("data")))
+  }
+
+  /** Delta-side equivalent over the tableHandler family: string-typed
+    * lifts (`@global`) pass through verbatim, struct lifts serialize.
+    */
+  def mergeDeltaMetaAll(deltas: DataFrame, extCols: Seq[String]): DataFrame = {
+    val candidates = extCols.map { e =>
+      deltas.schema(e).dataType match {
+        case StringType => col(e)
+        case _          => to_json(col(e))
+      }
+    } :+ col("data")
+    deltas.withColumn("data", coalesce(candidates: _*))
+  }
+
   /** Read-time delta meta merge — mergeDeltaMeta (functions.ts:852-865):
     * fold a lifted `@`-extension struct back into the delta's `data`
     * JSON, add the `timestamp` alias the reference exposes.

@@ -210,6 +210,78 @@ object Fixtures {
         "provided_approvals", "executed", "block_num")
   }
 
+  /** System-contract action traces covering the full X2 action-lift
+    * family (one or two rows per handled action type, plus one unhandled
+    * action for the passthrough branch). Minimal action shape: the lifts
+    * only touch `act.{account,name,data}`.
+    */
+  def systemActionTraces(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    import spark.implicits._
+    val rows: Seq[(Long, Long, String, String, String, String)] = Seq(
+      (2001L, 500L, "eosio.token", "transfer", "alice",
+        """{"from":"alice","to":"bob","quantity":"12.5000 TST","memo":"m1"}"""),
+      (2002L, 501L, "fake.token", "transfer", "carol",
+        """{"from":"carol","to":"dave","quantity":"3.0000 FAKE","memo":""}"""),
+      (2003L, 502L, "eosio", "newaccount", "alice",
+        """{"creator":"alice","newact":"newbie1","owner":{"threshold":1,"keys":[{"key":"PUB_K1_key1","weight":1}],"accounts":[],"waits":[]},"active":{"threshold":1,"keys":[{"key":"PUB_K1_key2","weight":1}],"accounts":[],"waits":[]}}"""),
+      (2004L, 503L, "eosio", "newaccount", "bob",
+        """{"creator":"bob","name":"newbie2","owner":{"threshold":1,"keys":[{"key":"PUB_K1_key3","weight":1}],"accounts":[],"waits":[]},"active":{"threshold":1,"keys":[{"key":"PUB_K1_key4","weight":1}],"accounts":[],"waits":[]}}"""),
+      (2005L, 504L, "eosio", "updateauth", "alice",
+        """{"account":"alice","permission":"deposit","parent":"active","auth":{"threshold":2,"keys":[{"key":"PUB_K1_key5","weight":1},{"key":"PUB_K1_key6","weight":1}],"accounts":[],"waits":[]}}"""),
+      (2006L, 505L, "eosio", "delegatebw", "alice",
+        """{"from":"alice","receiver":"bob","stake_net_quantity":"1.5000 EOS","stake_cpu_quantity":"2.2500 EOS","transfer":false}"""),
+      (2007L, 506L, "eosio", "undelegatebw", "bob",
+        """{"from":"bob","receiver":"bob","unstake_net_quantity":"0.5000 EOS","unstake_cpu_quantity":"1.0000 EOS"}"""),
+      (2008L, 507L, "eosio", "buyram", "carol",
+        """{"payer":"carol","receiver":"dave","quant":"4.5000 EOS"}"""),
+      (2009L, 508L, "eosio", "buyrambytes", "dave",
+        """{"payer":"dave","receiver":"dave","bytes":8192}"""),
+      (2010L, 509L, "eosio", "buyrex", "alice",
+        """{"from":"alice","amount":"100.0000 EOS"}"""),
+      (2011L, 510L, "eosio", "unstaketorex", "bob",
+        """{"owner":"bob","receiver":"bob","from_net":"1.0000 EOS","from_cpu":"0.2500 EOS"}"""),
+      (2012L, 511L, "eosio", "voteproducer", "carol",
+        """{"voter":"carol","proxy":"","producers":["prodalpha","prodbeta"]}"""),
+      (2013L, 512L, "eosio", "voteproducer", "dave",
+        """{"voter":"dave","proxy":"bigproxy","producers":[]}"""),
+      (2014L, 513L, "hyp.test", "doit", "alice", """{"id":1}"""))
+    rows.toDF("global_sequence", "block_num", "account", "name", "actor", "data")
+      .select(col("global_sequence"), col("block_num"),
+        struct(col("account").as("account"), col("name").as("name"),
+          array(struct(col("actor").as("actor"),
+            lit("active").as("permission"))).as("authorization"),
+          col("data").as("data")).as("act"))
+  }
+
+  /** Contract-table delta rows covering the X2 tableHandler family
+    * (voters/global/producers/userres/delband + wildcard accounts, plus
+    * one guard-miss row for the passthrough branch).
+    */
+  def systemDeltas(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (600L, "eosio", "eosio", "voters", "alice", 1,
+        """{"owner":"alice","is_proxy":false,"proxy":"","producers":["prodalpha"],"last_vote_weight":"123.5","proxied_vote_weight":"0.0","staked":"1000.0"}"""),
+      (601L, "eosio", "eosio", "voters", "bob", 1,
+        """{"owner":"bob","is_proxy":false,"proxy":"bigproxy","producers":[],"last_vote_weight":"10.0","proxied_vote_weight":"0.0","staked":"50.0"}"""),
+      (602L, "eosio", "eosio", "global", "global", 1,
+        """{"max_block_net_usage":1048576}"""),
+      (603L, "eosio", "eosio", "producers", "prodalpha", 1,
+        """{"owner":"prodalpha","total_votes":"9999.125","is_active":true,"unpaid_blocks":42,"url":"https://a"}"""),
+      (604L, "eosio", "alice", "userres", "alice", 1,
+        """{"owner":"alice","net_weight":"1.5000 EOS","cpu_weight":"2.2500 EOS","ram_bytes":4096}"""),
+      (605L, "eosio", "alice", "delband", "bob", 1,
+        """{"from":"alice","to":"bob","net_weight":"0.5000 EOS","cpu_weight":"0.7500 EOS"}"""),
+      (606L, "eosio.token", "alice", "accounts", "TST", 1,
+        """{"balance":"99.1234 TST"}"""),
+      (607L, "fake.token", "bob", "accounts", "FAKE", 1,
+        """{"balance":"5.0000 FAKE"}"""),
+      (608L, "eosio", "carol", "userres", "carol", 1,
+        """{"owner":"carol","ram_bytes":1}"""))
+      .toDF("block_num", "code", "scope", "table", "primary_key", "present", "data")
+  }
+
   /** Fork events: block ids retracted (and one re-adopted). */
   def forkEvents(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
