@@ -1087,6 +1087,15 @@ object SparkEntry {
         col("primary_key"), col("data"))
       .orderBy(col("block_num"))
 
+  /** C11: get_key_accounts queried with the LEGACY `EOS…` form of a key
+    * whose canonical `PUB_K1_…` form is stored — the conversion
+    * (base58check + ripemd160 checksum swap) happens once on the driver;
+    * both forms come back with the matching accounts.
+    */
+  private def qHypKeyConvert(s: SparkSession, d: String): DataFrame =
+    jsonSafe(StateEndpoints.getKeyAccountsByKey(Fixtures.keyPermissions(s),
+      "EOS4txJdc6Kt4aRdoZA5ca1Rg6frAivcvB5tAKP2Kbeh2QKyoe9Ue"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1186,7 +1195,8 @@ object SparkEntry {
     "q_hyperion_ingest_roundtrip" -> (qHypIngestRoundtrip _),
     "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _),
     "q_hyperion_action_lift" -> (qHypActionLift _),
-    "q_hyperion_delta_lift" -> (qHypDeltaLift _)
+    "q_hyperion_delta_lift" -> (qHypDeltaLift _),
+    "q_hyperion_key_convert" -> (qHypKeyConvert _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2317,6 +2327,13 @@ object SparkEntry {
            (608, 'eosio', 'userres', 'carol',
             '{"owner":"carol","ram_bytes":1}'))
          t(block_num, code, "table", primary_key, data)
-         ORDER BY block_num"""
+         ORDER BY block_num""",
+    "q_hyperion_key_convert" ->
+      """SELECT
+           'PUB_K1_4txJdc6Kt4aRdoZA5ca1Rg6frAivcvB5tAKP2Kbeh2QKydyaUN'
+             AS public_key,
+           'EOS4txJdc6Kt4aRdoZA5ca1Rg6frAivcvB5tAKP2Kbeh2QKyoe9Ue'
+             AS legacy_public_key,
+           '["alice","carol"]' AS account_names"""
   )
 }

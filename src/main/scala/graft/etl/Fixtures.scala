@@ -155,6 +155,20 @@ object Fixtures {
     }.toDF("account", "permission", "pubkey")
   }
 
+  /** Permission rows keyed by REAL-form public keys (for the C11
+    * either-form get_key_accounts path): canonical `PUB_K1_…` strings
+    * stored, derived from deterministic 33-byte payloads.
+    */
+  def keyPermissions(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def k1(i: Int): String = graft.functions.AntelopeKeys.encodeK1(
+      (Array(0x02.toByte) ++
+        (0 until 32).map(j => ((i * 7 + j * 13 + 1) % 256).toByte)).toArray)
+    accounts.zipWithIndex.flatMap { case (a, i) =>
+      Seq((a, "owner", k1(i)), (a, "active", k1(i % 2)))
+    }.toDF("account", "permission", "pubkey")
+  }
+
   /** Permission links (account → code::action grants). */
   def links(spark: SparkSession): Dataset[LinkDoc] = {
     import spark.implicits._

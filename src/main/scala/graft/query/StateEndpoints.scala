@@ -107,6 +107,22 @@ object StateEndpoints {
       .orderBy(col("producer"))
   }
 
+  /** get_key_accounts with either key form (C11,
+    * get_key_accounts.ts:37-44): the request key — legacy `EOS…` or
+    * canonical `PUB_K1_…` — is normalized ONCE on the driver (checksum
+    * validated; invalid → the reference's 400), the stored canonical form
+    * is filtered by literal, and both forms are served back.
+    */
+  def getKeyAccountsByKey(permissions: DataFrame, anyFormKey: String): DataFrame = {
+    val k1 = graft.functions.AntelopeKeys.normalize(anyFormKey)
+      .getOrElse(throw new IllegalArgumentException("invalid public key"))
+    val legacy = graft.functions.AntelopeKeys.toLegacy(k1).get
+    permissions.filter(col("pubkey") === k1)
+      .agg(sort_array(collect_set(col("account"))).as("account_names"))
+      .select(lit(k1).as("public_key"), lit(legacy).as("legacy_public_key"),
+        col("account_names"))
+  }
+
   /** GET /v2/stats/get_trx_count (A1-A4/A8/A9): totals + per-producer
     * buckets + hourly histogram in one pass each.
     */
