@@ -32,15 +32,23 @@ object Ingest {
 
   /** Start the actions-history ingestion: raw traces stream → dedup →
     * partitioned parquet append.
+    *
+    * `trigger` selects the mode: `AvailableNow` (default) is the bounded
+    * backfill/catch-up run; `ProcessingTime` is the reference's continuous
+    * live tail (state-reader.ts:446-513) — the same pipeline keeps
+    * following the head, each micro-batch appending the newly arrived
+    * blocks idempotently.
     */
   def startActionIngest(
       traces: DataFrame,
       outDir: String,
       checkpointDir: String,
-      partitionSize: Long = 1000000L)(implicit spark: SparkSession): StreamingQuery = {
+      partitionSize: Long = 1000000L,
+      trigger: Trigger = Trigger.AvailableNow())(
+      implicit spark: SparkSession): StreamingQuery = {
     import spark.implicits._
     traces.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val merged = graft.etl.ActionDedup.mergeReceipts(batch.as[RawTrace])
@@ -81,7 +89,9 @@ object Ingest {
       stateDir: String,
       checkpointDir: String,
       keys: Seq[String],
-      nBuckets: Int = 256)(implicit spark: SparkSession): StreamingQuery = {
+      nBuckets: Int = 256,
+      trigger: Trigger = Trigger.AvailableNow())(
+      implicit spark: SparkSession): StreamingQuery = {
     import org.apache.hadoop.fs.Path
     // The bucket layout is a pure function of nBuckets; a run with a
     // different value would prune reads to the WRONG partitions and leave
@@ -89,7 +99,7 @@ object Ingest {
     // on mismatch rather than corrupt silently.
     checkBucketMarker(stateDir, nBuckets)
     deltas.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val keyBucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")

@@ -203,4 +203,36 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("__kb") ||
       Option(e.getCause).exists(_.getMessage.contains("__kb")))
   }
+
+  test("live tail: ProcessingTime trigger follows arriving files; fork seam retracts (ST5/ST7 seam)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_live").toString
+    val raw = s"$tmp/raw"; val out = s"$tmp/hist"; val ckpt = s"$tmp/ckpt"
+    val all = Fixtures.rawTraces(spark, 40, 0, 0).toDF() // blocks 100..139
+    all.filter(col("block_num") < 120).write.parquet(raw)
+    val q = Ingest.startActionIngest(
+      spark.readStream.schema(all.schema).parquet(raw), out, ckpt,
+      partitionSize = 100L, trigger = Trigger.ProcessingTime("250 milliseconds"))
+    def countOut(): Long =
+      try spark.read.parquet(out).count() catch { case _: Exception => -1L }
+    def awaitCount(expect: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 90000
+      while (countOut() != expect && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(countOut() === expect)
+    }
+    try {
+      awaitCount(20) // backfill chunk lands while the query keeps running
+      // the live tail arrives AFTER the stream started — no restart
+      all.filter(col("block_num") >= 120).write.mode("append").parquet(raw)
+      awaitCount(40)
+      val hist = spark.read.parquet(out)
+      assert(hist.select($"global_sequence").distinct().count() === 40)
+      // fork seam: the head block is retracted; the live view drops its rows
+      val tombs = Seq(f"00${139L}%014x").toDF("block_id")
+      val live = graft.state.Forks.liveView(hist, tombs)
+      assert(live.count() === 39)
+      assert(live.filter($"block_num" === 139L).count() === 0)
+    } finally q.stop()
+  }
 }
