@@ -28,6 +28,21 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
 
+    // Contention probe: a fixed CPU-bound job (hash-reduce over 50M longs,
+    // 32 partitions) whose wall time is ~constant on an idle box. Run
+    // before and after the query sweep; an inflated probe means the
+    // machine was contended and the totals should be read accordingly
+    // (past rounds recorded 1.5x totals from driver-side contention).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 50M full-range hashes overflows Long
+      // under ANSI mode
+      spark.range(0, 50000000L, 1, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeStart = (1 to 3).map(_ => probe()).min
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -50,11 +65,12 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
+    val probeEnd = (1 to 3).map(_ => probe()).min
     val total = fmt(results.map(_._2).sum)
     val all = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_end_sec":${fmt(probeEnd)},"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),

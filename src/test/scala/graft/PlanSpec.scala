@@ -63,6 +63,15 @@ class PlanSpec extends SparkSpec {
       "top-k must not materialize a global sort")
   }
 
+  test("q_last_block/q_first_block: sorted heads via TakeOrderedAndProject") {
+    Seq("q_last_block", "q_first_block").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q must be a top-1 merge")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$q must not materialize a global sort")
+    }
+  }
+
   test("bucketed windows: single-partition exchange only on bucket summaries") {
     // missed-blocks, replay ordinals and gap detection each keep the full
     // table on a distributed hashpartitioning(__b) window; the only
