@@ -53,7 +53,13 @@ object Endpoints {
     }
 
     val paged = sorted.offset(skip).limit(limit)
-    val shaped = if (p.simple) simpleProjection(paged) else Extensions.mergeActionMeta(paged)
+    // fold back whichever @-extension structs the frame carries (the full
+    // lift family, not just @transfer) — mergeActionMeta semantics across
+    // every handler output present
+    val extCols = graft.etl.Lifts.actionExtCols.filter(paged.columns.contains)
+    val shaped =
+      if (p.simple) simpleProjection(paged)
+      else Extensions.mergeActionMetaAll(paged, extCols)
     if (p.noBinary && !p.simple)
       shaped.withColumn("act",
         struct(col("act.account").as("account"), col("act.name").as("name"),

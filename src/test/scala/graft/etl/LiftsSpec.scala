@@ -54,6 +54,21 @@ class LiftsSpec extends SparkSpec {
     assert(r(1).getBoolean(2) === false)  // notsys:voters NOT lifted
   }
 
+  test("getActions folds ANY lifted extension back into act.data, not just @transfer") {
+    import graft.query.{Endpoints, GetActionsParams}
+    val df = Lifts.liftSystemActions(acts(
+      (1L, "eosio", "delegatebw",
+        """{"from":"a","receiver":"b","stake_net_quantity":"1.0000 EOS","stake_cpu_quantity":"1.0000 EOS","transfer":false}"""),
+      (2L, "hyp.test", "doit", """{"id":9}""")))
+      .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2023-11-14 22:00:00")))
+      .withColumn("block_num", col("global_sequence"))
+    val out = Endpoints.getActions(df, GetActionsParams(limit = Some(10)))
+      .select(col("global_sequence"), col("act.data").as("data"))
+      .orderBy(col("global_sequence")).collect()
+    assert(out(0).getString(1).startsWith("""{"amount":2.0,"stake_cpu_quantity":1.0"""))
+    assert(out(1).getString(1) === """{"id":9}""")
+  }
+
   test("accounts lift requires a string balance (guard miss passes through)") {
     val deltas = Seq((1L, "tok", "accounts", """{"other":1}"""))
       .toDF("block_num", "code", "table", "data")
