@@ -1096,6 +1096,39 @@ object SparkEntry {
     jsonSafe(StateEndpoints.getKeyAccountsByKey(Fixtures.keyPermissions(s),
       "EOS4txJdc6Kt4aRdoZA5ca1Rg6frAivcvB5tAKP2Kbeh2QKyoe9Ue"))
 
+  /** X3: the per-SHIP-type delta parser family — each handled type
+    * projected to its typed doc, serialized for the gate; the guard-miss
+    * rows (eosio's own usage row, an ABI-less account row) must be
+    * absent.
+    */
+  private def qHypShipDeltas(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.ShipDeltas
+    val raw = Fixtures.shipDeltas(s)
+    val abis = ShipDeltas.abiDocs(raw).select(col("block").as("block_num"),
+      lit("account").as("dtype"),
+      to_json(struct(col("account"), col("block"), col("actions"),
+        col("tables"))).as("doc"))
+    val perms = ShipDeltas.permissions(raw).select(col("block_num"),
+      lit("permission").as("dtype"),
+      to_json(struct(col("block_num"), col("present"), col("owner"),
+        col("name"), col("parent"), col("auth"))).as("doc"))
+    val links = ShipDeltas.permissionLinks(raw).select(col("block_num"),
+      lit("permission_link").as("dtype"),
+      to_json(struct(col("block_num"), col("present"), col("account"),
+        col("code"), col("action"), col("permission"))).as("doc"))
+    val limits = ShipDeltas.resourceLimits(raw).select(col("block_num"),
+      lit("resource_limits").as("dtype"),
+      to_json(struct(col("block_num"), col("owner"), col("ram_bytes"),
+        col("cpu_weight"), col("net_weight"), col("total_weight"))).as("doc"))
+    val usage = ShipDeltas.resourceUsage(raw).select(col("block_num"),
+      lit("resource_usage").as("dtype"),
+      to_json(struct(col("block_num"), col("owner"), col("net_used"),
+        col("net_total"), col("net_pct"), col("cpu_used"), col("cpu_total"),
+        col("cpu_pct"), col("ram"))).as("doc"))
+    abis.unionByName(perms).unionByName(links).unionByName(limits)
+      .unionByName(usage).orderBy(col("block_num"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1196,7 +1229,8 @@ object SparkEntry {
     "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _),
     "q_hyperion_action_lift" -> (qHypActionLift _),
     "q_hyperion_delta_lift" -> (qHypDeltaLift _),
-    "q_hyperion_key_convert" -> (qHypKeyConvert _)
+    "q_hyperion_key_convert" -> (qHypKeyConvert _),
+    "q_hyperion_ship_deltas" -> (qHypShipDeltas _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2334,6 +2368,20 @@ object SparkEntry {
              AS public_key,
            'EOS4txJdc6Kt4aRdoZA5ca1Rg6frAivcvB5tAKP2Kbeh2QKyoe9Ue'
              AS legacy_public_key,
-           '["alice","carol"]' AS account_names"""
+           '["alice","carol"]' AS account_names""",
+    "q_hyperion_ship_deltas" ->
+      """SELECT * FROM (VALUES
+           (CAST(700 AS BIGINT), 'account',
+            '{"account":"hyp.test","block":700,"actions":["doit","transfer"],"tables":["kv"]}'),
+           (701, 'permission',
+            '{"block_num":701,"present":1,"owner":"alice","name":"active","parent":"owner","auth":{"threshold":1,"keys":[{"key":"PUB_K1_x","weight":1}]}}'),
+           (702, 'permission_link',
+            '{"block_num":702,"present":1,"account":"bob","code":"eosio.token","action":"transfer","permission":"active"}'),
+           (703, 'resource_limits',
+            '{"block_num":703,"owner":"carol","ram_bytes":65536,"cpu_weight":20000,"net_weight":10000,"total_weight":30000}'),
+           (704, 'resource_usage',
+            '{"block_num":704,"owner":"dave","net_used":250,"net_total":1000,"net_pct":0.25,"cpu_used":500,"cpu_total":2000,"cpu_pct":0.25,"ram":12345}'))
+         t(block_num, dtype, doc)
+         ORDER BY block_num"""
   )
 }

@@ -296,6 +296,29 @@ object Fixtures {
       .toDF("block_num", "code", "scope", "table", "primary_key", "present", "data")
   }
 
+  /** Pre-decoded SHIP delta payloads covering the X3 deltaStructHandler
+    * family (one row per handled type + the two guard-miss branches:
+    * eosio's own resource_usage row and an account row without an ABI).
+    */
+  def shipDeltas(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (700L, "account", 1,
+        """{"name":"hyp.test","abi":{"version":"eosio::abi/1.2","actions":[{"name":"doit","type":"doit"},{"name":"transfer","type":"transfer"}],"tables":[{"name":"kv","type":"kv_s"}]}}"""),
+      (701L, "permission", 1,
+        """{"owner":"alice","name":"active","parent":"owner","auth":{"threshold":1,"keys":[{"key":"PUB_K1_x","weight":1}],"accounts":[],"waits":[]}}"""),
+      (702L, "permission_link", 1,
+        """{"account":"bob","code":"eosio.token","message_type":"transfer","required_permission":"active"}"""),
+      (703L, "resource_limits", 1,
+        """{"owner":"carol","net_weight":"10000","cpu_weight":"20000","ram_bytes":"65536"}"""),
+      (704L, "resource_usage", 1,
+        """{"owner":"dave","net_usage":["usage_accumulator_v0",{"last_ordinal":5,"value_ex":1000,"consumed":250}],"cpu_usage":["usage_accumulator_v0",{"last_ordinal":5,"value_ex":2000,"consumed":500}],"ram_usage":["varuint64",12345]}"""),
+      (705L, "resource_usage", 1,
+        """{"owner":"eosio","net_usage":["usage_accumulator_v0",{"last_ordinal":5,"value_ex":1,"consumed":1}],"cpu_usage":["usage_accumulator_v0",{"last_ordinal":5,"value_ex":1,"consumed":1}],"ram_usage":["varuint64",1]}"""),
+      (706L, "account", 1, """{"name":"plain.acct"}"""))
+      .toDF("block_num", "type", "present", "value")
+  }
+
   /** Fork events: block ids retracted (and one re-adopted). */
   def forkEvents(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

@@ -30,7 +30,7 @@ object Lifts {
   // ---------------------------------------------------------------- schemas
 
   /** eosio authority object (owner/active/auth fields). */
-  private val authority: DataType = StructType(Seq(
+  private[etl] val authority: DataType = StructType(Seq(
     StructField("threshold", LongType),
     StructField("keys", ArrayType(StructType(Seq(
       StructField("key", StringType),
@@ -50,7 +50,7 @@ object Lifts {
   /** parseFloat over an asset string ("1.5000 EOS" → 1.5). */
   private def qty(c: Column): Column = Assets.amount(c)
 
-  private def emptyToNull(arr: Column): Column = when(size(arr) > 0, arr)
+  private[etl] def emptyToNull(arr: Column): Column = when(size(arr) > 0, arr)
 
   // ------------------------------------------------------------ action lifts
 
