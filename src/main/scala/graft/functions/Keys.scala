@@ -28,7 +28,8 @@ object AntelopeKeys {
   }
 
   def base58Decode(s: String): Option[Array[Byte]] = {
-    if (s.isEmpty || !s.forall(AlphaIndex.contains)) None
+    // empty encodes the empty byte string; reject only non-alphabet chars
+    if (!s.forall(AlphaIndex.contains)) None
     else {
       val zeros = s.takeWhile(_ == '1').length
       var n = BigInt(0)

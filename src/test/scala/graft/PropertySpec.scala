@@ -84,6 +84,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("base58 round-trips arbitrary byte strings, including leading zeros") {
+    import graft.functions.AntelopeKeys
+    val genBytes = for {
+      zeros <- Gen.choose(0, 4)
+      n <- Gen.choose(0, 64)
+      body <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield Array.fill[Byte](zeros)(0) ++ body.toArray
+    check(Prop.forAll(genBytes) { b =>
+      AntelopeKeys.base58Decode(AntelopeKeys.base58Encode(b))
+        .exists(_.sameElements(b))
+    }, 50)
+  }
+
+  test("any 33-byte payload round-trips legacy↔K1 with valid checksums") {
+    import graft.functions.AntelopeKeys
+    val genPayload = Gen.listOfN(33, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    check(Prop.forAll(genPayload) { p =>
+      val legacy = AntelopeKeys.encodeLegacy(p)
+      val k1 = AntelopeKeys.encodeK1(p)
+      AntelopeKeys.normalize(legacy).contains(k1) &&
+        AntelopeKeys.toLegacy(k1).contains(legacy) &&
+        AntelopeKeys.decode(legacy).exists(_.sameElements(p)) &&
+        AntelopeKeys.decode(k1).exists(_.sameElements(p))
+    }, 30)
+  }
+
   test("simhash of identical token multisets is identical; hamming symmetric") {
     val genDoc = Gen.choose(3, 15).flatMap(n =>
       Gen.listOfN(n, Gen.choose(0, 10).map(i => s"w$i")))
