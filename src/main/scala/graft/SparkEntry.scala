@@ -861,6 +861,30 @@ object SparkEntry {
       .orderBy(col("global_sequence"))
   }
 
+  /** C8 made real: raw hex → JSON through the pure-Scala Antelope ABI
+    * codec (AntelopeAbi ← the reference's node-abieos call,
+    * deserializer.ts:869-908), with the full ds_error ladder — unknown
+    * action, bad hex, truncated or trailing bytes, unparseable ABI all
+    * preserve the original payload under `ds_error = true`.
+    */
+  private def qHypHexDecode(s: SparkSession, d: String): DataFrame =
+    graft.functions.AbiCodec.decodeHex(
+        Fixtures.hexActions(s), "payload", "abi", "action")
+      .select(col("global_sequence"), col("data"), col("ds_error"))
+      .orderBy(col("global_sequence"))
+
+  /** The #133 re-encode path: decoded JSON → canonical hex (`hex_data` on
+    * v1 get_actions) must round-trip back to the exact payload bytes.
+    */
+  private def qHypHexEncode(s: SparkSession, d: String): DataFrame = {
+    val src = Fixtures.hexActions(s).filter(col("global_sequence") < 3000400L)
+    val decoded = graft.functions.AbiCodec.decodeHex(src, "payload", "abi", "action")
+    graft.functions.AbiCodec.encodeHex(decoded, "data", "abi", "action")
+      .select(col("global_sequence"),
+        (col("hex_data") === col("payload")).as("roundtrip"))
+      .orderBy(col("global_sequence"))
+  }
+
   /** Language-ID n-gram heuristic (marker-token scoring). */
   private def qLangId(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1212,6 +1236,8 @@ object SparkEntry {
     "q_hyperion_transaction" -> (qHypTransaction _),
     "q_hyperion_blocks" -> (qHypBlocks _),
     "q_hyperion_abi_decode" -> (qHypAbiDecode _),
+    "q_hyperion_hex_decode" -> (qHypHexDecode _),
+    "q_hyperion_hex_encode" -> (qHypHexEncode _),
     "q_hyperion_deltas" -> (qHypDeltas _),
     "q_hyperion_resource_usage" -> (qHypResourceUsage _),
     "q_hyperion_action_usage" -> (qHypActionUsage _),
@@ -1965,6 +1991,65 @@ object SparkEntry {
                || repeat('x', 64) || '"}',
              FALSE
            FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         ORDER BY global_sequence""",
+    "q_hyperion_hex_decode" ->
+      """WITH a AS (
+           SELECT 3000000 + i AS global_sequence,
+             '{"from":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","to":"' || ['alice','bob','carol','dave'][((i + 1) % 4) + 1]
+               || '","quantity":"' || ((i % 50) + 1)
+               || '.0000 TST","memo":"payment ' || i || '"}' AS data,
+             FALSE AS ds_error
+           FROM (SELECT unnest(range(30)) AS i)),
+         b AS (
+           SELECT 3000100 + i,
+             '{"voter":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","proxy":"","producers":'
+               || ['["proda"]','["proda","prodb"]','["proda","prodb","prodc"]'][(i % 3) + 1]
+               || '}',
+             FALSE
+           FROM (SELECT unnest(range(8)) AS i)),
+         c AS (
+           SELECT 3000200 + i,
+             '{"account":"' || ['alice','bob','carol','dave'][i + 1]
+               || '","permission":"active","parent":"owner","auth":{"threshold":1,"keys":[{"key":"'
+               || ['PUB_K1_4txJdc6Kt4aRdoZA5ca1Rg6frAivcvB5tAKP2Kbeh2QKydyaUN',
+                   'PUB_K1_4x3p2VXdACw2eevkWC5oXR8awMV4FXBLnMaLTMNkNHCSFejyKy',
+                   'PUB_K1_519KRNxvSMHdfWJLvmbbdAAW2YCnMTddcxipVSpYuP3gYa5cEN',
+                   'PUB_K1_54EppGQDiVeEgMfwMM7PiuCR7YM4duYSgbQrgfRzb9hP2W9G5K'][i + 1]
+               || '","weight":1}],"accounts":[],"waits":[]}}',
+             FALSE
+           FROM (SELECT unnest(range(4)) AS i)),
+         d AS (
+           SELECT 3000300 + i,
+             CASE WHEN i % 2 = 0 THEN
+               '{"id":' || i || ',"maybe":"m' || i
+                 || '","owners":["alice","bob"],"which":["pair",{"key":"carol","value":"'
+                 || (i * 7) || '"}],"ext":' || (100 + i) || '}'
+             ELSE
+               '{"id":' || i || ',"maybe":null,"owners":[],"which":["uint64","'
+                 || (i * 7) || '"]}'
+             END,
+             FALSE
+           FROM (SELECT unnest(range(6)) AS i)),
+         e AS (
+           SELECT 3000400 + i,
+             ['0000000000000030',
+              '00000000000000300000000000000038102700000000000004454f530000000000',
+              'zz-not-hex',
+              '00000000000000300000000000000038102700000000000004454f530000000000ff',
+              '00000000000000300000000000000038102700000000000004454f530000000000'][i + 1],
+             TRUE
+           FROM (SELECT unnest(range(5)) AS i))
+         SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+         UNION ALL SELECT * FROM d UNION ALL SELECT * FROM e
+         ORDER BY global_sequence""",
+    "q_hyperion_hex_encode" ->
+      """SELECT global_sequence, TRUE AS roundtrip FROM (
+           SELECT 3000000 + i AS global_sequence FROM (SELECT unnest(range(30)) AS i)
+           UNION ALL SELECT 3000100 + i FROM (SELECT unnest(range(8)) AS i)
+           UNION ALL SELECT 3000200 + i FROM (SELECT unnest(range(4)) AS i)
+           UNION ALL SELECT 3000300 + i FROM (SELECT unnest(range(6)) AS i))
          ORDER BY global_sequence""",
     "q_hyperion_get_actions" ->
       """WITH tr AS (

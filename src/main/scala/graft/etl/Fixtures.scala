@@ -319,6 +319,81 @@ object Fixtures {
       .toDF("block_num", "type", "present", "value")
   }
 
+  /** C8 raw-hex action payloads with their as-of ABIs, for the REAL
+    * pure-Scala codec path (AntelopeAbi ← deserializer.ts:869-908). The
+    * hex is produced once at fixture build by `jsonToHex` over the same
+    * public binary layout the decoder reads; absolute correctness of that
+    * layout is pinned by AntelopeAbiSpec's published vectors (the `eosio`
+    * name constant, the `1.0000 EOS` asset bytes, LEB128). Groups:
+    *   A 3000000+ transfers (name/asset/string),
+    *   B 3000100+ voteproducer (name arrays),
+    *   C 3000200+ updateauth (nested authority, real PUB_K1 keys),
+    *   D 3000300+ composite custom ABI (optional/alias/variant/extension),
+    *   E 3000400+ failure witnesses for every rung of the ds_error ladder
+    *     (truncated, unknown action, bad hex, trailing bytes, bad ABI).
+    */
+  def hexActions(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.{AntelopeAbi => A}
+    val tokenAbi =
+      """{"version":"eosio::abi/1.2","structs":[{"name":"transfer","base":"","fields":[{"name":"from","type":"name"},{"name":"to","type":"name"},{"name":"quantity","type":"asset"},{"name":"memo","type":"string"}]}],"actions":[{"name":"transfer","type":"transfer"}]}"""
+    val systemAbi =
+      """{"version":"eosio::abi/1.2","structs":[
+        {"name":"voteproducer","base":"","fields":[{"name":"voter","type":"name"},{"name":"proxy","type":"name"},{"name":"producers","type":"name[]"}]},
+        {"name":"key_weight","base":"","fields":[{"name":"key","type":"public_key"},{"name":"weight","type":"uint16"}]},
+        {"name":"permission_level","base":"","fields":[{"name":"actor","type":"name"},{"name":"permission","type":"name"}]},
+        {"name":"permission_level_weight","base":"","fields":[{"name":"permission","type":"permission_level"},{"name":"weight","type":"uint16"}]},
+        {"name":"wait_weight","base":"","fields":[{"name":"wait_sec","type":"uint32"},{"name":"weight","type":"uint16"}]},
+        {"name":"authority","base":"","fields":[{"name":"threshold","type":"uint32"},{"name":"keys","type":"key_weight[]"},{"name":"accounts","type":"permission_level_weight[]"},{"name":"waits","type":"wait_weight[]"}]},
+        {"name":"updateauth","base":"","fields":[{"name":"account","type":"name"},{"name":"permission","type":"name"},{"name":"parent","type":"name"},{"name":"auth","type":"authority"}]}],
+        "actions":[{"name":"voteproducer","type":"voteproducer"},{"name":"updateauth","type":"updateauth"}]}"""
+    val customAbi =
+      """{"version":"eosio::abi/1.2","types":[{"new_type_name":"account_name","type":"name"}],"structs":[
+        {"name":"pair","base":"","fields":[{"name":"key","type":"account_name"},{"name":"value","type":"uint64"}]},
+        {"name":"holder","base":"","fields":[{"name":"id","type":"uint32"},{"name":"maybe","type":"string?"},{"name":"owners","type":"account_name[]"},{"name":"which","type":"choice"},{"name":"ext","type":"uint16$"}]}],
+        "variants":[{"name":"choice","types":["uint64","pair"]}],
+        "actions":[{"name":"hold","type":"holder"}]}"""
+    val tok = A.parseAbi(tokenAbi)
+    val sys = A.parseAbi(systemAbi)
+    val cus = A.parseAbi(customAbi)
+    def k1(i: Int): String = graft.functions.AntelopeKeys.encodeK1(
+      (Array(0x02.toByte) ++
+        (0 until 32).map(j => ((i * 7 + j * 13 + 1) % 256).toByte)).toArray)
+    val names = accounts
+    val transfers = (0 until 30).map { i =>
+      val json = s"""{"from":"${names(i % 4)}","to":"${names((i + 1) % 4)}","quantity":"${i % 50 + 1}.0000 TST","memo":"payment $i"}"""
+      (3000000L + i, "transfer", A.jsonToHex(tok, "transfer", json), tokenAbi)
+    }
+    val votes = (0 until 8).map { i =>
+      val prods = Seq("proda", "prodb", "prodc").take(i % 3 + 1)
+      val json = s"""{"voter":"${names(i % 4)}","proxy":"","producers":[${prods.map("\"" + _ + "\"").mkString(",")}]}"""
+      (3000100L + i, "voteproducer", A.jsonToHex(sys, "voteproducer", json), systemAbi)
+    }
+    val auths = (0 until 4).map { i =>
+      val json = s"""{"account":"${names(i)}","permission":"active","parent":"owner","auth":{"threshold":1,"keys":[{"key":"${k1(i)}","weight":1}],"accounts":[],"waits":[]}}"""
+      (3000200L + i, "updateauth", A.jsonToHex(sys, "updateauth", json), systemAbi)
+    }
+    val composites = (0 until 6).map { i =>
+      val json =
+        if (i % 2 == 0)
+          s"""{"id":$i,"maybe":"m$i","owners":["alice","bob"],"which":["pair",{"key":"carol","value":"${i * 7}"}],"ext":${100 + i}}"""
+        else
+          s"""{"id":$i,"maybe":null,"owners":[],"which":["uint64","${i * 7}"]}"""
+      (3000300L + i, "hold", A.jsonToHex(cus, "holder", json), customAbi)
+    }
+    // minimal transfer {"from":"a","to":"b","quantity":"1.0000 EOS","memo":""}
+    // — layout pinned in AntelopeAbiSpec
+    val okHex = "00000000000000300000000000000038102700000000000004454f530000000000"
+    val failures = Seq(
+      (3000400L, "transfer", "0000000000000030", tokenAbi), // truncated mid-struct
+      (3000401L, "nosuchact", okHex, tokenAbi),             // unknown action
+      (3000402L, "transfer", "zz-not-hex", tokenAbi),       // not hex at all
+      (3000403L, "transfer", okHex + "ff", tokenAbi),       // trailing byte
+      (3000404L, "transfer", okHex, "{not an abi"))         // unparseable ABI
+    (transfers ++ votes ++ auths ++ composites ++ failures)
+      .toDF("global_sequence", "action", "payload", "abi")
+  }
+
   /** Fork events: block ids retracted (and one re-adopted). */
   def forkEvents(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

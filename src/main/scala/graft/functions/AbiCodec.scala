@@ -44,6 +44,70 @@ object AbiCodec {
       .drop("__decoded")
   }
 
+  // --------------------------------------------------------- real hex codec
+
+  /** Per-JVM cache of parsed ABIs keyed by the ABI JSON text. ABIs repeat
+    * per contract (a handful of distinct strings across billions of rows),
+    * so the cache is metadata-sized; bounded defensively anyway.
+    */
+  private val abiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AntelopeAbi.Abi]()
+
+  private def cachedAbi(abiJson: String): AntelopeAbi.Abi = {
+    if (abiCache.size > 1024) abiCache.clear()
+    abiCache.computeIfAbsent(abiJson, AntelopeAbi.parseAbi(_))
+  }
+
+  /** The real pure-Scala codec (AntelopeAbi) as a ladder decoder for
+    * ACTION payloads: resolves the action's type from the ABI's `actions`
+    * binding, then decodes the raw hex against the ABI's structs. Any
+    * failure — unknown action, unknown type, truncated or trailing bytes,
+    * bad hex — returns None, which the ladder records as `ds_error`.
+    */
+  def hexActionDecoder(actionName: String): Decoder = (hex, abiJson) =>
+    try {
+      val abi = cachedAbi(abiJson)
+      abi.actionType(actionName).map(t => AntelopeAbi.hexToJson(abi, t, hex))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode raw hex ACTION payloads against per-row (abi, action-name)
+    * columns with the full ds_error ladder — the engine-side equivalent of
+    * `processActionNative` (deserializer.ts:869-908): type lookup, decode,
+    * failure → original payload + ds_error.
+    *
+    * Runs as a 3-arg deserializing UDF — the documented single UDF
+    * exception at this boundary (an external-format codec, not columnar
+    * math); the per-row cost is the codec itself, the ABI parse amortizes
+    * through the executor-local cache.
+    */
+  def decodeHex(df: DataFrame, payloadCol: String, abiCol: String,
+      nameCol: String): DataFrame = {
+    val dec = udf { (hex: String, abiJson: String, name: String) =>
+      if (hex == null || abiJson == null || name == null) None
+      else hexActionDecoder(name)(hex, abiJson)
+    }
+    df.withColumn("__decoded", dec(col(payloadCol), col(abiCol), col(nameCol)))
+      .withColumn("ds_error", col("__decoded").isNull)
+      .withColumn("data", coalesce(col("__decoded"), col(payloadCol)))
+      .drop("__decoded")
+  }
+
+  /** Re-encode decoded JSON back to hex (`hex_data` on the v1 get_actions
+    * response — the reference's issue #133 path, where only ABI-declared
+    * fields serialize and extra JSON fields are ignored). Failure → null.
+    */
+  def encodeHex(df: DataFrame, dataCol: String, abiCol: String,
+      nameCol: String): DataFrame = {
+    val enc = udf { (json: String, abiJson: String, name: String) =>
+      if (json == null || abiJson == null || name == null) None
+      else try {
+        val abi = cachedAbi(abiJson)
+        abi.actionType(name).map(t => AntelopeAbi.jsonToHex(abi, t, json))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    df.withColumn("hex_data", enc(col(dataCol), col(abiCol), col(nameCol)))
+  }
+
   /** Auto-blacklist derivation (deserializer.ts:760-776): contract/action
     * pairs whose decode failure rate is total get skipped on future
     * passes — recomputed from history instead of kept as mutable state.

@@ -143,6 +143,26 @@ object AntelopeKeys {
   def encodeLegacy(payload: Array[Byte], prefix: String = "EOS"): String =
     prefix + base58Encode(payload ++ checksum(payload, ""))
 
+  /** Generic base58check encode: `prefix + base58(payload ++
+    * ripemd160(payload ++ suffix).take(4))` — the shared shape of every
+    * `PUB_K1_`/`PUB_R1_`/`SIG_K1_`/`SIG_R1_` string form.
+    */
+  def encodeChecked(prefix: String, payload: Array[Byte], suffix: String): String =
+    prefix + base58Encode(payload ++ checksum(payload, suffix))
+
+  /** Generic base58check decode to exactly `payloadLen` payload bytes,
+    * validating the 4-byte ripemd160 checksum.
+    */
+  def decodeChecked(s: String, prefix: String, suffix: String,
+      payloadLen: Int): Option[Array[Byte]] =
+    if (!s.startsWith(prefix)) None
+    else base58Decode(s.stripPrefix(prefix)).collect {
+      case raw if raw.length == payloadLen + 4 &&
+        java.util.Arrays.equals(raw.drop(payloadLen),
+          checksum(raw.take(payloadLen), suffix)) =>
+        raw.take(payloadLen)
+    }
+
   /** Encode 33 payload bytes in the canonical `PUB_K1_…` form. */
   def encodeK1(payload: Array[Byte]): String =
     "PUB_K1_" + base58Encode(payload ++ checksum(payload, "K1"))
