@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.schema._
-import graft.state.StateMerge
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -67,22 +66,11 @@ object Ingest {
   }
 
   /** Start a state-table maintenance stream: delta rows → last-writer-wins
-    * compacted state at `stateDir`.
+    * compacted state at `stateDir`, via the default [[ParquetStateSink]].
     *
-    * The state table is partitioned by a stable key-hash bucket `__kb`
-    * (`xxhash64(keys) mod nBuckets`), so each micro-batch:
-    *   1. computes the buckets its keys touch (≤ nBuckets values — a
-    *      metadata-sized collect);
-    *   2. reads ONLY those partitions of the previous state (Catalyst
-    *      partition pruning on `__kb`);
-    *   3. merges and rewrites ONLY those partitions (dynamic partition
-    *      overwrite).
-    * Per-batch work is therefore O(touched buckets), not O(state) — the
-    * plain-parquet equivalent of a keyed MERGE; a Delta/Iceberg table or
-    * an upsert KV sink drops in at this same `foreachBatch` boundary. The
-    * staging round-trip (`__next`) exists because Spark refuses to
-    * overwrite a path that feeds the plan being written; it also only
-    * carries the touched buckets.
+    * This is the parquet specialization of [[startStateSink]]; an
+    * ES/Delta/Iceberg writer swaps in by passing a different [[StateSink]]
+    * there (mapping documented on the trait, per elastic-routes.ts:54-109).
     */
   def startStateMerge(
       deltas: DataFrame,
@@ -92,53 +80,32 @@ object Ingest {
       nBuckets: Int = 256,
       trigger: Trigger = Trigger.AvailableNow())(
       implicit spark: SparkSession): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
     // The bucket layout is a pure function of nBuckets; a run with a
     // different value would prune reads to the WRONG partitions and leave
     // stale rows behind (two rows per key). Persist it once and fail fast
     // on mismatch rather than corrupt silently.
     checkBucketMarker(stateDir, nBuckets)
+    startStateSink(deltas, new ParquetStateSink(stateDir, keys, nBuckets),
+      checkpointDir, trigger)
+  }
+
+  /** Start a state-maintenance stream against ANY keyed-upsert sink —
+    * the generic form of the reference's deserializer→ES-bulk pipeline
+    * with the bulk router swapped behind the [[StateSink]] trait.
+    */
+  def startStateSink(
+      deltas: DataFrame,
+      sink: StateSink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      implicit spark: SparkSession): StreamingQuery =
     deltas.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val keyBucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
-        val bucketed = batch.withColumn("__kb", keyBucket)
-        val touched = bucketed.select(col("__kb")).distinct()
-          .collect().map(_.getInt(0)).toSeq.sorted
-        if (touched.nonEmpty) {
-          val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // First batch ever (no state yet) → empty prior. ANY other read
-          // failure — legacy unbucketed layout, corrupt files, transient IO
-          // — must propagate and fail the batch: falling back to "no prior
-          // state" here would let the dynamic overwrite below silently drop
-          // the touched buckets' existing rows.
-          val prev =
-            if (fs.exists(new Path(stateDir)))
-              spark.read.parquet(stateDir).filter(col("__kb").isin(touched: _*))
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketed.schema)
-          val next = StateMerge.merge(prev, bucketed, keys)
-          val tmp = stateDir + "__next"
-          next.write.mode("overwrite").partitionBy("__kb").parquet(tmp)
-          val written = fs.listStatus(new Path(tmp)).map(_.getPath.getName)
-            .filter(_.startsWith("__kb=")).map(_.stripPrefix("__kb=").toInt).toSet
-          if (written.nonEmpty)
-            spark.read.parquet(tmp)
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("__kb")
-              .parquet(stateDir)
-          // dynamic overwrite only replaces partitions present in `next`;
-          // a bucket whose keys were ALL deleted this batch has no rows
-          // and would keep its stale partition — remove it explicitly
-          (touched.toSet -- written).foreach { b =>
-            fs.delete(new Path(stateDir, s"__kb=$b"), true)
-          }
-        }
+        sink.mergeBatch(batch)
       }
       .start()
-  }
 
   /** Persisted alongside the state so a later run cannot silently re-bucket
     * with a different modulus (which would break last-writer-wins: a key's
