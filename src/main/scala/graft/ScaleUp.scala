@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicates the driver's sf0.1 tables
+  * R-fold into a target directory so the bench can be re-run at ~10x data
+  * and per-query scaling ratios measured (the "would this plan survive a
+  * 100x scale-up" question, answered empirically instead of by plan
+  * inspection).
+  *
+  * Scaling model — a bigger corpus has MORE entities, not more copies of
+  * the same entity:
+  *   - tiny dimensions (`region`, `nation`) stay fixed, like real dims;
+  *   - every fact/entity table gets R replicas with primary AND foreign
+  *     keys shifted by a per-table stride, so per-replica FK joins still
+  *     match and key cardinality grows linearly;
+  *   - `documents.text` is letter-rotated per replica (a Caesar map over
+  *     [a-zA-Z] via `translate`). Length, whitespace and punctuation are
+  *     preserved — token/shingle counts and quality metrics cost the
+  *     same — but cross-replica shingles share nothing, so near-dup
+  *     self-joins see 10x distinct docs with the same planted-duplicate
+  *     rate rather than 10 exact copies of each doc (which would
+  *     quadratically inflate every LSH bucket — not what scale looks
+  *     like);
+  *   - `embeddings.embedding` is cyclically rotated by replica index:
+  *     norms are preserved, cross-replica cosine decorrelates, and the
+  *     per-replica neighborhood structure is intact.
+  *
+  * `events.ts` is kept as the raw int64 nanosecond column (the source
+  * parquet is TIMESTAMP(NANOS), read with `nanosAsLong`), so the scaled
+  * table round-trips through [[Tables.events]] identically.
+  */
+object ScaleUp {
+
+  /** Per-table key strides — larger than any source key so replica key
+    * ranges never collide.
+    */
+  private val DIM_STRIDE = 1000000L   // customer/supplier/part keys
+  private val FACT_STRIDE = 10000000L // orderkey / event_id
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeAll(spark, src, dst, replicas)
+    spark.stop()
+  }
+
+  def writeAll(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String)(df: DataFrame): Unit = {
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    /** R replicas of `df`, transformed per replica index. */
+    def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(i => f(df, i)).reduce(_ unionByName _)
+
+    def shift(df: DataFrame, i: Int, strides: (String, Long)*): DataFrame =
+      strides.foldLeft(df) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + lit(i * stride))
+      }
+
+    // fixed dimensions
+    write("region")(read("region"))
+    write("nation")(read("nation"))
+
+    write("customer")(replicate(read("customer"))(shift(_, _, "c_custkey" -> DIM_STRIDE)))
+    write("supplier")(replicate(read("supplier"))(shift(_, _, "s_suppkey" -> DIM_STRIDE)))
+    write("part")(replicate(read("part"))(shift(_, _, "p_partkey" -> DIM_STRIDE)))
+    write("orders")(replicate(read("orders"))(
+      shift(_, _, "o_orderkey" -> FACT_STRIDE, "o_custkey" -> DIM_STRIDE)))
+    write("lineitem")(replicate(read("lineitem"))(
+      shift(_, _, "l_orderkey" -> FACT_STRIDE, "l_partkey" -> DIM_STRIDE,
+        "l_suppkey" -> DIM_STRIDE)))
+
+    // events: read ts as raw nanos so the written table keeps the layout
+    // Tables.events expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write("events")(replicate(read("events"))(
+      shift(_, _, "event_id" -> FACT_STRIDE, "user_id" -> DIM_STRIDE)))
+
+    val letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    def rotAlpha(i: Int): String = {
+      val lo = ('a' to 'z').map(c => (((c - 'a') + i) % 26 + 'a').toChar).mkString
+      val hi = ('A' to 'Z').map(c => (((c - 'A') + i) % 26 + 'A').toChar).mkString
+      lo + hi
+    }
+    write("documents")(replicate(read("documents")) { (df, i) =>
+      shift(df, i, "doc_id" -> DIM_STRIDE)
+        .withColumn("text", translate(col("text"), letters, rotAlpha(i)))
+    })
+
+    write("embeddings")(replicate(read("embeddings")) { (df, i) =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
+          expr(s"slice(embedding, 1, $i)"))
+      shift(df, i, "vec_id" -> DIM_STRIDE).withColumn("embedding", rotated)
+    })
+  }
+}
