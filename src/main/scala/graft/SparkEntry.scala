@@ -1087,6 +1087,66 @@ object SparkEntry {
       .orderBy(col("scope"), col("primary_key"))
   }
 
+  /** ST4 (full live-handoff sequence, driver-checked): the reference
+    * attaches the live subscription first, replays history up to the
+    * attach block in ack-paced batches, then fills from
+    * `lastTransmittedBlock+1` (socketManager.ts:530-622,
+    * functions.ts:79-318). Here the whole sequence runs inside one query:
+    *
+    *   1. a ProcessingTime ingest starts on the pre-attach history;
+    *   2. once it lands, the attach block is read off the table head;
+    *   3. the live tail arrives mid-stream — re-delivering the last ten
+    *      blocks (the socket is at-least-once), so the history table
+    *      itself ends up with duplicate rows across the seam;
+    *   4. [[graft.streaming.Replay.replay]] pages history to the attach
+    *      block, [[graft.streaming.Replay.handoff]] unions the live slice
+    *      and dedups on `global_sequence`.
+    *
+    * The oracle is the exact fixture sequence: hash-equality proves
+    * no-gap (every action present) AND no-dupe (nothing doubled across
+    * the replay/live seam despite the at-least-once re-delivery).
+    */
+  private def qHypHandoff(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_handoff").toString
+    val raw = s"$tmp/raw"; val hist = s"$tmp/hist"; val ckpt = s"$tmp/ckpt"
+    val all = Fixtures.rawTraces(s, 100, 50, 3).toDF() // blocks 100-199, 300-349
+    // pre-attach history: everything below block 320
+    all.filter(col("block_num") < 320).write.parquet(raw)
+    val q = graft.streaming.Ingest.startActionIngest(
+      s.readStream.schema(all.schema).parquet(raw), hist, ckpt,
+      partitionSize = 100L, trigger = Trigger.ProcessingTime("100 milliseconds"))
+    def countHist(): Long =
+      try s.read.parquet(hist).count() catch { case _: Exception => -1L }
+    def awaitCount(expect: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (countHist() != expect && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      require(countHist() == expect,
+        s"handoff ingest stalled: ${countHist()} of $expect rows")
+    }
+    try {
+      // 100 merged transfers + 20 custom trx (blocks 300-319) x 4 actions
+      awaitCount(180)
+      // attach: record the indexed head, like the reference's currentBlockNum
+      val attach = s.read.parquet(hist)
+        .agg(max(col("block_num"))).head().getLong(0) // metadata-sized
+      require(attach == 319L, s"unexpected attach block $attach")
+      // live tail arrives AFTER attach, re-sending the last 10 blocks
+      // (at-least-once delivery) — appended while the query keeps running
+      all.filter(col("block_num") >= 310).write.mode("append").parquet(raw)
+      awaitCount(340) // 180 + 160 live rows, 40 of them duplicates
+      val histDf = s.read.parquet(hist)
+      graft.streaming.Replay.handoff(
+          graft.streaming.Replay.replay(histDf, 100L, attach, batchSize = 25)
+            .drop("batch_seq"),
+          histDf.filter(col("block_num") >= 310), liveStartBlock = attach + 1)
+        .select(col("global_sequence"), col("block_num"))
+        .orderBy(col("global_sequence"))
+    } finally q.stop()
+  }
+
   /** X2 (actions): the full action-lift family — every handled system
     * action lifted to its typed struct, then folded back into `act.data`
     * via the multi-extension merge; the unhandled row passes through raw.
@@ -1256,7 +1316,8 @@ object SparkEntry {
     "q_hyperion_action_lift" -> (qHypActionLift _),
     "q_hyperion_delta_lift" -> (qHypDeltaLift _),
     "q_hyperion_key_convert" -> (qHypKeyConvert _),
-    "q_hyperion_ship_deltas" -> (qHypShipDeltas _)
+    "q_hyperion_ship_deltas" -> (qHypShipDeltas _),
+    "q_hyperion_handoff" -> (qHypHandoff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1932,6 +1993,14 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM acts WHERE block_num >= 170)
          SELECT global_sequence, block_num FROM hist ORDER BY global_sequence""",
+    "q_hyperion_handoff" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence, 100 + i AS block_num
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 300 + i
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT global_sequence, block_num FROM acts ORDER BY global_sequence""",
     "q_hyperion_router" ->
       """WITH tr AS (
            SELECT 1000000 + 3 * i + 1 AS global_sequence,
