@@ -59,7 +59,9 @@ object MetaFilters {
         case n             => (n, None)
       }
       val c = base.map(_.getField(field)).getOrElse(col(field))
-      idx.map(i => element_at(c, i + 1)).getOrElse(c)
+      // try_element_at: an index past the array's end is no-match, not an
+      // ANSI INVALID_ARRAY_INDEX failure of the whole query
+      idx.map(i => try_element_at(c, lit(i + 1))).getOrElse(c)
     }
 
     path match {
@@ -131,38 +133,68 @@ object MetaFilters {
         }
     }
 
+  private val cmpOps = Set("eq", "ne", "gt", "gte", "lt", "lte")
+  private val numericLit = "^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"
+
+  /** A string column cast to double only where it is numeric-shaped —
+    * elsewhere null, so the comparison is simply no-match. A bare `cast`
+    * would throw under ANSI mode (Spark 4 default) the moment any row
+    * holds a non-numeric string, turning one odd row into a failed query.
+    */
+  private def numericOrNull(c: Column): Column =
+    when(c.rlike(numericLit), c.cast(DoubleType))
+
   private def predicate(c: Column, dt: DataType, f: MetaFilter): Column = {
     // Asset coercion: "1.0000 EOS" filter value vs string field → compare
     // numeric parts when symbols match (common_functions.ts:294-299).
-    val (lhs, rhs): (Column, Column) = (f.value, dt) match {
-      case (assetRe(num, sym), StringType)
-          if Set("eq", "ne", "gt", "gte", "lt", "lte").contains(f.operator) =>
-        val fieldSym = element_at(split(c, " "), 2)
-        val fieldNum = element_at(split(c, " "), 1).cast(DoubleType)
-        (when(fieldSym === lit(sym), fieldNum), lit(num.toDouble))
-      case (v, nt: NumericType) => (c, lit(v.toDouble).cast(nt))
-      case (v, BooleanType)     => (c, lit(v.toBoolean))
-      case (v, TimestampType)   => (c, to_timestamp(lit(v.replace(' ', 'T'))))
+    val coerced: Option[(Column, Column)] = (f.value, dt) match {
+      case (assetRe(num, sym), StringType) if cmpOps.contains(f.operator) =>
+        // try_element_at: a field without a space ("12.5") has no symbol
+        // part — that is symbol-mismatch (null → no match), not an ANSI
+        // out-of-bounds failure
+        val fieldSym = try_element_at(split(c, " "), lit(2))
+        val fieldNum = numericOrNull(try_element_at(split(c, " "), lit(1)))
+        Some((when(fieldSym === lit(sym), fieldNum), lit(num.toDouble)))
+      case (v, _: NumericType) =>
+        // A value that cannot be a number compares like NaN in the
+        // reference's JS loose comparison: every relational test is
+        // false, inequality is true (handled below) — not a thrown
+        // NumberFormatException. Both sides compare as doubles (JS
+        // numbers ARE doubles); casting the value to the field's type
+        // instead would make `n eq "2.5"` match n=2 by truncation.
+        v.toDoubleOption.map(dv => (c.cast(DoubleType), lit(dv)))
+      case (v, BooleanType) => v.toBooleanOption.map(bv => (c, lit(bv)))
+      case (v, TimestampType) =>
+        Some((c, try_to_timestamp(lit(v.replace(' ', 'T')))))
       // String field (e.g. a value pulled out of the opaque JSON blob)
       // compared against a numeric literal → numeric comparison, like the
       // reference's JS loose comparison in checkMetaFilter.
       case (v, StringType)
-          if v.matches("^-?\\d+(\\.\\d+)?$") &&
-            Set("eq", "ne", "gt", "gte", "lt", "lte").contains(f.operator) =>
-        (c.cast(DoubleType), lit(v.toDouble))
-      case (v, _)               => (c, lit(v))
+          if v.matches("^-?\\d+(\\.\\d+)?$") && cmpOps.contains(f.operator) =>
+        Some((numericOrNull(c), lit(v.toDouble)))
+      case (v, _) => Some((c, lit(v)))
     }
-    f.operator match {
-      case "eq"          => lhs === rhs
-      case "ne"          => lhs =!= rhs
-      case "gt"          => lhs > rhs
-      case "gte"         => lhs >= rhs
-      case "lt"          => lhs < rhs
-      case "lte"         => lhs <= rhs
-      case "contains"    => lhs.contains(f.value)
-      case "starts_with" => lhs.startsWith(f.value)
-      case "ends_with"   => lhs.endsWith(f.value)
-      case op => throw new IllegalArgumentException(s"unknown operator: $op")
+    (coerced, f.operator) match {
+      // a present value is always unequal to an un-number; a null field
+      // never matches any filter (the engine-wide null convention)
+      case (None, "ne")                   => c.isNotNull
+      case (None, op) if cmpOps
+        .contains(op)                     => lit(false)
+      // string ops never numerically coerce — re-resolve as a plain
+      // string comparison (always yields a coercion, so this terminates)
+      case (None, _)                      => predicate(c, StringType, f)
+      case (Some((lhs, rhs)), op) => op match {
+        case "eq"          => lhs === rhs
+        case "ne"          => lhs =!= rhs
+        case "gt"          => lhs > rhs
+        case "gte"         => lhs >= rhs
+        case "lt"          => lhs < rhs
+        case "lte"         => lhs <= rhs
+        case "contains"    => lhs.contains(f.value)
+        case "starts_with" => lhs.startsWith(f.value)
+        case "ends_with"   => lhs.endsWith(f.value)
+        case other => throw new IllegalArgumentException(s"unknown operator: $other")
+      }
     }
   }
 }
