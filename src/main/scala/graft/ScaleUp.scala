@@ -83,11 +83,13 @@ object ScaleUp {
       shift(_, _, "l_orderkey" -> FACT_STRIDE, "l_partkey" -> DIM_STRIDE,
         "l_suppkey" -> DIM_STRIDE)))
 
-    // events: read ts as raw nanos so the written table keeps the layout
-    // Tables.events expects
+    // events: the source ts is TIMESTAMP(NANOS) (readable only as raw
+    // nanos); write it back as micros TIMESTAMP — the same truncation
+    // Tables.events applies, and a type DuckDB can read directly
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events")(replicate(read("events"))(
-      shift(_, _, "event_id" -> FACT_STRIDE, "user_id" -> DIM_STRIDE)))
+      shift(_, _, "event_id" -> FACT_STRIDE, "user_id" -> DIM_STRIDE))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
 
     val letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
     def rotAlpha(i: Int): String = {

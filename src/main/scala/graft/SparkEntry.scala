@@ -885,6 +885,37 @@ object SparkEntry {
       .orderBy(col("global_sequence"))
   }
 
+  /** The auto-blacklist loop closed (deserializer.ts:760-776): a first
+    * decode pass over history derives the always-failing (code, action)
+    * pairs; the second pass skips the codec for those rows entirely
+    * (`ds_blacklisted`, codec-skip proven in AbiCodecSpec) while every
+    * other pair decodes as before. The per-pair aggregate witnesses both
+    * passes: attempt/failure counts plus which pairs the list caught.
+    */
+  private def qHypBlacklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emptyAbi = """{"version":"eosio::abi/1.2","structs":[],"actions":[]}"""
+    val src = Fixtures.hexActions(s).withColumn("code",
+      when(col("action").isin("voteproducer", "updateauth"), "eosio")
+        .when(col("action") === "hold", "custom")
+        .otherwise("eosio.token"))
+    // a consistently undecodable pair re-attempted across blocks — the
+    // reference's blacklist trigger condition
+    val bad = (0 until 3)
+      .map(i => (3000500L + i, "badact", "deadbeef", emptyAbi, "bad.app"))
+      .toDF("global_sequence", "action", "payload", "abi", "code")
+    val all = src.unionByName(bad)
+    val pass1 = graft.functions.AbiCodec.decodeHex(all, "payload", "abi", "action")
+    val rules = graft.functions.AbiCodec.autoBlacklist(pass1, "code", "action")
+    val pass2 = graft.functions.AbiCodec.decodeHexBlacklisted(
+      all, "payload", "abi", "code", "action", rules)
+    pass2.groupBy(col("code"), col("action"))
+      .agg(count(lit(1)).as("attempts"),
+        sum(when(col("ds_error"), 1).otherwise(0)).as("failures"),
+        (sum(when(col("ds_blacklisted"), 1).otherwise(0)) > 0).as("blacklisted"))
+      .orderBy(col("code"), col("action"))
+  }
+
   /** Language-ID n-gram heuristic (marker-token scoring). */
   private def qLangId(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
@@ -1317,7 +1348,8 @@ object SparkEntry {
     "q_hyperion_delta_lift" -> (qHypDeltaLift _),
     "q_hyperion_key_convert" -> (qHypKeyConvert _),
     "q_hyperion_ship_deltas" -> (qHypShipDeltas _),
-    "q_hyperion_handoff" -> (qHypHandoff _)
+    "q_hyperion_handoff" -> (qHypHandoff _),
+    "q_hyperion_blacklist" -> (qHypBlacklist _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2001,6 +2033,16 @@ object SparkEntry {
            SELECT 1000300 + 4 * i + lvl + 1, 300 + i
            FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
          SELECT global_sequence, block_num FROM acts ORDER BY global_sequence""",
+    "q_hyperion_blacklist" ->
+      """SELECT * FROM (VALUES
+           ('bad.app', 'badact', CAST(3 AS BIGINT), CAST(3 AS BIGINT), TRUE),
+           ('custom', 'hold', 6, 0, FALSE),
+           ('eosio', 'updateauth', 4, 0, FALSE),
+           ('eosio', 'voteproducer', 8, 0, FALSE),
+           ('eosio.token', 'nosuchact', 1, 1, FALSE),
+           ('eosio.token', 'transfer', 34, 4, FALSE))
+         t(code, action, attempts, failures, blacklisted)
+         ORDER BY code, action""",
     "q_hyperion_router" ->
       """WITH tr AS (
            SELECT 1000000 + 3 * i + 1 AS global_sequence,

@@ -29,9 +29,16 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects natively;
     // read the raw int64 nanos and truncate to microseconds (matches what
-    // any micro-precision consumer of this column observes).
+    // any micro-precision consumer of this column observes). A rewritten
+    // copy of the table (e.g. ScaleUp's) already carries micros — pass
+    // that through unchanged.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

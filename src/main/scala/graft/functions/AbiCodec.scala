@@ -80,16 +80,42 @@ object AbiCodec {
     * math); the per-row cost is the codec itself, the ABI parse amortizes
     * through the executor-local cache.
     */
-  def decodeHex(df: DataFrame, payloadCol: String, abiCol: String,
-      nameCol: String): DataFrame = {
-    val dec = udf { (hex: String, abiJson: String, name: String) =>
+  /** (hex, abiJson, actionName) → decoded JSON, via the pure-Scala codec. */
+  val defaultHexDecoder: (String, String, String) => Option[String] =
+    (hex, abiJson, name) =>
       if (hex == null || abiJson == null || name == null) None
       else hexActionDecoder(name)(hex, abiJson)
-    }
+
+  def decodeHex(df: DataFrame, payloadCol: String, abiCol: String,
+      nameCol: String): DataFrame = {
+    val dec = udf(defaultHexDecoder)
     df.withColumn("__decoded", dec(col(payloadCol), col(abiCol), col(nameCol)))
       .withColumn("ds_error", col("__decoded").isNull)
       .withColumn("data", coalesce(col("__decoded"), col(payloadCol)))
       .drop("__decoded")
+  }
+
+  /** [[decodeHex]] with a pre-derived blacklist wired in — the
+    * `ds_blacklist` check of deserializer.ts:760-776: a (code, action)
+    * pair on the list skips the codec entirely (the branch guard keeps
+    * the UDF uninvoked for those rows) and goes straight to the
+    * ds_error passthrough, with `ds_blacklisted` marking the skip.
+    *
+    * `blacklist` is [[autoBlacklist]]'s output (`rule` = "code::name") —
+    * metadata-sized (distinct undecodable pairs), hence broadcast.
+    */
+  def decodeHexBlacklisted(df: DataFrame, payloadCol: String, abiCol: String,
+      codeCol: String, nameCol: String, blacklist: DataFrame,
+      decoder: (String, String, String) => Option[String] = defaultHexDecoder): DataFrame = {
+    val dec = udf(decoder)
+    df.join(broadcast(blacklist.select(col("rule"))),
+        concat(col(codeCol), lit("::"), col(nameCol)) === col("rule"), "left")
+      .withColumn("__decoded",
+        when(col("rule").isNull, dec(col(payloadCol), col(abiCol), col(nameCol))))
+      .withColumn("ds_blacklisted", col("rule").isNotNull)
+      .withColumn("ds_error", col("__decoded").isNull)
+      .withColumn("data", coalesce(col("__decoded"), col(payloadCol)))
+      .drop("__decoded", "rule")
   }
 
   /** Re-encode decoded JSON back to hex (`hex_data` on the v1 get_actions

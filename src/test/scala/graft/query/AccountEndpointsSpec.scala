@@ -85,4 +85,38 @@ class AbiCodecSpec extends SparkSpec {
     val rules = AbiCodec.autoBlacklist(decoded, "code", "name").as[String].collect().toSet
     assert(rules === Set("c1::a1")) // c2 has a success; c3 only 1 attempt
   }
+
+  test("blacklisted pairs skip the codec entirely, not just mark ds_error") {
+    val df = Seq(
+      ("bad.app", "badact", "deadbeef"), ("bad.app", "badact", "deadbeef"),
+      ("good.app", "doit", "cafe"), ("good.app", "doit", "f00d"))
+      .toDF("code", "name", "payload").withColumn("abi", lit("{}"))
+    val bl = Seq("bad.app::badact").toDF("rule")
+    // the counter lives in a JVM singleton (CodecCallCounter), not the
+    // closure: task closures are serialized even in local mode, so a
+    // captured AtomicLong would be incremented on per-task copies
+    CodecCallCounter.calls.set(0)
+    val counting = (hex: String, _: String, _: String) => {
+      CodecCallCounter.calls.incrementAndGet(); Option(hex).map(_.toUpperCase)
+    }
+    val out = AbiCodec.decodeHexBlacklisted(
+      df, "payload", "abi", "code", "name", bl, counting).cache()
+    assert(out.filter($"ds_blacklisted").count() === 2)
+    assert(out.filter($"ds_blacklisted" && !$"ds_error").count() === 0,
+      "blacklisted rows must carry ds_error + payload passthrough")
+    assert(out.filter($"ds_blacklisted" && $"data" =!= $"payload").count() === 0)
+    assert(out.filter(!$"ds_blacklisted").count() === 2)
+    out.count() // force full materialization once more
+    val calls = CodecCallCounter.calls.get()
+    assert(calls === 2,
+      s"codec must run only for the 2 non-blacklisted rows, saw $calls")
+  }
+}
+
+/** In-process invocation counter for the codec-skip test — a singleton so
+  * executor-side increments (local mode, same JVM) hit the instance the
+  * assertion reads.
+  */
+object CodecCallCounter {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
 }
