@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the suite shares one long-lived JVM across ~40 suites;
+  // at 8g the accumulated broadcast/cache debt plus the router scale
+  // probe's wide union plan GC-thrashed until RPC timeouts killed the
+  // context mid-run (observed 2026-08-12).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

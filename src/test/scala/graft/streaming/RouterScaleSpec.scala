@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.Union
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
 /** Scale probe for the two routing strategies (ws-router.ts:147-241).
   *
@@ -17,8 +18,12 @@ import org.apache.spark.sql.functions._
   * 100/1k/10k subscriptions is near-flat for the topic map while the
   * per-subscription plan grows with the subscription count.
   */
-class RouterScaleSpec extends SparkSpec {
+class RouterScaleSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
+
+  // the session outlives this suite; drop the cached probe input so its
+  // blocks don't stay pinned in the shared test JVM for later suites
+  override def afterAll(): Unit = events.unpersist(blocking = false)
 
   private val nEvents = 10000
 
