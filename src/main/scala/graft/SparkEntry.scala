@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sim, Text}
-import graft.operators.{Ann, Dedup, Gaps, Latest, AsOf}
+import graft.operators.{Ann, Cluster, Dedup, Gaps, Latest, AsOf, Split}
 import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -381,6 +381,60 @@ object SparkEntry {
         T.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
         n = 1, threshold = 0.5, maxDf = 300L)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Near-dup pairs for the clustering queries: unigram Jaccard ≥ 0.95
+    * over the whole corpus — at sf0.01 this graph has 23 components of
+    * size 2..130, so transitive closure (A~B, B~C ⇒ one cluster) is
+    * genuinely exercised, not just echoed. maxDf = corpus size: a no-op
+    * on scores at this SF, but keeps the df-guarded postings path (the
+    * plan a 100 TB corpus needs) under the oracle.
+    */
+  private def clusterPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(T.documents(s, d), "doc_id", "text",
+      n = 1, threshold = 0.95, maxDf = 500L)
+
+  /** Connected-components clustering of near-dup pairs (alternating
+    * large-star/small-star): every doc in a pair mapped to the min id of
+    * its transitive duplicate set. Oracle = recursive-CTE reachability.
+    */
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Cluster.connectedComponents(clusterPairs(s, d))
+      .orderBy(col("id"))
+
+  /** Keep-one-per-cluster: canonical survivor (longest text, ties to the
+    * smallest id) for every dedup cluster, singletons included.
+    */
+  private def qDedupCanonical(s: SparkSession, d: String): DataFrame =
+    Cluster.canonical(T.documents(s, d), clusterPairs(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Deterministic 80/10/10 train/val/test split keyed on md5(doc_id) —
+    * reproducible across runs, engines and repartitioning.
+    */
+  private def qTrainSplit(s: SparkSession, d: String): DataFrame =
+    Split.assign(T.documents(s, d), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Exact 20% stratified sample per language, md5-ranked within stratum. */
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    Split.stratifiedSample(
+        T.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 0.2)
+      .orderBy(col("doc_id"))
+
+  /** Vocabulary head: top-50 unigrams by document frequency (ties broken
+    * lexicographically) — the corpus-stats pass of a tokenizer/filter
+    * pipeline. One shuffle on the gram, then TakeOrdered.
+    */
+  private def qVocabTopk(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(explode(graft.exprs.Shingles(col("text"), 1)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(50)
 
   /** MinHash signatures + LSH band keys (deterministic; pair extraction is
     * spec-tested on planted near-dups — the synthetic corpus has none).
@@ -1275,6 +1329,11 @@ object SparkEntry {
     "q_gap_detect" -> (qGapDetect _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
+    "q_train_split" -> (qTrainSplit _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_vocab_topk" -> (qVocabTopk _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1522,6 +1581,85 @@ object SparkEntry {
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.5
          ORDER BY id_a, id_b""",
+    "q_dedup_clusters" ->
+      // reachability closure over the same unigram-Jaccard pair graph the
+      // Spark side feeds to large-star/small-star; min reachable id ≡
+      // component min. The walk is bounded by Σ(component size²) — fine
+      // for an oracle, quadratic at corpus scale (which is why the
+      // distributed side iterates star contractions instead).
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS gram
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM t a JOIN t b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= CAST(0.95 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         walk(u, r) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT w.u, e.v FROM walk w JOIN edges e ON w.r = e.u)
+         SELECT u AS id, min(r) AS cluster_id FROM walk GROUP BY 1 ORDER BY 1""",
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS gram
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM t a JOIN t b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= CAST(0.95 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         walk(u, r) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT w.u, e.v FROM walk w JOIN edges e ON w.r = e.u),
+         cc AS (SELECT u AS id, min(r) AS comp FROM walk GROUP BY 1),
+         ranked AS (
+           SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id,
+             row_number() OVER (PARTITION BY coalesce(cc.comp, d.doc_id)
+               ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY coalesce(cc.comp, d.doc_id)) AS cluster_size
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+         SELECT doc_id, cluster_id, cluster_size FROM ranked
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q_train_split" ->
+      """SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""",
+    "q_vocab_topk" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS gram
+           FROM documents)
+         SELECT gram, count(*) AS df FROM t
+         GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 50""",
     "q_ann_cosine" ->
       """WITH e AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

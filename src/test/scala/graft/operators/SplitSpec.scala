@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic split/sample invariants: reproducibility under
+  * reordering, exact per-stratum counts, label stability as data grows —
+  * the properties that make a training split auditable.
+  */
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (0L until 1000L).map(i => (i, s"stratum_${i % 4}"))
+  private lazy val df = rows.toDF("id", "lang").cache()
+
+  test("hashBucket lands in [0, 100) and is pure column arithmetic") {
+    val b = df.select(Split.hashBucket($"id").as("b")).agg(min($"b"), max($"b")).head()
+    assert(b.getLong(0) >= 0L && b.getLong(1) < 100L)
+  }
+
+  test("assign labels every row and respects weight boundaries roughly") {
+    val counts = Split.assign(df, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 1000L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // md5 is uniform; at n=1000 the 80% bucket lands within a wide band
+    assert(counts("train") > 700L && counts("train") < 900L)
+  }
+
+  test("assign is order- and partitioning-invariant") {
+    val a = Split.assign(df, "id", Seq("train" -> 90, "test" -> 10))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Split.assign(df.orderBy($"id".desc).repartition(7), "id",
+        Seq("train" -> 90, "test" -> 10))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("growing the dataset never reassigns an existing row") {
+    val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val before = Split.assign(df.filter($"id" < 500), "id", w)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val after = Split.assign(df, "id", w)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    before.foreach { case (id, s) => assert(after(id) === s) }
+  }
+
+  test("assign rejects weights that do not sum to 100") {
+    intercept[IllegalArgumentException] {
+      Split.assign(df, "id", Seq("train" -> 80, "test" -> 10))
+    }
+  }
+
+  test("stratifiedSample keeps exactly ceil(frac*n) rows per stratum") {
+    val got = Split.stratifiedSample(df, "lang", "id", 0.1)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 4 strata of 250 rows each → ceil(25.0) = 25
+    assert(got === Map("stratum_0" -> 25L, "stratum_1" -> 25L,
+      "stratum_2" -> 25L, "stratum_3" -> 25L))
+  }
+
+  test("stratifiedSample rounds up on fractional quotas and is a subset") {
+    val odd = (0L until 103L).map(i => (i, "x")).toDF("id", "lang")
+    val got = Split.stratifiedSample(odd, "lang", "id", 0.25)
+      .as[(Long, String)].collect()
+    assert(got.length === 26) // ceil(25.75)
+    assert(got.map(_._1).toSet.subsetOf((0L until 103L).toSet))
+  }
+
+  test("stratifiedSample is deterministic across runs and partitionings") {
+    val a = Split.stratifiedSample(df, "lang", "id", 0.05)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Split.stratifiedSample(df.repartition(13), "lang", "id", 0.05)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+}
