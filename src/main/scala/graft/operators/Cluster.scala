@@ -57,13 +57,15 @@ object Cluster {
     var done = false
     while (!done && round < maxRounds) {
       // large-star: over BIDIRECTIONAL neighborhoods, hook every neighbor
-      // strictly larger than u onto m = min(N(u) ∪ {u})
+      // strictly larger than u onto m = min(N(u) ∪ {u}). No distinct here:
+      // duplicate edges cannot change the small-star's window min, and the
+      // round's output is canonicalized by small-star's distinct — one
+      // shuffle saved per round.
       val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val large = bidir
         .withColumn("m", least(col("u"), min("v").over(w)))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
 
       // small-star: edges are already (big, small); hook u and all its
       // small-side neighbors onto the minimum of the closed neighborhood

@@ -125,4 +125,44 @@ class PlanSpec extends SparkSpec {
         "pair-keyed exchange found — candidate pairs are being shuffled")
     }
   }
+
+  test("Split.assign: zero shuffles — the split label is a narrow projection") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    val p = graft.operators.Split.assign(df, "id", Seq("train" -> 90, "test" -> 10))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "hash split must not shuffle")
+  }
+
+  test("Split.stratifiedSample: rank and stratum count share ONE shuffle") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "lang")
+    val p = graft.operators.Split.stratifiedSample(df, "lang", "id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(hashExchanges(p) === 1,
+      "row_number and count must ride the same stratum partition")
+  }
+
+  test("q_vocab_topk: partial count before one gram shuffle, TakeOrdered head") {
+    val p = plan("q_vocab_topk")
+    assert(hashExchanges(p) === 1)
+    assert(p.contains("partial_"), "map-side partial count missing")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("Cluster.canonical: membership join broadcasts; survivor rank and size share one cluster shuffle") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = graft.operators.Cluster.canonical(docs, pairs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "pair-graph membership must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // exactly ONE exchange keyed on cluster_id alone: the survivor rank and
+    // the cluster-size count must ride the same window partition (the other
+    // exchange in this plan is the roots-distinct inside the broadcast
+    // build — pair-graph-sized, not corpus-sized)
+    assert("Exchange hashpartitioning\\(cluster_id#\\d+L, \\d+\\)".r.findAllIn(p).length === 1,
+      "cluster_id rank and size windows must share one shuffle")
+  }
 }
