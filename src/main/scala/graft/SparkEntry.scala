@@ -424,6 +424,33 @@ object SparkEntry {
         "lang", "doc_id", 0.2)
       .orderBy(col("doc_id"))
 
+  /** Top-3 TF-IDF terms per document (smoothed idf, rank on the rounded
+    * score with lexicographic tie-break — reproducible across engines).
+    */
+  private def qTfidfTopk(s: SparkSession, d: String): DataFrame =
+    graft.operators.TfIdf.topTerms(T.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("term"))
+
+  /** Batch k-NN join: 5 query vectors × corpus, top-5 neighbors each —
+    * broadcast NLJ scoring + WindowGroupLimit per-query top-k.
+    */
+  private def qKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    Ann.knnJoin(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Deterministic 50/25 web/books source mixture over the corpus (the
+    * same table plays both sources; the salt decorrelates the draws).
+    */
+  private def qSourceMixture(s: SparkSession, d: String): DataFrame =
+    Split.mixture(Seq(
+        ("web", T.documents(s, d), 50),
+        ("books", T.documents(s, d), 25)), "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** Vocabulary head: top-50 unigrams by document frequency (ties broken
     * lexicographically) — the corpus-stats pass of a tokenizer/filter
     * pipeline. One shuffle on the gram, then TakeOrdered.
@@ -1334,6 +1361,9 @@ object SparkEntry {
     "q_train_split" -> (qTrainSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_vocab_topk" -> (qVocabTopk _),
+    "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_knn_join" -> (qKnnJoin _),
+    "q_source_mixture" -> (qSourceMixture _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1660,6 +1690,47 @@ object SparkEntry {
            FROM documents)
          SELECT gram, count(*) AS df FROM t
          GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 50""",
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN df USING (term), n),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rn
+           FROM scored)
+         SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+         ORDER BY doc_id, term""",
+    "q_knn_join" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 5),
+         s AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS cos
+           FROM c, q),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM s)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM r
+         WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "q_source_mixture" ->
+      """SELECT doc_id, 'web' AS source FROM documents
+         WHERE CAST('0x' || substring(md5('web' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 50
+         UNION ALL
+         SELECT doc_id, 'books' AS source FROM documents
+         WHERE CAST('0x' || substring(md5('books' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 25
+         ORDER BY source, doc_id""",
     "q_ann_cosine" ->
       """WITH e AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

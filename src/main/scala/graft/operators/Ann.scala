@@ -126,4 +126,35 @@ object Ann {
       (i, r.getSeq[Double](0).toIndexedSeq)
     }.toSeq
   }
+
+  /** Batch k-NN join: each query row gets its k nearest corpus rows by
+    * cosine — the shape a training pipeline runs (score a probe SET, not
+    * one vector). The query side broadcasts (small by contract), so the
+    * scoring pass is a broadcast nested-loop: corpus-partition-parallel,
+    * zero shuffle, native fused CosineSim per candidate. The per-query
+    * top-k is a rank window that Spark rewrites to WindowGroupLimit: each
+    * corpus partition pre-selects its local top-k per query BEFORE the
+    * exchange, so the shuffle carries k·partitions rows per query, never
+    * the scored cross product. For huge query sets, IVF-partition both
+    * sides first ([[ivfAssign]]) and knnJoin within probe cells.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.exprs.CosineSim(col("__cv"), col("__qv")).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cos"))
+  }
 }

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Split {
 
-  /** Hash bucket in [0, 100): first 8 hex chars of md5(id) as an integer,
-    * mod 100. Pure codegen'd column arithmetic, zero shuffle.
+  /** Hash bucket in [0, 100): first 8 hex chars of md5(salt ‖ id) as an
+    * integer, mod 100. Pure codegen'd column arithmetic, zero shuffle.
+    * The empty-salt default is byte-identical to md5(id).
     */
-  def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+  def hashBucket(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
   /** Adds a `split` label column from percentage weights, e.g.
@@ -57,5 +58,25 @@ object Split {
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__rn") <= ceil(col("__n") * frac))
       .drop("__rn", "__n")
+  }
+
+  /** Deterministic weighted mixture of sources — the dataset-weighting
+    * step of a training mix (e.g. web 50%, books 25%). Each source keeps
+    * rows whose salted hash bucket falls under its percentage; the source
+    * name salts the hash so shared id spaces stay uncorrelated across
+    * sources (the same id is an independent draw in each). A tagged
+    * `source` column rides along. Zero shuffle — each branch is a narrow
+    * filtered scan and the union is plan-level only.
+    *
+    * Rates are integer percents: exact bucket arithmetic, no float
+    * boundary ambiguity about which rows a 0.1 rate keeps.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Int)], idCol: String): DataFrame = {
+    require(sources.nonEmpty && sources.forall { case (_, _, r) => r >= 0 && r <= 100 },
+      "mixture rates are integer percents in [0, 100]")
+    sources.map { case (name, df, rate) =>
+      df.filter(hashBucket(col(idCol), salt = name) < rate)
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
   }
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction — the per-document salient-terms pass of a
+  * corpus-analysis pipeline (topic tagging, quality filtering, index
+  * enrichment).
+  *
+  * Plan: token explode → (doc, term) hash aggregate for tf → term hash
+  * aggregate for df (vocabulary-sized, derived from the tf frame so
+  * tokenization is counted once) → score join on the term → per-doc rank
+  * window (WindowGroupLimit pre-selects local top-k before the exchange).
+  * The corpus size N is one count scalar — a corpus constant, not data
+  * motion. Ranking uses the ROUNDED score (4 dp) with a lexicographic
+  * tie-break, so the selected set is reproducible across engines whose
+  * `ln` differs in the last ulp.
+  */
+object TfIdf {
+
+  /** Top-k terms per document by smoothed TF-IDF:
+    * `tf · (ln((N+1)/(df+1)) + 1)`.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+  }
+}

@@ -143,6 +143,22 @@ class PlanSpec extends SparkSpec {
       "row_number and count must ride the same stratum partition")
   }
 
+  test("q_knn_join: broadcast NLJ scoring, WindowGroupLimit top-k, one rank shuffle") {
+    val p = plan("q_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must pre-select locally before the exchange")
+    assert(hashExchanges(p) === 1, "only the query_id rank window may shuffle")
+  }
+
+  test("Split.mixture: zero shuffles — filtered scans under a plan-level union") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    val p = graft.operators.Split.mixture(Seq(("a", df, 50), ("b", df, 25)), "id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "mixture must not shuffle")
+  }
+
   test("q_vocab_topk: partial count before one gram shuffle, TakeOrdered head") {
     val p = plan("q_vocab_topk")
     assert(hashExchanges(p) === 1)

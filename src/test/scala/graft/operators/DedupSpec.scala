@@ -146,6 +146,29 @@ class AnnSpec extends SparkSpec {
 
   private lazy val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
 
+  test("knnJoin equals per-query brute force") {
+    val queries = emb.filter($"vec_id" < 3)
+    val corpus = emb.filter($"vec_id" >= 3)
+    val got = Ann.knnJoin(queries, corpus, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    got.foreach { case (qid, neighbors) =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toIndexedSeq
+      val brute = Ann.bruteForceTopK(corpus, "vec_id", "embedding", qv, 4)
+        .as[(Long, Double)].collect().toSet
+      assert(neighbors === brute, s"query $qid disagrees with brute force")
+    }
+  }
+
+  test("knnJoin returns exactly k rows per query") {
+    val counts = Ann.knnJoin(emb.filter($"vec_id" < 5), emb.filter($"vec_id" >= 5),
+        "vec_id", "embedding", 7)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size === 5 && counts.values.forall(_ === 7L))
+  }
+
   test("brute-force top-k is ordered and self-consistent") {
     val q = emb.filter($"vec_id" === 1).select($"embedding".cast("array<double>"))
       .head().getSeq[Double](0).toIndexedSeq

@@ -67,6 +67,33 @@ class SplitSpec extends SparkSpec {
     assert(got.map(_._1).toSet.subsetOf((0L until 103L).toSet))
   }
 
+  test("mixture: rate 100 keeps everything, rate 0 keeps nothing") {
+    val m = Split.mixture(Seq(("all", df, 100), ("none", df, 0)), "id")
+    val bySource = m.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource === Map("all" -> 1000L))
+  }
+
+  test("mixture: the source name salts the draw — shared ids decorrelate") {
+    val m = Split.mixture(Seq(("web", df, 50), ("books", df, 50)), "id")
+    val web = m.filter($"source" === "web").select("id").as[Long].collect().toSet
+    val books = m.filter($"source" === "books").select("id").as[Long].collect().toSet
+    // identical id spaces, same rate: salted draws must NOT pick the same set
+    assert(web !== books)
+    // and each is an unbiased-ish half at n=1000
+    assert(web.size > 400 && web.size < 600)
+    assert(books.size > 400 && books.size < 600)
+  }
+
+  test("mixture is deterministic and rejects out-of-range rates") {
+    val a = Split.mixture(Seq(("w", df, 25)), "id").select("id").as[Long].collect().sorted.toSeq
+    val b = Split.mixture(Seq(("w", df.repartition(9), 25)), "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Split.mixture(Seq(("w", df, 101)), "id")
+    }
+  }
+
   test("stratifiedSample is deterministic across runs and partitionings") {
     val a = Split.stratifiedSample(df, "lang", "id", 0.05)
       .select("id").as[Long].collect().sorted.toSeq
