@@ -424,6 +424,21 @@ object SparkEntry {
         "lang", "doc_id", 0.2)
       .orderBy(col("doc_id"))
 
+  /** C4-style span dedup: 10-token chunks deduped corpus-wide (first
+    * occurrence by (doc, position) wins), docs reassembled from survivors.
+    */
+  private def qSpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSpans(T.documents(s, d), "doc_id", "text", spanTokens = 10)
+      .orderBy(col("id"))
+
+  /** Gopher-style repeated-bigram fraction per document (codegen'd
+    * arithmetic; raw exact-rational division, never rounded).
+    */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), Text.repetitionScore(col("text"), 2).as("rep"))
+      .orderBy(col("doc_id"))
+
   /** Top-3 TF-IDF terms per document (smoothed idf, rank on the rounded
     * score with lexicographic tie-break — reproducible across engines).
     */
@@ -1364,6 +1379,8 @@ object SparkEntry {
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_repetition" -> (qRepetition _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1690,6 +1707,29 @@ object SparkEntry {
            FROM documents)
          SELECT gram, count(*) AS df FROM t
          GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 50""",
+    "q_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         s AS (
+           SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+             i -> {'pos': i, 'span': array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')})) AS u
+           FROM w),
+         s2 AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM s),
+         f AS (SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+               FROM s2)
+         SELECT doc_id AS id, string_agg(span, ' ' ORDER BY pos) AS text_dedup
+         FROM f WHERE rn = 1 GROUP BY 1 ORDER BY id""",
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+                    FROM documents),
+         c AS (SELECT doc_id,
+             CAST(greatest((CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS rep
+         FROM c ORDER BY doc_id""",
     "q_tfidf_topk" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

@@ -84,6 +84,20 @@ object Text {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Within-document repetition score in [0, 1): the fraction of word
+    * n-gram instances that repeat an earlier instance —
+    * `(total − distinct) / total` — the Gopher-style "repeated n-gram"
+    * quality signal (high = templated/spammy text). Both counts are
+    * single codegen'd passes (`Shingles` is the distinct side); the
+    * division of two small exact ints is emitted raw, never rounded.
+    * Documents with fewer than n tokens score 0.
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val total = greatest(tokenCount(text) - lit(n - 1), lit(0L)).cast("double")
+    val distinct = size(graft.exprs.Shingles(text, n)).cast("double")
+    when(total <= 0, lit(0.0)).otherwise((total - distinct) / total)
+  }
+
   /** Content-defined document fingerprint: 64-bit FNV-1a-style rolling
     * hash of the normalized text, built from Spark's xxhash64 over
     * fixed-stride substrings — deterministic and cheap. For exact-dup

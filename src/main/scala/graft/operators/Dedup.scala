@@ -190,6 +190,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Corpus-level span dedup (C4-style): cut each document into
+    * consecutive `spanTokens`-token chunks, keep only the FIRST occurrence
+    * of every distinct chunk corpus-wide (ordered by (id, position)), and
+    * reassemble the surviving chunks in position order. A document whose
+    * every span was seen earlier disappears entirely. This removes
+    * boilerplate repeated ACROSS documents — the complement of document-
+    * level near-dup removal.
+    *
+    * Plan: chunk explode (narrow) → one window shuffle keyed on the span
+    * (first-occurrence rank; WindowGroupLimit prunes local losers before
+    * the exchange) → one id shuffle for the ordered reassembly. At corpus
+    * scale, substitute xxhash64(span) as the window key so the shuffle
+    * carries 8-byte keys — kept textual here because the driver oracle
+    * replays the span text in SQL.
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
+    val spanArr = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    val spans = docs
+      .select(col(idCol).as("id"), posexplode(spanArr).as(Seq("pos", "span")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("span").orderBy(col("id"), col("pos"))
+    spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ").as("text_dedup"))
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine within buckets. `planes` fixed-seed hyperplanes → bucket key;
     * docs within cosine θ collide with probability (1−θ/π)^planes per

@@ -44,6 +44,22 @@ class TextSpec extends SparkSpec {
     assert(df.select(Text.fingerprint(lower($"t"))).distinct().count() === 1)
     assert(df.select(Text.exactKey($"t")).distinct().count() === 1)
   }
+
+  test("repetition score counts repeated n-gram instances exactly") {
+    val df = Seq(
+      "a b a b a",   // bigrams: ab ba ab ba → 4 total, 2 distinct → 0.5
+      "x y z",       // all distinct → 0.0
+      "w w w w",     // ww ww ww → 3 total, 1 distinct → 2/3
+      "solo",        // < n tokens → 0.0
+      "")            // empty → 0.0
+      .toDF("t")
+    val got = df.select(Text.repetitionScore($"t", 2).as("r")).as[Double].collect()
+    assert(got(0) === 0.5)
+    assert(got(1) === 0.0)
+    assert(got(2) === 2.0 / 3.0)
+    assert(got(3) === 0.0)
+    assert(got(4) === 0.0)
+  }
 }
 
 class AssetsSpec extends SparkSpec {

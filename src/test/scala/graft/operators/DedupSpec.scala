@@ -36,6 +36,44 @@ class DedupSpec extends SparkSpec {
     assert(d.count() === 63) // 64 docs, one merged pair
   }
 
+  test("span dedup keeps first occurrence corpus-wide and reassembles in order") {
+    def span(c: Char) = Seq.fill(10)(c.toString).mkString(" ")
+    val d = Seq(
+      (1L, span('a') + " " + span('b')),
+      (2L, span('a') + " " + span('c')), // span a already seen in doc 1
+      (3L, span('b'))) // entirely boilerplate → doc vanishes
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(d, "doc_id", "text", spanTokens = 10)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> (span('a') + " " + span('b')),
+      2L -> span('c')))
+  }
+
+  test("span dedup: partial tail chunks round-trip when nothing duplicates") {
+    val d = Seq(
+      (1L, (1 to 15).map(i => s"t$i").mkString(" ")), // 10-chunk + 5-tail
+      (2L, (1 to 7).map(i => s"u$i").mkString(" ")))  // single short chunk
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(d, "doc_id", "text", spanTokens = 10)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> (1 to 15).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 7).map(i => s"u$i").mkString(" ")))
+  }
+
+  test("span dedup: a duplicated middle span closes ranks on reassembly") {
+    def span(c: Char) = Seq.fill(10)(c.toString).mkString(" ")
+    val d = Seq(
+      (1L, span('x')),
+      (2L, Seq(span('p'), span('x'), span('q')).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(d, "doc_id", "text", spanTokens = 10)
+      .as[(Long, String)].collect().toMap
+    assert(got(2L) === span('p') + " " + span('q'),
+      "survivors must keep their relative order with the duplicate removed")
+  }
+
   test("minhash LSH finds planted near-dups without O(n²) compare") {
     val rows = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
