@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sim, Text}
-import graft.operators.{Ann, Cluster, Dedup, Gaps, Latest, AsOf, Split}
+import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Split}
 import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -438,6 +438,46 @@ object SparkEntry {
     T.documents(s, d)
       .select(col("doc_id"), Text.repetitionScore(col("text"), 2).as("rep"))
       .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: docs sharing any 4-gram with the held-out
+    * "benchmark" slice (doc_id ≡ 0 mod 41) are removed from the corpus.
+    * 4-grams (not the production 8) because the synthetic vocabulary is
+    * ~30 words — 8-grams never collide at this scale, 4-grams produce a
+    * real contaminated set.
+    */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    Decontam.decontaminate(
+      docs.filter(col("doc_id") % 41 =!= 0), bench, "doc_id", "text", n = 4)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Concat-and-chunk sequence packing: per-language token stream cut
+    * into 2048-token packs; each doc tagged with its pack and offset.
+    */
+  private def qPackSequences(s: SparkSession, d: String): DataFrame =
+    Pack.packSequences(T.documents(s, d), "doc_id",
+      Text.tokenCount(col("text")), budget = 2048, partitionCols = Seq("lang"))
+      .orderBy(col("doc_id"))
+
+  /** SemDeDup over the embeddings ∪ planted near-identical copies
+    * (×1.001 float scale — cosine ≈ 1 with the original): IVF-cell
+    * pairwise prune keeps the lowest id of each duplicate group, so
+    * every planted copy drops and the natural corpus (max pairwise
+    * cos ≈ 0.51) survives intact.
+    */
+  private def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val cents = Ann.seedCentroids(base, "vec_id", "embedding", 8)
+    val assigned = Ann.ivfAssign(base.union(copies), "vec_id", "embedding", cents)
+    Ann.semDedup(assigned, "vec_id", "embedding", threshold = 0.95)
+      .select(col("vec_id"), col("centroid_id"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Top-3 TF-IDF terms per document (smoothed idf, rank on the rounded
     * score with lexicographic tie-break — reproducible across engines).
@@ -1381,6 +1421,9 @@ object SparkEntry {
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_repetition" -> (qRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_semdedup" -> (qSemDedup _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1730,6 +1773,61 @@ object SparkEntry {
          SELECT doc_id,
            CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS rep
          FROM c ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS w
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS gram
+               FROM w),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0),
+         hits AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+                  WHERE doc_id % 41 <> 0)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 41 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+           FROM t)
+         SELECT lang, doc_id, n_tokens,
+           CAST(floor(off / 2048.0) AS BIGINT) AS pack_id,
+           CAST(off % 2048 AS BIGINT) AS pack_offset
+         FROM c ORDER BY doc_id""",
+    "q_semdedup" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id,
+             CAST(list_transform(embedding,
+               x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) AS DOUBLE[]) AS v
+           FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         assign AS (
+           SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, c) DESC, cid DESC) AS rn
+           FROM base CROSS JOIN cent),
+         cells AS (SELECT vec_id, v, CAST(cid AS INT) AS centroid_id
+                   FROM assign WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM cells a JOIN cells b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+         SELECT vec_id, centroid_id FROM cells
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id""",
     "q_tfidf_topk" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

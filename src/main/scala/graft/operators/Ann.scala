@@ -157,4 +157,40 @@ object Ann {
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cos"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): drop a vector
+    * when an EARLIER (lower-id) vector in the same IVF cell is within
+    * `threshold` cosine — the cluster-then-prune trick that makes
+    * semantic dedup tractable: pairwise comparison only within cells,
+    * never across the corpus.
+    *
+    * Scale shape: one shuffle per side keyed on `centroid_id` (the cells
+    * come from [[ivfAssign]], a broadcast-only pass), a within-cell pair
+    * filter with the fused native [[graft.exprs.CosineSim]], and a
+    * broadcast anti join on the dropped ids (bounded by the duplicate
+    * count). Cell population bounds the quadratic term — run
+    * [[lloydStep]] refinements to balance cells before deduping so no
+    * single cell dominates; at 100 TB, cap cell size by splitting hot
+    * cells on a secondary hash.
+    *
+    * The keep-lowest-id rule is exists-based, not chain-based: each drop
+    * decision compares against ALL earlier cell members, so it needs one
+    * pair pass, no iteration, and is order-deterministic.
+    */
+  def semDedup(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val left = assigned.select(
+      col("centroid_id"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+    val right = assigned.select(
+      col("centroid_id"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    val dropped = left.join(right, Seq("centroid_id"))
+      .filter(col("__id_a") < col("__id_b") &&
+        graft.exprs.CosineSim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    assigned.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Decontamination invariants: exact n-gram matching (no partial-gram
+  * leakage), per-doc shared-gram counts, and the survivors = corpus −
+  * contaminated identity.
+  */
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark doc shares its middle trigram with doc 1 only; doc 2 shares
+  // single words but never a full 3-gram; doc 3 is disjoint
+  private lazy val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+  private lazy val corpus = Seq(
+    (1L, "x alpha beta gamma y"),   // contains bench 3-gram "alpha beta gamma"
+    (2L, "alpha x beta y gamma"),   // shares words, no 3-gram
+    (3L, "p q r s t"))              // disjoint
+    .toDF("doc_id", "text")
+
+  test("decontaminate drops exactly the docs sharing a full n-gram") {
+    val got = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(2L, 3L))
+  }
+
+  test("contaminated reports distinct shared-gram counts") {
+    val got = Decontam.contaminated(corpus, bench, "doc_id", "text", n = 2)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares bigrams "alpha beta" and "beta gamma"; doc 2 none of
+    // its bigrams appear in bench; doc 3 disjoint
+    assert(got === Map(1L -> 2L))
+  }
+
+  test("short docs (< n tokens) never match and always survive") {
+    val shorts = Seq((10L, "alpha beta"), (11L, "")).toDF("doc_id", "text")
+    val got = Decontam.decontaminate(shorts, bench, "doc_id", "text", n = 3)
+    assert(got.count() === 2L)
+  }
+
+  test("corpus side never shuffles: every exchange is inside a broadcast build") {
+    val plan = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    def indent(l: String) = l.takeWhile(c => !c.isLetter).length
+    // both probes are broadcast joins with the corpus streamed
+    assert(lines.count(_.contains("BroadcastHashJoin")) === 2, plan)
+    // any hash-partition shuffle must sit BELOW a BroadcastExchange (i.e.
+    // it only reorganizes the small build side — benchmark grams / hit
+    // ids — never the corpus stream)
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+      case (l, i) =>
+        val owners = lines.take(i).filter(p =>
+          p.contains("BroadcastExchange") && indent(p) < indent(l))
+        assert(owners.nonEmpty, s"corpus-side shuffle at line $i in:\n$plan")
+    }
+    // exactly the two small-side distincts shuffle, nothing else
+    assert(lines.count(_.contains("Exchange hashpartitioning")) === 2, plan)
+  }
+}

@@ -271,4 +271,33 @@ class AnnSpec extends SparkSpec {
     assert(exact.intersect(approx).size >= 3,
       s"IVF recall too low: ${exact.intersect(approx).size}/10")
   }
+
+  test("semDedup drops planted near-identical copies, keeps the originals") {
+    val base = emb.select($"vec_id", $"embedding")
+    val copies = base.select(($"vec_id" + 100000L).as("vec_id"),
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x * org.apache.spark.sql.functions.lit(1.001f)).as("embedding"))
+    val cents = Ann.seedCentroids(base, "vec_id", "embedding", 8)
+    val assigned = Ann.ivfAssign(base.union(copies), "vec_id", "embedding", cents)
+    val survivors = Ann.semDedup(assigned, "vec_id", "embedding", threshold = 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    val baseIds = base.select($"vec_id").as[Long].collect().toSet
+    // every copy (cos ≈ 1 with its lower-id original, same IVF cell by
+    // scale-invariance of cosine) drops; the natural corpus (max pairwise
+    // cos ≈ 0.51) survives untouched
+    assert(survivors === baseIds)
+  }
+
+  test("semDedup keep-lowest rule is exists-based within a cell") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f)),   // near-dup of 1 → dropped
+      (3L, Array(1.0f, 0.02f)),   // near-dup of both → dropped (exists rule)
+      (4L, Array(0.0f, 1.0f)))    // orthogonal survivor
+      .toDF("vec_id", "embedding")
+      .withColumn("centroid_id", org.apache.spark.sql.functions.lit(0))
+    val got = Ann.semDedup(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select($"vec_id").as[Long].collect().sorted
+    assert(got === Array(1L, 4L))
+  }
 }
