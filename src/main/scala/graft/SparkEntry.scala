@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sim, Text}
-import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Split}
+import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Selection, Split}
 import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -478,6 +478,52 @@ object SparkEntry {
       .select(col("vec_id"), col("centroid_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** Contamination report: per contaminated doc, how many distinct
+    * 4-grams it shares with the benchmark slice.
+    */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    Decontam.contaminated(
+      docs.filter(col("doc_id") % 41 =!= 0), bench, "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-weighted downsampling: keep each doc with probability
+    * (1 − repetition) · quality via the deterministic 32-bit md5 draw.
+    */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val w = (lit(1.0) - Text.repetitionScore(col("text"), 2)) *
+      Text.qualityScore(col("text"))
+    Split.weightedSample(T.documents(s, d), "doc_id", w)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget selection: best documents first (score = 1 − repetition,
+    * ties by id) until a 10k-token spend — distributed two-phase greedy,
+    * no global window.
+    */
+  private def qTokenBudget(s: SparkSession, d: String): DataFrame =
+    Selection.selectByBudget(T.documents(s, d), "doc_id",
+      lit(1.0) - Text.repetitionScore(col("text"), 2),
+      Text.tokenCount(col("text")), budget = 10000L)
+      .select(col("doc_id"), col("score"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality gate — the rule-stack a pipeline runs before
+    * training: repetition, length, and quality thresholds in one narrow
+    * codegen'd filter pass (each rule is a column expression, so the
+    * stack composes without materialization).
+    */
+  private def qPipelineFilter(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(Text.repetitionScore(col("text"), 2) <= 0.05 &&
+        Text.tokenCount(col("text")) >= 15 &&
+        Text.qualityScore(col("text")) >= 0.9)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** Top-3 TF-IDF terms per document (smoothed idf, rank on the rounded
     * score with lexicographic tie-break — reproducible across engines).
@@ -1424,6 +1470,10 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_semdedup" -> (qSemDedup _),
+    "q_contamination" -> (qContamination _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_pipeline_filter" -> (qPipelineFilter _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1828,6 +1878,91 @@ object SparkEntry {
          SELECT vec_id, centroid_id FROM cells
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          ORDER BY vec_id""",
+    "q_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS gram
+               FROM w),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+         SELECT doc_id, count(DISTINCT gram) AS n_shared
+         FROM g JOIN bench USING (gram) WHERE doc_id % 41 <> 0
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_weighted_sample" ->
+      """WITH t AS (
+           SELECT doc_id, lang, trim(text) AS tt,
+             CAST(length(trim(text)) AS DOUBLE) AS n,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS toks,
+             string_split(trim(text), ' ') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang, n, toks, w,
+             CAST(length(tt) - length(regexp_replace(tt, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             (n - toks + 1) / greatest(toks, 1.0) AS mean_word
+           FROM t),
+         s AS (
+           SELECT doc_id, lang,
+             round(
+               (CASE WHEN n < 50 THEN n / 50.0 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct / greatest(n, 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4)
+               AS quality,
+             CAST(greatest((CASE WHEN n = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist
+           FROM m)
+         SELECT doc_id, lang FROM s
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           < CAST(floor((1.0 - CASE WHEN total <= 0 THEN 0.0
+               ELSE (total - dist) / total END) * quality * 4294967296.0) AS BIGINT)
+         ORDER BY doc_id""",
+    "q_token_budget" ->
+      """WITH w AS (SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+                    FROM documents),
+         r AS (SELECT doc_id,
+             CAST(greatest((CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist,
+             CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END AS BIGINT) AS n_tokens
+           FROM w),
+         s AS (SELECT doc_id, n_tokens,
+             1.0 - CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS score
+           FROM r),
+         c AS (SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+           FROM s)
+         SELECT doc_id, score, n_tokens FROM c WHERE strt < 10000 ORDER BY doc_id""",
+    "q_pipeline_filter" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, trim(text) AS tt,
+             CAST(length(trim(text)) AS DOUBLE) AS n,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS toks,
+             string_split(trim(text), ' ') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang, source, n, toks, w,
+             CAST(length(tt) - length(regexp_replace(tt, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             (n - toks + 1) / greatest(toks, 1.0) AS mean_word
+           FROM t),
+         s AS (
+           SELECT doc_id, lang, source, toks,
+             round(
+               (CASE WHEN n < 50 THEN n / 50.0 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct / greatest(n, 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4)
+               AS quality,
+             CAST(greatest((CASE WHEN n = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist
+           FROM m)
+         SELECT doc_id, lang, source FROM s
+         WHERE (CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END) <= 0.05
+           AND toks >= 15 AND quality >= 0.9
+         ORDER BY doc_id""",
     "q_tfidf_topk" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

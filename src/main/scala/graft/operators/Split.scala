@@ -21,6 +21,30 @@ object Split {
     conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** Full-resolution 32-bit hash draw in [0, 2³²): the first 8 hex chars
+    * of md5(salt ‖ id). The uniform variate behind [[weightedSample]];
+    * [[hashBucket]] is this mod 100.
+    */
+  def hashDraw32(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic weighted sampling: keep each row with probability
+    * `weightCol` (in [0, 1]) by comparing a 32-bit md5 draw on the id
+    * against weight·2³² — the quality-weighted downsampling step of a
+    * training pipeline (keep better documents with higher probability),
+    * with the same auditability as [[assign]]: reproducible across runs
+    * and engines, stable under reordering, zero shuffle (a narrow
+    * codegen'd filter).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      salt: String = ""): DataFrame =
+    df.filter(hashDraw32(col(idCol), salt) <
+      floor(weightCol * lit(4294967296.0)).cast("long"))
+
   /** Adds a `split` label column from percentage weights, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. Weights must sum
     * to 100. The split is a narrow projection — at 100 TB it costs one

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Budgeted selection invariants: equivalence with the global greedy,
+  * boundary-stratum prefix semantics, and the no-global-window plan.
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, score, tokens)
+  private def df(rows: Seq[(Long, Double, Long)]) =
+    rows.toDF("id", "s", "n")
+
+  private def select(rows: Seq[(Long, Double, Long)], budget: Long): Set[Long] =
+    Selection.selectByBudget(df(rows), "id", col("s"), col("n"), budget)
+      .select("id").as[Long].collect().toSet
+
+  /** Reference: literal global greedy on the driver. */
+  private def greedy(rows: Seq[(Long, Double, Long)], budget: Long): Set[Long] = {
+    var acc = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }
+      .filter { case (_, _, n) => val take = acc < budget; acc += n; take }
+      .map(_._1).toSet
+  }
+
+  test("matches the global greedy across budgets, incl. straddling docs") {
+    val rows = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L), (3L, 0.8, 25L),
+      (4L, 0.8, 5L), (5L, 0.7, 50L), (6L, 1.0, 3L))
+    for (budget <- Seq(0L, 3L, 10L, 23L, 48L, 53L, 102L, 1000L))
+      assert(select(rows, budget) === greedy(rows, budget), s"budget=$budget")
+  }
+
+  test("a doc starting inside the budget is taken whole") {
+    // budget 12: doc 1 (10 toks) starts at 0, doc 2 starts at 10 < 12 →
+    // taken whole even though it overflows to 30
+    assert(select(Seq((1L, 1.0, 10L), (2L, 1.0, 20L)), 12L) === Set(1L, 2L))
+    // budget 10: doc 2 starts exactly AT the budget → excluded
+    assert(select(Seq((1L, 1.0, 10L), (2L, 1.0, 20L)), 10L) === Set(1L))
+  }
+
+  test("ties within the boundary stratum resolve by ascending id") {
+    val rows = Seq((3L, 0.5, 10L), (1L, 0.5, 10L), (2L, 0.5, 10L))
+    assert(select(rows, 20L) === Set(1L, 2L))
+  }
+
+  test("plan has no global window: the boundary window partitions by score") {
+    val plan = Selection.selectByBudget(
+        df(Seq((1L, 0.5, 10L), (2L, 0.6, 10L))), "id", col("s"), col("n"), 15L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global shuffle in:\n$plan")
+    assert(plan.contains("Window") || plan.contains("score"), plan)
+  }
+}

@@ -94,6 +94,28 @@ class SplitSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample keep rate tracks the weight and is deterministic") {
+    // constant weight 0.3 over 1000 ids → keep ≈ 300, exactly reproducible
+    val a = Split.weightedSample(df, "id", lit(0.3))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Split.weightedSample(df.repartition(7), "id", lit(0.3))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.size > 240 && a.size < 360, s"keep rate off: ${a.size}/1000")
+    // weight 0 keeps nothing, weight 1 keeps everything
+    assert(Split.weightedSample(df, "id", lit(0.0)).count() === 0L)
+    assert(Split.weightedSample(df, "id", lit(1.0)).count() === 1000L)
+  }
+
+  test("weightedSample with a per-row weight biases keeps toward high weights") {
+    val w = when($"id" < 500L, lit(0.9)).otherwise(lit(0.1))
+    val kept = Split.weightedSample(df, "id", w)
+      .select("id").as[Long].collect()
+    val lo = kept.count(_ < 500L)
+    val hi = kept.length - lo
+    assert(lo > hi * 3, s"bias missing: $lo low-id vs $hi high-id keeps")
+  }
+
   test("stratifiedSample is deterministic across runs and partitionings") {
     val a = Split.stratifiedSample(df, "lang", "id", 0.05)
       .select("id").as[Long].collect().sorted.toSeq
