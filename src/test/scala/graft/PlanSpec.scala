@@ -181,4 +181,39 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(cluster_id#\\d+L, \\d+\\)".r.findAllIn(p).length === 1,
       "cluster_id rank and size windows must share one shuffle")
   }
+
+  test("q_span_dedup: group-limit prunes span losers locally; two keyed shuffles") {
+    val p = plan("q_span_dedup")
+    assert(p.contains("WindowGroupLimit"),
+      "first-occurrence rank must pre-prune before the span exchange")
+    // span window + id reassembly aggregate; the final orderBy is range-
+    // partitioned, not hash
+    assert(hashExchanges(p) === 2, p)
+  }
+
+  test("q_pack_sequences: exactly the one window shuffle on the partition key") {
+    val p = plan("q_pack_sequences")
+    assert(hashExchanges(p) === 1, p)
+    assert(!p.contains("SinglePartition"), "packing must not funnel globally")
+  }
+
+  test("q_weighted_sample and q_pipeline_filter: zero-shuffle narrow gates") {
+    Seq("q_weighted_sample", "q_pipeline_filter").foreach { q =>
+      val p = plan(q)
+      assert(hashExchanges(p) === 0, s"$q shuffles:\n$p")
+    }
+  }
+
+  test("q_semdedup: cell-keyed pair join, broadcast anti on drops, native cosine") {
+    val p = plan("q_semdedup")
+    assert(p.toLowerCase.contains("cosinesim"), "native CosineSim not in plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      "dropped ids must broadcast into the anti join")
+    assert(!p.contains("SortMergeJoin"), "cell join must stay hash-based")
+  }
+
+  test("q_token_budget: no single-partition window anywhere") {
+    val p = plan("q_token_budget")
+    assert(!p.contains("SinglePartition"), s"global funnel in:\n$p")
+  }
 }
