@@ -43,8 +43,14 @@ object Bench {
     }
     val probeStart = (1 to 3).map(_ => probe()).min
 
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep (the driver
+    // never sets it, so recorded artifacts always cover every query)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def sweep(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

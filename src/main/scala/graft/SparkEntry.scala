@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sim, Text}
-import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Selection, Split}
+import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Selection, Split, UnigramLm}
 import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -472,7 +472,13 @@ object SparkEntry {
     val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val copies = base.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
-    val cents = Ann.seedCentroids(base, "vec_id", "embedding", 8)
+    // cell count scales WITH the corpus (~250 base vectors per cell) so
+    // cell population — and with it the quadratic within-cell pair work —
+    // stays constant as data grows; a fixed k measured 8.3x wall at 10x
+    // data in the scale rehearsal (quadratic cells), the adaptive k
+    // restores ~linear scaling
+    val k = math.max(8, math.ceil(base.count() / 250.0).toInt)
+    val cents = Ann.seedCentroids(base, "vec_id", "embedding", k)
     val assigned = Ann.ivfAssign(base.union(copies), "vec_id", "embedding", cents)
     Ann.semDedup(assigned, "vec_id", "embedding", threshold = 0.95)
       .select(col("vec_id"), col("centroid_id"))
@@ -523,6 +529,14 @@ object SparkEntry {
         Text.tokenCount(col("text")) >= 15 &&
         Text.qualityScore(col("text")) >= 0.9)
       .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity scoring: per-doc mean negative log-likelihood
+    * under the corpus' own smoothed unigram LM (4-dp rounded — ln-ulp and
+    * summation-order noise snapped, TfIdf precedent).
+    */
+  private def qLmScore(s: SparkSession, d: String): DataFrame =
+    UnigramLm.docLogLoss(T.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Top-3 TF-IDF terms per document (smoothed idf, rank on the rounded
@@ -1474,6 +1488,7 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_pipeline_filter" -> (qPipelineFilter _),
+    "q_lm_score" -> (qLmScore _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1862,7 +1877,9 @@ object SparkEntry {
          cent AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                   CAST(embedding AS DOUBLE[]) AS c
-           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+           FROM (SELECT * FROM embeddings ORDER BY vec_id
+                 LIMIT (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT))
+                        FROM embeddings))),
          assign AS (
            SELECT vec_id, v, cid,
              row_number() OVER (PARTITION BY vec_id
@@ -1963,6 +1980,18 @@ object SparkEntry {
          WHERE (CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END) <= 0.05
            AND toks >= 15 AND quality >= 0.9
          ORDER BY doc_id""",
+    "q_lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                        CAST(count(*) AS DOUBLE) AS v FROM vocab)
+         SELECT doc_id,
+           round(avg(-ln((cnt + 0.5) / (total + 0.5 * v))), 4) AS nll,
+           count(*) AS n_tokens
+         FROM tok JOIN vocab USING (term), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_tfidf_topk" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

@@ -47,12 +47,15 @@ object Ann {
       idCol: String,
       vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val scored = centroids.map { case (cid, c) =>
-      struct(Sim.dot(col(vecCol), vecLit(c))
-        ./(Sim.norm(col(vecCol)) * lit(math.sqrt(c.map(x => x * x).sum)))
-        .as("sim"), lit(cid).as("cid"))
-    }
-    emb.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
+    // fused native arg-max kernel (graft.exprs.NearestCentroid), not
+    // greatest() over k struct(sim, cid) branches: struct comparison is
+    // interpreted InternalRow ordering that never enters codegen, and
+    // with k scaled to corpus size that made ASSIGNMENT — not the
+    // pairwise stage — the semDedup bottleneck in the 10x rehearsal
+    // (14 s of a 16 s query). One k×dim codegen'd loop, zero allocation,
+    // bit-identical per-centroid arithmetic and tie order.
+    emb.withColumn("centroid_id",
+      graft.exprs.NearestCentroid(col(vecCol), centroids))
   }
 
   /** IVF probe: search only rows assigned to the nProbe centroids nearest

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the CCNet-style "perplexity filter"
+  * of a training-data pipeline: score each document by the mean negative
+  * log-likelihood of its tokens under the corpus' own add-α-smoothed
+  * unigram distribution. High loss = rare/garbled vocabulary; low loss =
+  * common, fluent (or templated) text. Pipelines keep the middle band.
+  *
+  * Plan: ONE token explode feeds both the vocabulary aggregate and the
+  * per-doc mean; the vocabulary (token, count) frame is vocabulary-sized
+  * and broadcasts back onto the token stream, so the only corpus-sized
+  * shuffle is the per-doc aggregate on the id. Corpus totals are two
+  * scalars (metadata-sized driver fetch, same pattern as IVF seeding).
+  * At 100 TB cap the broadcast vocabulary at top-V with an OOV bucket —
+  * the smoothing term already handles unseen mass.
+  *
+  * The mean is rounded to 4 dp: `ln` differs across engines in the last
+  * ulp and summation order differs across partitionings, so the raw
+  * double is accumulation noise; 4 dp snaps it (TfIdf precedent).
+  */
+object UnigramLm {
+
+  /** Per-document mean negative log-likelihood and token count. */
+  def docLogLoss(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "smoothing mass must be positive")
+    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val t = vocab.agg(sum("cnt").as("total"), count(lit(1)).as("v")).head()
+    val denom = t.getLong(0) + alpha * t.getLong(1)
+    val logp = log((col("cnt") + lit(alpha)) / lit(denom))
+    toks.join(broadcast(vocab), "term")
+      .groupBy(col(idCol))
+      .agg(round(avg(-logp), 4).as("nll"), count(lit(1)).as("n_tokens"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("log-loss matches the hand-computed smoothed unigram model") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // vocab: a=2 b=2 c=1; total=5, V=3, α=0.5 → denom = 6.5
+    // p(a)=p(b)=2.5/6.5, p(c)=1.5/6.5
+    val pa = 2.5 / 6.5
+    val pc = 1.5 / 6.5
+    val exp1 = BigDecimal(-(2 * math.log(pa) + math.log(pa)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(-(math.log(pa) + math.log(pc)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = UnigramLm.docLogLoss(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((exp1, 3L)))
+    assert(got(2L) === ((exp2, 2L)))
+  }
+
+  test("rare vocabulary scores strictly higher loss than common vocabulary") {
+    val common = (1L to 20L).map(i => (i, "x y z"))
+    val rare = Seq((99L, "qq ww ee"))
+    val df = (common ++ rare).toDF("doc_id", "text")
+    val got = UnigramLm.docLogLoss(df, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(99L) > got(1L) + 1.0, s"rare doc not penalized: $got")
+  }
+
+  test("score is stable under repartitioning (accumulation-order-proof)") {
+    val df = (1L to 100L).map(i => (i, s"tok${i % 7} tok${i % 11} shared")).toDF("doc_id", "text")
+    val a = UnigramLm.docLogLoss(df, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val b = UnigramLm.docLogLoss(df.repartition(13), "doc_id", "text")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("plan: vocabulary broadcasts; only the doc aggregate shuffles corpus-sized data") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val p = UnigramLm.docLogLoss(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
