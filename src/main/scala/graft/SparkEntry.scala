@@ -531,6 +531,33 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Streaming exact dedup (driver-checked): the corpus plus a full
+    * duplicate copy arrive as TWO micro-batches (maxFilesPerTrigger=1);
+    * the state store must drop every second-batch duplicate, leaving
+    * exactly the batch-distinct key set. Which doc survives per key is
+    * arrival-order-dependent, so the registered output is the key set —
+    * deterministic regardless of micro-batch scheduling.
+    */
+  private def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    docs.coalesce(1).write.parquet(in)
+    docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val deduped = graft.streaming.StreamDedup.dedupStream(
+      stream.select(Text.exactKey(col("text")).as("text_hash")), Seq("text_hash"))
+    deduped.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start().awaitTermination(180000)
+    s.read.parquet(out).orderBy(col("text_hash"))
+  }
+
   /** CCNet-style perplexity scoring: per-doc mean negative log-likelihood
     * under the corpus' own smoothed unigram LM (4-dp rounded — ln-ulp and
     * summation-order noise snapped, TfIdf precedent).
@@ -1489,6 +1516,7 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_pipeline_filter" -> (qPipelineFilter _),
     "q_lm_score" -> (qLmScore _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1980,6 +2008,9 @@ object SparkEntry {
          WHERE (CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END) <= 0.05
            AND toks >= 15 AND quality >= 0.9
          ORDER BY doc_id""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(lower(trim(text))) AS text_hash
+         FROM documents ORDER BY text_hash""",
     "q_lm_score" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
