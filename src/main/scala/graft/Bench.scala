@@ -77,7 +77,8 @@ object Bench {
     val headline = Seq("q1_agg", "q_join_enrich", "q_date_histogram",
       "q_asof_join", "q_latest_per_key", "q_sessionize", "q_json_extract",
       "q_dedup_exact", "q_ngram_jaccard", "q_ann_cosine", "q_ann_ivf",
-      "q_embed_neardup")
+      "q_embed_neardup", "q_semdedup", "q_span_dedup", "q_lm_score",
+      "q_tfidf_topk")
     // a rename that orphans a headline name must fail loudly, not silently
     // drop its per-query entry from the bench line
     val orphaned = headline.filterNot(SparkEntry.queries.keySet)

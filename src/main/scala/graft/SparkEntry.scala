@@ -558,6 +558,21 @@ object SparkEntry {
     s.read.parquet(out).orderBy(col("text_hash"))
   }
 
+  /** Incremental exact dedup, the daily-increment shape: batch =
+    * doc_id ≡ 7 (mod 10); history = the rest PLUS exact copies of half
+    * the batch (ids ≡ 7 mod 20, re-keyed), so survivors are exactly the
+    * ids ≡ 17 (mod 20) slice — history-seen texts must be rejected.
+    */
+  private def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val history = docs.filter(col("doc_id") % 10 =!= 7)
+      .unionByName(docs.filter(col("doc_id") % 20 === 7)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    Dedup.incrementalExact(batch, history, "doc_id", "text")
+      .orderBy(col("text_hash"))
+  }
+
   /** CCNet-style perplexity scoring: per-doc mean negative log-likelihood
     * under the corpus' own smoothed unigram LM (4-dp rounded — ln-ulp and
     * summation-order noise snapped, TfIdf precedent).
@@ -1517,6 +1532,7 @@ object SparkEntry {
     "q_pipeline_filter" -> (qPipelineFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -2011,6 +2027,16 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(text))) AS text_hash
          FROM documents ORDER BY text_hash""",
+    "q_incremental_dedup" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+         hist AS (SELECT text FROM documents WHERE doc_id % 10 <> 7
+                  UNION ALL SELECT text FROM documents WHERE doc_id % 20 = 7)
+         SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS batch_count
+         FROM batch
+         WHERE md5(lower(trim(text))) NOT IN
+           (SELECT md5(lower(trim(text))) FROM hist)
+         GROUP BY 1 ORDER BY 1""",
     "q_lm_score" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

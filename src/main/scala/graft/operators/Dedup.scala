@@ -28,6 +28,74 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — the daily-increment shape: admit only
+    * NEW-batch documents whose normalized text appears nowhere in the
+    * historical corpus, deduping within the batch as well (min id wins,
+    * batch multiplicity reported).
+    *
+    * Scale shape mirrors [[Decontam]]: the HISTORY side is the 100 TB
+    * one, so it is never shuffled and never broadcast — it is scanned
+    * once, digest-projected, and semi-joined map-side against the
+    * broadcast batch key set; the resulting "seen" keys (bounded by the
+    * batch size) broadcast into the final anti join. Batch-sized data
+    * crosses the wire twice; history-sized data never does.
+    */
+  def incrementalExact(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bkeys = batch.select(Text.exactKey(col(textCol)).as("text_hash")).distinct()
+    val seen = history
+      .select(Text.exactKey(col(textCol)).as("text_hash"))
+      .join(broadcast(bkeys), "text_hash")
+      .distinct()
+    batch
+      .withColumn("text_hash", Text.exactKey(col(textCol)))
+      .join(broadcast(seen), Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_count"))
+  }
+
+  /** Incremental near-dup: batch-vs-history MinHash LSH — band-bucket
+    * join between the NEW batch and the historical corpus only (never a
+    * history self-join), returning batch ids colliding with any history
+    * doc at estimated Jaccard ≥ threshold. The history side explodes its
+    * band keys but, as in [[incrementalExact]], is semi-joined against
+    * the broadcast batch bucket set before anything pair-shaped exists,
+    * so pair work is bounded by batch collisions.
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    def keyed(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"id_$side"),
+        graft.exprs.MinHashSig(
+          graft.exprs.Shingles(col(textCol), shingleN), numHashes).as(s"sig_$side"))
+      .filter(size(col(s"sig_$side")) > 0)
+      .select(col(s"id_$side"), col(s"sig_$side"),
+        posexplode(graft.exprs.LshBandKeys(col(s"sig_$side"), bands, rows)))
+      .select(col(s"id_$side"), col(s"sig_$side"),
+        col("pos").as("band"), col("col").as("bucket"))
+    val b = keyed(batch, "b")
+    val bBuckets = b.select(col("band"), col("bucket")).distinct()
+    val h = keyed(history, "h")
+      .join(broadcast(bBuckets), Seq("band", "bucket"))
+    b.join(h, Seq("band", "bucket"))
+      .withColumn("est", Sim.minHashJaccard(col("sig_b"), col("sig_h")))
+      .filter(col("est") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(count(lit(1)).as("n_collisions"),
+        round(max(col("est")), 4).as("max_jaccard"))
+  }
+
   /** A candidate pair colliding in k buckets would surface k times; keep
     * it only where the collision index equals the FIRST index at which the
     * two key arrays agree. Emitting each pair exactly once this way is a

@@ -121,4 +121,53 @@ class PropertySpec extends AnyFunSuite {
       hs(0) == hs(1)
     }, 10)
   }
+
+  test("packing tiles every partition's token stream: no gap, no overlap") {
+    val genDocs = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        part <- Gen.oneOf("a", "b", "c")
+        toks <- Gen.choose(0L, 40L)
+      } yield (part, toks))
+      budget <- Gen.choose(1L, 64L)
+    } yield (rows.zipWithIndex.map { case ((p, t), i) => (i.toLong, p, t) }, budget)
+
+    check(Prop.forAll(genDocs) { case (rows, budget) =>
+      val got = graft.operators.Pack.packSequences(
+          rows.toDF("id", "part", "n"), "id", col("n"), budget, Seq("part"))
+        .select($"part", $"id", $"n_tokens", $"pack_id", $"pack_offset")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(_._1)
+      got.forall { case (_, docs) =>
+        val sorted = docs.sortBy(_._2)
+        var cum = 0L
+        sorted.forall { case (_, _, n, packId, off) =>
+          val ok = packId == cum / budget && off == cum % budget
+          cum += n; ok
+        }
+      }
+    }, 30)
+  }
+
+  test("selectByBudget equals the global greedy for arbitrary scores and budgets") {
+    val genCase = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        score <- Gen.oneOf(0.1, 0.25, 0.5, 0.5, 0.9) // deliberate tie mass
+        toks <- Gen.choose(0L, 30L)
+      } yield (score, toks))
+      budget <- Gen.choose(0L, 400L)
+    } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }, budget)
+
+    check(Prop.forAll(genCase) { case (rows, budget) =>
+      val got = graft.operators.Selection.selectByBudget(
+          rows.toDF("id", "s", "n"), "id", col("s"), col("n"), budget)
+        .select($"id").as[Long].collect().toSet
+      var acc = 0L
+      val expect = rows.sortBy { case (id, s, _) => (-s, id) }
+        .filter { case (_, _, n) => val take = acc < budget; acc += n; take }
+        .map(_._1).toSet
+      got == expect
+    }, 30)
+  }
 }

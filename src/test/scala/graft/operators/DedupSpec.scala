@@ -74,6 +74,56 @@ class DedupSpec extends SparkSpec {
       "survivors must keep their relative order with the duplicate removed")
   }
 
+  test("incrementalExact admits only history-unseen texts, dedupes the batch") {
+    val history = Seq(1L -> "seen before", 2L -> "also seen").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "seen before",   // history dup → rejected
+      11L -> "brand new",     // fresh → admitted
+      12L -> "brand new",     // in-batch dup → merged into 11
+      13L -> "another fresh") // fresh → admitted
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, history, "doc_id", "text")
+      .select("keep_id", "batch_count").as[(Long, Long)].collect().toSet
+    assert(got === Set((11L, 2L), (13L, 1L)))
+  }
+
+  test("incrementalExact never shuffles or broadcasts the history side") {
+    val history = docs
+    val batch = Seq(999L -> "tiny batch").toDF("doc_id", "text")
+    val p = Dedup.incrementalExact(batch, history, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    def indent(l: String) = l.takeWhile(c => !c.isLetter).length
+    // every hash-partition shuffle is either inside a broadcast build
+    // (batch-key / seen-key distinct) or the final batch-sized aggregate;
+    // the history lineage reaches its semi join as a bare scan
+    val topLevel = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+      .filterNot { case (l, i) =>
+        lines.take(i).exists(pp =>
+          pp.contains("BroadcastExchange") && indent(pp) < indent(l))
+      }
+    assert(topLevel.size === 1, s"history-side shuffle in:\n$p")
+    assert(topLevel.head._1.contains("text_hash"),
+      "the sole top-level shuffle must be the batch aggregate")
+  }
+
+  test("incrementalNearDup flags batch docs near ANY history doc, not batch pairs") {
+    val history = docs.filter($"doc_id" < 60) // base corpus only
+    // batch: one light edit of history doc 0, one fresh doc, and a pair of
+    // near-identical fresh docs (near each other, NOT near history)
+    val fresh = Seq.fill(30)("zebra").mkString(" ")
+    val batch = Seq(
+      300L -> corpus.head._2.split(" ").updated(7, "EDITED").mkString(" "),
+      301L -> fresh,
+      302L -> fresh.split(" ").updated(3, "yak").mkString(" "))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, history, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_b").as[Long].collect().toSet
+    assert(got === Set(300L), s"only the history-near doc should flag: $got")
+  }
+
   test("minhash LSH finds planted near-dups without O(n²) compare") {
     val rows = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 16, threshold = 0.5)
