@@ -573,6 +573,22 @@ object SparkEntry {
       .orderBy(col("text_hash"))
   }
 
+  /** One-pass corpus report — the end-of-run summary panel a pipeline
+    * logs: volume, language/source spread, exact-dup rate, mean quality
+    * and repetition. Single aggregate over one scan; the rounded means
+    * snap accumulation-order noise.
+    */
+  private def qCorpusReport(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).agg(
+      count(lit(1)).as("docs"),
+      sum(Text.tokenCountSimple(col("text"))).as("tokens"),
+      sum(length(col("text"))).as("chars"),
+      countDistinct(col("lang")).as("langs"),
+      countDistinct(col("source")).as("sources"),
+      countDistinct(Text.exactKey(col("text"))).as("distinct_texts"),
+      round(avg(Text.qualityScore(col("text"))), 4).as("mean_quality"),
+      round(avg(Text.repetitionScore(col("text"), 2)), 4).as("mean_repetition"))
+
   /** CCNet-style perplexity scoring: per-doc mean negative log-likelihood
     * under the corpus' own smoothed unigram LM (4-dp rounded — ln-ulp and
     * summation-order noise snapped, TfIdf precedent).
@@ -1533,6 +1549,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_corpus_report" -> (qCorpusReport _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -2037,6 +2054,41 @@ object SparkEntry {
          WHERE md5(lower(trim(text))) NOT IN
            (SELECT md5(lower(trim(text))) FROM hist)
          GROUP BY 1 ORDER BY 1""",
+    "q_corpus_report" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, text, trim(text) AS tt,
+             CAST(length(trim(text)) AS DOUBLE) AS n,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS toks,
+             string_split(trim(text), ' ') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang, source, text, n, toks,
+             CAST(length(tt) - length(regexp_replace(tt, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             (n - toks + 1) / greatest(toks, 1.0) AS mean_word,
+             CAST(greatest((CASE WHEN n = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist
+           FROM t),
+         s AS (
+           SELECT doc_id, lang, source, text, n, toks,
+             round(
+               (CASE WHEN n < 50 THEN n / 50.0 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct / greatest(n, 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4)
+               AS quality,
+             CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS rep
+           FROM m)
+         SELECT count(*) AS docs,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           count(DISTINCT lang) AS langs,
+           count(DISTINCT source) AS sources,
+           count(DISTINCT md5(lower(trim(text)))) AS distinct_texts,
+           round(avg(quality), 4) AS mean_quality,
+           round(avg(rep), 4) AS mean_repetition
+         FROM s""",
     "q_lm_score" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
