@@ -551,10 +551,12 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1).parquet(in)
     val deduped = graft.streaming.StreamDedup.dedupStream(
       stream.select(Text.exactKey(col("text")).as("text_hash")), Seq("text_hash"))
-    deduped.writeStream.trigger(Trigger.AvailableNow())
+    val finished = deduped.writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("parquet").option("path", out)
       .start().awaitTermination(180000)
+    require(finished, "streaming dedup did not finish within 180s — " +
+      "refusing to read a partial sink")
     s.read.parquet(out).orderBy(col("text_hash"))
   }
 
@@ -1321,10 +1323,11 @@ object SparkEntry {
     Fixtures.rawTraces(s, 100, 50, 3).toDF().write.parquet(raw)
     val schema = s.read.parquet(raw).schema
     def runOnce(): Unit = {
-      graft.streaming.Ingest.startActionIngest(
+      val finished = graft.streaming.Ingest.startActionIngest(
         s.readStream.schema(schema).parquet(raw), hist, ckpt,
         partitionSize = 100L).awaitTermination(180000)
-      ()
+      require(finished, "ingest did not finish within 180s — " +
+        "refusing to read a partial history")
     }
     runOnce(); runOnce()
     s.read.parquet(hist)
@@ -1363,10 +1366,12 @@ object SparkEntry {
           fs.setTimes(dst, t, -1)
         }
     }
-    graft.streaming.Ingest.startStateMerge(
+    val finished = graft.streaming.Ingest.startStateMerge(
       s.readStream.schema(all.schema).option("maxFilesPerTrigger", "1").parquet(raw),
       state, ckpt, keys = Seq("code", "table", "scope", "primary_key"),
       nBuckets = 8).awaitTermination(180000)
+    require(finished, "state merge did not finish within 180s — " +
+      "refusing to read a partial state")
     s.read.parquet(state)
       .select(col("scope"), col("primary_key"), col("block_num"), col("data"))
       .orderBy(col("scope"), col("primary_key"))

@@ -22,9 +22,15 @@ import org.apache.spark.sql.types._
   * Per-centroid arithmetic is bit-identical to [[CosineSim]]:
   * index-order double accumulation, then `dot / (sqrt(na)·sqrt(nb))`,
   * 0.0 on a zero norm. Ties prefer the LARGER centroid id — the same
-  * order `greatest` imposed on (sim, cid) structs — so plans migrating
-  * from the struct form assign identically. Returns null only for a
-  * null/dimension-mismatched input vector.
+  * order `greatest` imposed on (sim, cid) structs — so on non-degenerate
+  * input a plan migrating from the `greatest(struct(CosineSim, cid))`
+  * form assigns identically (NearestCentroidSpec proves it). One
+  * DELIBERATE divergence from the pre-kernel HOF form: a zero-norm
+  * centroid scores 0.0 here (the CosineSim convention), where the HOF
+  * division produced NaN — which Spark's struct ordering ranked above
+  * every real similarity, silently assigning ALL rows to a degenerate
+  * all-zero centroid. Returns null only for a null/dimension-mismatched
+  * input vector.
   */
 case class NearestCentroid(
     child: Expression,

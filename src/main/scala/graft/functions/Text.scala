@@ -93,7 +93,11 @@ object Text {
     * Documents with fewer than n tokens score 0.
     */
   def repetitionScore(text: Column, n: Int): Column = {
-    val total = greatest(tokenCount(text) - lit(n - 1), lit(0L)).cast("double")
+    // token count from the SAME tokenizer Shingles uses (space runs), not
+    // tokenCount's \s+ — mixing them over-counts grams on text with tabs/
+    // newlines and manufactures repetition that isn't there. An empty
+    // trimmed text splits to [""], so total still bottoms out at 0.
+    val total = greatest(size(tokens(text)) - lit(n - 1), lit(0)).cast("double")
     val distinct = size(graft.exprs.Shingles(text, n)).cast("double")
     when(total <= 0, lit(0.0)).otherwise((total - distinct) / total)
   }

@@ -92,7 +92,9 @@ object Dedup {
       .withColumn("est", Sim.minHashJaccard(col("sig_b"), col("sig_h")))
       .filter(col("est") >= threshold)
       .groupBy(col("id_b"))
-      .agg(count(lit(1)).as("n_collisions"),
+      // distinct NEIGHBOR count, not band-collision count: a true near-dup
+      // pair collides in many bands and would otherwise inflate the tally
+      .agg(countDistinct(col("id_h")).as("n_neighbors"),
         round(max(col("est")), 4).as("max_jaccard"))
   }
 

@@ -51,7 +51,10 @@ object Selection {
     val it = hist.iterator
     while (theta.isEmpty && it.hasNext) {
       val (s, t) = it.next()
-      if (acc + t > budget) theta = Some((s, budget - acc))
+      // boundary also when the budget is ALREADY exhausted: a later
+      // stratum of zero-token docs must not slip through as "full" —
+      // greedy excludes docs starting at exactly the budget
+      if (acc >= budget || acc + t > budget) theta = Some((s, budget - acc))
       acc += t
     }
 

@@ -18,8 +18,7 @@ object Split {
     * The empty-salt default is byte-identical to md5(id).
     */
   def hashBucket(id: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 100
+    hashDraw32(id, salt) % 100
 
   /** Full-resolution 32-bit hash draw in [0, 2³²): the first 8 hex chars
     * of md5(salt ‖ id). The uniform variate behind [[weightedSample]];

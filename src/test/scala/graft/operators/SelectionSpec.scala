@@ -41,6 +41,17 @@ class SelectionSpec extends SparkSpec {
     assert(select(Seq((1L, 1.0, 10L), (2L, 1.0, 20L)), 10L) === Set(1L))
   }
 
+  test("zero-token docs after exact budget exhaustion are excluded, like greedy") {
+    // doc 1 exhausts the budget exactly; the zero-token doc 2 in the next
+    // stratum starts AT the budget, which greedy excludes (start < budget)
+    val rows = Seq((1L, 0.9, 10L), (2L, 0.8, 0L), (3L, 0.7, 5L))
+    assert(select(rows, 10L) === greedy(rows, 10L))
+    assert(select(rows, 10L) === Set(1L))
+    // but a zero-token doc INSIDE the budget region is taken
+    assert(select(rows, 11L) === greedy(rows, 11L))
+    assert(select(rows, 11L) === Set(1L, 2L, 3L))
+  }
+
   test("ties within the boundary stratum resolve by ascending id") {
     val rows = Seq((3L, 0.5, 10L), (1L, 0.5, 10L), (2L, 0.5, 10L))
     assert(select(rows, 20L) === Set(1L, 2L))
