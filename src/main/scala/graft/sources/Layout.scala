@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical file layout for parquet sinks — the two knobs that decide
+  * whether a 100 TB table is scannable: file SIZING (a landing zone of
+  * kilobyte films or multi-gigabyte monoliths both kill scan
+  * parallelism; the sweet spot is a few hundred MB) and range CLUSTERING
+  * (co-locating a sort key's value range per file, so parquet row-group
+  * min/max statistics prune whole files from selective range scans).
+  *
+  * Cf. the reference's index lifecycle: per-block-range partitions with
+  * per-partition sizing (hyperion-history-api docs/index-management) —
+  * re-expressed here as write-time Spark layout rather than an external
+  * index manager.
+  */
+object Layout {
+
+  /** Estimate of serialized parquet bytes per row, from a bounded
+    * calibration sample written to a scratch directory. Metadata-sized
+    * driver work: the sample is `sampleRows` rows regardless of input
+    * size.
+    */
+  def bytesPerRow(
+      df: DataFrame,
+      scratchDir: String,
+      sampleRows: Int = 10000)(implicit spark: SparkSession): Double = {
+    val sample = df.limit(sampleRows).coalesce(1)
+    sample.write.mode(SaveMode.Overwrite).parquet(scratchDir)
+    val fs = new org.apache.hadoop.fs.Path(scratchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(scratchDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = spark.read.parquet(scratchDir).count()
+    if (n == 0) 0.0 else bytes.toDouble / n
+  }
+
+  /** Write `df` in approximately `targetFileBytes`-sized parquet files:
+    * rows-per-file from the calibration estimate, file count from a
+    * single input count. Both pre-jobs are one scan each; the write
+    * itself round-robins into exactly the computed file count.
+    */
+  def writeSized(
+      df: DataFrame,
+      dir: String,
+      targetFileBytes: Long,
+      bytesPerRowEst: Double)(implicit spark: SparkSession): Int = {
+    require(targetFileBytes > 0 && bytesPerRowEst > 0,
+      "sizing inputs must be positive")
+    val rows = df.count()
+    val nFiles = math.max(1,
+      math.ceil(rows * bytesPerRowEst / targetFileBytes).toInt)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(dir)
+    nFiles
+  }
+
+  /** Range-clustered layout: `repartitionByRange` on the cluster keys +
+    * a within-partition sort, so every output file owns a disjoint key
+    * range and its parquet min/max footer statistics prune it from any
+    * non-overlapping range scan — the read-side complement of the
+    * reference's block-range partitioning.
+    */
+  def writeRangeClustered(
+      df: DataFrame,
+      dir: String,
+      nFiles: Int,
+      clusterCols: Seq[String]): Unit = {
+    require(nFiles > 0 && clusterCols.nonEmpty, "need files and cluster keys")
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+}

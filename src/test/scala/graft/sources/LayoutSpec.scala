@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit val sp: org.apache.spark.sql.SparkSession = spark
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_layout_$tag").toString + "/t"
+
+  private lazy val rows = (0L until 20000L)
+    .map(i => (i, s"payload_${i % 97}_${"x" * 40}"))
+    .toDF("id", "payload")
+
+  test("writeSized lands the computed file count and ~target-sized files") {
+    val scratch = tmp("cal")
+    val bpr = Layout.bytesPerRow(rows, scratch, sampleRows = 2000)
+    assert(bpr > 0.0)
+    val dir = tmp("sized")
+    val total = 20000L * bpr
+    val target = (total / 8).toLong // aim for ~8 files
+    val n = Layout.writeSized(rows, dir, target, bpr)
+    assert(n >= 6 && n <= 10, s"computed $n files for an 8-file target")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length === n)
+    // every file within 4x of target either way (round-robin rows, fixed
+    // per-file parquet overhead makes exact equality impossible)
+    files.foreach { f =>
+      assert(f.getLen > target / 4 && f.getLen < target * 4,
+        s"file ${f.getPath.getName} is ${f.getLen} B vs target $target B")
+    }
+    assert(spark.read.parquet(dir).count() === 20000L)
+  }
+
+  test("writeRangeClustered: files own disjoint key ranges (min/max prunable)") {
+    val dir = tmp("range")
+    Layout.writeRangeClustered(rows, dir, nFiles = 8, clusterCols = Seq("id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+    assert(files.length >= 6, s"expected ~8 range files, got ${files.length}")
+    // per-file (min, max) id ranges must not overlap — the property that
+    // lets parquet footer stats exclude whole files from range scans
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"id"), max($"id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // and a selective range read back returns exactly the slice
+    val got = spark.read.parquet(dir).filter($"id" >= 1000 && $"id" < 1100).count()
+    assert(got === 100L)
+  }
+}
