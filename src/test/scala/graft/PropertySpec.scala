@@ -122,6 +122,31 @@ class PropertySpec extends AnyFunSuite {
     }, 10)
   }
 
+  test("NearestCentroid equals argmax over per-centroid CosineSim on random vectors") {
+    val genCase = for {
+      dim <- Gen.choose(2, 8)
+      k <- Gen.choose(2, 6) // greatest() needs ≥2 branches on the oracle side
+      cents <- Gen.listOfN(k, Gen.listOfN(dim, Gen.choose(-5.0, 5.0)))
+      n <- Gen.choose(1, 20)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f)))
+    } yield (cents.zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) },
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
+
+    check(Prop.forAll(genCase) { case (cents, vecs) =>
+      val df = vecs.toDF("id", "v")
+      val kernel = df.select($"id",
+        graft.exprs.NearestCentroid($"v", cents).as("c"))
+        .as[(Long, Int)].collect().toMap
+      val structForm = df.select($"id",
+        greatest(cents.map { case (cid, c) =>
+          struct(graft.exprs.CosineSim($"v", array(c.map(lit): _*)).as("sim"),
+            lit(cid).as("cid"))
+        }: _*).getField("cid").as("c"))
+        .as[(Long, Int)].collect().toMap
+      kernel == structForm
+    }, 20)
+  }
+
   test("packing tiles every partition's token stream: no gap, no overlap") {
     val genDocs = for {
       n <- Gen.choose(1, 60)
