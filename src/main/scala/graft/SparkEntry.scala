@@ -575,6 +575,32 @@ object SparkEntry {
       .orderBy(col("text_hash"))
   }
 
+  /** The whole training-data flow as ONE lazy plan — decontaminate
+    * against the benchmark slice, gate on repetition/length/quality,
+    * span-dedup the survivors corpus-wide, pack the deduped token
+    * streams per language. Every stage is an operator from this library;
+    * Catalyst fuses the narrow gates into the scans, and the only
+    * shuffles are span window + reassembly + pack window (the lang
+    * column rides dedupSpans' carry, so packing needs no join back).
+    */
+  private def qPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    val clean = Decontam.decontaminate(
+      docs.filter(col("doc_id") % 41 =!= 0), bench, "doc_id", "text", n = 4)
+    val gated = clean.filter(
+      Text.repetitionScore(col("text"), 2) <= 0.05 &&
+        Text.tokenCount(col("text")) >= 15 &&
+        Text.qualityScore(col("text")) >= 0.9)
+    val deduped = Dedup.dedupSpans(gated, "doc_id", "text",
+      spanTokens = 10, carryCols = Seq("lang"))
+    Pack.packSequences(
+      deduped.withColumnRenamed("id", "doc_id"), "doc_id",
+      Text.tokenCount(col("text_dedup")), budget = 2048,
+      partitionCols = Seq("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One-pass corpus report — the end-of-run summary panel a pipeline
     * logs: volume, language/source spread, exact-dup rate, mean quality
     * and repetition. Single aggregate over one scan; the rounded means
@@ -1555,6 +1581,7 @@ object SparkEntry {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -2094,6 +2121,65 @@ object SparkEntry {
            round(avg(quality), 4) AS mean_quality,
            round(avg(rep), 4) AS mean_repetition
          FROM s""",
+    "q_pipeline_e2e" ->
+      """WITH docs0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 41 <> 0),
+         wall AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         g4 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                  i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS gram
+                FROM wall),
+         benchg AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 41 = 0),
+         hits AS (SELECT DISTINCT doc_id FROM g4 JOIN benchg USING (gram)
+                  WHERE doc_id % 41 <> 0),
+         clean AS (SELECT * FROM docs0 WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         met AS (
+           SELECT doc_id, lang, text, trim(text) AS tt,
+             CAST(length(trim(text)) AS DOUBLE) AS n,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS toks,
+             string_split(trim(text), ' ') AS w
+           FROM clean),
+         met2 AS (
+           SELECT doc_id, lang, text, n, toks, w,
+             CAST(length(tt) - length(regexp_replace(tt, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             (n - toks + 1) / greatest(toks, 1.0) AS mean_word,
+             CAST(greatest((CASE WHEN n = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist
+           FROM met),
+         gated AS (
+           SELECT doc_id, lang, w FROM met2
+           WHERE (CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END) <= 0.05
+             AND toks >= 15
+             AND round(
+               (CASE WHEN n < 50 THEN n / 50.0 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct / greatest(n, 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) >= 0.9),
+         sp AS (
+           SELECT doc_id, lang, unnest(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+             i -> {'pos': i, 'span': array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')})) AS u
+           FROM gated),
+         sp2 AS (SELECT doc_id, lang, u.pos AS pos, u.span AS span FROM sp),
+         f AS (SELECT doc_id, lang, pos, span,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+               FROM sp2),
+         dedup AS (
+           SELECT doc_id, any_value(lang) AS lang,
+             string_agg(span, ' ' ORDER BY pos) AS text_dedup
+           FROM f WHERE rn = 1 GROUP BY 1),
+         tok AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(trim(text_dedup), ' ')) AS BIGINT) AS n_tokens
+           FROM dedup),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+           FROM tok)
+         SELECT lang, doc_id, n_tokens,
+           CAST(floor(off / 2048.0) AS BIGINT) AS pack_id,
+           CAST(off % 2048 AS BIGINT) AS pack_offset
+         FROM c ORDER BY doc_id""",
     "q_lm_score" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

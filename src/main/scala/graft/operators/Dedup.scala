@@ -279,13 +279,19 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      spanTokens: Int = 10): DataFrame = {
+      spanTokens: Int = 10,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("int")
     val spanArr = transform(sequence(lit(0), nSpans - 1),
       i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))
+    // carried columns ride the explode (duplicated per span — cheap next
+    // to the span text) and fold back with first() in the reassembly
+    // aggregate, so downstream consumers (e.g. a partitioned packer) need
+    // no join back to the input
     val spans = docs
-      .select(col(idCol).as("id"), posexplode(spanArr).as(Seq("pos", "span")))
+      .select(col(idCol).as("id") +: carryCols.map(col) :+
+        posexplode(spanArr).as(Seq("pos", "span")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("span").orderBy(col("id"), col("pos"))
     spans
@@ -294,7 +300,8 @@ object Dedup {
       .groupBy(col("id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("span")))),
-          s => s.getField("span")), " ").as("text_dedup"))
+          s => s.getField("span")), " ").as("text_dedup"),
+        carryCols.map(c => first(col(c)).as(c)): _*)
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
