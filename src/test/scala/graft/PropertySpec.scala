@@ -123,28 +123,29 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("NearestCentroid equals argmax over per-centroid CosineSim on random vectors") {
+    // every random case pays fresh Catalyst planning + codegen (the
+    // centroid literals defeat the plan cache), so keep the case count
+    // small and compute BOTH forms in one plan — the fixed-vector
+    // equivalence cases live in NearestCentroidSpec
     val genCase = for {
-      dim <- Gen.choose(2, 8)
-      k <- Gen.choose(2, 6) // greatest() needs ≥2 branches on the oracle side
+      dim <- Gen.choose(2, 6)
+      k <- Gen.choose(2, 4)
       cents <- Gen.listOfN(k, Gen.listOfN(dim, Gen.choose(-5.0, 5.0)))
-      n <- Gen.choose(1, 20)
+      n <- Gen.choose(1, 8)
       vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f)))
     } yield (cents.zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) },
       vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
 
     check(Prop.forAll(genCase) { case (cents, vecs) =>
-      val df = vecs.toDF("id", "v")
-      val kernel = df.select($"id",
-        graft.exprs.NearestCentroid($"v", cents).as("c"))
-        .as[(Long, Int)].collect().toMap
-      val structForm = df.select($"id",
-        greatest(cents.map { case (cid, c) =>
-          struct(graft.exprs.CosineSim($"v", array(c.map(lit): _*)).as("sim"),
-            lit(cid).as("cid"))
-        }: _*).getField("cid").as("c"))
-        .as[(Long, Int)].collect().toMap
-      kernel == structForm
-    }, 20)
+      val structForm = greatest(cents.map { case (cid, c) =>
+        struct(graft.exprs.CosineSim($"v", array(c.map(lit): _*)).as("sim"),
+          lit(cid).as("cid"))
+      }: _*).getField("cid")
+      vecs.toDF("id", "v")
+        .select(graft.exprs.NearestCentroid($"v", cents).as("a"),
+          structForm.as("b"))
+        .as[(Int, Int)].collect().forall { case (a, b) => a == b }
+    }, 5)
   }
 
   test("packing tiles every partition's token stream: no gap, no overlap") {
