@@ -216,4 +216,24 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_token_budget")
     assert(!p.contains("SinglePartition"), s"global funnel in:\n$p")
   }
+
+  test("q_pipeline_e2e: composed flow costs its members' shuffles, not their sum") {
+    val p = plan("q_pipeline_e2e")
+    // decontamination joins stay broadcast, nothing sort-merges
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // span first-occurrence still group-limits before its exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // top-level shuffles: span window + reassembly + pack window = 3; the
+    // only other hash exchanges sit inside broadcast builds (eval-sized)
+    val lines = p.linesIterator.toIndexedSeq
+    def indent(l: String) = l.takeWhile(c => !c.isLetter).length
+    val topLevel = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+      .filterNot { case (l, i) =>
+        lines.take(i).exists(pp =>
+          pp.contains("BroadcastExchange") && indent(pp) < indent(l))
+      }
+    assert(topLevel.size === 3, s"expected 3 corpus shuffles in:\n$p")
+  }
 }
