@@ -575,6 +575,25 @@ object SparkEntry {
       .orderBy(col("text_hash"))
   }
 
+  /** Incremental near-dup (rows-only: MinHash signatures are xxhash64,
+    * not DuckDB-reproducible — DedupSpec carries the semantics): batch =
+    * 20 light edits of history docs (must flag, one neighbor each) + 10
+    * fresh re-keyed docs (must not flag). Fully deterministic output.
+    */
+  private def qIncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val history = docs.filter(col("doc_id") < 400)
+    val edits = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat_ws(" ", lit("EDITMARK"), col("text")).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+      .select((col("doc_id") + 2000).as("doc_id"), col("text"))
+    Dedup.incrementalNearDup(edits.unionByName(fresh), history,
+      "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+      threshold = 0.5)
+      .orderBy(col("id_b"))
+  }
+
   /** The whole training-data flow as ONE lazy plan — decontaminate
     * against the benchmark slice, gate on repetition/length/quality,
     * span-dedup the survivors corpus-wide, pack the deduped token
@@ -1582,6 +1601,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_incremental_neardup" -> (qIncrementalNearDup _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
