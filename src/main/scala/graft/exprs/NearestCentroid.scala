@@ -45,13 +45,19 @@ case class NearestCentroid(
 
   override def dataType: DataType = IntegerType
 
+  // a dimension-mismatched vector yields null regardless of the child's
+  // nullability — Catalyst must not codegen away the isNull check
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(_: NumericType, _) =>
+      // only the element widths the accessors actually read: admitting
+      // int/short/decimal here would getLong() across element boundaries
+      case ArrayType(FloatType | DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"nearest_centroid expects a numeric array, got $other")
+          s"nearest_centroid expects array<float> or array<double>, got $other")
     }
 
   private def elemType: NumericType =
@@ -83,9 +89,8 @@ case class NearestCentroid(
       val off = j * dim
       while (i < dim) {
         val x = at match {
-          case FloatType  => a.getFloat(i).toDouble
-          case DoubleType => a.getDouble(i)
-          case _          => a.getLong(i).toDouble
+          case FloatType => a.getFloat(i).toDouble
+          case _         => a.getDouble(i) // only float/double pass the type check
         }
         dot += x * flat(off + i); na += x * x
         i += 1
@@ -106,9 +111,8 @@ case class NearestCentroid(
     val normRef = ctx.addReferenceObj("cnorms", cnorm, "double[]")
     val cidRef = ctx.addReferenceObj("cids", cidArr, "int[]")
     val getter = elemType match {
-      case FloatType  => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
-      case DoubleType => (arr: String, i: String) => s"$arr.getDouble($i)"
-      case _          => (arr: String, i: String) => s"(double) $arr.getLong($i)"
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _         => (arr: String, i: String) => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, a => {
       val j = ctx.freshName("j")

@@ -42,6 +42,7 @@ object Cluster {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxRounds: Int = 25): DataFrame = {
+    requireIntegralIds(pairs, aCol, bCol)
     val w = Window.partitionBy("u")
 
     // orient big→small, drop self-loops and duplicates
@@ -108,11 +109,28 @@ object Cluster {
     * membership join broadcasts; the survivor pick is one shuffle on
     * cluster_id with a WindowGroupLimit-able rank.
     */
+  /** Node ids must be integral: a string id would cast('long') to NULL,
+    * silently collapsing every singleton into one null-keyed cluster —
+    * the whole corpus deduped to a single survivor. Fail loudly instead.
+    */
+  private def requireIntegralIds(df: DataFrame, cols: String*): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"cluster ids must be integral; column '$c' is ${df.schema(c).dataType} — " +
+          "hash or zip non-numeric ids to longs first")
+    }
+
   def canonical(
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    requireIntegralIds(docs, idCol)
     val members = connectedComponents(pairs)
     val tagged = docs.join(
         broadcast(members.withColumnRenamed("id", idCol)), Seq(idCol), "left")

@@ -37,24 +37,27 @@ object Selection {
       tokensCol: Column,
       budget: Long): DataFrame = {
     require(budget >= 0, "token budget must be non-negative")
+    // docs without a score or token count cannot be ranked or budgeted —
+    // they are excluded (a null-text doc has no place in a token spend)
     val scored = docs
       .withColumn("score", scoreCol.cast("double"))
       .withColumn("n_tokens", tokensCol.cast("long"))
+      .filter(col("score").isNotNull && col("n_tokens").isNotNull)
     val hist = scored.groupBy(col("score")).agg(sum("n_tokens").as("t"))
       .orderBy(col("score").desc)
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
 
-    // walk strata best-first: full strata while they fit entirely under
-    // the budget; the first stratum to straddle it is the boundary
+    // walk strata best-first: full strata while they fit STRICTLY under
+    // the budget. A stratum that exactly exhausts it is the boundary,
+    // not full: a zero-token doc sorted after the exhausting tokens
+    // starts AT the budget, which greedy excludes (start < budget) —
+    // only the within-stratum window can see that distinction
     var acc = 0L
     var theta = Option.empty[(Double, Long)] // (boundary score, budget left there)
     val it = hist.iterator
     while (theta.isEmpty && it.hasNext) {
       val (s, t) = it.next()
-      // boundary also when the budget is ALREADY exhausted: a later
-      // stratum of zero-token docs must not slip through as "full" —
-      // greedy excludes docs starting at exactly the budget
-      if (acc >= budget || acc + t > budget) theta = Some((s, budget - acc))
+      if (acc + t >= budget) theta = Some((s, budget - acc))
       acc += t
     }
 

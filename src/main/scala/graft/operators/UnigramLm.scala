@@ -34,6 +34,9 @@ object UnigramLm {
     val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val t = vocab.agg(sum("cnt").as("total"), count(lit(1)).as("v")).head()
+    // an empty corpus has a null total — there is nothing to score
+    if (t.isNullAt(0)) return toks.groupBy(col(idCol))
+      .agg(lit(0.0).as("nll"), count(lit(1)).as("n_tokens"))
     val denom = t.getLong(0) + alpha * t.getLong(1)
     val logp = log((col("cnt") + lit(alpha)) / lit(denom))
     toks.join(broadcast(vocab), "term")

@@ -226,14 +226,6 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     // top-level shuffles: span window + reassembly + pack window = 3; the
     // only other hash exchanges sit inside broadcast builds (eval-sized)
-    val lines = p.linesIterator.toIndexedSeq
-    def indent(l: String) = l.takeWhile(c => !c.isLetter).length
-    val topLevel = lines.zipWithIndex
-      .filter(_._1.contains("Exchange hashpartitioning"))
-      .filterNot { case (l, i) =>
-        lines.take(i).exists(pp =>
-          pp.contains("BroadcastExchange") && indent(pp) < indent(l))
-      }
-    assert(topLevel.size === 3, s"expected 3 corpus shuffles in:\n$p")
+    assert(topLevelHashExchanges(p).size === 3, s"expected 3 corpus shuffles in:\n$p")
   }
 }

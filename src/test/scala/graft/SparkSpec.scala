@@ -22,4 +22,21 @@ object TestSession {
 
 trait SparkSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = TestSession.spark
+
+  /** Hash-partition exchanges NOT nested inside a broadcast build — the
+    * corpus-sized shuffles of a plan string. Exchanges under a
+    * BroadcastExchange only reorganize a small build side (an eval-set
+    * distinct, a dropped-id set) and are excluded.
+    */
+  def topLevelHashExchanges(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toIndexedSeq
+    def indent(l: String) = l.takeWhile(c => !c.isLetter).length
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+      .filterNot { case (l, i) =>
+        lines.take(i).exists(pp =>
+          pp.contains("BroadcastExchange") && indent(pp) < indent(l))
+      }
+      .map(_._1)
+  }
 }

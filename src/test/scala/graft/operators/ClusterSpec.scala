@@ -79,6 +79,18 @@ class ClusterSpec extends SparkSpec {
     assert(ccMap(Nil).isEmpty)
   }
 
+  test("non-integral ids fail loudly instead of collapsing into one null cluster") {
+    import spark.implicits._
+    val stringDocs = Seq(("doc-1", "text a"), ("doc-2", "text b")).toDF("doc_id", "text")
+    val stringPairs = Seq(("doc-1", "doc-2")).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(stringPairs)
+    }
+    intercept[IllegalArgumentException] {
+      Cluster.canonical(stringDocs, stringPairs, "doc_id", "text")
+    }
+  }
+
   test("canonical keeps the longest text per cluster, singletons included") {
     val docs = Seq(
       (0L, "aaaa aaaa aaaa"),  // cluster {0,1,2}: 1 has the longest text

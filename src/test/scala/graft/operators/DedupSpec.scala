@@ -92,19 +92,12 @@ class DedupSpec extends SparkSpec {
     val batch = Seq(999L -> "tiny batch").toDF("doc_id", "text")
     val p = Dedup.incrementalExact(batch, history, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    val lines = p.linesIterator.toIndexedSeq
-    def indent(l: String) = l.takeWhile(c => !c.isLetter).length
     // every hash-partition shuffle is either inside a broadcast build
     // (batch-key / seen-key distinct) or the final batch-sized aggregate;
     // the history lineage reaches its semi join as a bare scan
-    val topLevel = lines.zipWithIndex
-      .filter(_._1.contains("Exchange hashpartitioning"))
-      .filterNot { case (l, i) =>
-        lines.take(i).exists(pp =>
-          pp.contains("BroadcastExchange") && indent(pp) < indent(l))
-      }
+    val topLevel = topLevelHashExchanges(p)
     assert(topLevel.size === 1, s"history-side shuffle in:\n$p")
-    assert(topLevel.head._1.contains("text_hash"),
+    assert(topLevel.head.contains("text_hash"),
       "the sole top-level shuffle must be the batch aggregate")
   }
 

@@ -52,6 +52,27 @@ class SelectionSpec extends SparkSpec {
     assert(select(rows, 11L) === Set(1L, 2L, 3L))
   }
 
+  test("a zero-token doc inside the exactly-exhausting stratum is excluded") {
+    // stratum 0.9 sums to exactly the budget; doc 2 (0 tokens, higher id)
+    // starts AT the budget and must be excluded, like greedy
+    val rows = Seq((1L, 0.9, 10L), (2L, 0.9, 0L), (3L, 0.7, 5L))
+    assert(select(rows, 10L) === greedy(rows, 10L))
+    assert(select(rows, 10L) === Set(1L))
+    // a zero-token doc sorted BEFORE the exhausting tokens is included
+    val rows2 = Seq((1L, 0.9, 0L), (2L, 0.9, 10L))
+    assert(select(rows2, 10L) === greedy(rows2, 10L))
+    assert(select(rows2, 10L) === Set(1L, 2L))
+  }
+
+  test("docs with null score or tokens are excluded, not a driver crash") {
+    val df = Seq[(Long, Option[Double], Option[Long])](
+      (1L, Some(0.9), Some(5L)), (2L, None, Some(5L)), (3L, Some(0.5), None))
+      .toDF("id", "s", "n")
+    val got = Selection.selectByBudget(df, "id", col("s"), col("n"), 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
   test("ties within the boundary stratum resolve by ascending id") {
     val rows = Seq((3L, 0.5, 10L), (1L, 0.5, 10L), (2L, 0.5, 10L))
     assert(select(rows, 20L) === Set(1L, 2L))

@@ -40,6 +40,11 @@ class UnigramLmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("an empty corpus scores to an empty frame, not a driver crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(UnigramLm.docLogLoss(empty, "doc_id", "text").count() === 0L)
+  }
+
   test("plan: vocabulary broadcasts; only the doc aggregate shuffles corpus-sized data") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     val p = UnigramLm.docLogLoss(df, "doc_id", "text")
