@@ -594,6 +594,15 @@ object SparkEntry {
       .orderBy(col("id_b"))
   }
 
+  /** Curriculum staging: 4 quality stages by exact (1 − repetition)
+    * quantiles — histogram cumsum + broadcast join, no global window.
+    */
+  private def qCurriculum(s: SparkSession, d: String): DataFrame =
+    Selection.curriculumStages(T.documents(s, d),
+      lit(1.0) - Text.repetitionScore(col("text"), 2), k = 4)
+      .select(col("doc_id"), col("score"), col("stage"))
+      .orderBy(col("doc_id"))
+
   /** The whole training-data flow as ONE lazy plan — decontaminate
     * against the benchmark slice, gate on repetition/length/quality,
     * span-dedup the survivors corpus-wide, pack the deduped token
@@ -1602,6 +1611,7 @@ object SparkEntry {
     "q_corpus_report" -> (qCorpusReport _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_incremental_neardup" -> (qIncrementalNearDup _),
+    "q_curriculum" -> (qCurriculum _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -2141,6 +2151,27 @@ object SparkEntry {
            round(avg(quality), 4) AS mean_quality,
            round(avg(rep), 4) AS mean_repetition
          FROM s""",
+    "q_curriculum" ->
+      """WITH w AS (SELECT doc_id, trim(text) AS t, string_split(trim(text), ' ') AS w
+                    FROM documents),
+         r AS (SELECT doc_id,
+             CAST(greatest((CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist
+           FROM w),
+         s AS (SELECT doc_id,
+             1.0 - CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS score
+           FROM r),
+         h AS (SELECT score, count(*) AS c FROM s GROUP BY 1),
+         cum AS (SELECT score,
+             sum(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cumb
+           FROM h),
+         n AS (SELECT count(*) AS n FROM s)
+         SELECT doc_id, score,
+           CAST(least(floor(4 * cumb / greatest(n, 1)), 3) AS INT) AS stage
+         FROM s JOIN cum USING (score), n
+         ORDER BY doc_id""",
     "q_pipeline_e2e" ->
       """WITH docs0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 41 <> 0),
          wall AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -30,6 +30,38 @@ object Selection {
     * driver collect is the same metadata-sized pattern as IVF centroid
     * seeding, not a data collect.
     */
+  /** Curriculum staging: split the corpus into `k` quality stages
+    * (0 = worst … k−1 = best) by EXACT score quantiles — the
+    * easy-to-hard data ordering curriculum training consumes.
+    *
+    * The naive form is `ntile(k)` over a global sort — a single-partition
+    * window over the corpus. Instead: one map-side-combined score
+    * histogram (shuffle volume = distinct scores), a histogram-sized
+    * cumulative window (bounded cardinality — the same boundedness
+    * [[selectByBudget]] requires), and a broadcast join back onto the
+    * corpus. Docs sharing a score share a stage, so stages are exact
+    * quantiles up to score-tie granularity, deterministic, and
+    * reproducible by any engine.
+    */
+  def curriculumStages(
+      docs: DataFrame,
+      scoreCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "need at least one stage")
+    val scored = docs.withColumn("score", scoreCol.cast("double"))
+      .filter(col("score").isNotNull)
+    val n = scored.count()
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("__cumb", sum(col("c")).over(w) - col("c"))
+      .withColumn("stage",
+        least(floor(lit(k) * col("__cumb") / lit(math.max(n, 1L))).cast("int"),
+          lit(k - 1)))
+      .select(col("score"), col("stage"))
+    scored.join(broadcast(hist), Seq("score"))
+  }
+
   def selectByBudget(
       docs: DataFrame,
       idCol: String,

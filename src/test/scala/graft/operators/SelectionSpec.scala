@@ -78,6 +78,22 @@ class SelectionSpec extends SparkSpec {
     assert(select(rows, 20L) === Set(1L, 2L))
   }
 
+  test("curriculumStages: monotone in score, near-equal stages, tie-consistent") {
+    val rows = (1L to 100L).map(i => (i, (i % 10).toDouble)) // 10 score ties of 10
+    val got = Selection.curriculumStages(rows.toDF("id", "s"), col("s"), 4)
+      .select($"id", $"score", $"stage").as[(Long, Double, Int)].collect()
+    assert(got.length === 100)
+    // same score → same stage; higher score → stage never decreases
+    val byScore = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byScore.values.forall(_.size === 1), "score ties split across stages")
+    val ordered = byScore.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered === ordered.sorted, "stage must be monotone in score")
+    // 4 stages of ~25 each (quantile exactness up to tie granularity)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set(0, 1, 2, 3))
+    assert(sizes.values.forall(s => s >= 20 && s <= 30), sizes.toString)
+  }
+
   test("plan has no global window: the boundary window partitions by score") {
     val plan = Selection.selectByBudget(
         df(Seq((1L, 0.5, 10L), (2L, 0.6, 10L))), "id", col("s"), col("n"), 15L)
