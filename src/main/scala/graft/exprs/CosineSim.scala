@@ -27,15 +27,18 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // only the element widths the accessors actually read: admitting
+    // int/decimal would getLong() garbage (unsafe) or ClassCastException
+    // (generic) — SQL callers cast to array<double> instead
     def ok(dt: DataType) = dt match {
-      case ArrayType(_: NumericType, _) => true
+      case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects numeric arrays, got ${left.dataType} / ${right.dataType}")
+        s"cosine_sim expects array<float>/array<double>, got ${left.dataType} / ${right.dataType}")
   }
 
   private def elemType(e: Expression): NumericType =
@@ -51,14 +54,12 @@ case class CosineSim(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       val x = at match {
-        case FloatType  => a.getFloat(i).toDouble
-        case DoubleType => a.getDouble(i)
-        case _          => a.getLong(i).toDouble
+        case FloatType => a.getFloat(i).toDouble
+        case _         => a.getDouble(i) // only float/double pass the type check
       }
       val y = bt match {
-        case FloatType  => b.getFloat(i).toDouble
-        case DoubleType => b.getDouble(i)
-        case _          => b.getLong(i).toDouble
+        case FloatType => b.getFloat(i).toDouble
+        case _         => b.getDouble(i)
       }
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -69,9 +70,8 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(e: Expression, arr: String, i: String): String = elemType(e) match {
-      case FloatType  => s"(double) $arr.getFloat($i)"
-      case DoubleType => s"$arr.getDouble($i)"
-      case _          => s"(double) $arr.getLong($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")

@@ -1,62 +1,92 @@
 package graft.exprs
 
-import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions for SQL use. Activate with
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.exprs.GraftExtensions`.
+  * expressions AND its text-analysis compositions for SQL use. Activate
+  * with `SparkSession.builder().withExtensions(new GraftExtensions)`,
+  * `spark.sql.extensions=graft.exprs.GraftExtensions`, or on a LIVE
+  * session with [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.{expectArity, intLit}
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => {
+object GraftExtensions {
+
+  /** Register every function on an already-built session (tests,
+    * notebooks, REPLs — where `withExtensions` is no longer an option).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private type Fn =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): Fn =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  private[exprs] lazy val functions: Seq[Fn] = {
+    import org.apache.spark.sql.GraftShim.{column, eagerExpression => expression}
+    import graft.functions.Text
+    Seq(
+      fn("cosine_sim", classOf[CosineSim]) { children =>
         expectArity("cosine_sim(a, b)", children, 2)
         CosineSim(children(0), children(1))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("shingles"),
-      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
-      (children: Seq[Expression]) => {
+      },
+      fn("shingles", classOf[Shingles]) { children =>
         expectArity("shingles(text, n)", children, 2)
         Shingles(children(0), intLit(children(1), "shingles(text, n)", "n"))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => {
+      },
+      fn("simhash64", classOf[SimHash64]) { children =>
         expectArity("simhash64(tokens)", children, 1)
         SimHash64(children(0))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => {
+      },
+      fn("minhash_sig", classOf[MinHashSig]) { children =>
         expectArity("minhash_sig(tokens, numHashes)", children, 2)
         MinHashSig(children(0),
           intLit(children(1), "minhash_sig(tokens, numHashes)", "numHashes"))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("hyperplane_buckets"),
-      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
-      (children: Seq[Expression]) => {
-        val fn = "hyperplane_buckets(vec, tables, planes, dim)"
-        expectArity(fn, children, 4)
+      },
+      fn("hyperplane_buckets", classOf[HyperplaneBuckets]) { children =>
+        val f = "hyperplane_buckets(vec, tables, planes, dim)"
+        expectArity(f, children, 4)
         HyperplaneBuckets(children(0),
-          intLit(children(1), fn, "tables"), intLit(children(2), fn, "planes"),
-          intLit(children(3), fn, "dim"))
-      }))
+          intLit(children(1), f, "tables"), intLit(children(2), f, "planes"),
+          intLit(children(3), f, "dim"))
+      },
+      // text-analysis compositions: the builder expands the same Column
+      // composition the Scala API uses, so SQL and DataFrame callers
+      // share one definition (and one set of specs/oracles)
+      fn("token_count", Text.getClass) { children =>
+        expectArity("token_count(text)", children, 1)
+        expression(Text.tokenCount(column(children(0))))
+      },
+      fn("quality_score", Text.getClass) { children =>
+        expectArity("quality_score(text)", children, 1)
+        expression(Text.qualityScore(column(children(0))))
+      },
+      fn("repetition_score", Text.getClass) { children =>
+        val f = "repetition_score(text, n)"
+        expectArity(f, children, 2)
+        expression(Text.repetitionScore(column(children(0)),
+          intLit(children(1), f, "n")))
+      },
+      fn("exact_key", Text.getClass) { children =>
+        expectArity("exact_key(text)", children, 1)
+        expression(Text.exactKey(column(children(0))))
+      },
+      fn("doc_fingerprint", Text.getClass) { children =>
+        expectArity("doc_fingerprint(text)", children, 1)
+        expression(Text.fingerprint(column(children(0))))
+      })
   }
-}
-
-private[exprs] object GraftExtensions {
 
   /** Malformed calls (wrong arity, non-literal argument) are USER errors:
     * raise them under a user-facing error class — not INTERNAL_ERROR,

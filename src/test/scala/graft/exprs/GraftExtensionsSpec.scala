@@ -37,4 +37,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getCondition === "USER_RAISED_EXCEPTION")
   }
+
+  test("registerAll: SQL calls equal the Column API on a live session") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val df = Seq("a a b c", "x y", "").toDF("t")
+    df.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT token_count(t) AS tc, quality_score(t) AS q,
+         repetition_score(t, 2) AS r, exact_key(t) AS k,
+         doc_fingerprint(t) AS fp, shingles(t, 2) AS sh,
+         cosine_sim(cast(array(1.0, 0.0) AS array<double>),
+                    cast(array(1.0, 0.0) AS array<double>)) AS cs
+         FROM ext_docs""").collect()
+    val api = df.select(
+      graft.functions.Text.tokenCount($"t").as("tc"),
+      graft.functions.Text.qualityScore($"t").as("q"),
+      graft.functions.Text.repetitionScore($"t", 2).as("r"),
+      graft.functions.Text.exactKey($"t").as("k"),
+      graft.functions.Text.fingerprint($"t").as("fp"),
+      Shingles($"t", 2).as("sh"),
+      CosineSim(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0),
+          org.apache.spark.sql.functions.lit(0.0)),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1.0),
+          org.apache.spark.sql.functions.lit(0.0))).as("cs")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+    spark.catalog.dropTempView("ext_docs")
+  }
 }
