@@ -29,7 +29,15 @@ object TfIdf {
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency from the fused distinct-unigram pass, NOT from
+    // re-aggregating tf: a `tf.groupBy(term)` self-reference duplicates
+    // the whole (doc, term) explode+shuffle lineage inside the broadcast
+    // build (Catalyst re-executes uncached subtrees) — measured as the
+    // dominant cost of the 30x rehearsal's steepest curve. Shingles(·, 1)
+    // is per-doc-distinct, so counting rows per term IS the df.
+    val df = docs
+      .select(explode(graft.exprs.Shingles(col(textCol), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf",
         round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
