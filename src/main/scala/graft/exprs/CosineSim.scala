@@ -18,13 +18,18 @@ import org.apache.spark.sql.types._
   * order (b)).
   *
   * Both inputs may be array<float> or array<double>; accumulation is in
-  * double either way. Returns null if either side is null or lengths
-  * differ; 0.0 when either norm is zero.
+  * double either way. Returns null if either side is null, lengths
+  * differ, or any ELEMENT is null (a partial vector has no meaningful
+  * cosine — silently reading nulls as 0.0 would distort every
+  * threshold downstream); 0.0 when either norm is zero.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null on length mismatch / null element, whatever the children claim
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     // only the element widths the accessors actually read: admitting
@@ -53,6 +58,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = at match {
         case FloatType => a.getFloat(i).toDouble
         case _         => a.getDouble(i) // only float/double pass the type check
@@ -85,7 +91,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; continue; }
          |    final double x = ${getter(left, a, i)};
          |    final double y = ${getter(right, b, i)};
          |    $dot += x * y; $na += x * x; $nb += y * y;

@@ -31,7 +31,15 @@ object GraftExtensions {
 
   private def fn(name: String, clazz: Class[_])(
       builder: Seq[Expression] => Expression): Fn =
-    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) =>
+        // constructor require()s (n > 0 etc.) are argument validation too:
+        // surface them under the same user-error class as arity/literal
+        // failures, never as a raw IllegalArgumentException
+        try builder(children) catch {
+          case e: IllegalArgumentException =>
+            userError(s"$name: ${e.getMessage}")
+        })
 
   private[exprs] lazy val functions: Seq[Fn] = {
     import org.apache.spark.sql.GraftShim.{column, eagerExpression => expression}
@@ -60,6 +68,12 @@ object GraftExtensions {
         HyperplaneBuckets(children(0),
           intLit(children(1), f, "tables"), intLit(children(2), f, "planes"),
           intLit(children(3), f, "dim"))
+      },
+      fn("lsh_band_keys", classOf[LshBandKeys]) { children =>
+        val f = "lsh_band_keys(sig, bands, rows)"
+        expectArity(f, children, 3)
+        LshBandKeys(children(0),
+          intLit(children(1), f, "bands"), intLit(children(2), f, "rows"))
       },
       // text-analysis compositions: the builder expands the same Column
       // composition the Scala API uses, so SQL and DataFrame callers

@@ -29,8 +29,8 @@ import org.apache.spark.sql.types._
   * centroid scores 0.0 here (the CosineSim convention), where the HOF
   * division produced NaN — which Spark's struct ordering ranked above
   * every real similarity, silently assigning ALL rows to a degenerate
-  * all-zero centroid. Returns null only for a null/dimension-mismatched
-  * input vector.
+  * all-zero centroid. Returns null only for a null, dimension-mismatched, or
+  * null-element input vector.
   */
 case class NearestCentroid(
     child: Expression,
@@ -77,6 +77,11 @@ case class NearestCentroid(
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     if (a.numElements() != dim) return null
+    var p = 0
+    while (p < dim) { // a null element has no cosine to any centroid
+      if (a.isNullAt(p)) return null
+      p += 1
+    }
     val at = elemType
     // the input's dot/na accumulate per centroid in index order, exactly
     // as CosineSim would pairwise
@@ -126,6 +131,11 @@ case class NearestCentroid(
          |if ($a.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i)) ${ev.isNull} = true;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
          |  double $best = Double.NEGATIVE_INFINITY;
          |  int $bestCid = Integer.MIN_VALUE;
          |  for (int $j = 0; $j < ${cidArr.length}; $j++) {

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * corpus-analysis pipeline (topic tagging, quality filtering, index
   * enrichment).
   *
-  * Plan: token explode → (doc, term) hash aggregate for tf → term hash
-  * aggregate for df (vocabulary-sized, derived from the tf frame so
-  * tokenization is counted once) → score join on the term → per-doc rank
+  * Plan: token explode → (doc, term) hash aggregate for tf; df from a
+  * SEPARATE fused per-doc-distinct `Shingles(·, 1)` pass — never a
+  * `tf.groupBy(term)` self-reference, which Catalyst re-executes
+  * uncached (the whole explode + shuffle would run twice, once inside
+  * the broadcast build — measured 8.4× at the 30× rehearsal before the
+  * fix) → score join on the term → per-doc rank
   * window (WindowGroupLimit pre-selects local top-k before the exchange).
   * The corpus size N is one count scalar — a corpus constant, not data
   * motion. Ranking uses the ROUNDED score (4 dp) with a lexicographic

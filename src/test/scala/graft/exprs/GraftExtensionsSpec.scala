@@ -38,6 +38,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getCondition === "USER_RAISED_EXCEPTION")
   }
 
+  test("constructor require() failures surface as user errors, not raw IAE") {
+    val spark = graft.TestSession.spark
+    GraftExtensions.registerAll(spark)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT shingles('a b', -1)").collect()
+    }
+    assert(e.getCondition === "USER_RAISED_EXCEPTION")
+    assert(e.getMessage.contains("shingle size must be positive"))
+  }
+
+  test("null array elements yield null cosine, not a silent 0.0 read") {
+    val spark = graft.TestSession.spark
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(cast(array(1.0, NULL) AS array<double>),
+                           cast(array(1.0, 1.0) AS array<double>))""").collect()
+    assert(r.head.isNullAt(0), "partial vector must have no cosine")
+  }
+
   test("registerAll: SQL calls equal the Column API on a live session") {
     val spark = graft.TestSession.spark
     import spark.implicits._

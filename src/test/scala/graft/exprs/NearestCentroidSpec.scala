@@ -64,4 +64,17 @@ class NearestCentroidSpec extends SparkSpec {
     val r = bad.select(NearestCentroid($"v", cents).as("c")).collect()
     assert(r.head.isNullAt(0), "dimension mismatch must yield null")
   }
+
+  test("a null element yields null, never a silent 0.0 read") {
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 0.0f)))
+      .toDF("v")
+    val r = withNull.select(NearestCentroid($"v", cents).as("c")).collect()
+    assert(r.head.isNullAt(0))
+    val cos = withNull.select(CosineSim($"v",
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(1.0f),
+        org.apache.spark.sql.functions.lit(1.0f),
+        org.apache.spark.sql.functions.lit(1.0f))).as("c")).collect()
+    assert(cos.head.isNullAt(0))
+  }
 }
