@@ -217,6 +217,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global funnel in:\n$p")
   }
 
+  test("q_lm_score: vocabulary broadcasts; the doc mean is the only corpus shuffle") {
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the doc-id aggregate is the single corpus-sized exchange; the
+    // vocab count shuffles only inside its broadcast build
+    assert(topLevelHashExchanges(p).size === 1, s"extra corpus shuffle in:\n$p")
+  }
+
   test("q_pipeline_e2e: composed flow costs its members' shuffles, not their sum") {
     val p = plan("q_pipeline_e2e")
     // decontamination joins stay broadcast, nothing sort-merges
