@@ -39,6 +39,22 @@ class DecontamSpec extends SparkSpec {
     assert(got.count() === 2L)
   }
 
+  test("unigram decontamination (n=1) bans every shared word") {
+    val got = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 1)
+      .select("doc_id").as[Long].collect().sorted
+    // docs 1 and 2 both share single words with the benchmark; only the
+    // fully-disjoint doc 3 survives
+    assert(got === Array(3L))
+  }
+
+  test("an empty benchmark contaminates nothing") {
+    val empty = bench.filter($"doc_id" < 0)
+    assert(Decontam.decontaminate(corpus, empty, "doc_id", "text", n = 3)
+      .count() === 3L)
+    assert(Decontam.contaminated(corpus, empty, "doc_id", "text", n = 3)
+      .count() === 0L)
+  }
+
   test("corpus side never shuffles: every exchange is inside a broadcast build") {
     val plan = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 3)
       .queryExecution.executedPlan.toString

@@ -47,6 +47,26 @@ class PackSpec extends SparkSpec {
     assert(got === Array((1L, 0L, 0L), (2L, 0L, 10L), (3L, 0L, 10L)))
   }
 
+  test("composite partition keys pack independently per combination") {
+    val rows = Seq(
+      (1L, "en", "web", 10L), (2L, "en", "web", 10L),
+      (3L, "en", "book", 10L), (4L, "fr", "web", 10L))
+      .toDF("id", "lang", "src", "n")
+    val got = Pack.packSequences(rows, "id", col("n"), 16, Seq("lang", "src"))
+      .select("id", "pack_id", "pack_offset").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // (en,web) packs 1+2 together; (en,book) and (fr,web) restart at 0
+    assert(got === Array((1L, 0L, 0L), (2L, 0L, 10L), (3L, 0L, 0L), (4L, 0L, 0L)))
+  }
+
+  test("budget of 1 token gives every non-empty doc its own pack") {
+    val rows = Seq((1L, "a", 3L), (2L, "a", 2L), (3L, "a", 1L))
+    val got = pack(rows, 1).select("id", "pack_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // starts 0, 3, 5 → packs 0, 3, 5
+    assert(got === Array((1L, 0L), (2L, 3L), (3L, 5L)))
+  }
+
   test("plan is a single window shuffle on the partition key") {
     val plan = pack(Seq((1L, "a", 1L)), 8).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\(part".r.findFirstIn(plan).isDefined, plan)
