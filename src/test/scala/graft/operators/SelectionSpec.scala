@@ -94,6 +94,15 @@ class SelectionSpec extends SparkSpec {
     assert(sizes.values.forall(s => s >= 20 && s <= 30), sizes.toString)
   }
 
+  test("curriculumStages with fewer score values than stages: ties stay whole") {
+    // two score values, k=4: each value maps to ONE stage (0 and 2 by
+    // cumulative position); no value is ever split across stages
+    val rows = (1L to 10L).map(i => (i, if (i <= 5) 0.1 else 0.9))
+    val got = Selection.curriculumStages(rows.toDF("id", "s"), col("s"), 4)
+      .select($"score", $"stage").as[(Double, Int)].collect().toSet
+    assert(got === Set((0.1, 0), (0.9, 2)))
+  }
+
   test("plan has no global window: the boundary window partitions by score") {
     val plan = Selection.selectByBudget(
         df(Seq((1L, 0.5, 10L), (2L, 0.6, 10L))), "id", col("s"), col("n"), 15L)

@@ -37,6 +37,15 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 20000L)
   }
 
+  test("an empty input calibrates to 0 bytes/row and writeSized rejects it") {
+    val scratch = tmp("empty")
+    val empty = rows.filter($"id" < 0)
+    assert(Layout.bytesPerRow(empty, scratch) === 0.0)
+    intercept[IllegalArgumentException] {
+      Layout.writeSized(empty, tmp("emptyout"), 1000L, 0.0)
+    }
+  }
+
   test("writeRangeClustered: files own disjoint key ranges (min/max prunable)") {
     val dir = tmp("range")
     Layout.writeRangeClustered(rows, dir, nFiles = 8, clusterCols = Seq("id"))
