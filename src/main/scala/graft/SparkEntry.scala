@@ -459,7 +459,7 @@ object SparkEntry {
     */
   private def qPackSequences(s: SparkSession, d: String): DataFrame =
     Pack.packSequences(T.documents(s, d), "doc_id",
-      Text.tokenCount(col("text")), budget = 2048, partitionCols = Seq("lang"))
+      Text.tokenCountSimple(col("text")), budget = 2048, partitionCols = Seq("lang"))
       .orderBy(col("doc_id"))
 
   /** SemDeDup over the embeddings ∪ planted near-identical copies
@@ -514,7 +514,7 @@ object SparkEntry {
   private def qTokenBudget(s: SparkSession, d: String): DataFrame =
     Selection.selectByBudget(T.documents(s, d), "doc_id",
       lit(1.0) - Text.repetitionScore(col("text"), 2),
-      Text.tokenCount(col("text")), budget = 10000L)
+      Text.tokenCountSimple(col("text")), budget = 10000L)
       .select(col("doc_id"), col("score"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
@@ -526,7 +526,7 @@ object SparkEntry {
   private def qPipelineFilter(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .filter(Text.repetitionScore(col("text"), 2) <= 0.05 &&
-        Text.tokenCount(col("text")) >= 15 &&
+        Text.tokenCountSimple(col("text")) >= 15 &&
         Text.qualityScore(col("text")) >= 0.9)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
@@ -618,13 +618,13 @@ object SparkEntry {
       docs.filter(col("doc_id") % 41 =!= 0), bench, "doc_id", "text", n = 4)
     val gated = clean.filter(
       Text.repetitionScore(col("text"), 2) <= 0.05 &&
-        Text.tokenCount(col("text")) >= 15 &&
+        Text.tokenCountSimple(col("text")) >= 15 &&
         Text.qualityScore(col("text")) >= 0.9)
     val deduped = Dedup.dedupSpans(gated, "doc_id", "text",
       spanTokens = 10, carryCols = Seq("lang"))
     Pack.packSequences(
       deduped.withColumnRenamed("id", "doc_id"), "doc_id",
-      Text.tokenCount(col("text_dedup")), budget = 2048,
+      Text.tokenCountSimple(col("text_dedup")), budget = 2048,
       partitionCols = Seq("lang"))
       .orderBy(col("doc_id"))
   }
@@ -2273,7 +2273,7 @@ object SparkEntry {
          r AS (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, neighbor_id ASC) AS rn
+               ORDER BY round(cos, 4) DESC, neighbor_id ASC) AS rn
            FROM s)
          SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM r
          WHERE rn <= 5 ORDER BY query_id, neighbor_id""",

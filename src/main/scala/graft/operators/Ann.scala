@@ -153,8 +153,12 @@ object Ann {
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         graft.exprs.CosineSim(col("__cv"), col("__qv")).as("__cos"))
+    // rank on the 4-dp-snapped cosine (same convention as bruteForceTopK):
+    // sub-ulp float noise between engines can flip near-tied raw ranks, so
+    // the selected top-k must be decided on the rounded value + id tie-break
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id").asc)
+      .partitionBy("query_id")
+      .orderBy(round(col("__cos"), 4).desc, col("neighbor_id").asc)
     scored
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -169,9 +173,12 @@ object Ann {
     *
     * Scale shape: one shuffle per side keyed on `centroid_id` (the cells
     * come from [[ivfAssign]], a broadcast-only pass), a within-cell pair
-    * filter with the fused native [[graft.exprs.CosineSim]], and a
-    * broadcast anti join on the dropped ids (bounded by the duplicate
-    * count). Cell population bounds the quadratic term — run
+    * filter with the fused native [[graft.exprs.CosineSim]], and an anti
+    * join on the dropped ids. The dropped-set size is THRESHOLD-DEPENDENT:
+    * SemDeDup thresholds commonly drop 20–50% of a web corpus, so the
+    * anti join is deliberately NOT broadcast-hinted — AQE picks broadcast
+    * when the dropped set measures small and falls back to a shuffle anti
+    * join when it does not. Cell population bounds the quadratic term — run
     * [[lloydStep]] refinements to balance cells before deduping so no
     * single cell dominates; at 100 TB, cap cell size by splitting hot
     * cells on a secondary hash.
@@ -194,6 +201,6 @@ object Ann {
         graft.exprs.CosineSim(col("__va"), col("__vb")) >= threshold)
       .select(col("__id_b").as(idCol))
       .distinct()
-    assigned.join(broadcast(dropped), Seq(idCol), "left_anti")
+    assigned.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -204,12 +204,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_semdedup: cell-keyed pair join, broadcast anti on drops, native cosine") {
-    val p = plan("q_semdedup")
-    assert(p.toLowerCase.contains("cosinesim"), "native CosineSim not in plan")
-    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
-      "dropped ids must broadcast into the anti join")
-    assert(!p.contains("SortMergeJoin"), "cell join must stay hash-based")
+  test("q_semdedup: cell-keyed pair join, AQE-chosen anti on drops, native cosine") {
+    val df = SparkEntry.queries("q_semdedup")(spark, sf)
+    val static = df.queryExecution.executedPlan.toString
+    assert(static.toLowerCase.contains("cosinesim"), "native CosineSim not in plan")
+    // the drop-set size is threshold-dependent (SemDeDup can drop 20-50% of
+    // a corpus), so the anti join must NOT be statically broadcast-hinted:
+    // the initial plan keeps a shuffle anti, and AQE converts it to
+    // broadcast at runtime only when the dropped set measures small
+    assert(!"BroadcastHashJoin.*LeftAnti".r.findFirstIn(static).isDefined,
+      "anti join must not be force-broadcast (drop set can be corpus-sized)")
+    assert(!"SortMergeJoin \\[centroid_id".r.findFirstIn(static).isDefined,
+      "cell pair join must stay hash-based")
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[vec_id.*LeftAnti".r.findFirstIn(fin).isDefined,
+      s"AQE should pick broadcast for the small measured drop set:\n$fin")
   }
 
   test("q_token_budget: no single-partition window anywhere") {
