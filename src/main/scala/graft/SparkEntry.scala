@@ -518,6 +518,23 @@ object SparkEntry {
       .select(col("doc_id"), col("score"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget selection over a CONTINUOUS model score — the
+    * composition users reach for first: raw (un-snapped) unigram-LM
+    * perplexity → budget selection. The raw mean log-loss is distinct per
+    * doc, so without quantization the selection histogram would be
+    * row-sized; `bucketize = Some(4)` snaps it inside the operator (and
+    * the guard fail-fasts if a caller forgets — see SelectionSpec). Score
+    * is the NEGATED loss: most-fluent documents first.
+    */
+  private def qBudgetContinuous(s: SparkSession, d: String): DataFrame = {
+    val lm = UnigramLm.docLogLoss(T.documents(s, d), "doc_id", "text",
+      snapDp = None)
+    Selection.selectByBudget(lm, "doc_id", -col("nll"), col("n_tokens"),
+      budget = 10000L, bucketize = Some(4))
+      .select(col("doc_id"), col("score"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite quality gate — the rule-stack a pipeline runs before
     * training: repetition, length, and quality thresholds in one narrow
     * codegen'd filter pass (each rule is a column expression, so the
@@ -1604,6 +1621,7 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_budget_continuous" -> (qBudgetContinuous _),
     "q_pipeline_filter" -> (qPipelineFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -2069,6 +2087,23 @@ object SparkEntry {
          s AS (SELECT doc_id, n_tokens,
              1.0 - CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS score
            FROM r),
+         c AS (SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+           FROM s)
+         SELECT doc_id, score, n_tokens FROM c WHERE strt < 10000 ORDER BY doc_id""",
+    "q_budget_continuous" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                        CAST(count(*) AS DOUBLE) AS v FROM vocab),
+         s AS (SELECT doc_id,
+             round(-avg(-ln((cnt + 0.5) / (total + 0.5 * v))), 4) AS score,
+             count(*) AS n_tokens
+           FROM tok JOIN vocab USING (term), tot
+           GROUP BY doc_id),
          c AS (SELECT doc_id, score, n_tokens,
              sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt

@@ -12,6 +12,94 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** Ceiling on distinct score values before the histogram stops being
+    * metadata and becomes data. 64k scores × ~24 bytes is well under any
+    * driver/broadcast limit; a rule-based quality score (ratio of small
+    * integers, quantized model score) sits orders of magnitude below it.
+    */
+  val DefaultMaxScoreCardinality = 65536
+
+  /** Snap a raw score to `bucketize` decimal places (None = use as-is) —
+    * the quantization that turns a continuous model score (raw perplexity,
+    * an un-rounded logit) into a bounded-cardinality histogram key. Ties
+    * introduced by the snap resolve by the caller's id ordering, which is
+    * exactly the reproducible-across-engines convention the 4-dp rounded
+    * operators (TfIdf, UnigramLm) already follow.
+    */
+  private def snap(score: Column, bucketize: Option[Int]): Column =
+    bucketize.fold(score.cast("double"))(d => round(score.cast("double"), d))
+
+  /** Collect the per-score histogram with a hard cardinality fail-fast:
+    * a `limit(max+1)` probe (TakeOrderedAndProject — top-k merge, never a
+    * global sort) either returns the whole histogram or proves it is too
+    * big, in which case proceeding would turn the metadata-sized driver
+    * fetch into a data collect. Failing fast with the fix in the message
+    * beats an eventual driver OOM at 100 TB.
+    */
+  private def boundedHistogram(
+      hist: DataFrame,
+      maxScoreCardinality: Int,
+      op: String): Array[org.apache.spark.sql.Row] = {
+    require(maxScoreCardinality > 0, "maxScoreCardinality must be positive")
+    val rows = hist.limit(maxScoreCardinality + 1).collect()
+    if (rows.length > maxScoreCardinality) throw new IllegalArgumentException(
+      s"$op: score cardinality exceeds $maxScoreCardinality — the score " +
+        "histogram would be row-sized, not metadata-sized. Quantize the " +
+        "score first (pass bucketize = Some(dp) to snap it to dp decimal " +
+        "places) or raise maxScoreCardinality if the scores are genuinely " +
+        "discrete.")
+    rows
+  }
+
+  /** Curriculum staging: split the corpus into `k` quality stages
+    * (0 = worst … k−1 = best) by EXACT score quantiles — the
+    * easy-to-hard data ordering curriculum training consumes.
+    *
+    * The naive form is `ntile(k)` over a global sort — a single-partition
+    * window over the corpus. Instead: one map-side-combined score
+    * histogram (shuffle volume = distinct scores, not rows), a driver-side
+    * cumsum over the guard-bounded histogram, and a broadcast join back
+    * onto the corpus. Docs sharing a score share a stage, so stages are
+    * exact quantiles up to score-tie granularity, deterministic, and
+    * reproducible by any engine.
+    *
+    * `bucketize` snaps the score to that many decimal places first —
+    * REQUIRED for continuous scores (raw perplexity, un-rounded model
+    * logits), where distinct-score count ≈ row count and the histogram
+    * contract breaks; [[boundedHistogram]] fail-fasts in that case rather
+    * than silently collecting data to the driver.
+    */
+  def curriculumStages(
+      docs: DataFrame,
+      scoreCol: Column,
+      k: Int,
+      bucketize: Option[Int] = None,
+      maxScoreCardinality: Int = DefaultMaxScoreCardinality): DataFrame = {
+    require(k > 0, "need at least one stage")
+    val scored = docs.withColumn("score", snap(scoreCol, bucketize))
+      .filter(col("score").isNotNull)
+    val n = scored.count()
+    val hist = boundedHistogram(
+      scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        .orderBy(col("score")),
+      maxScoreCardinality, "curriculumStages")
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // driver cumsum over the bounded histogram — same long-exact arithmetic
+    // and double division the previous in-plan window used, so stage
+    // assignment is bit-identical and engine-reproducible
+    var cumb = 0L
+    val stages = hist.map { case (s, c) =>
+      val stage = math.min(
+        math.floor(k.toLong * cumb.toDouble / math.max(n, 1L).toDouble).toInt,
+        k - 1)
+      cumb += c
+      (s, stage)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    scored.join(broadcast(stages.toSeq.toDF("score", "stage")), Seq("score"))
+  }
+
   /** Equivalent to the global greedy — sort everything, running token
     * sum, cut at the budget — WITHOUT the global single-partition window
     * that greedy implies (the one plan shape that cannot scale). Three
@@ -25,59 +113,33 @@ object Selection {
     *      window); only the single θ stratum runs an id-ordered prefix
     *      window, partition-bounded by that stratum's size.
     *
-    * Requires bounded score cardinality (true of any rule-based quality
-    * score — a ratio of small integers or a quantized model score). The
-    * driver collect is the same metadata-sized pattern as IVF centroid
-    * seeding, not a data collect.
+    * Requires bounded score cardinality, now ENFORCED: the histogram fetch
+    * fail-fasts above `maxScoreCardinality` distinct scores instead of
+    * silently degrading into a row-sized driver collect. For continuous
+    * scores (e.g. raw [[UnigramLm.docLogLoss]] perplexity) pass
+    * `bucketize = Some(dp)` to snap the score to `dp` decimal places
+    * first; the returned `score` column is the snapped value.
     */
-  /** Curriculum staging: split the corpus into `k` quality stages
-    * (0 = worst … k−1 = best) by EXACT score quantiles — the
-    * easy-to-hard data ordering curriculum training consumes.
-    *
-    * The naive form is `ntile(k)` over a global sort — a single-partition
-    * window over the corpus. Instead: one map-side-combined score
-    * histogram (shuffle volume = distinct scores), a histogram-sized
-    * cumulative window (bounded cardinality — the same boundedness
-    * [[selectByBudget]] requires), and a broadcast join back onto the
-    * corpus. Docs sharing a score share a stage, so stages are exact
-    * quantiles up to score-tie granularity, deterministic, and
-    * reproducible by any engine.
-    */
-  def curriculumStages(
-      docs: DataFrame,
-      scoreCol: Column,
-      k: Int): DataFrame = {
-    require(k > 0, "need at least one stage")
-    val scored = docs.withColumn("score", scoreCol.cast("double"))
-      .filter(col("score").isNotNull)
-    val n = scored.count()
-    val w = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
-      .withColumn("__cumb", sum(col("c")).over(w) - col("c"))
-      .withColumn("stage",
-        least(floor(lit(k) * col("__cumb") / lit(math.max(n, 1L))).cast("int"),
-          lit(k - 1)))
-      .select(col("score"), col("stage"))
-    scored.join(broadcast(hist), Seq("score"))
-  }
-
   def selectByBudget(
       docs: DataFrame,
       idCol: String,
       scoreCol: Column,
       tokensCol: Column,
-      budget: Long): DataFrame = {
+      budget: Long,
+      bucketize: Option[Int] = None,
+      maxScoreCardinality: Int = DefaultMaxScoreCardinality): DataFrame = {
     require(budget >= 0, "token budget must be non-negative")
     // docs without a score or token count cannot be ranked or budgeted —
     // they are excluded (a null-text doc has no place in a token spend)
     val scored = docs
-      .withColumn("score", scoreCol.cast("double"))
+      .withColumn("score", snap(scoreCol, bucketize))
       .withColumn("n_tokens", tokensCol.cast("long"))
       .filter(col("score").isNotNull && col("n_tokens").isNotNull)
-    val hist = scored.groupBy(col("score")).agg(sum("n_tokens").as("t"))
-      .orderBy(col("score").desc)
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val hist = boundedHistogram(
+      scored.groupBy(col("score")).agg(sum("n_tokens").as("t"))
+        .orderBy(col("score").desc),
+      maxScoreCardinality, "selectByBudget")
+      .map(r => (r.getDouble(0), r.getLong(1)))
 
     // walk strata best-first: full strata while they fit STRICTLY under
     // the budget. A stratum that exactly exhausts it is the boundary,

@@ -24,12 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
-  /** Per-document mean negative log-likelihood and token count. */
+  /** Per-document mean negative log-likelihood and token count.
+    *
+    * `snapDp` rounds the mean to that many decimal places (the default 4
+    * is the cross-engine reproducibility convention); pass None for the
+    * RAW mean — needed when a downstream operator does its own snapping,
+    * e.g. [[Selection.selectByBudget]] with `bucketize`, where rounding
+    * twice at different granularities would shift stratum boundaries.
+    */
   def docLogLoss(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5,
+      snapDp: Option[Int] = Some(4)): DataFrame = {
     require(alpha > 0, "smoothing mass must be positive")
     val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -39,8 +47,10 @@ object UnigramLm {
       .agg(lit(0.0).as("nll"), count(lit(1)).as("n_tokens"))
     val denom = t.getLong(0) + alpha * t.getLong(1)
     val logp = log((col("cnt") + lit(alpha)) / lit(denom))
+    val mean = avg(-logp)
     toks.join(broadcast(vocab), "term")
       .groupBy(col(idCol))
-      .agg(round(avg(-logp), 4).as("nll"), count(lit(1)).as("n_tokens"))
+      .agg(snapDp.fold(mean)(d => round(mean, d)).as("nll"),
+        count(lit(1)).as("n_tokens"))
   }
 }

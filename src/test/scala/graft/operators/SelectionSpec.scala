@@ -103,6 +103,53 @@ class SelectionSpec extends SparkSpec {
     assert(got === Set((0.1, 0), (0.9, 2)))
   }
 
+  test("continuous scores without bucketize fail fast, not a data collect") {
+    // 100 distinct raw doubles vs a cardinality cap of 10: proceeding would
+    // make the "histogram" row-sized — the guard must throw with the fix
+    val rows = (1L to 100L).map(i => (i, 1.0 / i, 5L))
+    val e = intercept[IllegalArgumentException] {
+      Selection.selectByBudget(df(rows), "id", col("s"), col("n"), 50L,
+        maxScoreCardinality = 10)
+    }
+    assert(e.getMessage.contains("bucketize"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Selection.curriculumStages(rows.toDF("id", "s", "n"), col("s"), 4,
+        maxScoreCardinality = 10)
+    }
+    assert(e2.getMessage.contains("bucketize"), e2.getMessage)
+  }
+
+  test("bucketize snaps a continuous score under the cap and matches greedy") {
+    // scores i/1000 collapse to 1-dp buckets: cardinality 10 < cap 16
+    val rows = (1L to 100L).map(i => (i, i.toDouble / 1000.0, 5L))
+    val got = Selection.selectByBudget(df(rows), "id", col("s"), col("n"),
+        100L, bucketize = Some(1), maxScoreCardinality = 16)
+      .select($"id", $"score").as[(Long, Double)].collect()
+    // output score is the snapped value (same HALF_UP semantics as round())
+    def snapped(s: Double): Double =
+      BigDecimal(s).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.forall { case (id, s) => s == snapped(id.toDouble / 1000.0) })
+    // equals the greedy over the SNAPPED score with id tie-break
+    var acc = 0L
+    val expect = rows.map { case (id, s, n) => (id, snapped(s), n) }
+      .sortBy { case (id, s, _) => (-s, id) }
+      .filter { case (_, _, n) => val take = acc < 100L; acc += n; take }
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet === expect)
+  }
+
+  test("curriculumStages with bucketize: stages follow the snapped score") {
+    val rows = (1L to 100L).map(i => (i, i.toDouble / 1000.0))
+    val got = Selection.curriculumStages(rows.toDF("id", "s"), col("s"), 2,
+        bucketize = Some(1), maxScoreCardinality = 16)
+      .select($"score", $"stage").as[(Double, Int)].collect().toSet
+    // snapped scores 0.0 .. 0.1: same snapped score → same stage, monotone
+    val byScore = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byScore.values.forall(_.size === 1))
+    val ordered = byScore.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered === ordered.sorted)
+  }
+
   test("plan has no global window: the boundary window partitions by score") {
     val plan = Selection.selectByBudget(
         df(Seq((1L, 0.5, 10L), (2L, 0.6, 10L))), "id", col("s"), col("n"), 15L)
