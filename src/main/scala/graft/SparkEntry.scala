@@ -1448,6 +1448,33 @@ object SparkEntry {
       .orderBy(col("scope"), col("primary_key"))
   }
 
+  /** S5/S6 through the ES-shaped sink (driver-checked): the same two-chunk
+    * delta stream as q_hyperion_state_roundtrip, but merged through
+    * [[graft.streaming.BulkStateSink]] — batch → `_bulk` wire NDJSON
+    * (scripted upsert / delete ops, `_id` = natural key) → embedded bulk
+    * endpoint with the updateByBlock `>=` guard — then read back. Must
+    * reproduce the identical full-history LWW snapshot, proving the ES
+    * mapping documented on the StateSink trait end-to-end.
+    */
+  private def qBulkSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bulk_rt").toString
+    val raw = s"$tmp/raw"; val ckpt = s"$tmp/ckpt"
+    val all = Fixtures.deltas(s, 120).toDF()
+    all.coalesce(1).write.parquet(raw)
+    val sink = new graft.streaming.BulkStateSink(
+      s"$tmp/es", Seq("code", "table", "scope", "primary_key"))
+    val finished = graft.streaming.Ingest.startStateSink(
+      s.readStream.schema(all.schema).parquet(raw), sink, ckpt)
+      .awaitTermination(180000)
+    require(finished, "bulk sink stream did not finish within 180s")
+    val out = sink.read
+      .select(col("scope"), col("primary_key"), col("block_num"), col("data"))
+      .orderBy(col("scope"), col("primary_key"))
+    graft.streaming.EmbeddedBulkIndex.drop(s"$tmp/es")
+    out
+  }
+
   /** ST4 (full live-handoff sequence, driver-checked): the reference
     * attaches the live subscription first, replays history up to the
     * attach block in ack-paced batches, then fills from
@@ -1699,6 +1726,7 @@ object SparkEntry {
     "q_plugin_registry" -> (qPluginRegistry _),
     "q_hyperion_ingest_roundtrip" -> (qHypIngestRoundtrip _),
     "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _),
+    "q_bulk_sink_roundtrip" -> (qBulkSinkRoundtrip _),
     "q_hyperion_action_lift" -> (qHypActionLift _),
     "q_hyperion_delta_lift" -> (qHypDeltaLift _),
     "q_hyperion_key_convert" -> (qHypKeyConvert _),
@@ -3288,6 +3316,21 @@ object SparkEntry {
            CAST(inline_count AS INTEGER) AS inline_count
          FROM rows ORDER BY global_sequence""",
     "q_hyperion_state_roundtrip" ->
+      """WITH d AS (
+           SELECT 200 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,
+             'row' || (i % 10) AS primary_key,
+             CAST(CASE WHEN i % 37 = 36 THEN 0 ELSE 1 END AS INTEGER) AS present,
+             '{"k":"row' || (i % 10) || '","v":' || i || '}' AS data
+           FROM (SELECT unnest(range(120)) AS i)),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY scope, primary_key ORDER BY block_num DESC) AS rn
+           FROM d)
+         SELECT scope, primary_key, block_num, data
+         FROM r WHERE rn = 1 AND present <> 0
+         ORDER BY scope, primary_key""",
+    "q_bulk_sink_roundtrip" ->
       """WITH d AS (
            SELECT 200 + i AS block_num,
              ['alice','bob','carol','dave'][(i % 4) + 1] AS scope,

@@ -60,6 +60,87 @@ class StateSinkSpec extends SparkSpec {
     assert(fromMemory.exceptAll(fromParquet).count() === 0)
   }
 
+  test("BulkStateSink matches parquet LWW through the same stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+    val rawDir = s"$tmp/deltas"
+    Fixtures.deltas(spark, 120).write.parquet(rawDir)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(rawDir).schema).parquet(rawDir)
+
+    val parquetSink = new ParquetStateSink(s"$tmp/state", keyCols, nBuckets = 8)
+    Ingest.startStateSink(stream, parquetSink, s"$tmp/ckpt_p")
+      .awaitTermination(60000)
+    val bulkSink = new BulkStateSink(s"$tmp/es", keyCols)
+    Ingest.startStateSink(stream, bulkSink, s"$tmp/ckpt_b")
+      .awaitTermination(60000)
+
+    val cols = bulkSink.read.columns.toIndexedSeq.map(col)
+    val fromParquet = parquetSink.read.select(cols: _*)
+    val fromBulk = bulkSink.read.select(cols: _*)
+    assert(fromBulk.count() > 0)
+    assert(fromParquet.exceptAll(fromBulk).count() === 0)
+    assert(fromBulk.exceptAll(fromParquet).count() === 0)
+    EmbeddedBulkIndex.drop(s"$tmp/es")
+  }
+
+  test("BulkStateSink emits the reference's wire protocol and rehydrates cold") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bulk2").toString
+    val rawDir = s"$tmp/deltas"
+    Fixtures.deltas(spark, 120).write.parquet(rawDir)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(rawDir).schema).parquet(rawDir)
+    val sink = new BulkStateSink(s"$tmp/es", keyCols)
+    Ingest.startStateSink(stream, sink, s"$tmp/ckpt")
+      .awaitTermination(60000)
+    val expected = sink.read.count()
+
+    // the persisted log IS the _bulk wire format: action lines with
+    // _id = natural key joined by '-', scripted upserts with
+    // retry_on_conflict, deletes for present==0 rows
+    val batchDirs = new java.io.File(s"$tmp/es/bulk").listFiles()
+      .filter(_.getName.startsWith("batch-")).map(_.toString).toIndexedSeq
+    assert(batchDirs.nonEmpty, "no persisted bulk batches")
+    val lines = spark.read.textFile(batchDirs: _*).collect()
+    assert(lines.exists(_.contains("\"update\"")), "no update actions")
+    assert(lines.exists(_.contains("\"delete\"")), "no delete actions")
+    assert(lines.exists(_.contains("\"retry_on_conflict\":3")))
+    assert(lines.exists(_.contains("\"scripted_upsert\":true")))
+    assert(lines.exists(_.contains("\"id\":\"updateByBlock\"")))
+    assert(lines.exists(_.contains("\"_id\":\"hyp.test-kv-")),
+      "_id must be the dash-joined natural key")
+    // every action line parses as JSON with exactly one op field
+    lines.filter(l => l.contains("\"update\"") || l.contains("\"delete\""))
+      .foreach { l =>
+        val parsed = org.json4s.jackson.JsonMethods.parse(l)
+        assert(parsed.asInstanceOf[org.json4s.JObject].obj.size === 1, l)
+      }
+
+    // a fresh JVM (simulated by dropping the live index) replays the
+    // persisted log — the embedded analogue of ES translog recovery
+    EmbeddedBulkIndex.drop(s"$tmp/es")
+    assert(sink.read.count() === expected)
+    EmbeddedBulkIndex.drop(s"$tmp/es")
+  }
+
+  test("updateByBlock guard: stale blocks skipped, null params remove fields") {
+    val t = "mem://guard-test"
+    EmbeddedBulkIndex.drop(t)
+    def upd(id: String, body: String) = Iterator(
+      s"""{"update":{"_id":"$id","retry_on_conflict":3}}""",
+      s"""{"script":{"id":"updateByBlock","params":$body},"scripted_upsert":true,"upsert":{}}""")
+    EmbeddedBulkIndex.post(t, upd("k", """{"block_num":10,"v":1,"extra":"x"}"""))
+    EmbeddedBulkIndex.post(t, upd("k", """{"block_num":5,"v":99}"""))
+    assert(EmbeddedBulkIndex.docs(t).head.contains("\"v\":1"),
+      "a lower block_num must not overwrite")
+    EmbeddedBulkIndex.post(t, upd("k", """{"block_num":10,"v":2,"extra":null}"""))
+    val doc = EmbeddedBulkIndex.docs(t).head
+    assert(doc.contains("\"v\":2"), "an equal block_num must overwrite (>= guard)")
+    assert(!doc.contains("extra"), "null params must remove fields")
+    EmbeddedBulkIndex.post(t, Iterator("""{"delete":{"_id":"k"}}"""))
+    assert(EmbeddedBulkIndex.docs(t).isEmpty, "delete must remove the doc")
+    EmbeddedBulkIndex.drop(t)
+  }
+
   test("startStateMerge is exactly the parquet specialization (unchanged behavior)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     val rawDir = s"$tmp/deltas"
