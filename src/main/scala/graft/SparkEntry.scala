@@ -922,16 +922,28 @@ object SparkEntry {
       .agg(sum(Text.bpeTokenEstimate(col("text"))).as("est_tokens"))
       .orderBy(col("lang"))
 
-  /** Multimodal plumbing: binary media column → stub decode (mapPartitions
-    * typed pipeline) → feature columns. The decode stub's arithmetic is
-    * mirrored exactly by the SQL oracle; content_hash stays library-only.
+  /** REAL image decode end-to-end: ten deterministic PNG/BMP payloads
+    * (actual encoded bytes, alternating codecs) flow through the binary
+    * media-table shape into [[graft.operators.Multimodal.decodeImages]]
+    * (javax.imageio, partition-parallel). The synthetic pattern makes the
+    * decoded features exact closed forms — mean_r = (w−1)/2,
+    * mean_g = (h−1)/2, mean_b = 37 — so the oracle is LITERAL rows, not a
+    * re-implementation. Byte length is deliberately not compared: PNG
+    * stream size is encoder-version-dependent; pixels are not.
     */
   private def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     implicit val sp: SparkSession = s
-    val media = Multimodal.toMediaTable(T.documents(s, d), "doc_id", "text")
-    Multimodal.decodeStub(media).toDF()
-      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+    import s.implicits._
+    val encoded = s.range(10).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        val fmt = if (i % 2 == 0) "png" else "bmp"
+        (i, Multimodal.syntheticImage(16 + 8 * i.toInt, 16 + 4 * i.toInt, fmt))
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeImages(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"))
   }
 
@@ -2517,11 +2529,16 @@ object SparkEntry {
            AS est_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_multimodal_decode" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-         CAST((strlen(text) * 7) % 512 + 16 AS INTEGER) AS width,
-         CAST((strlen(text) * 13) % 512 + 16 AS INTEGER) AS height,
-         CAST(strlen(text) % 10 + 1 AS INTEGER) AS n_frames
-         FROM documents ORDER BY doc_id""",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((w - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST((h - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST(37.0 AS DOUBLE) AS mean_b
+         FROM (VALUES (0, 16, 16), (1, 24, 20), (2, 32, 24), (3, 40, 28),
+                      (4, 48, 32), (5, 56, 36), (6, 64, 40), (7, 72, 44),
+                      (8, 80, 48), (9, 88, 52)) AS t(doc_id, w, h)
+         ORDER BY doc_id""",
     "q_frame_sample" ->
       """SELECT doc_id, unnest(range(0, strlen(text) % 10 + 1, 3)) AS frame_idx
          FROM documents ORDER BY doc_id, frame_idx""",

@@ -33,6 +33,23 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny === Seq(0L, 2L, 4L)) // n_frames=5 → 0,2,4
   }
 
+  test("real decode: PNG and BMP round-trip to exact pixel features") {
+    val payloads = Seq(
+      (1L, Multimodal.syntheticImage(32, 16, "png")),
+      (2L, Multimodal.syntheticImage(32, 16, "bmp")),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+    // both codecs decode to identical sRGB features (layout-independent)
+    Seq(got(0), got(1)).foreach { f =>
+      assert(f.decode_ok && f.width === 32 && f.height === 16 && f.channels === 3)
+      assert(f.mean_r === 15.5 && f.mean_g === 7.5 && f.mean_b === 37.0, f)
+    }
+    // undecodable bytes are a data row, not an exception
+    assert(!got(2).decode_ok && got(2).width === -1 && got(2).channels === 0)
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
     val resized = Multimodal.resizePlan(features, maxSide = 64)
