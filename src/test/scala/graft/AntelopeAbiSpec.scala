@@ -166,6 +166,111 @@ class AntelopeAbiSpec extends AnyFunSuite {
     assert(AntelopeAbi.jsonToHex(abi, "child", """{"a":1,"b":2}""") === "0102")
   }
 
+  // ---------------- reference fixture set (tests/unit/hex-data-serialization
+  // ---------------- .test.ts — the issue-#133 suite, ported vector-for-vector)
+
+  test("variable-length memos: even-length hex, no trailing padding (#133)") {
+    // the reference's exact memo sweep, incl. the delphioracle-style
+    // variable-length tail it calls out
+    val memos = Seq("", "a", "ab", "abc", "abcd",
+      "this is a longer memo for testing")
+    memos.foreach { memo =>
+      val json = s"""{"from":"alice","to":"bob","quantity":"1.0000 EOS","memo":"$memo"}"""
+      val hex = AntelopeAbi.jsonToHex(tokenAbi, "transfer", json)
+      assert(hex.length % 2 === 0, s"odd hex for memo '$memo'")
+      // fixed prefix (from, to, asset) + varuint len + utf8 bytes, nothing else
+      assert(hex.length === (8 + 8 + 16 + 1 + memo.length) * 2, s"padding for '$memo'")
+      assert(AntelopeAbi.hexToJson(tokenAbi, "transfer", hex) === json, memo)
+    }
+  }
+
+  test("re-encode is byte-stable: hex -> json -> identical hex (#133 v1 path)") {
+    // the v1 get_actions endpoint decodes stored data and re-encodes it as
+    // hex_data; the #133 bug was the re-encode producing different bytes
+    val vectors = Seq(
+      """{"from":"alice","to":"bob","quantity":"1.0000 EOS","memo":"test"}""",
+      """{"from":"alice","to":"bob","quantity":"10.0000 EOS","memo":""}""",
+      """{"from":"zzzzzzzzzzzzj","to":"a","quantity":"0.0001 EOS","memo":"m"}""")
+    vectors.foreach { json =>
+      val hex1 = AntelopeAbi.jsonToHex(tokenAbi, "transfer", json)
+      val hex2 = AntelopeAbi.jsonToHex(tokenAbi, "transfer",
+        AntelopeAbi.hexToJson(tokenAbi, "transfer", hex1))
+      assert(hex2 === hex1, json)
+    }
+  }
+
+  // -------------------------------------------------------- time_point edges
+
+  test("time_point edges: epoch, millis, pre-epoch; known little-endian bytes") {
+    val abi = AntelopeAbi.parseAbi("""{"version":"eosio::abi/1.2"}""")
+    // epoch is all-zero micros
+    assert(AntelopeAbi.jsonToHex(abi, "time_point", "\"1970-01-01T00:00:00.000\"")
+      === "0000000000000000")
+    // 1 ms = 1000 micros = 0x3e8 LE
+    assert(AntelopeAbi.jsonToHex(abi, "time_point", "\"1970-01-01T00:00:00.001\"")
+      === "e803000000000000")
+    // pre-epoch values are negative micros in two's complement
+    val pre = "\"1969-12-31T23:59:59.500\""
+    val preHex = AntelopeAbi.jsonToHex(abi, "time_point", pre)
+    assert(AntelopeAbi.hexToJson(abi, "time_point", preHex) === pre)
+    // .999 boundary round-trips
+    val ms999 = "\"2023-11-14T22:13:04.999\""
+    assert(AntelopeAbi.hexToJson(abi, "time_point",
+      AntelopeAbi.jsonToHex(abi, "time_point", ms999)) === ms999)
+  }
+
+  test("time_point sub-millisecond micros: documented truncation divergence") {
+    val abi = AntelopeAbi.parseAbi("""{"version":"eosio::abi/1.2"}""")
+    // 1500 micros decodes to the canonical millisecond text form (.001),
+    // like every public Antelope tool: the TEXT form floors sub-ms micros,
+    // so byte-level round-trip through JSON is lossy below 1 ms BY DESIGN
+    assert(AntelopeAbi.hexToJson(abi, "time_point", "dc05000000000000") // 1500
+      === "\"1970-01-01T00:00:00.001\"")
+    // time_point_sec likewise floors sub-second text to whole seconds
+    assert(AntelopeAbi.jsonToHex(abi, "time_point_sec", "\"1970-01-01T00:00:01.900\"")
+      === "01000000")
+  }
+
+  test("block_timestamp_type: 500ms slots since 2000-01-01 (slot vectors)") {
+    val abi = AntelopeAbi.parseAbi("""{"version":"eosio::abi/1.2"}""")
+    assert(AntelopeAbi.jsonToHex(abi, "block_timestamp_type",
+      "\"2000-01-01T00:00:00.000\"") === "00000000") // slot 0
+    assert(AntelopeAbi.jsonToHex(abi, "block_timestamp_type",
+      "\"2000-01-01T00:00:00.500\"") === "01000000") // slot 1
+    assert(AntelopeAbi.jsonToHex(abi, "block_timestamp_type",
+      "\"2000-01-01T00:00:01.000\"") === "02000000") // slot 2
+    val t = "\"2023-11-14T22:13:04.500\""
+    assert(AntelopeAbi.hexToJson(abi, "block_timestamp_type",
+      AntelopeAbi.jsonToHex(abi, "block_timestamp_type", t)) === t)
+  }
+
+  // --------------------------------------------------------- nested variants
+
+  private val nestedVariantAbi = AntelopeAbi.parseAbi(
+    """{"version":"eosio::abi/1.2",
+      "structs":[
+        {"name":"inner","base":"","fields":[
+          {"name":"tag","type":"name"},{"name":"val","type":"leaf"}]},
+        {"name":"outer","base":"","fields":[
+          {"name":"items","type":"node[]"}]}],
+      "variants":[
+        {"name":"leaf","types":["uint8","string"]},
+        {"name":"node","types":["inner","leaf"]}]}""")
+
+  test("variants nest through structs and arrays (variant-in-variant)") {
+    // node[] where each node is either a struct CONTAINING a variant, or a
+    // bare variant — two levels of arm dispatch through one array
+    val json = """{"items":[""" +
+      """["inner",{"tag":"alice","val":["uint8",7]}],""" +
+      """["leaf",["string","deep"]],""" +
+      """["inner",{"tag":"bob","val":["string","x"]}]]}"""
+    val hex = AntelopeAbi.jsonToHex(nestedVariantAbi, "outer", json)
+    assert(AntelopeAbi.hexToJson(nestedVariantAbi, "outer", hex) === json)
+    // arm indexes are varuint-encoded in declaration order: first item is
+    // arm 0 ("inner"), whose val is leaf arm 0 (uint8)
+    assert(hex.startsWith("03" + "00"), hex) // 3 items, arm 0
+  }
+
   // ------------------------------------------------------------ error ladder
 
   test("truncated, trailing, unknown-type and bad-hex payloads all throw") {
