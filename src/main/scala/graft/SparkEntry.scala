@@ -1487,6 +1487,68 @@ object SparkEntry {
     out
   }
 
+  /** Decode-ladder ingest with auto-blacklist, end-to-end (driver-checked):
+    * two micro-batches of hex actions (modtime-ordered single-file chunks).
+    * Batch 1 holds three valid token transfers (decode green) and three
+    * payloads of a contract::action the ABI does not declare — each lands
+    * `ds_error = true` with the payload preserved, and the trio crosses the
+    * auto-blacklist threshold, materializing a `bad.ctr::weird` rule row.
+    * Batch 2 sends one more of each: the transfer decodes, while the
+    * blacklisted pair SKIPS the codec (`ds_blacklisted = true`) — the
+    * reference's registerAutoBlacklist ladder (deserializer.ts:760-776)
+    * reproduced as data. Output: per-action decode fate + membership of
+    * the final blacklist table; the oracle is the literal expected fates.
+    */
+  private def qHypAutoBlacklist(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import org.apache.hadoop.fs.Path
+    val abi = """{"version":"eosio::abi/1.2","structs":[
+      {"name":"transfer","base":"","fields":[
+        {"name":"from","type":"name"},{"name":"to","type":"name"},
+        {"name":"quantity","type":"asset"},{"name":"memo","type":"string"}]}],
+      "actions":[{"name":"transfer","type":"transfer"}]}"""
+    val goodHex = graft.functions.AntelopeAbi.jsonToHex(
+      graft.functions.AntelopeAbi.parseAbi(abi), "transfer",
+      """{"from":"alice","to":"bob","quantity":"1.0000 EOS","memo":"ok"}""")
+    def row(seq: Long, code: String, name: String, payload: String) =
+      (seq, 100L + seq, code, name, payload, abi)
+    val cols = Seq("global_sequence", "block_num", "code", "name", "data", "abi")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bl").toString
+    val raw = s"$tmp/raw"
+    val b1 = (1L to 3L).map(i => row(i, "eosio.token", "transfer", goodHex)) ++
+      (4L to 6L).map(i => row(i, "bad.ctr", "weird", "deadbeef"))
+    val b2 = Seq(row(7L, "eosio.token", "transfer", goodHex),
+      row(8L, "bad.ctr", "weird", "deadbeef"))
+    import s.implicits._
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$tmp/c0")
+    b2.toDF(cols: _*).coalesce(1).write.parquet(s"$tmp/c1")
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(raw))
+    Seq("c0" -> 1000000L, "c1" -> 2000000L).foreach { case (c, t) =>
+      fs.listStatus(new Path(s"$tmp/$c"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val dst = new Path(raw, s"$c-$i.parquet")
+          fs.rename(f.getPath, dst)
+          fs.setTimes(dst, t, -1)
+        }
+    }
+    val finished = graft.streaming.Ingest.startDecodedActionIngest(
+      s.readStream.schema(b1.toDF(cols: _*).schema)
+        .option("maxFilesPerTrigger", "1").parquet(raw),
+      s"$tmp/actions", s"$tmp/blacklist", s"$tmp/ckpt")
+      .awaitTermination(180000)
+    require(finished, "decoded ingest did not finish within 180s")
+    val rules = s.read.parquet(s"$tmp/blacklist").distinct()
+    s.read.parquet(s"$tmp/actions")
+      .join(broadcast(rules),
+        concat(col("code"), lit("::"), col("name")) === col("rule"), "left")
+      .select(col("global_sequence"), col("code"), col("name"),
+        col("ds_error"), col("ds_blacklisted"),
+        col("rule").isNotNull.as("in_blacklist"))
+      .orderBy(col("global_sequence"))
+  }
+
   /** ST4 (full live-handoff sequence, driver-checked): the reference
     * attaches the live subscription first, replays history up to the
     * attach block in ack-paced batches, then fills from
@@ -1739,6 +1801,7 @@ object SparkEntry {
     "q_hyperion_ingest_roundtrip" -> (qHypIngestRoundtrip _),
     "q_hyperion_state_roundtrip" -> (qHypStateRoundtrip _),
     "q_bulk_sink_roundtrip" -> (qBulkSinkRoundtrip _),
+    "q_hyperion_auto_blacklist" -> (qHypAutoBlacklist _),
     "q_hyperion_action_lift" -> (qHypActionLift _),
     "q_hyperion_delta_lift" -> (qHypDeltaLift _),
     "q_hyperion_key_convert" -> (qHypKeyConvert _),
@@ -3362,6 +3425,20 @@ object SparkEntry {
          SELECT scope, primary_key, block_num, data
          FROM r WHERE rn = 1 AND present <> 0
          ORDER BY scope, primary_key""",
+    "q_hyperion_auto_blacklist" ->
+      """SELECT CAST(gs AS BIGINT) AS global_sequence, code, name,
+           ds_error, ds_blacklisted, in_blacklist
+         FROM (VALUES
+           (1, 'eosio.token', 'transfer', false, false, false),
+           (2, 'eosio.token', 'transfer', false, false, false),
+           (3, 'eosio.token', 'transfer', false, false, false),
+           (4, 'bad.ctr', 'weird', true, false, true),
+           (5, 'bad.ctr', 'weird', true, false, true),
+           (6, 'bad.ctr', 'weird', true, false, true),
+           (7, 'eosio.token', 'transfer', false, false, false),
+           (8, 'bad.ctr', 'weird', true, true, true))
+           AS t(gs, code, name, ds_error, ds_blacklisted, in_blacklist)
+         ORDER BY global_sequence""",
     "q_hyperion_action_lift" ->
       """SELECT * FROM (VALUES
            (CAST(2001 AS BIGINT), 'eosio.token', 'transfer',

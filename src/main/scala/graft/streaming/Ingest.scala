@@ -65,6 +65,69 @@ object Ingest {
       .start()
   }
 
+  /** Action ingest with the DECODE ladder wired end-to-end — the Spark
+    * re-expression of the reference's deserializer worker
+    * (deserializer.ts:760-776 + 869-908): each micro-batch of raw hex
+    * actions is decoded against its per-row ABI through
+    * [[graft.functions.AbiCodec.decodeHexBlacklisted]], failures land as
+    * `ds_error = true` WITH the original payload preserved, and
+    * contract::action pairs that failed every attempt this batch are
+    * appended to a persisted blacklist table — so subsequent batches skip
+    * the codec for them entirely (`ds_blacklisted = true`), mirroring the
+    * reference's `registerAutoBlacklist` as DATA rather than worker state.
+    *
+    * Scale shape: the blacklist is metadata-sized (distinct undecodable
+    * pairs) and broadcasts into the batch; rules derive from the BATCH's
+    * fresh attempts only (an undecodable type recurs within any real
+    * batch), so no per-batch history scan; the history append is the same
+    * block-bucketed layout as [[startActionIngest]].
+    */
+  def startDecodedActionIngest(
+      actions: DataFrame,
+      outDir: String,
+      blacklistDir: String,
+      checkpointDir: String,
+      payloadCol: String = "data",
+      abiCol: String = "abi",
+      codeCol: String = "code",
+      nameCol: String = "name",
+      minAttempts: Long = 3,
+      partitionSize: Long = 1000000L,
+      trigger: Trigger = Trigger.AvailableNow())(
+      implicit spark: SparkSession): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    actions.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = new Path(blacklistDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val blacklist =
+          if (fs.exists(new Path(blacklistDir)))
+            spark.read.parquet(blacklistDir).distinct()
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "rule", org.apache.spark.sql.types.StringType))))
+        val decoded = graft.functions.AbiCodec.decodeHexBlacklisted(
+          batch, payloadCol, abiCol, codeCol, nameCol, blacklist)
+        decoded
+          .withColumn("block_bucket", blockBucket(partitionSize))
+          .sortWithinPartitions(col("block_bucket"), col("block_num"))
+          .write.mode("append")
+          .partitionBy("block_bucket")
+          .parquet(outDir)
+        // new rules from THIS batch's fresh decode attempts (blacklisted
+        // rows were skipped, not attempted — they must not recount)
+        graft.functions.AbiCodec.autoBlacklist(
+            decoded.filter(!col("ds_blacklisted")), codeCol, nameCol, minAttempts)
+          .join(blacklist, Seq("rule"), "left_anti")
+          .write.mode("append").parquet(blacklistDir)
+      }
+      .start()
+  }
+
   /** Start a state-table maintenance stream: delta rows → last-writer-wins
     * compacted state at `stateDir`, via the default [[ParquetStateSink]].
     *
