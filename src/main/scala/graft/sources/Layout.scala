@@ -72,4 +72,60 @@ object Layout {
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
+
+  /** Compaction for the `__kb`-bucketed state layout
+    * ([[graft.streaming.ParquetStateSink]]) — the engine-side analogue of
+    * the reference's index-lifecycle rollover/shrink: every touched-bucket
+    * rewrite leaves a few small files behind, and after enough
+    * micro-batches a bucket is hundreds of film-sized parquet parts that
+    * wreck scan parallelism.
+    *
+    * One filesystem listing (metadata-sized) finds the fragmented buckets
+    * — more files than their byte volume justifies at `targetFileBytes` —
+    * and ONE job rewrites exactly those partitions to the right file
+    * count, through the same staging + dynamic-partition-overwrite dance
+    * the sink itself uses (Spark refuses to overwrite a path feeding the
+    * running plan). The bucket VALUES are untouched — rows never move
+    * between buckets, so the persisted nBuckets marker and the sink's
+    * partition-pruning contract survive compaction by construction.
+    *
+    * Returns the number of buckets rewritten (0 = nothing fragmented).
+    */
+  def compact(
+      stateDir: String,
+      targetFileBytes: Long = 256L << 20)(implicit spark: SparkSession): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes > 0, "target file size must be positive")
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val fragmented = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__kb="))
+      .flatMap { b =>
+        val files = fs.listStatus(b.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val need = math.max(1, math.ceil(
+          files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        if (files.length > need)
+          Some((b.getPath.getName.stripPrefix("__kb=").toInt, need))
+        else None
+      }
+    if (fragmented.isEmpty) return 0
+    val ids = fragmented.map(_._1).toSeq
+    val maxNeed = fragmented.map(_._2).max
+    val staged = stateDir + "__compact"
+    // split oversize buckets across maxNeed writer slots; the slot column
+    // only shapes file assignment and is dropped before the write
+    spark.read.parquet(stateDir).filter(col("__kb").isin(ids: _*))
+      .withColumn("__slot", pmod(monotonically_increasing_id(), lit(maxNeed)))
+      .repartition(ids.length * maxNeed, col("__kb"), col("__slot"))
+      .drop("__slot")
+      .write.mode(SaveMode.Overwrite).partitionBy("__kb").parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(stateDir)
+    fs.delete(new Path(staged), true)
+    fragmented.length
+  }
 }

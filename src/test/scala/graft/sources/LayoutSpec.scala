@@ -69,4 +69,52 @@ class LayoutSpec extends SparkSpec {
     val got = spark.read.parquet(dir).filter($"id" >= 1000 && $"id" < 1100).count()
     assert(got === 100L)
   }
+
+  test("compact: fragmented state buckets shrink to few files, content intact") {
+    import graft.streaming.ParquetStateSink
+    val dir = tmp("compact")
+    val keys = Seq("code", "table", "scope", "primary_key")
+    val sink = new ParquetStateSink(dir, keys, nBuckets = 4)
+    val deltas = (0 until 2000)
+      .map(i => ("c", "t", "s", s"k$i", 100L + i, 1, s"v$i"))
+      .toDF("code", "table", "scope", "primary_key", "block_num", "present", "data")
+    sink.mergeBatch(deltas)
+    // reproduce the at-scale fragmentation mode: a bucket rewrite whose
+    // merge output ran with MANY tasks lands many film-sized files per
+    // bucket (each task writes one file into every bucket it holds rows of)
+    val stateRows = spark.read.parquet(dir).collect().toSeq
+    val stateSchema = spark.read.parquet(dir).schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(stateRows, 64), stateSchema)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCount: Int = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("__kb="))
+      .map(b => fs.listStatus(b.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).sum
+    def buckets: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("__kb=")).map(_.getPath.getName).toSet
+    val before = spark.read.parquet(dir).collect().toSet
+    val filesBefore = fileCount
+    val bucketsBefore = buckets
+    assert(filesBefore > bucketsBefore.size, "fixture not fragmented enough")
+
+    val rewritten = Layout.compact(dir, targetFileBytes = 256L << 20)
+    assert(rewritten === bucketsBefore.size)
+    assert(fileCount === bucketsBefore.size,
+      s"expected 1 file per bucket, got $fileCount")
+    assert(buckets === bucketsBefore, "compaction must not move bucket values")
+    assert(spark.read.parquet(dir).collect().toSet === before)
+    // idempotent: already-compact state is a no-op
+    assert(Layout.compact(dir, targetFileBytes = 256L << 20) === 0)
+    // the sink still merges correctly on the compacted layout
+    sink.mergeBatch(deltas.withColumn("block_num", col("block_num") + 10000)
+      .withColumn("data", concat(col("data"), lit("_v2"))))
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 2000L)
+    assert(after.filter(col("data").endsWith("_v2")).count() === 2000L)
+  }
 }
