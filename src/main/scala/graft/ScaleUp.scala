@@ -92,22 +92,41 @@ object ScaleUp {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
 
     val letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
-    def rotAlpha(i: Int): String = {
-      val lo = ('a' to 'z').map(c => (((c - 'a') + i) % 26 + 'a').toChar).mkString
-      val hi = ('A' to 'Z').map(c => (((c - 'A') + i) % 26 + 'A').toChar).mkString
+    // Per-replica AFFINE letter permutation c → a·c + b (mod 26), a coprime
+    // to 26: 12 multipliers × 26 offsets = 312 distinct bijections, so text
+    // stays replica-unique well past the 26 replicas a plain rotation
+    // supports (replicas 0 and 26 of a rotation would be EXACT copies —
+    // a duplicated corpus, which quadratically inflates every dedup
+    // bucket — not a bigger one). Replica 0 is the identity map (a=1,b=0),
+    // so 10×/30× data generated by the earlier rotation stays comparable.
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affineAlpha(i: Int): String = {
+      val a = coprimes((i / 26) % coprimes.size)
+      val b = i % 26
+      def m(idx: Int): Int = (a * idx + b) % 26
+      val lo = (0 until 26).map(idx => ('a' + m(idx)).toChar).mkString
+      val hi = (0 until 26).map(idx => ('A' + m(idx)).toChar).mkString
       lo + hi
     }
     write("documents")(replicate(read("documents")) { (df, i) =>
       shift(df, i, "doc_id" -> DIM_STRIDE)
-        .withColumn("text", translate(col("text"), letters, rotAlpha(i)))
+        .withColumn("text", translate(col("text"), letters, affineAlpha(i)))
     })
 
+    // cyclic rotation wraps at the embedding dimensionality (64): for the
+    // second wrap, negate — norms preserved, cosine decorrelated (sign
+    // flip), 2×dim distinct transforms cover ×100
     write("embeddings")(replicate(read("embeddings")) { (df, i) =>
+      val dim = 64
+      val r = i % dim
       val rotated =
-        if (i == 0) col("embedding")
-        else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
-          expr(s"slice(embedding, 1, $i)"))
-      shift(df, i, "vec_id" -> DIM_STRIDE).withColumn("embedding", rotated)
+        if (r == 0) col("embedding")
+        else concat(expr(s"slice(embedding, ${r + 1}, size(embedding) - $r)"),
+          expr(s"slice(embedding, 1, $r)"))
+      val flipped =
+        if ((i / dim) % 2 == 0) rotated
+        else transform(rotated, x => -x)
+      shift(df, i, "vec_id" -> DIM_STRIDE).withColumn("embedding", flipped)
     })
   }
 }

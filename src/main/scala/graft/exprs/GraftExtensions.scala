@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * session with [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    GraftExtensions.tableFunctions.foreach(e.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -21,10 +23,14 @@ object GraftExtensions {
   /** Register every function on an already-built session (tests,
     * notebooks, REPLs — where `withExtensions` is no longer an option).
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    tableFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 
   private type Fn =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
@@ -101,6 +107,63 @@ object GraftExtensions {
         expression(Text.fingerprint(column(children(0))))
       })
   }
+
+  private type TFn = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private def tfn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => org.apache.spark.sql.DataFrame): TFn =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) =>
+        (try builder(children) catch {
+          case e: IllegalArgumentException => userError(s"$name: ${e.getMessage}")
+        }).queryExecution.logical)
+
+  /** WHOLE-OPERATOR table functions: the training-data flow's table→table
+    * stages callable from pure SQL —
+    *
+    *   SELECT * FROM dedup_spans('documents', 'doc_id', 'text', 10, 'lang')
+    *   SELECT * FROM pack_sequences('documents', 'doc_id',
+    *                                'token_count(text)', 2048, 'lang')
+    *
+    * The builder resolves the named table/view through the ACTIVE session
+    * (analysis-time — exactly when table functions are expanded) and
+    * returns the same logical plan the Scala API builds, so both surfaces
+    * share one operator definition, one plan shape, and one oracle. The
+    * tokens argument of pack_sequences is an SQL expression string,
+    * evaluated against the input table's columns.
+    */
+  private[exprs] lazy val tableFunctions: Seq[TFn] = Seq(
+    tfn("dedup_spans", graft.operators.Dedup.getClass) { children =>
+      val f = "dedup_spans(table, idCol, textCol, spanTokens, carryCol...)"
+      if (children.size < 4) userError(s"$f: expected >= 4 arguments")
+      graft.operators.Dedup.dedupSpans(
+        SparkSession.active.table(stringLit(children(0), f, "table")),
+        stringLit(children(1), f, "idCol"),
+        stringLit(children(2), f, "textCol"),
+        intLit(children(3), f, "spanTokens"),
+        children.drop(4).zipWithIndex.map { case (c, i) =>
+          stringLit(c, f, s"carryCol[$i]") })
+    },
+    tfn("pack_sequences", graft.operators.Pack.getClass) { children =>
+      val f = "pack_sequences(table, idCol, tokensExpr, budget, partitionCol...)"
+      if (children.size < 4) userError(s"$f: expected >= 4 arguments")
+      graft.operators.Pack.packSequences(
+        SparkSession.active.table(stringLit(children(0), f, "table")),
+        stringLit(children(1), f, "idCol"),
+        org.apache.spark.sql.functions.expr(
+          stringLit(children(2), f, "tokensExpr")),
+        intLit(children(3), f, "budget").toLong,
+        children.drop(4).zipWithIndex.map { case (c, i) =>
+          stringLit(c, f, s"partitionCol[$i]") })
+    })
+
+  private[exprs] def stringLit(e: Expression, fn: String, name: String): String =
+    e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+        v.toString
+      case other => userError(s"$fn: $name must be a string literal, got $other")
+    }
 
   /** Malformed calls (wrong arity, non-literal argument) are USER errors:
     * raise them under a user-facing error class — not INTERNAL_ERROR,

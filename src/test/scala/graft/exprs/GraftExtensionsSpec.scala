@@ -87,4 +87,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
     spark.catalog.dropTempView("ext_docs")
   }
+
+  test("table functions: dedup_spans and pack_sequences from pure SQL") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    Seq(
+      (1L, "en", "alpha beta gamma delta alpha beta gamma delta tail one"),
+      (2L, "en", "alpha beta gamma delta alpha beta gamma delta tail two"),
+      (3L, "de", "eins zwei drei vier"))
+      .toDF("doc_id", "lang", "text").createOrReplaceTempView("tf_docs")
+
+    val sqlSpans = spark.sql(
+      "SELECT * FROM dedup_spans('tf_docs', 'doc_id', 'text', 4, 'lang')")
+    val apiSpans = graft.operators.Dedup.dedupSpans(
+      spark.table("tf_docs"), "doc_id", "text", 4, Seq("lang"))
+    assert(sqlSpans.columns.toSeq === apiSpans.columns.toSeq)
+    assert(sqlSpans.exceptAll(apiSpans).count() === 0)
+    assert(apiSpans.exceptAll(sqlSpans).count() === 0)
+
+    val sqlPacks = spark.sql(
+      """SELECT * FROM pack_sequences('tf_docs', 'doc_id',
+         'token_count(text)', 8, 'lang')""")
+    val apiPacks = graft.operators.Pack.packSequences(
+      spark.table("tf_docs"), "doc_id",
+      graft.functions.Text.tokenCount($"text"), 8L, Seq("lang"))
+    assert(sqlPacks.exceptAll(apiPacks).count() === 0)
+    assert(apiPacks.exceptAll(sqlPacks).count() === 0)
+
+    // the whole flow composes in ONE SQL statement: dedup then pack
+    spark.sql("SELECT id AS doc_id, lang, text_dedup AS text " +
+        "FROM dedup_spans('tf_docs', 'doc_id', 'text', 4, 'lang')")
+      .createOrReplaceTempView("tf_deduped")
+    val composed = spark.sql(
+      """SELECT * FROM pack_sequences('tf_deduped', 'doc_id',
+         'token_count(text)', 8, 'lang')""")
+    assert(composed.count() === 3)
+    spark.catalog.dropTempView("tf_deduped")
+    spark.catalog.dropTempView("tf_docs")
+  }
+
+  test("table functions: bad table or non-literal args raise user errors") {
+    val spark = graft.TestSession.spark
+    GraftExtensions.registerAll(spark)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM pack_sequences('no_such_table_xyz', 'id', 't', 8)")
+        .collect()
+    }
+    assert(e.getMessage.contains("no_such_table_xyz"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM dedup_spans('x', 'id', 'text')").collect()
+    }
+    assert(e2.getCondition === "USER_RAISED_EXCEPTION")
+    assert(e2.getMessage.contains("expected >= 4"))
+  }
 }
