@@ -55,6 +55,12 @@ object ScaleUp {
   }
 
   def writeAll(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
+    // transform uniqueness budget: embeddings wrap at 2×64 (rotate+negate),
+    // text at 312 affine maps — past min(128, 312) replicas the generator
+    // would silently plant byte-exact duplicate corpora, the pathological
+    // workload the per-replica transforms exist to prevent
+    require(replicas >= 1 && replicas <= 128,
+      s"replicas must be in [1, 128] (transform uniqueness budget), got $replicas")
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String)(df: DataFrame): Unit = {
       df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")

@@ -95,12 +95,14 @@ object Multimodal {
         // per-partition codec init: no temp-file cache, one scanline buffer
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
+          // a null payload is as much data as an undecodable one
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
           if (img == null)
-            ImageFeatures(id, bytes.length.toLong, -1, -1, 0, 0.0, 0.0, 0.0,
-              decode_ok = false)
+            ImageFeatures(id, if (bytes == null) 0L else bytes.length.toLong,
+              -1, -1, 0, 0.0, 0.0, 0.0, decode_ok = false)
           else {
             val w = img.getWidth; val h = img.getHeight
             var sr = 0L; var sg = 0L; var sb = 0L
@@ -125,9 +127,11 @@ object Multimodal {
   }
 
   /** Deterministic synthetic image: red = x mod 256, green = y mod 256,
-    * blue = 37, encoded with the named JDK codec ("png" / "bmp" / "gif").
-    * Gives literal-oracle-able decode features for any codec:
-    * mean_r = (w−1)/2, mean_g = (h−1)/2, mean_b = 37 (for w,h ≤ 256).
+    * blue = 37, encoded with the named JDK codec. The closed-form decode
+    * features — mean_r = (w−1)/2, mean_g = (h−1)/2, mean_b = 37 (w,h ≤
+    * 256) — hold for the TRUE-COLOR codecs ("png", "bmp"); GIF's 256-color
+    * palette quantizes the ~w·h distinct colors of this pattern, so a GIF
+    * round-trip decodes fine but does not satisfy the literal formulas.
     */
   def syntheticImage(w: Int, h: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

@@ -112,13 +112,18 @@ object Layout {
       }
     if (fragmented.isEmpty) return 0
     val ids = fragmented.map(_._1).toSeq
-    val maxNeed = fragmented.map(_._2).max
     val staged = stateDir + "__compact"
-    // split oversize buckets across maxNeed writer slots; the slot column
-    // only shapes file assignment and is dropped before the write
+    // split each bucket across ITS OWN slot count (a metadata-sized map
+    // literal): using the max across buckets would over-split every small
+    // bucket to the largest bucket's count, re-flagging it as fragmented
+    // on the next pass — compaction must reach a fixpoint (return 0)
+    val needByBucket = map(fragmented.flatMap {
+      case (kb, need) => Seq(lit(kb), lit(need)) }.toIndexedSeq: _*)
+    val totalSlots = fragmented.map(_._2).sum
     spark.read.parquet(stateDir).filter(col("__kb").isin(ids: _*))
-      .withColumn("__slot", pmod(monotonically_increasing_id(), lit(maxNeed)))
-      .repartition(ids.length * maxNeed, col("__kb"), col("__slot"))
+      .withColumn("__slot", pmod(monotonically_increasing_id(),
+        element_at(needByBucket, col("__kb"))))
+      .repartition(totalSlots, col("__kb"), col("__slot"))
       .drop("__slot")
       .write.mode(SaveMode.Overwrite).partitionBy("__kb").parquet(staged)
     spark.read.parquet(staged)

@@ -48,7 +48,16 @@ final class BulkStateSink(
     // one row → one string holding the row's complete bulk op (action line,
     // and for upserts the script line too, '\n'-separated INSIDE the value):
     // rendering both lines of an op into a single value keeps the
-    // action/source pairing atomic across partitions and file splits
+    // action/source pairing atomic across partitions and file splits.
+    //
+    // CONTRACT NOTE — deletes are wire-faithful, hence UNCONDITIONAL
+    // (makeDelOp carries no block guard; real ES has no guarded delete).
+    // Within a batch the per-key block ordering below sequences them
+    // correctly; ACROSS batches the sink assumes per-key block_num never
+    // decreases batch-over-batch — the property every chain stream (and
+    // the reference's own ES deployment) relies on. A regressing-block
+    // tombstone delivered a batch late would delete newer state here,
+    // where the parquet sink's merge would keep it.
     val id = concat_ws("-", keys.map(col): _*)
     val action = when(col(presentCol) === 0,
       to_json(struct(struct(col("__id").as("_id")).as("delete"))))
@@ -72,15 +81,23 @@ final class BulkStateSink(
       .repartition(col("__id"))
       .sortWithinPartitions(col("__id"), col(blockCol))
       .select(concat_ws("\n", action, script).as("op"))
-    ops.write.mode("overwrite").text(nextBatchDir(spark))
-    // post per partition from the SAME keyed layout — in local mode the
-    // embedded index is in-JVM; on a cluster this closure is where the
-    // HTTP POST to _bulk would go
-    val target = dir
-    ops.foreachPartition {
-      rows: Iterator[org.apache.spark.sql.Row] =>
-        EmbeddedBulkIndex.post(target, rows.map(_.getString(0)))
-    }
+      // ONE materialization feeds both the wire log and the live apply:
+      // without the persist, the write and the foreachPartition would each
+      // re-run the shuffle+sort+render — double cost, and (key, block)
+      // ties could order differently between the two runs, letting the
+      // replayed log diverge from the live index after a restart
+      .persist()
+    try {
+      ops.write.mode("overwrite").text(nextBatchDir(spark))
+      // post per partition from the SAME keyed layout — in local mode the
+      // embedded index is in-JVM; on a cluster this closure is where the
+      // HTTP POST to _bulk would go
+      val target = dir
+      ops.foreachPartition {
+        rows: Iterator[org.apache.spark.sql.Row] =>
+          EmbeddedBulkIndex.post(target, rows.map(_.getString(0)))
+      }
+    } finally ops.unpersist()
   }
 
   def read(implicit spark: SparkSession): DataFrame = {
@@ -202,15 +219,26 @@ object EmbeddedBulkIndex {
     */
   def rehydrateIfCold(target: String): Unit = synchronized {
     if (!indexes.containsKey(target)) {
-      val bulk = new java.io.File(target, "bulk")
-      val batches = Option(bulk.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+      // list and read through the Hadoop FileSystem API — the sink WRITES
+      // through it, so a non-local dir (hdfs://, s3a://) must rehydrate
+      // from the same namespace, not silently see an empty java.io path
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val bulk = new org.apache.hadoop.fs.Path(target, "bulk")
+      val fs = bulk.getFileSystem(conf)
       index(target) // mark warm even if the log is empty
-      batches.foreach { b =>
-        b.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .foreach { f =>
-            val src = scala.io.Source.fromFile(f, "UTF-8")
-            try post(target, src.getLines()) finally src.close()
+      if (fs.exists(bulk)) {
+        fs.listStatus(bulk)
+          .filter(_.getPath.getName.startsWith("batch-"))
+          .sortBy(_.getPath.getName)
+          .foreach { b =>
+            fs.listStatus(b.getPath)
+              .filter(_.getPath.getName.startsWith("part-"))
+              .sortBy(_.getPath.getName)
+              .foreach { f =>
+                val in = fs.open(f.getPath)
+                val src = scala.io.Source.fromInputStream(in, "UTF-8")
+                try post(target, src.getLines()) finally src.close()
+              }
           }
       }
     }

@@ -110,20 +110,25 @@ object Ingest {
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField(
                 "rule", org.apache.spark.sql.types.StringType))))
+        // persist: the history append AND the rule aggregate both consume
+        // the decode output — without it each action re-runs the per-row
+        // codec UDF, doubling the dominant per-batch cost
         val decoded = graft.functions.AbiCodec.decodeHexBlacklisted(
-          batch, payloadCol, abiCol, codeCol, nameCol, blacklist)
-        decoded
-          .withColumn("block_bucket", blockBucket(partitionSize))
-          .sortWithinPartitions(col("block_bucket"), col("block_num"))
-          .write.mode("append")
-          .partitionBy("block_bucket")
-          .parquet(outDir)
-        // new rules from THIS batch's fresh decode attempts (blacklisted
-        // rows were skipped, not attempted — they must not recount)
-        graft.functions.AbiCodec.autoBlacklist(
-            decoded.filter(!col("ds_blacklisted")), codeCol, nameCol, minAttempts)
-          .join(blacklist, Seq("rule"), "left_anti")
-          .write.mode("append").parquet(blacklistDir)
+          batch, payloadCol, abiCol, codeCol, nameCol, blacklist).persist()
+        try {
+          decoded
+            .withColumn("block_bucket", blockBucket(partitionSize))
+            .sortWithinPartitions(col("block_bucket"), col("block_num"))
+            .write.mode("append")
+            .partitionBy("block_bucket")
+            .parquet(outDir)
+          // new rules from THIS batch's fresh decode attempts (blacklisted
+          // rows were skipped, not attempted — they must not recount)
+          graft.functions.AbiCodec.autoBlacklist(
+              decoded.filter(!col("ds_blacklisted")), codeCol, nameCol, minAttempts)
+            .join(blacklist, Seq("rule"), "left_anti")
+            .write.mode("append").parquet(blacklistDir)
+        } finally decoded.unpersist()
       }
       .start()
   }

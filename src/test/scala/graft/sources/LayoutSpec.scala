@@ -110,6 +110,19 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().toSet === before)
     // idempotent: already-compact state is a no-op
     assert(Layout.compact(dir, targetFileBytes = 256L << 20) === 0)
+    // mixed per-bucket needs reach a fixpoint too: a tiny target makes the
+    // buckets need MULTIPLE files each (need varies with bucket bytes); a
+    // max-across-buckets slot count would over-split the smaller buckets
+    // and re-flag them forever — compact must return 0 on the second pass
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(stateRows, 64), stateSchema)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kb").parquet(dir)
+    Layout.compact(dir, targetFileBytes = 4096L)
+    assert(Layout.compact(dir, targetFileBytes = 4096L) === 0,
+      "second compact at the same target must be a no-op (fixpoint)")
+    assert(spark.read.parquet(dir).collect().toSet === before)
     // the sink still merges correctly on the compacted layout
     sink.mergeBatch(deltas.withColumn("block_num", col("block_num") + 10000)
       .withColumn("data", concat(col("data"), lit("_v2"))))
