@@ -93,21 +93,26 @@ object Layout {
     */
   def compact(
       stateDir: String,
-      targetFileBytes: Long = 256L << 20)(implicit spark: SparkSession): Int = {
+      targetFileBytes: Long = 256L << 20,
+      partitionCol: String = "__kb")(implicit spark: SparkSession): Int = {
     import org.apache.hadoop.fs.Path
     require(targetFileBytes > 0, "target file size must be positive")
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    // same procedure for any single-column partition layout: the state
+    // sink's `__kb` buckets (default) or the history table's
+    // `block_bucket` ranges — the reference's ILM shrink analogue
+    val prefix = partitionCol + "="
     val fragmented = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__kb="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .flatMap { b =>
         val files = fs.listStatus(b.getPath)
           .filter(_.getPath.getName.endsWith(".parquet"))
         val need = math.max(1, math.ceil(
           files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
         if (files.length > need)
-          Some((b.getPath.getName.stripPrefix("__kb=").toInt, need))
+          Some((b.getPath.getName.stripPrefix(prefix).toInt, need))
         else None
       }
     if (fragmented.isEmpty) return 0
@@ -120,16 +125,16 @@ object Layout {
     val needByBucket = map(fragmented.flatMap {
       case (kb, need) => Seq(lit(kb), lit(need)) }.toIndexedSeq: _*)
     val totalSlots = fragmented.map(_._2).sum
-    spark.read.parquet(stateDir).filter(col("__kb").isin(ids: _*))
+    spark.read.parquet(stateDir).filter(col(partitionCol).isin(ids: _*))
       .withColumn("__slot", pmod(monotonically_increasing_id(),
-        element_at(needByBucket, col("__kb"))))
-      .repartition(totalSlots, col("__kb"), col("__slot"))
+        element_at(needByBucket, col(partitionCol))))
+      .repartition(totalSlots, col(partitionCol), col("__slot"))
       .drop("__slot")
-      .write.mode(SaveMode.Overwrite).partitionBy("__kb").parquet(staged)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged)
     spark.read.parquet(staged)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__kb").parquet(stateDir)
+      .partitionBy(partitionCol).parquet(stateDir)
     fs.delete(new Path(staged), true)
     fragmented.length
   }

@@ -130,4 +130,20 @@ class LayoutSpec extends SparkSpec {
     assert(after.count() === 2000L)
     assert(after.filter(col("data").endsWith("_v2")).count() === 2000L)
   }
+
+  test("compact generalizes to the block_bucket history layout") {
+    val dir = tmp("hist")
+    val hist = (0L until 3000L).map(i => (i, 100L + i / 10, s"p$i"))
+      .toDF("global_sequence", "block_num", "payload")
+      .withColumn("block_bucket", (col("block_num") / 1000L).cast("long"))
+    hist.repartition(16)
+      .write.partitionBy("block_bucket").parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    val n = Layout.compact(dir, targetFileBytes = 256L << 20,
+      partitionCol = "block_bucket")
+    assert(n > 0, "16-task write must fragment the range partitions")
+    assert(Layout.compact(dir, targetFileBytes = 256L << 20,
+      partitionCol = "block_bucket") === 0)
+    assert(spark.read.parquet(dir).collect().toSet === before)
+  }
 }
