@@ -535,6 +535,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token budgets — the domain-REBALANCING step of corpus
+    * assembly: every source independently spends a 4k-token budget on its
+    * best documents (score = 1 − repetition, ties by id). One corpus
+    * pass; the per-(source, score) histogram stays metadata-sized and the
+    * only window runs on each source's single boundary stratum.
+    */
+  private def qBudgetBySource(s: SparkSession, d: String): DataFrame =
+    Selection.selectByBudgetPerGroup(T.documents(s, d), "doc_id", "source",
+      lit(1.0) - Text.repetitionScore(col("text"), 2),
+      Text.tokenCountSimple(col("text")), budgetPerGroup = 800L)
+      .select(col("doc_id"), col("source"), col("score"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Composite quality gate — the rule-stack a pipeline runs before
     * training: repetition, length, and quality thresholds in one narrow
     * codegen'd filter pass (each rule is a column expression, so the
@@ -1723,6 +1736,7 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_budget_continuous" -> (qBudgetContinuous _),
+    "q_budget_by_source" -> (qBudgetBySource _),
     "q_pipeline_filter" -> (qPipelineFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -2195,6 +2209,26 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
            FROM s)
          SELECT doc_id, score, n_tokens FROM c WHERE strt < 10000 ORDER BY doc_id""",
+    "q_budget_by_source" ->
+      """WITH w AS (SELECT doc_id, source, trim(text) AS t,
+                    string_split(trim(text), ' ') AS w
+                    FROM documents),
+         r AS (SELECT doc_id, source,
+             CAST(greatest((CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END) - 1, 0) AS DOUBLE) AS total,
+             CAST(len(list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS dist,
+             CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(w) END AS BIGINT) AS n_tokens
+           FROM w),
+         s AS (SELECT doc_id, source, n_tokens,
+             1.0 - CASE WHEN total <= 0 THEN 0.0 ELSE (total - dist) / total END AS score
+           FROM r),
+         c AS (SELECT doc_id, source, score, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+           FROM s)
+         SELECT doc_id, source, score, n_tokens FROM c
+         WHERE strt < 800 ORDER BY doc_id""",
     "q_budget_continuous" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

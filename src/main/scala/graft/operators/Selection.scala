@@ -168,4 +168,77 @@ object Selection {
         full.unionByName(boundary)
     }
   }
+
+  /** Per-group token budgets — the data-MIXING form of [[selectByBudget]]:
+    * every group (source domain, language, quality tier) independently
+    * runs the best-first greedy until ITS budget is spent. This is the
+    * domain-rebalancing step of corpus assembly: cap web at X tokens,
+    * books at Y, without three separate jobs.
+    *
+    * Same scale shape, one extra key: the histogram aggregates per
+    * (group, score) — shuffle volume = groups × distinct scores, still
+    * guard-bounded metadata — the per-group cumsums run on the driver,
+    * the boundary thetas broadcast back, and only each group's single
+    * boundary stratum runs a (group, score)-partitioned prefix window.
+    * No global window, no per-group jobs, ONE pass over the corpus.
+    */
+  def selectByBudgetPerGroup(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: Column,
+      tokensCol: Column,
+      budgetPerGroup: Long,
+      bucketize: Option[Int] = None,
+      maxScoreCardinality: Int = DefaultMaxScoreCardinality): DataFrame = {
+    require(budgetPerGroup >= 0, "token budget must be non-negative")
+    val scored = docs
+      .withColumn("score", snap(scoreCol, bucketize))
+      .withColumn("n_tokens", tokensCol.cast("long"))
+      .filter(col("score").isNotNull && col("n_tokens").isNotNull &&
+        col(groupCol).isNotNull)
+    val hist = boundedHistogram(
+      scored.groupBy(col(groupCol).as("__g"), col("score"))
+        .agg(sum("n_tokens").as("t"))
+        .orderBy(col("__g"), col("score").desc),
+      maxScoreCardinality, "selectByBudgetPerGroup")
+      .map(r => (r.get(0), r.getDouble(1), r.getLong(2)))
+
+    // per-group best-first walk (groups arrive contiguous, scores desc)
+    val thetas = hist.groupBy(_._1).flatMap { case (g, strata) =>
+      var acc = 0L
+      var theta = Option.empty[(Any, Double, Long)]
+      val it = strata.iterator
+      while (theta.isEmpty && it.hasNext) {
+        val (_, s, t) = it.next()
+        if (acc + t >= budgetPerGroup) theta = Some((g, s, budgetPerGroup - acc))
+        acc += t
+      }
+      theta // None = the whole group fits its budget
+    }.toSeq
+
+    if (thetas.isEmpty) scored // every group fits
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val thetaDf = broadcast(
+        thetas.map { case (g, th, rem) => (g.toString, th, rem) }
+          .toDF("__g", "__theta", "__rem"))
+      val joined = scored.join(thetaDf,
+        col(groupCol).cast("string") === col("__g"), "left")
+      // groups without a theta row fit whole; above-theta strata pass a
+      // NARROW filter (no window touches them); only each group's single
+      // boundary stratum runs the (group, score)-partitioned prefix window
+      val full = joined.filter(
+        col("__theta").isNull || col("score") > col("__theta"))
+      val w = Window.partitionBy(col(groupCol), col("score"))
+        .orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = joined.filter(col("score") === col("__theta"))
+        .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .filter(col("__start") < col("__rem"))
+        .drop("__start")
+      full.unionByName(boundary).drop("__g", "__theta", "__rem")
+    }
+  }
 }

@@ -150,6 +150,29 @@ class SelectionSpec extends SparkSpec {
     assert(ordered === ordered.sorted)
   }
 
+  test("selectByBudgetPerGroup: each group runs its own greedy to its budget") {
+    // (id, group, score, tokens)
+    val rows = Seq(
+      (1L, "web", 0.9, 10L), (2L, "web", 0.9, 10L), (3L, "web", 0.5, 10L),
+      (4L, "books", 1.0, 5L), (5L, "books", 0.4, 25L), (6L, "books", 0.2, 5L),
+      (7L, "code", 0.7, 3L))
+    val df = rows.toDF("id", "g", "s", "n")
+    def got(budget: Long): Set[Long] =
+      Selection.selectByBudgetPerGroup(df, "id", "g", col("s"), col("n"), budget)
+        .select("id").as[Long].collect().toSet
+    def greedy(budget: Long): Set[Long] =
+      rows.groupBy(_._2).flatMap { case (_, docs) =>
+        var acc = 0L
+        docs.sortBy { case (id, _, s, _) => (-s, id) }
+          .filter { case (_, _, _, n) => val take = acc < budget; acc += n; take }
+          .map(_._1)
+      }.toSet
+    for (b <- Seq(0L, 5L, 12L, 20L, 30L, 1000L))
+      assert(got(b) === greedy(b), s"budget=$b")
+    // a group that fits entirely (code, 3 tokens) survives any budget >= 1
+    assert(got(4L).contains(7L))
+  }
+
   test("plan has no global window: the boundary window partitions by score") {
     val plan = Selection.selectByBudget(
         df(Seq((1L, 0.5, 10L), (2L, 0.6, 10L))), "id", col("s"), col("n"), 15L)
