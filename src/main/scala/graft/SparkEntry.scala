@@ -960,6 +960,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode end-to-end: five deterministic WAV payloads
+    * (actual RIFF bytes — mono/stereo, 8k/16k rates, 16-bit and 8-bit
+    * PCM) plus one garbage payload flow through the binary media-table
+    * shape into [[graft.operators.Multimodal.decodeAudio]]
+    * (javax.sound.sampled, partition-parallel). The synthetic sample
+    * formula `((i*37 + c*11) mod 201) − 100` is integer-exact, so the
+    * oracle RE-DERIVES rms/mean/peak in SQL integer arithmetic — the
+    * only doubles on either side are one terminal division and one IEEE
+    * sqrt, which match bit-for-bit. The garbage row exercises the
+    * decode_ok=false ladder end-to-end.
+    */
+  private def qMultimodalAudio(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(6).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i == 5) (i, "not a riff container".getBytes("UTF-8"))
+        else {
+          val bits = if (i == 4) 8 else 16
+          (i, Multimodal.syntheticWav(240 + 60 * i.toInt,
+            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, bits))
+        }
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeAudio(media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"), col("rms"), col("mean_amp"), col("peak"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal frame-sampling stage (explode-shaped), every 3rd frame. */
   private def qFrameSample(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
@@ -1763,6 +1794,7 @@ object SparkEntry {
     "q_quality_score" -> (qQualityScore _),
     "q_bpe_estimate" -> (qBpeEstimate _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
     "q_hyperion_dedup" -> (qHypDedup _),
@@ -2635,6 +2667,33 @@ object SparkEntry {
          FROM (VALUES (0, 16, 16), (1, 24, 20), (2, 32, 24), (3, 40, 28),
                       (4, 48, 32), (5, 56, 36), (6, 64, 40), (7, 72, 44),
                       (8, 80, 48), (9, 88, 52)) AS t(doc_id, w, h)
+         ORDER BY doc_id""",
+    "q_multimodal_audio" ->
+      """WITH p AS (SELECT * FROM (VALUES
+             (0, 240, 8000, 1, 16), (1, 300, 16000, 2, 16),
+             (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16),
+             (4, 480, 8000, 1, 8)) AS t(doc_id, n, rate, c, bits)),
+         a AS (SELECT doc_id, n, rate, c, bits,
+             list_sum(list_transform(range(0, n*c),
+               k -> ((k//c)*37 + (k%c)*11) % 201 - 100)) AS s,
+             list_sum(list_transform(range(0, n*c),
+               k -> CAST((((k//c)*37 + (k%c)*11) % 201 - 100) AS BIGINT)
+                  * CAST((((k//c)*37 + (k%c)*11) % 201 - 100) AS BIGINT))) AS ss,
+             list_max(list_transform(range(0, n*c),
+               k -> abs(((k//c)*37 + (k%c)*11) % 201 - 100))) AS peak
+           FROM p)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST(c AS INTEGER) AS channels, CAST(bits AS INTEGER) AS bits,
+             CAST(n AS BIGINT) AS n_frames,
+             sqrt(CAST(ss AS DOUBLE) / (n*c)) AS rms,
+             CAST(s AS DOUBLE) / (n*c) AS mean_amp,
+             CAST(peak AS INTEGER) AS peak, TRUE AS decode_ok
+           FROM a
+         UNION ALL
+         SELECT CAST(5 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
          ORDER BY doc_id""",
     "q_frame_sample" ->
       """SELECT doc_id, unnest(range(0, strlen(text) % 10 + 1, 3)) AS frame_idx

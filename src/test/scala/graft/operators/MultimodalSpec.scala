@@ -50,6 +50,38 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).decode_ok && got(2).width === -1 && got(2).channels === 0)
   }
 
+  test("real audio decode: WAV round-trips to exact integer-domain stats") {
+    val payloads = Seq(
+      (1L, Multimodal.syntheticWav(480, 8000, 1, 16)),
+      (2L, Multimodal.syntheticWav(600, 16000, 2, 16)),
+      (3L, Multimodal.syntheticWav(256, 8000, 1, 8)),
+      (4L, "not a wav".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.decodeAudio(media).collect().sortBy(_.doc_id)
+
+    // independent reference: same closed form, straight Scala loops
+    def expect(n: Int, ch: Int): (Double, Double, Int) = {
+      var sum = 0L; var ss = 0L; var peak = 0
+      for (i <- 0 until n; c <- 0 until ch) {
+        val v = (i * 37 + c * 11) % 201 - 100
+        sum += v; ss += v.toLong * v; peak = math.max(peak, math.abs(v))
+      }
+      (math.sqrt(ss.toDouble / (n * ch)), sum.toDouble / (n * ch), peak)
+    }
+    for ((f, (nf, rate, ch, bits)) <- Seq(
+        got(0) -> (480, 8000, 1, 16),
+        got(1) -> (600, 16000, 2, 16),
+        got(2) -> (256, 8000, 1, 8))) {
+      val (rms, mean, peak) = expect(nf, ch)
+      assert(f.decode_ok && f.sample_rate === rate && f.channels === ch &&
+        f.bits === bits && f.n_frames === nf.toLong, f)
+      assert(f.rms === rms && f.mean_amp === mean && f.peak === peak, f)
+    }
+    // undecodable bytes are a data row, not an exception
+    assert(!got(3).decode_ok && got(3).bits === -1 && got(3).n_frames === -1L)
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
     val resized = Multimodal.resizePlan(features, maxSide = 64)
