@@ -991,6 +991,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL video frame sampling end-to-end: three deterministic AVI
+    * containers (actual RIFF bytes, raw 24-bit DIB frames) plus one
+    * garbage payload flow through
+    * [[graft.operators.Multimodal.decodeVideoFrames]] at stride 2 — the
+    * container walk seeks past skipped frames without decoding them. The
+    * per-frame pattern (r = 2x+f, g = 4y+2f, b = 37) makes sampled-frame
+    * means integer closed forms, so the oracle re-derives them in SQL.
+    */
+  private def qMultimodalVideo(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val dims = Map(0L -> (32, 16, 12), 1L -> (24, 12, 9), 2L -> (16, 8, 5))
+    val encoded = s.range(4).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        dims.get(i) match {
+          case Some((w, h, n)) => (i, Multimodal.syntheticAvi(w, h, n))
+          case None => (i, "not a riff container".getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeVideoFrames(media, everyK = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Multimodal frame-sampling stage (explode-shaped), every 3rd frame. */
   private def qFrameSample(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
@@ -1795,6 +1822,7 @@ object SparkEntry {
     "q_bpe_estimate" -> (qBpeEstimate _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_multimodal_video" -> (qMultimodalVideo _),
     "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
     "q_hyperion_dedup" -> (qHypDedup _),
@@ -2695,6 +2723,21 @@ object SparkEntry {
              CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
          ORDER BY doc_id""",
+    "q_multimodal_video" ->
+      """WITH p AS (SELECT * FROM (VALUES
+             (0, 32, 16, 12), (1, 24, 12, 9), (2, 16, 8, 5)) AS t(doc_id, w, h, n)),
+         u AS (SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM p)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(f AS INTEGER) AS frame_idx,
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             CAST(w - 1 + f AS DOUBLE) AS mean_r,
+             CAST(2*(h-1) + 2*f AS DOUBLE) AS mean_g,
+             CAST(37 AS DOUBLE) AS mean_b, TRUE AS decode_ok
+           FROM u
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             CAST(0 AS DOUBLE), FALSE
+         ORDER BY doc_id, frame_idx""",
     "q_frame_sample" ->
       """SELECT doc_id, unnest(range(0, strlen(text) % 10 + 1, 3)) AS frame_idx
          FROM documents ORDER BY doc_id, frame_idx""",

@@ -47,17 +47,36 @@ final case class AudioFeatures(
     peak: Int,
     decode_ok: Boolean)
 
+/** One REALLY-decoded sampled video frame (the AVI/RIFF path's output
+  * shape). One row per SAMPLED frame — frames skipped by the sampling
+  * stride are never decoded, the property that matters at scale.
+  * `decode_ok=false` with `frame_idx = -1` marks an unparseable
+  * container; with a real index, an undecodable single frame.
+  */
+final case class VideoFrameFeatures(
+    doc_id: Long,
+    frame_idx: Int,
+    width: Int,
+    height: Int,
+    mean_r: Double,
+    mean_g: Double,
+    mean_b: Double,
+    decode_ok: Boolean)
+
 /** Multimodal column handling for training-data pipelines: media travels
   * as opaque `binary` columns with typed metadata; decode/feature-extract
   * runs as a partition-parallel typed pipeline (`mapPartitions` — the
   * Scala analog of `mapInPandas` batch UDFs: one iterator per partition,
   * amortized per-batch setup, no per-row driver involvement).
   *
-  * The actual codec is STUBBED (image/audio libraries are not in this
-  * container): `decodeStub` derives deterministic fake dimensions from
-  * the payload length, clearly marked below. The Spark-side plumbing —
-  * binary schema, metadata struct, partitioning, batch shape — is real
-  * and is what the operator tests exercise.
+  * All three modalities decode with REAL codecs from the JDK alone:
+  * images via `javax.imageio` ([[Multimodal.decodeImages]]), audio via
+  * `javax.sound.sampled` ([[Multimodal.decodeAudio]]), video via a
+  * pure-Scala AVI/RIFF container walk with raw-DIB exact decode and
+  * MJPEG through the JDK JPEG reader ([[Multimodal.decodeVideoFrames]]).
+  * Only [[Multimodal.decodeStub]] remains as the documented seam where a
+  * deployment would plug richer codecs (H.264, FLAC, WebP) with the same
+  * partition-parallel signature.
   */
 object Multimodal {
 
@@ -206,6 +225,215 @@ object Multimodal {
           } catch { case _: Exception => bad }
         }
       }
+  }
+
+  // ----------------------------------------------------------------- video
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def fourCC(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Video stream format from the AVI header (BITMAPINFOHEADER of the
+    * first `vids` stream): dims + bit depth + compression fourCC value.
+    */
+  private final case class AviVideoFormat(
+      width: Int, height: Int, bitCount: Int, compression: Int)
+
+  /** Parsed AVI: stream format + (offset, length) of every frame chunk of
+    * stream 0 (`00db` raw DIB / `00dc` compressed), in stream order.
+    * Pure structural walk — no frame bytes are touched here, which is
+    * what makes stride sampling cheap: seeking costs chunk headers only.
+    */
+  private def parseAvi(bytes: Array[Byte]): Option[(AviVideoFormat, Vector[(Int, Int, Boolean)])] = {
+    if (bytes == null || bytes.length < 12 ||
+      fourCC(bytes, 0) != "RIFF" || fourCC(bytes, 8) != "AVI ") return None
+    var fmt = Option.empty[AviVideoFormat]
+    var lastStrhVids = false
+    val frames = Vector.newBuilder[(Int, Int, Boolean)] // (off, len, isRawDib)
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourCC(bytes, off)
+        val size = le32(bytes, off + 4)
+        val dataOff = off + 8
+        if (size < 0 || dataOff + size > end) return // truncated: stop cleanly
+        id match {
+          case "LIST" if size >= 4 =>
+            walk(dataOff + 4, dataOff + size) // hdrl/strl/movi/rec all recurse
+          case "strh" if size >= 4 =>
+            lastStrhVids = fourCC(bytes, dataOff) == "vids"
+          case "strf" if lastStrhVids && fmt.isEmpty && size >= 40 =>
+            fmt = Some(AviVideoFormat(
+              width = le32(bytes, dataOff + 4),
+              height = le32(bytes, dataOff + 8),
+              bitCount = le16(bytes, dataOff + 14),
+              compression = le32(bytes, dataOff + 16)))
+          case "00db" => frames += ((dataOff, size, true))
+          case "00dc" => frames += ((dataOff, size, false))
+          case _ => ()
+        }
+        off = dataOff + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    fmt.map((_, frames.result()))
+  }
+
+  /** REAL video frame sampling — AVI/RIFF container parse (pure Scala)
+    * plus per-frame decode, every `everyK`-th frame only. Raw-DIB frames
+    * (`00db`, BI_RGB 24-bit bottom-up BGR) decode exactly with integer
+    * pixel math; MJPEG frames (`00dc`) decode through the JDK JPEG
+    * reader. Skipped frames cost a chunk-header seek, never a decode —
+    * at 100 TB the stride is the lever between "scan" and "decode" cost.
+    * Container and per-frame failures land on the `decode_ok=false`
+    * ladder as rows, not exceptions.
+    */
+  def decodeVideoFrames(media: DataFrame, everyK: Int)(
+      implicit spark: SparkSession): Dataset[VideoFrameFeatures] = {
+    require(everyK >= 1, "sampling stride must be >= 1")
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseAvi(bytes) match {
+          case None =>
+            Seq(VideoFrameFeatures(id, -1, -1, -1, 0.0, 0.0, 0.0, decode_ok = false))
+          case Some((f, frames)) =>
+            val rawOk = f.compression == 0 && f.bitCount == 24 && f.height > 0
+            frames.indices.by(everyK).map { i =>
+              val (off, len, isDib) = frames(i)
+              val bad = VideoFrameFeatures(id, i, -1, -1, 0.0, 0.0, 0.0, decode_ok = false)
+              if (isDib && rawOk) {
+                val rowBytes = (f.width * 3 + 3) / 4 * 4
+                if (len < rowBytes * f.height) bad
+                else {
+                  // bottom-up BGR rows, word-padded; sums exact in Long
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < f.height) {
+                    val row = off + (f.height - 1 - y) * rowBytes
+                    var x = 0
+                    while (x < f.width) {
+                      val p = row + x * 3
+                      sb += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff; sr += bytes(p + 2) & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = f.width.toLong * f.height
+                  VideoFrameFeatures(id, i, f.width, f.height,
+                    sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decode_ok = true)
+                }
+              } else {
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, off, len))
+                  catch { case _: Exception => null }
+                if (img == null) bad
+                else {
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val rgb = img.getRGB(x, y)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = img.getWidth.toLong * img.getHeight
+                  VideoFrameFeatures(id, i, img.getWidth, img.getHeight,
+                    sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decode_ok = true)
+                }
+              }
+            }
+        }
+      }
+  }
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array() // trailing pad byte (if any) stays zero
+  }
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ children.flatten)
+
+  /** Deterministic synthetic AVI: `nFrames` uncompressed 24-bit DIB
+    * frames (`00db`, BI_RGB bottom-up), frame `f` pixel (x, y) carrying
+    * r = 2x+f, g = 4y+2f, b = 37 — integer-exact closed forms
+    * (mean_r = w−1+f, mean_g = 2(h−1)+2f for w ≤ 32, h ≤ 16, f ≤ 19),
+    * so a SQL oracle re-derives sampled-frame features without a codec.
+    * Proper hdrl (avih + strl/strh/strf) so any AVI reader accepts it.
+    * With `mjpeg=true` the frames are JDK-encoded JPEGs in `00dc` chunks
+    * (strf compression 'MJPG') — lossy, so no closed forms, but it
+    * exercises the compressed-frame decode path with real codec bytes.
+    */
+  def syntheticAvi(w: Int, h: Int, nFrames: Int, mjpeg: Boolean = false): Array[Byte] = {
+    require(w <= 32 && h <= 16 && nFrames <= 20, "closed-form range exceeded")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val frameSize = rowBytes * h
+    def u32s(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putInt); bb.array()
+    }
+    val avih = riffChunk("avih", u32s(
+      100000, 0, 0, 0, nFrames, 0, 1, frameSize, w, h, 0, 0, 0, 0))
+    val strh = riffChunk("strh",
+      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        u32s(0, 0, 0, 1, 10, 0, nFrames, frameSize, -1, 0) ++
+        u32s((w << 16), (h << 16))) // rcFrame as two packed u16 pairs
+    val strf = riffChunk("strf", {
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(if (mjpeg) 0x47504a4d else 0) // 'MJPG' | BI_RGB
+        .putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    })
+    val frames = (0 until nFrames).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((2 * x + f) << 16) | ((4 * y + 2 * f) << 8) | 37)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JDK JPEG encoder")
+        riffChunk("00dc", bos.toByteArray)
+      } else {
+        val data = new Array[Byte](frameSize)
+        var y = 0
+        while (y < h) {
+          val row = (h - 1 - y) * rowBytes // bottom-up
+          var x = 0
+          while (x < w) {
+            val p = row + x * 3
+            data(p) = 37.toByte                  // B
+            data(p + 1) = (4 * y + 2 * f).toByte // G
+            data(p + 2) = (2 * x + f).toByte     // R
+            x += 1
+          }
+          y += 1
+        }
+        riffChunk("00db", data)
+      }
+    }
+    val body = riffList("hdrl", avih, riffList("strl", strh, strf)) ++
+      riffList("movi", frames: _*)
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ body)
   }
 
   /** Deterministic synthetic WAV: frame `i`, channel `c` carries the raw

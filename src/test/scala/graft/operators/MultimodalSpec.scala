@@ -82,6 +82,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(3).decode_ok && got(3).bits === -1 && got(3).n_frames === -1L)
   }
 
+  test("real video decode: AVI raw-DIB frames sample by stride with exact means") {
+    val payloads = Seq(
+      (1L, Multimodal.syntheticAvi(32, 16, 7)),
+      (2L, "not an avi".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.decodeVideoFrames(media, everyK = 3).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    // 7 frames, stride 3 → frames 0, 3, 6; never frames 1,2,4,5
+    val vid = got.filter(_.doc_id == 1L)
+    assert(vid.map(_.frame_idx).toSeq === Seq(0, 3, 6))
+    vid.foreach { f =>
+      assert(f.decode_ok && f.width === 32 && f.height === 16)
+      assert(f.mean_r === 31.0 + f.frame_idx, f)     // w−1+f
+      assert(f.mean_g === 30.0 + 2 * f.frame_idx, f) // 2(h−1)+2f
+      assert(f.mean_b === 37.0, f)
+    }
+    // an unparseable container is one data row, not an exception
+    val bad = got.filter(_.doc_id == 2L)
+    assert(bad.length === 1 && !bad.head.decode_ok && bad.head.frame_idx === -1)
+  }
+
+  test("real video decode: MJPEG frames go through the JDK JPEG reader") {
+    val payloads = Seq((1L, Multimodal.syntheticAvi(32, 16, 4, mjpeg = true)))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "doc_id", "payload")
+    val got = Multimodal.decodeVideoFrames(media, everyK = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    got.foreach { f =>
+      assert(f.decode_ok && f.width === 32 && f.height === 16)
+      // lossy codec: means land near the pattern's, not exactly on it
+      assert(math.abs(f.mean_r - (31.0 + f.frame_idx)) < 3.0, f)
+      assert(math.abs(f.mean_b - 37.0) < 3.0, f)
+    }
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
     val resized = Multimodal.resizePlan(features, maxSide = 64)
