@@ -301,15 +301,25 @@ object Multimodal {
         parseAvi(bytes) match {
           case None =>
             Seq(VideoFrameFeatures(id, -1, -1, -1, 0.0, 0.0, 0.0, decode_ok = false))
+          case Some((f, frames)) if frames.isEmpty =>
+            // a container with no frame chunks (truncated movi) is as
+            // undecodable as garbage — the doc must still yield a row
+            Seq(VideoFrameFeatures(id, -1, -1, -1, 0.0, 0.0, 0.0, decode_ok = false))
           case Some((f, frames)) =>
-            val rawOk = f.compression == 0 && f.bitCount == 24 && f.height > 0
+            // forged headers are data: dims must be positive and the frame
+            // payload must cover rowBytes·height WITHOUT int overflow
+            val rawOk = f.compression == 0 && f.bitCount == 24 &&
+              f.width > 0 && f.height > 0
             frames.indices.by(everyK).map { i =>
               val (off, len, isDib) = frames(i)
               val bad = VideoFrameFeatures(id, i, -1, -1, 0.0, 0.0, 0.0, decode_ok = false)
               if (isDib && rawOk) {
-                val rowBytes = (f.width * 3 + 3) / 4 * 4
-                if (len < rowBytes * f.height) bad
+                val rowBytesL = (f.width.toLong * 3 + 3) / 4 * 4
+                if (len.toLong < rowBytesL * f.height) bad
                 else {
+                  // guard passed → rowBytes·height ≤ len < 2³¹, so the
+                  // narrowing and every row offset below are in range
+                  val rowBytes = rowBytesL.toInt
                   // bottom-up BGR rows, word-padded; sums exact in Long
                   var sr = 0L; var sg = 0L; var sb = 0L
                   var y = 0
