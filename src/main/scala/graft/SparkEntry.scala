@@ -752,6 +752,23 @@ object SparkEntry {
     Ann.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
   }
 
+  /** Int8-quantized cosine top-k — the 100 TB embedding-store path:
+    * symmetric per-vector quantization (scales cancel in cosine), scan
+    * reads array<tinyint> (4× narrower than float32), hot loop is exact
+    * integer multiply-adds ([[graft.exprs.CosineSimInt]]). The oracle
+    * mirrors the quantization formula step-for-step in SQL — every step
+    * is IEEE-double or integer, so quantized values and cosines match
+    * bit-for-bit with no tolerance.
+    */
+  private def qAnnQuantized(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val quantized = Ann.quantizeInt8(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding")
+    Ann.bruteForceTopKQuantized(quantized, "vec_id", Ann.quantizeVec(q), 10)
+  }
+
   /** IVF ANN (scale path): 8 seeded centroids, assign the corpus, probe
     * only the 2 centroid partitions nearest the query, exact top-k within
     * them. At 100 TB the assignment is written out partitioned by
@@ -1806,6 +1823,7 @@ object SparkEntry {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
     "q_ann_cosine" -> (qAnnCosine _),
+    "q_ann_quantized" -> (qAnnQuantized _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_sessionize" -> (qSessionize _),
@@ -2531,6 +2549,25 @@ object SparkEntry {
          qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
          SELECT vec_id, round(dot / (na * nq), 4) AS cos
          FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_ann_quantized" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         s AS (SELECT vec_id, max(abs(x)) AS scale FROM e GROUP BY 1),
+         q AS (SELECT e.vec_id, i,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(floor(x / s.scale * 127.0 + 0.5) AS BIGINT) END AS qx
+           FROM e JOIN s USING (vec_id)),
+         c AS (SELECT vec_id, i, qx FROM q WHERE vec_id <> 0),
+         qv AS (SELECT i, qx AS qy FROM q WHERE vec_id = 0),
+         d AS (SELECT c.vec_id, sum(c.qx * qv.qy) AS dot, sum(c.qx * c.qx) AS na
+           FROM c JOIN qv USING (i) GROUP BY 1),
+         nq AS (SELECT sum(qy * qy) AS nb FROM qv)
+         SELECT vec_id, round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END,
+           4) AS cos
+         FROM d, nq ORDER BY cos DESC, vec_id LIMIT 10""",
     "q_or_not_mix" ->
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE event_type IN ('purchase', 'click') AND event_type <> 'signup'

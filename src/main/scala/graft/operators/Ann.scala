@@ -203,4 +203,58 @@ object Ann {
       .distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------------ int8 path
+
+  /** Symmetric per-vector int8 quantization: scale = max |vᵢ|, qᵢ =
+    * ⌊vᵢ/scale·127 + ½⌋ ∈ [−127, 127], stored as array<tinyint> — 4× less
+    * embedding storage/shuffle than float32, 8× less than float64, which
+    * at 100 TB is the difference between an embedding store that fits the
+    * cluster and one that doesn't. Scales cancel in cosine, so ANN
+    * scoring needs only the int arrays ([[graft.exprs.CosineSimInt]]);
+    * keep `scale` alongside for dequantization (max abs error per
+    * element: scale/254). Every arithmetic step is double-IEEE or
+    * integer, so an engine mirroring the formula reproduces the
+    * quantized values BIT-FOR-BIT. A zero vector quantizes to zeros
+    * (scale 0 guard), not NaN.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      .withColumn("scale",
+        array_max(transform(col(vecCol), v => abs(v.cast("double")))))
+      .withColumn("qvec",
+        transform(col(vecCol), v => when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(v.cast("double") / col("scale") * 127.0 + 0.5))
+          .cast("byte")))
+      .select(col(idCol), col("qvec"), col("scale"))
+
+  /** Driver-side mirror of [[quantizeInt8]] for folding a query vector
+    * into the plan as int literals — same formula, same IEEE doubles.
+    */
+  def quantizeVec(q: Seq[Double]): Seq[Int] = {
+    val scale = q.map(math.abs).foldLeft(0.0)(math.max)
+    if (scale == 0.0) q.map(_ => 0)
+    else q.map(v => math.floor(v / scale * 127.0 + 0.5).toInt)
+  }
+
+  /** Exact top-k by QUANTIZED cosine: the int8 analog of
+    * [[bruteForceTopK]] — same one-pass scan → project →
+    * TakeOrderedAndProject plan, but the scan reads tinyint arrays (4×
+    * narrower) and the hot loop is integer multiply-adds
+    * ([[graft.exprs.CosineSimInt]], exact in long — no float
+    * accumulation noise at all). `emb` must already carry `qvec` from
+    * [[quantizeInt8]]. Ranking follows the repo convention: rounded
+    * cosine, id tie-break.
+    */
+  def bruteForceTopKQuantized(
+      quantized: DataFrame,
+      idCol: String,
+      query: Seq[Int],
+      k: Int): DataFrame = {
+    val qLit = array(query.map(v => lit(v.toByte)): _*)
+    val cos = graft.exprs.CosineSimInt(col("qvec"), qLit)
+    quantized.select(col(idCol), round(cos, 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -343,4 +343,60 @@ class AnnSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().sorted
     assert(got === Array(1L, 4L))
   }
+
+  test("int8 quantization: bounded reconstruction error, zero-vector guard") {
+    val q = Ann.quantizeInt8(emb, "vec_id", "embedding")
+      .select($"vec_id", $"qvec", $"scale",
+        $"qvec".cast("array<int>").as("qi"))
+    assert(q.schema("qvec").dataType.simpleString === "array<tinyint>")
+    val rows = q.join(emb, "vec_id")
+      .select($"vec_id", $"qi", $"scale", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Seq[Int], Double, Seq[Double])].collect()
+    rows.foreach { case (id, qi, scale, v) =>
+      assert(qi.forall(x => x >= -127 && x <= 127), s"vec $id out of int8 range")
+      // dequantized element error is at most half a quantization step
+      v.zip(qi).foreach { case (x, qx) =>
+        assert(math.abs(qx * scale / 127.0 - x) <= scale / 254.0 + 1e-12,
+          s"vec $id reconstruction error above bound")
+      }
+    }
+    // a zero vector quantizes to zeros and scores 0.0, never NaN
+    val z = Seq((99L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Ann.quantizeInt8(z, "vec_id", "embedding")
+    val (zs, zv) = zq.select($"scale", $"qvec".cast("array<int>"))
+      .as[(Double, Seq[Int])].head()
+    assert(zs === 0.0 && zv.forall(_ === 0))
+    val zcos = Ann.bruteForceTopKQuantized(zq, "vec_id", Seq(1, 2, 3, 4), 1)
+      .select($"cos").as[Double].head()
+    assert(zcos === 0.0)
+  }
+
+  test("int8 quantized top-k recall vs float brute force") {
+    val qv = emb.filter($"vec_id" === 2).select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val exact = Ann.bruteForceTopK(emb.filter($"vec_id" =!= 2), "vec_id", "embedding", qv, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val quantized = Ann.quantizeInt8(emb.filter($"vec_id" =!= 2), "vec_id", "embedding")
+    val got = Ann.bruteForceTopKQuantized(quantized, "vec_id", Ann.quantizeVec(qv), 10)
+      .select($"vec_id").as[Long].collect().toSet
+    // int8 keeps ~1e-3 cosine fidelity: the top-10 sets should mostly agree
+    assert(exact.intersect(got).size >= 8,
+      s"quantized recall too low: ${exact.intersect(got).size}/10")
+  }
+
+  test("CosineSimInt matches CosineSim on identical integer-valued vectors") {
+    val vecs = Seq(
+      (1L, Array(3, -5, 7, 0), Array(3.0, -5.0, 7.0, 0.0)),
+      (2L, Array(-127, 127, 1, -1), Array(-127.0, 127.0, 1.0, -1.0)))
+      .toDF("id", "qa", "da")
+    val qlit = org.apache.spark.sql.functions.array(Seq(2, 4, -6, 8).map(v =>
+      org.apache.spark.sql.functions.lit(v)): _*)
+    val dlit = org.apache.spark.sql.functions.array(Seq(2.0, 4.0, -6.0, 8.0).map(v =>
+      org.apache.spark.sql.functions.lit(v)): _*)
+    val both = vecs.select(
+      graft.exprs.CosineSimInt($"qa", qlit).as("ci"),
+      graft.exprs.CosineSim($"da", dlit).as("cd"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (ci, cd) => assert(math.abs(ci - cd) < 1e-12) }
+  }
 }
