@@ -605,6 +605,24 @@ object SparkEntry {
       .orderBy(col("text_hash"))
   }
 
+  /** Bloom-pruned incremental dedup ([[graft.operators.Dedup
+    * .incrementalExactBloom]]): same daily-increment shape on a shifted
+    * slice — batch = ids ≡ 3 (mod 10), history seeded with copies of the
+    * ids ≡ 3 (mod 20) half, survivors exactly ids ≡ 13 (mod 20). The
+    * oracle is plain exact-dedup SQL: hash equality proves the Bloom
+    * prune is result-invariant (false positives die in the exact join).
+    */
+  private def qBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    val history = docs.filter(col("doc_id") % 10 =!= 3)
+      .unionByName(docs.filter(col("doc_id") % 20 === 3)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    Dedup.incrementalExactBloom(batch, history, "doc_id", "text",
+        expectedItems = 4096)
+      .orderBy(col("text_hash"))
+  }
+
   /** Incremental near-dup (rows-only: MinHash signatures are xxhash64,
     * not DuckDB-reproducible — DedupSpec carries the semantics): batch =
     * 20 light edits of history docs (must flag, one neighbor each) + 10
@@ -951,6 +969,85 @@ object SparkEntry {
       .groupBy(col("lang"))
       .agg(sum(Text.bpeTokenEstimate(col("text"))).as("est_tokens"))
       .orderBy(col("lang"))
+
+  /** PII redaction with PLANTED witnesses: every doc gets a synthetic
+    * email + IPv4 + phone appended (id-derived, so each row's witness is
+    * unique), then [[Text.redactPii]] scrubs. The oracle builds the same
+    * witness text and applies the same three RE2-subset patterns — the
+    * hash compare proves the planted PII is gone and the redaction is
+    * byte-identical cross-engine, not merely that clean text passed
+    * through.
+    */
+  private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = T.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .withColumn("__txt", concat(
+        col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com"),
+        lit(" from 10.0."), col("doc_id") % 256, lit(".7"),
+        lit(" call +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+    planted
+      .select(col("doc_id"), Text.redactPii(col("__txt")).as("redacted"))
+      .withColumn("pii_hits", Text.piiHits(col("redacted")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** RAG chunking: overlapping 64-token windows at stride 32
+    * (half-overlap) over the documents table — no shuffle, pure explode.
+    */
+  private def qChunkDocs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk
+      .chunkDocs(T.documents(s, d).filter(col("doc_id") < 400),
+        "doc_id", "text", chunkSize = 64, stride = 32)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Corpus rollup report: doc/token totals at (lang, source), per-lang
+    * subtotal, and grand-total grain in ONE pass — Spark `rollup` emits
+    * all three grains from a single partial-aggregated shuffle instead
+    * of three scans (the 100 TB reporting shape). NULL grain labels are
+    * coalesced to 'ALL' on both engines.
+    */
+  private def qRollupReport(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(Text.tokenCountSimple(col("text"))).as("tokens"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("docs"), col("tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Unicode normalization with PLANTED accent witnesses: every doc gets
+    * a diacritic-laden suffix (with a tab and doubled spaces) appended,
+    * then the native [[graft.exprs.NormalizeText]] folds it. The oracle
+    * runs the documented utf8proc-side equivalent
+    * (strip_accents/lower/`\s+` collapse/trim) over the same witness —
+    * hash equality proves the cross-engine normalization contract, not
+    * just ASCII pass-through.
+    */
+  private def qTextNormalize(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        Text.normalize(concat(col("text"),
+          lit(" Café ÜBER\tnaïve  São RÉSUMÉ Ångström "))).as("norm"))
+      .orderBy(col("doc_id"))
+
+  /** Hard-negative mining: top-5 wrong-label neighbors per probe vector
+    * ([[graft.operators.Ann.hardNegatives]] — broadcast probes, native
+    * CosineSim, WindowGroupLimit top-k, label filter before the window).
+    */
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    graft.operators.Ann
+      .hardNegatives(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
 
   /** REAL image decode end-to-end: ten deterministic PNG/BMP payloads
     * (actual encoded bytes, alternating codecs) flow through the binary
@@ -1816,6 +1913,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_incremental_neardup" -> (qIncrementalNearDup _),
@@ -1838,6 +1936,11 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_bpe_estimate" -> (qBpeEstimate _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_rollup_report" -> (qRollupReport _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
@@ -2366,6 +2469,16 @@ object SparkEntry {
          WHERE md5(lower(trim(text))) NOT IN
            (SELECT md5(lower(trim(text))) FROM hist)
          GROUP BY 1 ORDER BY 1""",
+    "q_bloom_prune" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3),
+         hist AS (SELECT text FROM documents WHERE doc_id % 10 <> 3
+                  UNION ALL SELECT text FROM documents WHERE doc_id % 20 = 3)
+         SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS batch_count
+         FROM batch
+         WHERE md5(lower(trim(text))) NOT IN
+           (SELECT md5(lower(trim(text))) FROM hist)
+         GROUP BY 1 ORDER BY 1""",
     "q_corpus_report" ->
       """WITH t AS (
            SELECT doc_id, lang, source, text, trim(text) AS tt,
@@ -2722,6 +2835,78 @@ object SparkEntry {
            w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))) AS BIGINT)
            AS est_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  || ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+           FROM documents WHERE doc_id < 300),
+         r AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS redacted
+           FROM p)
+         SELECT doc_id, redacted,
+           CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7 AS BIGINT)
+           + CAST((length(redacted) - length(replace(redacted, '<IP>', ''))) / 4 AS BIGINT)
+           + CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7 AS BIGINT)
+             AS pii_hits
+         FROM r ORDER BY doc_id""",
+    "q_text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(lower(strip_accents(
+             text || ' Café ÜBER' || chr(9) || 'naïve  São RÉSUMÉ Ångström ')),
+             '\s+', ' ', 'g')) AS norm
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
+    "q_chunk_docs" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+           FROM documents WHERE doc_id < 400 AND length(trim(text)) > 0),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM t),
+         s AS (
+           SELECT doc_id, toks, n,
+             CASE WHEN n <= 64 THEN 0
+                  ELSE 32 * CAST(ceil((n - 64) / 32.0) AS INT) END AS last_start
+           FROM n),
+         e AS (
+           SELECT doc_id, toks, n,
+             CAST(unnest(generate_series(0, last_start, 32)) AS INT) AS chunk_start
+           FROM s)
+         SELECT doc_id, CAST(chunk_start // 32 AS INT) AS chunk_id, chunk_start,
+           CAST(least(n - chunk_start, 64) AS INT) AS n_tokens,
+           array_to_string(
+             list_slice(toks, chunk_start + 1, least(chunk_start + 64, n)), ' ')
+             AS chunk_text
+         FROM e ORDER BY doc_id, chunk_id""",
+    "q_rollup_report" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           count(*) AS docs,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)
+             AS BIGINT) AS tokens
+         FROM documents
+         GROUP BY ROLLUP(lang, source)
+         ORDER BY 1, 2""",
+    "q_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+           FROM embeddings WHERE vec_id >= 5),
+         s AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS cos
+           FROM c, q WHERE cl <> ql),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 4) DESC, neighbor_id ASC) AS rn
+           FROM s)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM r
+         WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
     "q_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,

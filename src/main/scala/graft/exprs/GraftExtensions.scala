@@ -105,6 +105,14 @@ object GraftExtensions {
       fn("doc_fingerprint", Text.getClass) { children =>
         expectArity("doc_fingerprint(text)", children, 1)
         expression(Text.fingerprint(column(children(0))))
+      },
+      fn("normalize_text", classOf[NormalizeText]) { children =>
+        expectArity("normalize_text(text)", children, 1)
+        NormalizeText(children(0))
+      },
+      fn("redact_pii", Text.getClass) { children =>
+        expectArity("redact_pii(text)", children, 1)
+        expression(Text.redactPii(column(children(0))))
       })
   }
 

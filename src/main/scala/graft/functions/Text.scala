@@ -102,6 +102,33 @@ object Text {
     when(total <= 0, lit(0.0)).otherwise((total - distinct) / total)
   }
 
+  /** PII redaction: emails → `<EMAIL>`, dotted-quad IPv4 → `<IP>`,
+    * `+`-prefixed phone-shaped digit runs → `<PHONE>` — the C4-style
+    * scrub step a training corpus runs before anything else sees the
+    * text. Three codegen'd `regexp_replace` passes; the patterns are
+    * restricted to the RE2 ∩ java.util.regex common subset (character
+    * classes, bounded repeats, ASCII `\b`) so an external SQL engine
+    * applying the same three patterns reproduces the output
+    * byte-for-byte. Order matters: emails first (their local parts
+    * contain digits and dots), then dotted quads, then phone runs.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+\\d[\\d ()-]{6,}\\d", "<PHONE>")
+  }
+
+  /** Count of redaction markers in already-redacted text (audit column
+    * for [[redactPii]]): occurrences via length arithmetic, no regex.
+    */
+  def piiHits(redacted: Column): Column =
+    Seq("<EMAIL>", "<IP>", "<PHONE>").map { m =>
+      ((length(redacted) - length(replace(redacted, lit(m), lit("")))) /
+        lit(m.length)).cast("long")
+    }.reduce(_ + _)
+
   /** Content-defined document fingerprint: 64-bit FNV-1a-style rolling
     * hash of the normalized text, built from Spark's xxhash64 over
     * fixed-stride substrings — deterministic and cheap. For exact-dup
@@ -111,4 +138,9 @@ object Text {
 
   /** Exact-dup key (hex MD5 of normalized text) — matches DuckDB md5(). */
   def exactKey(text: Column): Column = md5(lower(trim(text)))
+
+  /** Canonical text fold (NFD accent-strip + lowercase + whitespace
+    * collapse) — the native [[graft.exprs.NormalizeText]] expression.
+    */
+  def normalize(text: Column): Column = graft.exprs.NormalizeText(text)
 }

@@ -165,6 +165,42 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: each query row gets
+    * its k most-similar corpus rows whose `labelCol` DIFFERS from the
+    * query's — high-cosine wrong-label examples, the negatives that
+    * actually move a contrastive loss. Same scale shape as [[knnJoin]]
+    * (broadcast query set, zero-shuffle scoring, WindowGroupLimit top-k)
+    * with the label-mismatch predicate applied BEFORE the rank window,
+    * so same-label candidates never reach the exchange. In production
+    * the label is whatever partitions positives from negatives — a dedup
+    * cluster id ([[Cluster]]), a source tag, or a supervision class.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"), col(labelCol).as("__ql"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("__cl"))
+      .crossJoin(broadcast(q))
+      .filter(col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.exprs.CosineSim(col("__cv"), col("__qv")).as("__cos"))
+    // rank on the 4-dp-snapped cosine + id tie-break (knnJoin convention)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("__cos"), 4).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cos"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): drop a vector
     * when an EARLIER (lower-id) vector in the same IVF cell is within
     * `threshold` cosine — the cluster-then-prune trick that makes

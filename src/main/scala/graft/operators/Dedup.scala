@@ -57,6 +57,49 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_count"))
   }
 
+  /** Bloom-pruned incremental exact dedup: same OUTPUT as
+    * [[incrementalExact]], different history-prune mechanism. The batch's
+    * key set is folded into a constant-size Bloom filter — built
+    * DISTRIBUTED via Spark's `BloomFilterAggregate` (per-partition
+    * sketches, one merged binary blob to the driver) — and pushed into
+    * the history scan as a foldable `might_contain` literal predicate.
+    * Against 100 TB of history that swaps [[incrementalExact]]'s
+    * batch-sized broadcast semi-join for a fixed ~1.2 bytes/expected-key
+    * bitset evaluated inline in the scan stage: no join, no broadcast
+    * table, codegen'd probe per history row. Bloom false positives
+    * survive the prune and are eliminated by the exact key join that
+    * follows; false negatives cannot occur — so the result is
+    * byte-identical to the exact operator (the spec asserts it).
+    * Size `expectedItems` ≥ the batch's distinct-key count: undersizing
+    * only raises the false-positive rate (more rows to the exact join),
+    * never corrupts the result.
+    */
+  def incrementalExactBloom(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val bloomAgg = new BloomFilterAggregate(
+      GraftShim.eagerExpression(xxhash64(Text.exactKey(col(textCol)))),
+      expectedItems).toAggregateExpression()
+    val bloom = batch.select(GraftShim.column(bloomAgg).as("bf")).head()
+    if (bloom.isNullAt(0)) {
+      // empty batch → no keys to admit; keep the exact path's (empty) output
+      incrementalExact(batch, history, idCol, textCol)
+    } else {
+      val mightContain = GraftShim.column(BloomFilterMightContain(
+        Literal.create(bloom.getAs[Array[Byte]](0), BinaryType),
+        GraftShim.eagerExpression(xxhash64(Text.exactKey(col(textCol))))))
+      incrementalExact(batch, history.filter(mightContain), idCol, textCol)
+    }
+  }
+
   /** Incremental near-dup: batch-vs-history MinHash LSH — band-bucket
     * join between the NEW batch and the historical corpus only (never a
     * history self-join), returning batch ids colliding with any history

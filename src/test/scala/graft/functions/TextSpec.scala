@@ -60,6 +60,23 @@ class TextSpec extends SparkSpec {
     assert(got(3) === 0.0)
     assert(got(4) === 0.0)
   }
+  test("pii redaction scrubs emails, ips and phones; clean text unchanged") {
+    val df = Seq(
+      "write to jane.doe+spam@sub.example.co.uk today",
+      "server at 192.168.0.1 and 10.0.255.7 responded",
+      "call +1 555 010-99 or +44 (0)20 7946 0958 now",
+      "version 1.2.3 costs 12.50 at example.com shop",
+      "nothing sensitive here at all").toDF("t")
+    val got = df.select(Text.redactPii($"t")).as[String].collect()
+    assert(got(0) === "write to <EMAIL> today")
+    assert(got(1) === "server at <IP> and <IP> responded")
+    assert(got(2) === "call <PHONE> or <PHONE> now")
+    // dotted version/price strings and bare domains are NOT dotted quads/emails
+    assert(got(3) === "version 1.2.3 costs 12.50 at example.com shop")
+    assert(got(4) === "nothing sensitive here at all")
+    val hits = df.select(Text.piiHits(Text.redactPii($"t"))).as[Long].collect()
+    assert(hits.toSeq === Seq(1L, 2L, 2L, 0L, 0L))
+  }
 }
 
 class AssetsSpec extends SparkSpec {

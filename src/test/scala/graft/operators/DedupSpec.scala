@@ -101,6 +101,32 @@ class DedupSpec extends SparkSpec {
       "the sole top-level shuffle must be the batch aggregate")
   }
 
+  test("incrementalExactBloom: byte-identical to the exact path") {
+    val history = docs
+    val batch = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 500).as("doc_id"),
+        // half the batch duplicates history, half is fresh
+        when($"doc_id" % 14 === 0, $"text")
+          .otherwise(concat(lit("FRESH "), $"text")).as("text"))
+    val exact = Dedup.incrementalExact(batch, history, "doc_id", "text")
+      .orderBy($"text_hash").collect().toSeq
+    val bloom = Dedup.incrementalExactBloom(batch, history, "doc_id", "text",
+      expectedItems = 256).orderBy($"text_hash").collect().toSeq
+    assert(bloom === exact)
+    assert(bloom.nonEmpty)
+  }
+
+  test("incrementalExactBloom plants might_contain in the history scan; empty batch is safe") {
+    val history = docs
+    val batch = Seq(999L -> "tiny batch").toDF("doc_id", "text")
+    val plan = Dedup.incrementalExactBloom(batch, history, "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+    val empty = Dedup.incrementalExactBloom(
+      batch.filter($"doc_id" < 0), history, "doc_id", "text", 64)
+    assert(empty.count() === 0)
+  }
+
   test("incrementalNearDup flags batch docs near ANY history doc, not batch pairs") {
     val history = docs.filter($"doc_id" < 60) // base corpus only
     // batch: one light edit of history doc 0, one fresh doc, and a pair of
@@ -248,6 +274,26 @@ class AnnSpec extends SparkSpec {
         "vec_id", "embedding", 7)
       .groupBy("query_id").count().as[(Long, Long)].collect().toMap
     assert(counts.size === 5 && counts.values.forall(_ === 7L))
+  }
+
+  test("hardNegatives returns only wrong-label neighbors, ranked like knnJoin") {
+    val queries = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val got = Ann.hardNegatives(queries, corpus, "vec_id", "embedding", "label", 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.groupBy(_._1).values.forall(_.length === 5))
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { case (q, n, _) =>
+      assert(labels(q) !== labels(n), s"neighbor $n shares query $q's label")
+    }
+    // equals knnJoin run against the pre-filtered wrong-label corpus
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val filtered = corpus.filter($"label" =!= labels(q))
+      val viaKnn = Ann.knnJoin(queries.filter($"vec_id" === q), filtered,
+        "vec_id", "embedding", 5).as[(Long, Long, Double)].collect().toSet
+      assert(rows.toSet === viaKnn)
+    }
   }
 
   test("brute-force top-k is ordered and self-consistent") {
