@@ -47,12 +47,24 @@ object Bench {
     // never sets it, so recorded artifacts always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Forcing mode. Default `.count()` is the driver's recorded convention
+    // (kept for round-over-round comparability) — but count lets Catalyst
+    // prune terminal projections, so narrow per-row queries (regex scrubs,
+    // normalizations) time only their scan. SPARK_GRAFT_FORCE=noop writes
+    // to the no-op sink instead: every output column is computed, no I/O —
+    // use it for scaling measurements of projection-heavy operators.
+    val force: org.apache.spark.sql.DataFrame => Unit =
+      sys.env.get("SPARK_GRAFT_FORCE") match {
+        case Some("noop") =>
+          df => df.write.format("noop").mode("overwrite").save()
+        case _ => df => df.count(): Unit
+      }
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val firstPass = sweep()

@@ -980,7 +980,6 @@ object SparkEntry {
     */
   private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
     val planted = T.documents(s, d)
-      .filter(col("doc_id") < 300)
       .withColumn("__txt", concat(
         col("text"),
         lit(" contact u"), col("doc_id"), lit("@example.com"),
@@ -998,8 +997,8 @@ object SparkEntry {
     */
   private def qChunkDocs(s: SparkSession, d: String): DataFrame =
     graft.operators.Chunk
-      .chunkDocs(T.documents(s, d).filter(col("doc_id") < 400),
-        "doc_id", "text", chunkSize = 64, stride = 32)
+      .chunkDocs(T.documents(s, d), "doc_id", "text",
+        chunkSize = 64, stride = 32)
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** Corpus rollup report: doc/token totals at (lang, source), per-lang
@@ -1020,6 +1019,25 @@ object SparkEntry {
         col("docs"), col("tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Per-source document cap ([[graft.operators.Selection.capPerGroup]]):
+    * at most 15 docs per source by deterministic salted-md5 draw —
+    * WindowGroupLimit bounds hot sources at the map side.
+    */
+  private def qCapPerSource(s: SparkSession, d: String): DataFrame =
+    graft.operators.Selection
+      .capPerGroup(T.documents(s, d), "source", "doc_id", cap = 15)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Per-label embedding centroids ([[graft.operators.Ann
+    * .centroidsByGroup]]): flat (label, dim, mean) rows; shuffle carries
+    * labels×dim partial sums, never vectors.
+    */
+  private def qEmbeddingCentroids(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ann
+      .centroidsByGroup(T.embeddings(s, d), "label", "embedding")
+      .orderBy(col("label"), col("dim"))
+
   /** Unicode normalization with PLANTED accent witnesses: every doc gets
     * a diacritic-laden suffix (with a tab and doubled spaces) appended,
     * then the native [[graft.exprs.NormalizeText]] folds it. The oracle
@@ -1030,7 +1048,6 @@ object SparkEntry {
     */
   private def qTextNormalize(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .filter(col("doc_id") < 300)
       .select(col("doc_id"),
         Text.normalize(concat(col("text"),
           lit(" Café ÜBER\tnaïve  São RÉSUMÉ Ångström "))).as("norm"))
@@ -1941,6 +1958,8 @@ object SparkEntry {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_rollup_report" -> (qRollupReport _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_cap_per_source" -> (qCapPerSource _),
+    "q_embedding_centroids" -> (qEmbeddingCentroids _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
@@ -2841,7 +2860,7 @@ object SparkEntry {
              text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
                   || ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
-           FROM documents WHERE doc_id < 300),
+           FROM documents),
          r AS (
            SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(t,
@@ -2860,11 +2879,11 @@ object SparkEntry {
            trim(regexp_replace(lower(strip_accents(
              text || ' Café ÜBER' || chr(9) || 'naïve  São RÉSUMÉ Ångström ')),
              '\s+', ' ', 'g')) AS norm
-         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
+         FROM documents ORDER BY doc_id""",
     "q_chunk_docs" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
-           FROM documents WHERE doc_id < 400 AND length(trim(text)) > 0),
+           FROM documents WHERE length(trim(text)) > 0),
          n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM t),
          s AS (
            SELECT doc_id, toks, n,
@@ -2907,6 +2926,22 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM r
          WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "q_cap_per_source" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, source FROM r WHERE rn <= 15
+         ORDER BY source, doc_id""",
+    "q_embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(avg(x), 4) AS mean_v, count(*) AS n_vecs
+         FROM (
+           SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,

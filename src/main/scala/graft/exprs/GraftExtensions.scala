@@ -164,6 +164,16 @@ object GraftExtensions {
         intLit(children(3), f, "budget").toLong,
         children.drop(4).zipWithIndex.map { case (c, i) =>
           stringLit(c, f, s"partitionCol[$i]") })
+    },
+    tfn("chunk_docs", graft.operators.Chunk.getClass) { children =>
+      val f = "chunk_docs(table, idCol, textCol, chunkSize, stride)"
+      expectArity(f, children, 5)
+      graft.operators.Chunk.chunkDocs(
+        SparkSession.active.table(stringLit(children(0), f, "table")),
+        stringLit(children(1), f, "idCol"),
+        stringLit(children(2), f, "textCol"),
+        intLit(children(3), f, "chunkSize"),
+        intLit(children(4), f, "stride"))
     })
 
   private[exprs] def stringLit(e: Expression, fn: String, name: String): String =

@@ -165,6 +165,27 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cos"))
   }
 
+  /** Per-group embedding centroids — drift monitoring, class prototypes,
+    * warm IVF seeds: the element-wise mean vector of each group, emitted
+    * FLAT as (label, dim, mean_v) rows so the result is join-able,
+    * SQL-oracle-able, and never materializes a per-group array on a
+    * single reducer. One `posexplode` + one (label, dim) hash aggregate:
+    * map-side partial sums make the shuffle carry groups×dim rows per
+    * partition — independent of corpus size, the same k×dim shape as
+    * [[lloydStep]]'s centroid update. The mean is 4-dp-snapped
+    * (order-dependent float accumulation, the repo-wide convention).
+    */
+  def centroidsByGroup(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("__v").cast("double")), 4).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+
   /** Hard-negative mining for contrastive training: each query row gets
     * its k most-similar corpus rows whose `labelCol` DIFFERS from the
     * query's — high-cosine wrong-label examples, the negatives that

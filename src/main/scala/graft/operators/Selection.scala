@@ -241,4 +241,33 @@ object Selection {
       full.unionByName(boundary).drop("__g", "__theta", "__rem")
     }
   }
+
+  /** Per-group document cap (RefinedWeb-style per-domain limits): keep
+    * at most `cap` rows per group, chosen by a deterministic salted md5
+    * draw (ties → min id) — so the kept set is reproducible, stable
+    * under reruns, and unbiased within the group, unlike "first cap by
+    * ingest order" which keeps whatever crawled first.
+    *
+    * Scale shape: ONE keyed shuffle on the group column; the rank
+    * window rewrites to WindowGroupLimit, so every map partition
+    * pre-selects its local top-`cap` per group BEFORE the exchange —
+    * the shuffle carries ≤ cap·partitions rows per group, never the
+    * group's full population. Hot domains (the reason per-domain caps
+    * exist) are therefore bounded at the map side, not funneled into
+    * one reducer.
+    */
+  def capPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      salt: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

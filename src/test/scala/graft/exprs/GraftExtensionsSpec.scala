@@ -127,6 +127,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("tf_docs")
   }
 
+  test("table function: chunk_docs from pure SQL equals the Scala API") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    Seq(
+      (1L, (1 to 10).map("w" + _).mkString(" ")),
+      (2L, "short doc"),
+      (3L, ""))
+      .toDF("doc_id", "text").createOrReplaceTempView("tf_chunk_docs")
+    val sqlChunks = spark.sql(
+      "SELECT * FROM chunk_docs('tf_chunk_docs', 'doc_id', 'text', 8, 4)")
+    val apiChunks = graft.operators.Chunk.chunkDocs(
+      spark.table("tf_chunk_docs"), "doc_id", "text", 8, 4)
+    assert(sqlChunks.columns.toSeq === apiChunks.columns.toSeq)
+    assert(sqlChunks.exceptAll(apiChunks).count() === 0)
+    assert(apiChunks.exceptAll(sqlChunks).count() === 0)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM chunk_docs('tf_chunk_docs', 'doc_id', 'text', 8, 9)")
+        .collect()
+    }
+    assert(e.getCondition === "USER_RAISED_EXCEPTION")
+    assert(e.getMessage.contains("stride"))
+    spark.catalog.dropTempView("tf_chunk_docs")
+  }
+
   test("table functions: bad table or non-literal args raise user errors") {
     val spark = graft.TestSession.spark
     GraftExtensions.registerAll(spark)

@@ -276,6 +276,24 @@ class AnnSpec extends SparkSpec {
     assert(counts.size === 5 && counts.values.forall(_ === 7L))
   }
 
+  test("centroidsByGroup: flat per-dim means match hand computation") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Array(3.0f, 0.0f, 1.0f)),
+      (3L, 1, Array(10.0f, -2.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Ann.centroidsByGroup(vecs, "label", "embedding")
+      .as[(Int, Int, Double, Long)].collect()
+      .map { case (l, d, m, n) => ((l, d), (m, n)) }.toMap
+    assert(got === Map(
+      (0, 0) -> (2.0, 2L), (0, 1) -> (1.0, 2L), (0, 2) -> (2.0, 2L),
+      (1, 0) -> (10.0, 1L), (1, 1) -> (-2.0, 1L), (1, 2) -> (4.0, 1L)))
+    // shuffle payload is groups×dim aggregates: partial aggregation present
+    val plan = Ann.centroidsByGroup(vecs, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"no map-side partial agg in:\n$plan")
+  }
+
   test("hardNegatives returns only wrong-label neighbors, ranked like knnJoin") {
     val queries = emb.filter($"vec_id" < 5)
     val corpus = emb.filter($"vec_id" >= 5)

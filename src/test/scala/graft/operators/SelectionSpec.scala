@@ -180,4 +180,30 @@ class SelectionSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global shuffle in:\n$plan")
     assert(plan.contains("Window") || plan.contains("score"), plan)
   }
+
+  test("capPerGroup keeps exactly cap rows per group, deterministically") {
+    val docs = (1L to 200L).map(i => (i, if (i % 4 == 0) "rare" else "hot"))
+      .toDF("id", "src")
+    val got = Selection.capPerGroup(docs, "src", "id", cap = 30)
+    val counts = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("hot" -> 30L, "rare" -> 30L))
+    // deterministic across reruns
+    val again = Selection.capPerGroup(docs, "src", "id", cap = 30)
+      .select("id").as[Long].collect().toSet
+    assert(again === got.select("id").as[Long].collect().toSet)
+    // a different salt draws a different (but equally sized) sample
+    val other = Selection.capPerGroup(docs, "src", "id", cap = 30, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(other != again && other.size === 60)
+    // groups under the cap pass through whole
+    val small = Selection.capPerGroup(docs.filter($"id" <= 10), "src", "id", 30)
+    assert(small.count() === 10)
+  }
+
+  test("capPerGroup rank window rewrites to WindowGroupLimit (map-side bound)") {
+    val docs = (1L to 50L).map(i => (i, "s")).toDF("id", "src")
+    val plan = Selection.capPerGroup(docs, "src", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+  }
 }
