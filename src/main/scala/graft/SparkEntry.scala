@@ -1019,6 +1019,34 @@ object SparkEntry {
         col("docs"), col("tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Corpus release diff ([[graft.operators.Diff.corpusDiff]]): version B
+    * removes every 7th doc and adds an edited copy of every 5th-mod-1 doc
+    * — per-source added/removed/common doc and token counts, identity by
+    * normalized text digest. Two digest-sized shuffles, no text on the
+    * wire.
+    */
+  private def qCorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val vB = docs.filter(col("doc_id") % 7 =!= 0)
+      .unionByName(docs.filter(col("doc_id") % 5 === 1)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" v2"))))
+    graft.operators.Diff.corpusDiff(docs, vB, "source", "text")
+      .orderBy(col("grp"))
+  }
+
+  /** Character-class profile per doc ([[Text.charClassRatio]]): the
+    * script-level quality signal — one narrow codegen'd projection.
+    */
+  private def qCharProfile(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        Text.charClassRatio(col("text"), "[A-Za-z]").as("letter_ratio"),
+        Text.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
+        Text.charClassRatio(col("text"), " ").as("space_ratio"),
+        Text.charClassRatio(col("text"), "[.,;:!?]").as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Per-source document cap ([[graft.operators.Selection.capPerGroup]]):
     * at most 15 docs per source by deterministic salted-md5 draw —
     * WindowGroupLimit bounds hot sources at the map side.
@@ -1960,6 +1988,8 @@ object SparkEntry {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_cap_per_source" -> (qCapPerSource _),
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
+    "q_corpus_diff" -> (qCorpusDiff _),
+    "q_char_profile" -> (qCharProfile _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
@@ -2934,6 +2964,49 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 15
          ORDER BY source, doc_id""",
+    "q_corpus_diff" ->
+      """WITH toks AS (
+           SELECT source, text, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+             AS BIGINT) AS t
+           FROM documents),
+         a AS (
+           SELECT source AS grp, md5(lower(trim(text))) AS k, min(t) AS t
+           FROM toks GROUP BY 1, 2),
+         b0 AS (
+           SELECT source, text FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT source, text || ' v2' FROM documents WHERE doc_id % 5 = 1),
+         b AS (
+           SELECT source AS grp, md5(lower(trim(text))) AS k,
+             min(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS BIGINT)) AS t
+           FROM b0 GROUP BY 1, 2)
+         SELECT coalesce(a.grp, b.grp) AS grp,
+           CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN a.k IS NULL THEN b.t ELSE 0 END) AS BIGINT) AS tokens_added,
+           CAST(sum(CASE WHEN b.k IS NULL THEN a.t ELSE 0 END) AS BIGINT) AS tokens_removed
+         FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
+         GROUP BY 1 ORDER BY 1""",
+    "q_char_profile" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                  / length(text) END AS letter_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / length(text) END AS digit_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                  / length(text) END AS space_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                  / length(text) END AS punct_ratio
+         FROM documents ORDER BY doc_id""",
     "q_embedding_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
            round(avg(x), 4) AS mean_v, count(*) AS n_vecs

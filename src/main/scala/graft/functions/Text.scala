@@ -143,4 +143,17 @@ object Text {
     * collapse) — the native [[graft.exprs.NormalizeText]] expression.
     */
   def normalize(text: Column): Column = graft.exprs.NormalizeText(text)
+
+  /** Fraction of characters matching a regex character class — the
+    * script-level quality signal (gibberish, base64 blobs, and
+    * wrong-script text stand out immediately in letter/digit/space
+    * ratios). Length arithmetic over one codegen'd `regexp_replace`;
+    * the terminal division is a single IEEE op, emitted raw (the
+    * deterministic-division convention). Empty text scores 0.
+    */
+  def charClassRatio(text: Column, pattern: String): Column = {
+    val n = length(text).cast("double")
+    when(n === 0, lit(0.0))
+      .otherwise((n - length(regexp_replace(text, pattern, ""))).cast("double") / n)
+  }
 }

@@ -77,6 +77,18 @@ class TextSpec extends SparkSpec {
     val hits = df.select(Text.piiHits(Text.redactPii($"t"))).as[Long].collect()
     assert(hits.toSeq === Seq(1L, 2L, 2L, 0L, 0L))
   }
+
+  test("char class ratios: exact fractions, empty text scores zero") {
+    val df = Seq("ab1 c.", "").toDF("t")
+    val got = df.select(
+      Text.charClassRatio($"t", "[A-Za-z]").as("l"),
+      Text.charClassRatio($"t", "[0-9]").as("d"),
+      Text.charClassRatio($"t", " ").as("s"),
+      Text.charClassRatio($"t", "[.,;:!?]").as("p"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(got(0) === ((3.0 / 6, 1.0 / 6, 1.0 / 6, 1.0 / 6)))
+    assert(got(1) === ((0.0, 0.0, 0.0, 0.0)))
+  }
 }
 
 class AssetsSpec extends SparkSpec {
