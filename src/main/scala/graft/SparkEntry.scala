@@ -1019,6 +1019,22 @@ object SparkEntry {
         col("docs"), col("tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
+    * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
+    * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
+    * → overlapping chunking (narrow explode). Total: one keyed shuffle
+    * for the whole flow; the oracle mirrors the full chain in SQL.
+    */
+  private def qPipelineRag(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = T.documents(s, d)
+      .withColumn("text", Text.normalize(Text.redactPii(col("text"))))
+    val capped = graft.operators.Selection
+      .capPerGroup(scrubbed, "source", "doc_id", cap = 20)
+    graft.operators.Chunk
+      .chunkDocs(capped, "doc_id", "text", chunkSize = 32, stride = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Corpus release diff ([[graft.operators.Diff.corpusDiff]]): version B
     * removes every 7th doc and adds an edited copy of every 5th-mod-1 doc
     * — per-source added/removed/common doc and token counts, identity by
@@ -1990,6 +2006,7 @@ object SparkEntry {
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_char_profile" -> (qCharProfile _),
+    "q_pipeline_rag" -> (qPipelineRag _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
@@ -2992,6 +3009,41 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.k IS NULL THEN a.t ELSE 0 END) AS BIGINT) AS tokens_removed
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
+    "q_pipeline_rag" ->
+      """WITH scrub AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(lower(strip_accents(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g'))),
+               '\s+', ' ', 'g')) AS text
+           FROM documents),
+         capped AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM scrub) WHERE rn <= 20),
+         t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+           FROM capped WHERE length(trim(text)) > 0),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM t),
+         s AS (
+           SELECT doc_id, toks, n,
+             CASE WHEN n <= 32 THEN 0
+                  ELSE 16 * CAST(ceil((n - 32) / 16.0) AS INT) END AS last_start
+           FROM n),
+         e AS (
+           SELECT doc_id, toks, n,
+             CAST(unnest(generate_series(0, last_start, 16)) AS INT) AS chunk_start
+           FROM s)
+         SELECT doc_id, CAST(chunk_start // 16 AS INT) AS chunk_id, chunk_start,
+           CAST(least(n - chunk_start, 32) AS INT) AS n_tokens,
+           array_to_string(
+             list_slice(toks, chunk_start + 1, least(chunk_start + 32, n)), ' ')
+             AS chunk_text
+         FROM e ORDER BY doc_id, chunk_id""",
     "q_char_profile" ->
       """SELECT doc_id,
            CASE WHEN length(text) = 0 THEN 0.0

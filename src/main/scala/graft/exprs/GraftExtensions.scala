@@ -174,6 +174,26 @@ object GraftExtensions {
         stringLit(children(2), f, "textCol"),
         intLit(children(3), f, "chunkSize"),
         intLit(children(4), f, "stride"))
+    },
+    tfn("cap_per_group", graft.operators.Selection.getClass) { children =>
+      val f = "cap_per_group(table, groupCol, idCol, cap[, salt])"
+      if (children.size < 4 || children.size > 5)
+        userError(s"$f: expected 4 or 5 arguments, got ${children.size}")
+      graft.operators.Selection.capPerGroup(
+        SparkSession.active.table(stringLit(children(0), f, "table")),
+        stringLit(children(1), f, "groupCol"),
+        stringLit(children(2), f, "idCol"),
+        intLit(children(3), f, "cap"),
+        if (children.size == 5) stringLit(children(4), f, "salt") else "cap")
+    },
+    tfn("corpus_diff", graft.operators.Diff.getClass) { children =>
+      val f = "corpus_diff(tableA, tableB, groupCol, textCol)"
+      expectArity(f, children, 4)
+      graft.operators.Diff.corpusDiff(
+        SparkSession.active.table(stringLit(children(0), f, "tableA")),
+        SparkSession.active.table(stringLit(children(1), f, "tableB")),
+        stringLit(children(2), f, "groupCol"),
+        stringLit(children(3), f, "textCol"))
     })
 
   private[exprs] def stringLit(e: Expression, fn: String, name: String): String =

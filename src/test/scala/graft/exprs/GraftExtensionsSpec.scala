@@ -152,6 +152,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("tf_chunk_docs")
   }
 
+  test("table functions: cap_per_group and corpus_diff from pure SQL") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", s"doc $i text"))
+      .toDF("doc_id", "src", "text").createOrReplaceTempView("tf_cap_docs")
+    val sqlCap = spark.sql(
+      "SELECT * FROM cap_per_group('tf_cap_docs', 'src', 'doc_id', 10)")
+    val apiCap = graft.operators.Selection.capPerGroup(
+      spark.table("tf_cap_docs"), "src", "doc_id", 10)
+    assert(sqlCap.exceptAll(apiCap).count() === 0)
+    assert(apiCap.exceptAll(sqlCap).count() === 0)
+    assert(sqlCap.count() === 20)
+
+    spark.sql("SELECT * FROM tf_cap_docs WHERE doc_id % 2 = 0")
+      .createOrReplaceTempView("tf_cap_docs_v2")
+    val sqlDiff = spark.sql(
+      "SELECT * FROM corpus_diff('tf_cap_docs', 'tf_cap_docs_v2', 'src', 'text')")
+    val apiDiff = graft.operators.Diff.corpusDiff(
+      spark.table("tf_cap_docs"), spark.table("tf_cap_docs_v2"), "src", "text")
+    assert(sqlDiff.exceptAll(apiDiff).count() === 0)
+    assert(apiDiff.exceptAll(sqlDiff).count() === 0)
+    spark.catalog.dropTempView("tf_cap_docs_v2")
+    spark.catalog.dropTempView("tf_cap_docs")
+  }
+
   test("table functions: bad table or non-literal args raise user errors") {
     val spark = graft.TestSession.spark
     GraftExtensions.registerAll(spark)
