@@ -143,22 +143,9 @@ object Multimodal {
             ImageFeatures(id, if (bytes == null) 0L else bytes.length.toLong,
               -1, -1, 0, 0.0, 0.0, 0.0, decode_ok = false)
           else {
-            val w = img.getWidth; val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
-            ImageFeatures(id, bytes.length.toLong, w, h,
-              img.getColorModel.getNumComponents,
-              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+            val (mr, mg, mb) = rgbMeans(img)
+            ImageFeatures(id, bytes.length.toLong, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, mr, mg, mb,
               decode_ok = true)
           }
         }
@@ -229,6 +216,27 @@ object Multimodal {
 
   // ----------------------------------------------------------------- video
 
+  /** Per-channel pixel means through sRGB `getRGB` — ONE definition
+    * shared by still-image decode and MJPEG frame decode, so channel
+    * handling can never drift between the two paths.
+    */
+  private def rgbMeans(img: java.awt.image.BufferedImage): (Double, Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], o: Int): Int =
@@ -254,16 +262,22 @@ object Multimodal {
     var fmt = Option.empty[AviVideoFormat]
     var lastStrhVids = false
     val frames = Vector.newBuilder[(Int, Int, Boolean)] // (off, len, isRawDib)
-    def walk(start: Int, end: Int): Unit = {
+    // depth-capped: a forged file nesting LISTs ~100k deep would otherwise
+    // StackOverflowError past any catch (Error, not Exception). Real AVIs
+    // nest hdrl/strl/movi/rec ~4 levels; 64 is generous.
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 64) return
       var off = start
       while (off + 8 <= end) {
         val id = fourCC(bytes, off)
         val size = le32(bytes, off + 4)
         val dataOff = off + 8
-        if (size < 0 || dataOff + size > end) return // truncated: stop cleanly
+        // bounds math in Long: a forged size near 2^31 overflows the Int
+        // sum negative and would bypass the guard, then index negatively
+        if (size < 0 || dataOff.toLong + size > end) return // truncated: stop cleanly
         id match {
           case "LIST" if size >= 4 =>
-            walk(dataOff + 4, dataOff + size) // hdrl/strl/movi/rec all recurse
+            walk(dataOff + 4, dataOff + size, depth + 1) // hdrl/strl/movi/rec
           case "strh" if size >= 4 =>
             lastStrhVids = fourCC(bytes, dataOff) == "vids"
           case "strf" if lastStrhVids && fmt.isEmpty && size >= 40 =>
@@ -279,7 +293,7 @@ object Multimodal {
         off = dataOff + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     fmt.map((_, frames.result()))
   }
 
@@ -344,20 +358,9 @@ object Multimodal {
                   catch { case _: Exception => null }
                 if (img == null) bad
                 else {
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  var y = 0
-                  while (y < img.getHeight) {
-                    var x = 0
-                    while (x < img.getWidth) {
-                      val rgb = img.getRGB(x, y)
-                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val n = img.getWidth.toLong * img.getHeight
+                  val (mr, mg, mb) = rgbMeans(img)
                   VideoFrameFeatures(id, i, img.getWidth, img.getHeight,
-                    sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decode_ok = true)
+                    mr, mg, mb, decode_ok = true)
                 }
               }
             }

@@ -106,28 +106,37 @@ object Layout {
     val prefix = partitionCol + "="
     val fragmented = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      // the null-partition directory can't be addressed by an isin value;
+      // leave it alone rather than crash the whole compaction
+      .filterNot(_.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__"))
       .flatMap { b =>
         val files = fs.listStatus(b.getPath)
           .filter(_.getPath.getName.endsWith(".parquet"))
         val need = math.max(1, math.ceil(
           files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
         if (files.length > need)
-          Some((b.getPath.getName.stripPrefix(prefix).toInt, need))
+          Some((b.getPath.getName.stripPrefix(prefix), need))
         else None
       }
     if (fragmented.isEmpty) return 0
-    val ids = fragmented.map(_._1).toSeq
+    // "any single-column partition layout" includes string-valued ones
+    // (lang=en, source=web): keep integer keys typed (partition pruning
+    // on the native column), fall back to a string-cast key otherwise
+    val allInt = fragmented.forall(f => f._1.forall(_.isDigit) && f._1.nonEmpty)
+    val keyCol = if (allInt) col(partitionCol) else col(partitionCol).cast("string")
+    def keyLit(v: String) = if (allInt) lit(v.toLong) else lit(v)
+    val ids = fragmented.map(f => keyLit(f._1)).toSeq
     val staged = stateDir + "__compact"
     // split each bucket across ITS OWN slot count (a metadata-sized map
     // literal): using the max across buckets would over-split every small
     // bucket to the largest bucket's count, re-flagging it as fragmented
     // on the next pass — compaction must reach a fixpoint (return 0)
     val needByBucket = map(fragmented.flatMap {
-      case (kb, need) => Seq(lit(kb), lit(need)) }.toIndexedSeq: _*)
+      case (kb, need) => Seq(keyLit(kb), lit(need)) }.toIndexedSeq: _*)
     val totalSlots = fragmented.map(_._2).sum
-    spark.read.parquet(stateDir).filter(col(partitionCol).isin(ids: _*))
+    spark.read.parquet(stateDir).filter(keyCol.isin(ids: _*))
       .withColumn("__slot", pmod(monotonically_increasing_id(),
-        element_at(needByBucket, col(partitionCol))))
+        element_at(needByBucket, keyCol)))
       .repartition(totalSlots, col(partitionCol), col("__slot"))
       .drop("__slot")
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged)

@@ -221,8 +221,15 @@ object EmbeddedBulkIndex {
     if (!indexes.containsKey(target)) {
       // list and read through the Hadoop FileSystem API — the sink WRITES
       // through it, so a non-local dir (hdfs://, s3a://) must rehydrate
-      // from the same namespace, not silently see an empty java.io path
-      val conf = new org.apache.hadoop.conf.Configuration()
+      // from the same namespace, not silently see an empty java.io path.
+      // Use the session's hadoopConfiguration: spark.hadoop.* settings
+      // (credentials, endpoints, defaultFS) never reach a bare
+      // `new Configuration()`, which would resolve the path in the wrong
+      // namespace and silently rehydrate empty state
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
       val bulk = new org.apache.hadoop.fs.Path(target, "bulk")
       val fs = bulk.getFileSystem(conf)
       index(target) // mark warm even if the log is empty

@@ -67,6 +67,37 @@ class MultimodalFuzzSpec extends SparkSpec {
     assert(got.forall(f => f.decode_ok || f.width === -1))
   }
 
+  test("adversarial AVI: 2^31-adjacent chunk sizes and LIST nesting bombs land as rows") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(i: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    // RIFF/AVI header + one chunk whose forged size ≈ 2^31: the Int sum
+    // dataOff + size wraps negative and would bypass a 32-bit bounds guard
+    val overflow = "RIFF".getBytes("US-ASCII") ++ le(0x7FFFFFF0) ++
+      "AVI ".getBytes("US-ASCII") ++ "00db".getBytes("US-ASCII") ++
+      le(0x7FFFFFF4) ++ Array.fill(64)(0.toByte)
+    // deeply nested LIST bomb: each 12-byte LIST claims to contain the
+    // next — 200k levels would overflow the recursion stack if uncapped
+    val depth = 200000
+    val bomb = new Array[Byte](12 + depth * 12)
+    "RIFF".getBytes("US-ASCII").copyToArray(bomb, 0)
+    le(bomb.length - 8).copyToArray(bomb, 4)
+    "AVI ".getBytes("US-ASCII").copyToArray(bomb, 8)
+    var o = 12
+    var remaining = bomb.length - 12
+    while (remaining >= 12) {
+      "LIST".getBytes("US-ASCII").copyToArray(bomb, o)
+      le(remaining - 8).copyToArray(bomb, o + 4)
+      "hdrl".getBytes("US-ASCII").copyToArray(bomb, o + 8)
+      o += 12; remaining -= 12
+    }
+    val docs = Seq((0L, overflow), (1L, bomb)).toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(docs, "doc_id", "payload")
+    val got = Multimodal.decodeVideoFrames(media, everyK = 1).collect()
+    assert(got.map(_.doc_id).sorted.toSeq === Seq(0L, 1L))
+    assert(got.forall(!_.decode_ok))
+  }
+
   test("decodeVideoFrames survives 300 hostile containers as rows") {
     val valid = Seq(
       Multimodal.syntheticAvi(16, 8, 5),

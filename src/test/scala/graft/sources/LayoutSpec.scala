@@ -146,4 +146,17 @@ class LayoutSpec extends SparkSpec {
       partitionCol = "block_bucket") === 0)
     assert(spark.read.parquet(dir).collect().toSet === before)
   }
+
+  test("compact handles string-valued partitions (lang=en) without crashing") {
+    val dir = tmp("strpart")
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de", s"t$i"))
+      .toDF("doc_id", "lang", "text")
+    docs.repartition(16).write.partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    val n = Layout.compact(dir, targetFileBytes = 256L << 20, partitionCol = "lang")
+    assert(n === 2, "both string partitions must be compacted")
+    assert(Layout.compact(dir, targetFileBytes = 256L << 20,
+      partitionCol = "lang") === 0, "fixpoint on string partitions")
+    assert(spark.read.parquet(dir).collect().toSet === before)
+  }
 }
