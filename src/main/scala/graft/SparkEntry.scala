@@ -1019,6 +1019,29 @@ object SparkEntry {
         col("docs"), col("tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** BPE merge-candidate table ([[graft.operators.Vocab.bpePairCounts]]):
+    * corpus-wide in-word character-pair frequencies, top-50 — the first
+    * step of tokenizer training as one aggregate.
+    */
+  private def qBpePairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.bpePairCounts(T.documents(s, d), "text", 50)
+
+  /** Memorization-risk flagging ([[graft.operators.Vocab.rareTokenDocs]])
+    * with PLANTED witnesses: the synthetic corpus' vocabulary is a
+    * closed set (nothing is naturally rare), so every 50th-mod-7 doc
+    * gets a unique id-derived token appended — exactly those docs must
+    * come back flagged with df = 1.
+    */
+  private def qRareTokenDocs(s: SparkSession, d: String): DataFrame = {
+    val planted = T.documents(s, d)
+      .withColumn("text",
+        when(col("doc_id") % 50 === 7,
+          concat(col("text"), lit(" rareid"), col("doc_id")))
+          .otherwise(col("text")))
+    graft.operators.Vocab.rareTokenDocs(planted, "doc_id", "text", 3L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2007,6 +2030,8 @@ object SparkEntry {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_char_profile" -> (qCharProfile _),
     "q_pipeline_rag" -> (qPipelineRag _),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
@@ -3009,6 +3034,31 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.k IS NULL THEN a.t ELSE 0 END) AS BIGINT) AS tokens_removed
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
+    "q_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+           FROM documents),
+         p AS (
+           SELECT substring(word,
+             CAST(unnest(generate_series(1, length(word) - 1)) AS INT), 2) AS pair
+           FROM w WHERE length(word) >= 2)
+         SELECT pair, count(*) AS n FROM p GROUP BY 1
+         ORDER BY n DESC, pair ASC LIMIT 50""",
+    "q_rare_token_docs" ->
+      """WITH planted AS (
+           SELECT doc_id, CASE WHEN doc_id % 50 = 7
+             THEN text || ' rareid' || CAST(doc_id AS VARCHAR) ELSE text END AS text
+           FROM documents),
+         dt AS (
+           SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS tok
+           FROM planted),
+         rare AS (
+           SELECT tok, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1
+           HAVING count(DISTINCT doc_id) < 3)
+         SELECT doc_id, count(*) AS n_rare_tokens,
+           CAST(min(df) AS BIGINT) AS min_df
+         FROM dt JOIN rare USING (tok) GROUP BY 1 ORDER BY 1""",
     "q_pipeline_rag" ->
       """WITH scrub AS (
            SELECT doc_id, source,
