@@ -1042,6 +1042,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Unrolls [[graft.operators.Vocab.bpeTrain]]'s sequential merge loop as
+    * chained SQL CTEs — step k's pair counts read step k−1's re-encoded
+    * vocabulary, the arg-max is an ORDER BY … LIMIT 1 scalar subquery, and
+    * the merge is the same sentinel-string `replace`.
+    */
+  private def bpeTrainOracle(steps: Int): String = {
+    val head =
+      """WITH wf AS (
+           SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents)
+           WHERE length(w) >= 1 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'
+           GROUP BY 1),
+         e0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS enc, cnt FROM wf)"""
+    val stepCtes = (1 to steps).map { k =>
+      val p = k - 1
+      s""",
+         pr$k AS (
+           SELECT unnest(list_transform(range(1, len(syms)),
+             i -> {'pat': '(' || syms[i] || ')(' || syms[i+1] || ')',
+                   'l': syms[i], 'r': syms[i+1]})) AS u, cnt
+           FROM (SELECT string_split(trim(enc, '()'), ')(') AS syms, cnt FROM e$p)),
+         p$k AS (SELECT u.pat AS pat, u.l AS l, u.r AS r,
+                   CAST(sum(cnt) AS BIGINT) AS n FROM pr$k GROUP BY 1, 2, 3),
+         m$k AS (SELECT pat, l, r, n FROM p$k ORDER BY n DESC, pat ASC LIMIT 1),
+         e$k AS (SELECT replace(enc, (SELECT pat FROM m$k),
+                   '(' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ')') AS enc, cnt
+                 FROM e$p),
+         t$k AS (SELECT CAST(sum(cnt * (length(enc) - length(replace(enc, '(', '')))) AS BIGINT) AS toks
+                 FROM e$k)"""
+    }.mkString
+    val steps_sel = (1 to steps).map { k =>
+      s"""SELECT CAST($k AS INT) AS step, (SELECT l FROM m$k) AS left_sym,
+            (SELECT r FROM m$k) AS right_sym, (SELECT n FROM m$k) AS pair_n,
+            (SELECT toks FROM t$k) AS corpus_tokens"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"$head$stepCtes\n         $steps_sel\n         ORDER BY step"
+  }
+
+  /** Iterative BPE training ([[graft.operators.Vocab.bpeTrain]]): four
+    * REAL merge steps over the corpus — each step's arg-max pair depends
+    * on the previous step's re-encoded vocabulary, so the oracle unrolls
+    * the same four steps as chained CTEs.
+    */
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.bpeTrain(T.documents(s, d), "text", 4)
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2031,6 +2077,7 @@ object SparkEntry {
     "q_char_profile" -> (qCharProfile _),
     "q_pipeline_rag" -> (qPipelineRag _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3034,6 +3081,7 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.k IS NULL THEN a.t ELSE 0 END) AS BIGINT) AS tokens_removed
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
+    "q_bpe_train" -> bpeTrainOracle(4),
     "q_bpe_pairs" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word

@@ -44,6 +44,93 @@ object Vocab {
     * join on token, NOT a broadcast hint; AQE broadcasts when the rare
     * set measures small. Returns (doc id, n_rare_tokens, min_df).
     */
+  /** Iterative BPE training (Sennrich et al. 2016): run `merges` actual
+    * merge steps, not just the first candidate table. Words are encoded
+    * as sentinel-wrapped symbol strings — `"abc"` → `"(a)(b)(c)"` — so a
+    * merge is a plain left-to-right non-overlapping string `replace` of
+    * `"(a)(b)"` with `"(ab)"`, exactly the greedy semantics of the
+    * reference algorithm (in `"aaa"`, merging `(a,a)` yields `aa·a`).
+    * Sentinels make cross-symbol false matches impossible: `"(ab)"`
+    * never contains the substring `"(a)"`.
+    *
+    * Scale shape: ONE corpus-scale pass (word explode → frequency
+    * aggregate), cached; every loop step then runs over the DISTINCT-word
+    * table — bounded by vocabulary size, orders of magnitude below the
+    * corpus — as one small pair-count shuffle plus one arithmetic-only
+    * token-count aggregate. The per-step `collect()` moves exactly one
+    * row (the arg-max pair): that is the algorithm's inherent sequential
+    * dependency, not a driver-side data loop. Lineage is re-cached every
+    * 8 steps so a long merge schedule doesn't re-replay the replace
+    * chain. Candidate counts use overlapping pair occurrences (the
+    * classic `Counter(zip(w, w[1:]))` convention), so `pair_n` can
+    * exceed the merges actually applied; `corpus_tokens` is therefore
+    * measured from the re-encoded table, never derived as `prev − n`.
+    *
+    * Returns the learned merge table: one row per step with
+    * (step, left_sym, right_sym, pair_n, corpus_tokens-after-step).
+    * Ties on count break on the encoded pair string ascending.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // the one corpus-scale pass: word frequencies, then vocabulary-sized
+    // everywhere below. Sentinel chars in a word would corrupt the
+    // encoding, so such words are excluded (none exist in normal text).
+    val base = docs
+      .select(explode(split(trim(col(textCol)), " +")).as("__w"))
+      .filter(length(col("__w")) >= 1 &&
+        !col("__w").contains("(") && !col("__w").contains(")"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .select(regexp_replace(col("__w"), "(.)", "($1)").as("__enc"), col("__cnt"))
+      .cache()
+
+    val symCount = length(col("__enc")) - length(translate(col("__enc"), "(", ""))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var enc = base
+    var prevCached: DataFrame = base
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val syms = split(regexp_replace(col("__enc"), "^\\(|\\)$", ""), "\\)\\(")
+      val top = enc
+        .filter(symCount >= 2)
+        .select(col("__cnt"), syms.as("__syms"))
+        .select(col("__cnt"), explode(transform(
+          sequence(lit(1), size(col("__syms")) - 1),
+          i => struct(
+            element_at(col("__syms"), i).as("l"),
+            element_at(col("__syms"), i + 1).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__cnt")).as("n"))
+        .withColumn("pat", concat(lit("("), col("l"), lit(")("), col("r"), lit(")")))
+        .orderBy(col("n").desc, col("pat").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top(0)
+        val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        enc = enc.withColumn("__enc",
+          replace(col("__enc"), lit(s"($l)($r)"), lit(s"($l$r)")))
+        if (step % 8 == 0) {
+          val snapped = enc.cache()
+          snapped.count()
+          if (prevCached ne base) prevCached.unpersist()
+          prevCached = snapped
+          enc = snapped
+        }
+        val toks = enc.agg(sum(col("__cnt") * symCount).cast("long")).as[Long].head()
+        learned += ((step, l, r, n, toks))
+        step += 1
+      }
+    }
+    if (prevCached ne base) prevCached.unpersist()
+    base.unpersist()
+    learned.toSeq.toDF("step", "left_sym", "right_sym", "pair_n", "corpus_tokens")
+  }
+
   def rareTokenDocs(
       docs: DataFrame,
       idCol: String,

@@ -22,6 +22,38 @@ class VocabSpec extends SparkSpec {
     assert(got(1) === (("ab", 2L)))
   }
 
+  test("bpeTrain: hand-computed 3-step merge schedule with weighted counts") {
+    // words: aaab ×2, ab ×1, aa ×1 (12 chars total)
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aa")).toDF("doc_id", "text")
+    val got = Vocab.bpeTrain(docs, "text", 3)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    // step 1: (a,a) n = 2·2 + 1 = 5 → aaab→(aa)(a)(b), aa→(aa); 9 tokens
+    // step 2: (a,b) n = 2 + 1 = 3 → (aa)(ab) / (ab); 6 tokens
+    // step 3: (aa,ab) n = 2 → (aaab); 4 tokens
+    assert(got === Seq(
+      (1, "a", "a", 5L, 9L),
+      (2, "a", "b", 3L, 6L),
+      (3, "aa", "ab", 2L, 4L)))
+  }
+
+  test("bpeTrain: overlapping pairs count fully but merge greedily") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Vocab.bpeTrain(docs, "text", 1)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    // candidate count sees 3 overlapping (a,a) pairs; the greedy replace
+    // applies only 2 merges → (aa)(aa), so tokens = 2, not 4 − 3
+    assert(got === Seq((1, "a", "a", 3L, 2L)))
+  }
+
+  test("bpeTrain: stops early when no pair remains; ties break on pair string") {
+    val docs = Seq((1L, "ab cd ab")).toDF("doc_id", "text")
+    val got = Vocab.bpeTrain(docs, "text", 10)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    // (a,b) n=2 wins step 1; (c,d) n=1 step 2; then every word is a
+    // single symbol — steps 3..10 never run
+    assert(got === Seq((1, "a", "b", 2L, 4L), (2, "c", "d", 1L, 3L)))
+  }
+
   test("rareTokenDocs flags docs with below-df tokens, counts distinct rare tokens") {
     val docs = Seq(
       (1L, "common secretkey99 common"),   // 1 rare token
