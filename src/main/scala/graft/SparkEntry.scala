@@ -1088,6 +1088,21 @@ object SparkEntry {
   private def qBpeTrain(s: SparkSession, d: String): DataFrame =
     graft.operators.Vocab.bpeTrain(T.documents(s, d), "text", 4)
 
+  /** Bigram-LM perplexity filter ([[graft.operators.UnigramLm.bigramDocLogLoss]]):
+    * per-doc mean NLL under the corpus' own add-½-smoothed bigram model —
+    * the word-order-sensitive upgrade of `q_lm_score`.
+    */
+  private def qBigramLm(s: SparkSession, d: String): DataFrame =
+    graft.operators.UnigramLm.bigramDocLogLoss(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Zipf rank–frequency fit ([[graft.operators.Vocab.zipfSlope]]): one
+    * corpus-health row — log-log least-squares slope/intercept of the
+    * token frequency spectrum.
+    */
+  private def qZipfSlope(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.zipfSlope(T.documents(s, d), "text")
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2078,6 +2093,8 @@ object SparkEntry {
     "q_pipeline_rag" -> (qPipelineRag _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bigram_lm" -> (qBigramLm _),
+    "q_zipf_slope" -> (qZipfSlope _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3082,6 +3099,38 @@ object SparkEntry {
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
     "q_bpe_train" -> bpeTrainOracle(4),
+    "q_bigram_lm" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+           FROM documents WHERE len(string_split_regex(trim(text), ' +')) >= 2),
+         bg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+             FROM tok)),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+         v AS (
+           SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+             SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents))
+         SELECT doc_id,
+           round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS nll,
+           count(*) AS n_bigrams
+         FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1), v
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_zipf_slope" ->
+      """WITH f AS (
+           SELECT w, count(*) AS f FROM (
+             SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents)
+           WHERE length(w) >= 1 GROUP BY 1),
+         p AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)) AS x,
+                  ln(CAST(f AS DOUBLE)) AS y
+           FROM f)
+         SELECT count(*) AS n_types,
+           round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+           round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept
+         FROM p""",
     "q_bpe_pairs" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word

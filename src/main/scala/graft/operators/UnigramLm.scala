@@ -53,4 +53,51 @@ object UnigramLm {
       .agg(snapDp.fold(mean)(d => round(mean, d)).as("nll"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Per-document mean negative log-likelihood under an add-α-smoothed
+    * BIGRAM model trained on the corpus itself — the next fidelity step
+    * after [[docLogLoss]]: a unigram model cannot see scrambled word
+    * order, a bigram model penalizes it. p(w₂|w₁) = (c(w₁w₂) + α) /
+    * (c(w₁·) + α·V) where c(w₁·) sums bigram counts by context (so the
+    * model is self-consistent: Σ_w₂ p(w₂|w₁) = 1) and V is the unigram
+    * vocabulary size.
+    *
+    * Plan: ONE in-doc bigram explode (narrow `transform` over the token
+    * array) feeds the corpus bigram aggregate, the context aggregate
+    * derived FROM it (vocabulary-sized input, not the corpus), and the
+    * per-doc mean. Unlike the unigram vocabulary, a corpus-scale bigram
+    * table is NOT safely broadcast-able (it grows toward V², and real
+    * web-scale bigram tables run to billions of rows), so both model
+    * joins are un-hinted hash joins — AQE broadcasts when a table
+    * measures small. Docs with fewer than two tokens have no bigrams and
+    * drop out, matching the SQL inner join. Mean snapped to 4 dp (ln +
+    * order-dependent summation, the repo convention).
+    */
+  def bigramDocLogLoss(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "smoothing mass must be positive")
+    val toks = Text.tokens(col(textCol))
+    val bigrams = docs
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(
+          element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val v = docs
+      .select(explode(toks).as("__w")).agg(countDistinct(col("__w"))).head().getLong(0)
+    val logp = log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha * v)))
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(round(avg(-logp), 4).as("nll"), count(lit(1)).as("n_bigrams"))
+  }
 }

@@ -131,6 +131,40 @@ object Vocab {
     learned.toSeq.toDF("step", "left_sym", "right_sym", "pair_n", "corpus_tokens")
   }
 
+  /** Zipf rank–frequency fit — the corpus-health scalar: natural text has
+    * log(freq) ≈ intercept + slope·log(rank) with slope near −1; a much
+    * flatter slope signals templated/synthetic text, a much steeper one a
+    * degenerate vocabulary. Least-squares on the log-log points, computed
+    * with the explicit covar/var formula (identical algebra on the SQL
+    * side — never mix `regr_slope` on one engine with the formula on the
+    * other).
+    *
+    * Plan: one corpus-scale token aggregate, then everything is
+    * vocabulary-sized: the rank is a single-partition window over the
+    * (token, freq) table — fine because types ≪ tokens by Heaps' law; at
+    * extreme vocabulary (billions of types) substitute a two-pass
+    * rank-by-partition-offset. Output is ONE row (n_types, slope,
+    * intercept), 4-dp-snapped (ln noise).
+    */
+  def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs
+      .select(explode(split(trim(col(textCol)), " +")).as("__w"))
+      .filter(length(col("__w")) >= 1)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__f").desc, col("__w").asc)
+    val pts = freq
+      .withColumn("__x", log(row_number().over(w).cast("double")))
+      .withColumn("__y", log(col("__f").cast("double")))
+    pts.agg(
+      count(lit(1)).as("n_types"),
+      round(covar_pop(col("__x"), col("__y")) / var_pop(col("__x")), 4).as("slope"),
+      round(
+        avg(col("__y")) -
+          covar_pop(col("__x"), col("__y")) / var_pop(col("__x")) * avg(col("__x")),
+        4).as("intercept"))
+  }
+
   def rareTokenDocs(
       docs: DataFrame,
       idCol: String,

@@ -52,4 +52,28 @@ class UnigramLmSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("bigram log-loss matches the hand-computed smoothed bigram model") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    // bigrams: doc1 (a,b)(b,a); doc2 (b,a) → c(a,b)=1 c(b,a)=2;
+    // contexts c(a·)=1 c(b·)=2; V=3 (a, b, x); α=0.5
+    val pba = (1 + 0.5) / (1 + 0.5 * 3) // p(b|a)
+    val pab = (2 + 0.5) / (2 + 0.5 * 3) // p(a|b)
+    def snap(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = UnigramLm.bigramDocLogLoss(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((snap(-(math.log(pba) + math.log(pab)) / 2), 2L)),
+      2L -> ((snap(-math.log(pab)), 1L))))
+    // doc 3 has no bigrams and drops out entirely
+    assert(!got.contains(3L))
+  }
+
+  test("bigram model joins carry no broadcast hint (bigram tables grow toward V²)") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val logical = UnigramLm.bigramDocLogLoss(docs, "doc_id", "text")
+      .queryExecution.logical.toString
+    assert(!logical.contains("hint"), s"unexpected join hint in:\n$logical")
+  }
 }

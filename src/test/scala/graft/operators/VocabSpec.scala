@@ -54,6 +54,25 @@ class VocabSpec extends SparkSpec {
     assert(got === Seq((1, "a", "b", 2L, 4L), (2, "c", "d", 1L, 3L)))
   }
 
+  test("zipfSlope: two exact power-of-two frequencies give slope −1, intercept ln 4") {
+    // a×4, b×2 → ranks 1,2; y = {ln4, ln2}, x = {0, ln2}:
+    // slope = (ln2 − ln4)/ln2 = −1 exactly; intercept = 2·ln2
+    val docs = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
+    val got = Vocab.zipfSlope(docs, "text")
+      .as[(Long, Double, Double)].collect().toSeq
+    val ln4 = BigDecimal(2 * math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((2L, -1.0, ln4)))
+  }
+
+  test("zipfSlope is partitioning-invariant") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"w${i % 7} w${i % 3} common"))
+      .toDF("doc_id", "text")
+    val a = Vocab.zipfSlope(docs, "text").collect().toSeq
+    val b = Vocab.zipfSlope(docs.repartition(11), "text").collect().toSeq
+    assert(a === b)
+  }
+
   test("rareTokenDocs flags docs with below-df tokens, counts distinct rare tokens") {
     val docs = Seq(
       (1L, "common secretkey99 common"),   // 1 rare token
