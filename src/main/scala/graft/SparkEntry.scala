@@ -1103,6 +1103,21 @@ object SparkEntry {
   private def qZipfSlope(s: SparkSession, d: String): DataFrame =
     graft.operators.Vocab.zipfSlope(T.documents(s, d), "text")
 
+  /** Cross-source duplication matrix ([[graft.operators.Diff.sourceOverlap]])
+    * with PLANTED copies: the corpus has no natural exact dups, so every
+    * 7th-mod-3 doc's text collapses to one of three shared boilerplate
+    * strings — the overlap matrix of those cliques is fully determined.
+    */
+  private def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val planted = T.documents(s, d)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 3,
+          concat(lit("shared boilerplate chunk "), (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text")))
+    graft.operators.Diff.sourceOverlap(planted, "text", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2095,6 +2110,7 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_zipf_slope" -> (qZipfSlope _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3099,6 +3115,22 @@ object SparkEntry {
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
     "q_bpe_train" -> bpeTrainOracle(4),
+    "q_source_overlap" ->
+      """WITH planted AS (
+           SELECT source, CASE WHEN doc_id % 7 = 3
+             THEN 'shared boilerplate chunk ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents),
+         h AS (
+           SELECT md5(lower(trim(text))) AS k, source AS src, count(*) AS n
+           FROM planted GROUP BY 1, 2)
+         SELECT a.src AS source_a, b.src AS source_b,
+           count(*) AS n_texts,
+           CAST(sum(CASE WHEN a.src = b.src THEN a.n * (a.n - 1) // 2
+                         ELSE a.n * b.n END) AS BIGINT) AS n_pairs
+         FROM h a JOIN h b ON a.k = b.k
+         WHERE a.src < b.src OR (a.src = b.src AND a.n >= 2)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_bigram_lm" ->
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(text), ' +') AS t

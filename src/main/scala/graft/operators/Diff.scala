@@ -52,4 +52,40 @@ object Diff {
         sum(when(col("__ta").isNull, col("__tb")).otherwise(0L)).as("tokens_added"),
         sum(when(col("__tb").isNull, col("__ta")).otherwise(0L)).as("tokens_removed"))
   }
+
+  /** Cross-source duplication overlap matrix — which sources copy from
+    * each other: for every source pair (a ≤ b), the number of distinct
+    * texts they share and the number of duplicate document pairs those
+    * texts induce (diagonal rows count within-source duplication,
+    * n·(n−1)/2 per text). The provenance table a pipeline reads to decide
+    * which crawl/source to drop when two overlap heavily.
+    *
+    * Scale shape: the corpus reduces to a (text-digest, source, n)
+    * histogram with ONE map-side-combining aggregate — at most one row
+    * per distinct text per source, no text on the wire after the digest
+    * projection. The pair join then runs on the histogram keyed by
+    * digest, so a text duplicated across k sources costs k² histogram
+    * rows — never n_docs² — and the result aggregate is |sources|²-bounded.
+    * Pair counts come from n_a·n_b arithmetic, not from enumerating
+    * document pairs.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    val h = docs
+      .select(Text.exactKey(col(textCol)).as("__k"), col(srcCol).as("__src"))
+      .groupBy(col("__k"), col("__src")).agg(count(lit(1)).as("__n"))
+    val a = h.select(col("__k"), col("__src").as("source_a"), col("__n").as("__na"))
+    val b = h.select(col("__k"), col("__src").as("source_b"), col("__n").as("__nb"))
+    a.join(b, Seq("__k"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("__na") >= 2))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_texts"),
+        sum(when(col("source_a") === col("source_b"),
+          shiftright(col("__na") * (col("__na") - 1), 1))
+          .otherwise(col("__na") * col("__nb"))).as("n_pairs"))
+  }
 }

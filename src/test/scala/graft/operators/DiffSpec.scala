@@ -43,4 +43,28 @@ class DiffSpec extends SparkSpec {
     assert(got.agg(sum("n_common")).as[Long].head() ===
       docs.select(md5(lower(trim($"text"))), $"source").distinct().count())
   }
+
+  test("sourceOverlap: hand-computed pair matrix, diagonal only when duplicated") {
+    val docs = Seq(
+      (1L, "s1", "t1"), (2L, "s1", "t1"), (3L, "s1", "t2"),
+      (4L, "s2", "t1"), (5L, "s2", "t3"),
+      (6L, "s3", "t2")).toDF("doc_id", "source", "text")
+    val got = Diff.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Long)].collect().toSet
+    // t1: s1×2, s2×1 → (s1,s1): 1 pair; (s1,s2): 2 pairs. t2: s1×1, s3×1
+    // → (s1,s3): 1 pair. t3 is unique — no diagonal row for s2 or s3.
+    assert(got === Set(
+      ("s1", "s1", 1L, 1L),
+      ("s1", "s2", 1L, 2L),
+      ("s1", "s3", 1L, 1L)))
+  }
+
+  test("sourceOverlap pair counts come from histogram arithmetic, not doc pairs") {
+    // 10 copies in each of two sources: 100 cross pairs, 45 within each
+    val docs = (1 to 20).map(i =>
+      (i.toLong, if (i <= 10) "a" else "b", "same")).toDF("doc_id", "source", "text")
+    val got = Diff.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(("a", "a", 1L, 45L), ("a", "b", 1L, 100L), ("b", "b", 1L, 45L)))
+  }
 }
