@@ -1118,6 +1118,15 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Embedding outliers ([[graft.operators.Ann.centroidOutliers]]): the 5
+    * vectors per label least similar to their own label centroid — the
+    * embedding-quality gate after centroid computation.
+    */
+  private def qEmbedOutliers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ann
+      .centroidOutliers(T.embeddings(s, d), "vec_id", "label", "embedding", 5)
+      .orderBy(col("label"), col("vec_id"))
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2111,6 +2120,7 @@ object SparkEntry {
     "q_bigram_lm" -> (qBigramLm _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3115,6 +3125,24 @@ object SparkEntry {
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
     "q_bpe_train" -> bpeTrainOracle(4),
+    "q_embed_outliers" ->
+      """WITH cent AS (
+           SELECT label, list(mean_v ORDER BY dim) AS c FROM (
+             SELECT label, i - 1 AS dim, round(avg(x), 4) AS mean_v FROM (
+               SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+             GROUP BY 1, 2)
+           GROUP BY 1),
+         sc AS (
+           SELECT e.label, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), 4) AS cos
+           FROM embeddings e JOIN cent c ON e.label = c.label),
+         r AS (
+           SELECT label, vec_id, cos,
+             row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rn
+           FROM sc)
+         SELECT label, vec_id, cos FROM r WHERE rn <= 5 ORDER BY label, vec_id""",
     "q_source_overlap" ->
       """WITH planted AS (
            SELECT source, CASE WHEN doc_id % 7 = 3

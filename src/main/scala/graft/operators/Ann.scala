@@ -186,6 +186,42 @@ object Ann {
       .agg(round(avg(col("__v").cast("double")), 4).as("mean_v"),
         count(lit(1)).as("n_vecs"))
 
+  /** Embedding outliers — the k vectors per group LEAST similar to their
+    * own group's centroid: mis-labeled docs, embedding-model failures,
+    * off-topic strays. The quality gate run after [[centroidsByGroup]]
+    * in an embedding-drift pipeline.
+    *
+    * Plan: the FLAT centroid output folds back to one array row per
+    * group (groups-bounded, metadata-sized — a justified broadcast,
+    * unlike data-dependent drop sets), joins onto the corpus with zero
+    * shuffle, and the bottom-k is a per-group rank window whose
+    * WindowGroupLimit prunes local losers before the single exchange.
+    * Centroid means are 4-dp-snapped by [[centroidsByGroup]] and the
+    * cosine is ranked on its own 4-dp snap with an id tie-break (the
+    * cross-engine convention), so the selected k is engine-independent.
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      idCol: String,
+      groupCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cent = centroidsByGroup(emb, groupCol, vecCol)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
+        s => s.getField("mean_v")).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("cos").asc, col(idCol).asc)
+    emb
+      .select(col(groupCol).as("label"), col(idCol), col(vecCol).as("__v"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("cos", round(graft.exprs.CosineSim(col("__v"), col("__c")), 4))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("label"), col(idCol), col("cos"))
+  }
+
   /** Hard-negative mining for contrastive training: each query row gets
     * its k most-similar corpus rows whose `labelCol` DIFFERS from the
     * query's — high-cosine wrong-label examples, the negatives that

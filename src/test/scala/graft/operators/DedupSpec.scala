@@ -294,6 +294,33 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("partial"), s"no map-side partial agg in:\n$plan")
   }
 
+  test("centroidOutliers picks the least-centroid-similar vector per group") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f)),
+      (4L, 1, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    // label 0 centroid (4-dp-snapped): (round(2/3), round(1/3))
+    val (cx, cy) = (0.6667, 0.3333)
+    def snap(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cosV3 = snap(cy / math.sqrt(cx * cx + cy * cy))
+    val got = Ann.centroidOutliers(vecs, "vec_id", "label", "embedding", 1)
+      .as[(Int, Long, Double)].collect().toSet
+    // label 0: v3 is the stray; label 1: its only member matches exactly
+    assert(got === Set((0, 3L, cosV3), (1, 4L, 1.0)))
+  }
+
+  test("centroidOutliers plan: centroid fold broadcasts, bottom-k is group-limited") {
+    val vecs = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val plan = Ann.centroidOutliers(vecs, "vec_id", "label", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no pre-shuffle top-k prune in:\n$plan")
+  }
+
   test("hardNegatives returns only wrong-label neighbors, ranked like knnJoin") {
     val queries = emb.filter($"vec_id" < 5)
     val corpus = emb.filter($"vec_id" >= 5)
