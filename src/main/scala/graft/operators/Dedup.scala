@@ -149,7 +149,7 @@ object Dedup {
     * any LSH plan at corpus scale.
     */
   private def firstCollision(keysA: Column, keysB: Column, idx: Column): Column =
-    array_position(zip_with(keysA, keysB, (x, y) => x === y), true) === idx + 1
+    graft.exprs.FirstEqualIndex(keysA, keysB) === idx + 1
 
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ threshold.
     *
