@@ -1127,6 +1127,14 @@ object SparkEntry {
       .centroidOutliers(T.embeddings(s, d), "vec_id", "label", "embedding", 5)
       .orderBy(col("label"), col("vec_id"))
 
+  /** Per-source KL divergence ([[graft.operators.Vocab.sourceDivergence]]):
+    * how far each source's unigram distribution sits from the pooled
+    * corpus — the domain-shift table behind mixture weighting.
+    */
+  private def qSourceDivergence(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.sourceDivergence(T.documents(s, d), "source", "text")
+      .orderBy(col("grp"))
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2121,6 +2129,7 @@ object SparkEntry {
     "q_zipf_slope" -> (qZipfSlope _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_source_divergence" -> (qSourceDivergence _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3125,6 +3134,19 @@ object SparkEntry {
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
     "q_bpe_train" -> bpeTrainOracle(4),
+    "q_source_divergence" ->
+      """WITH gt AS (
+           SELECT source AS grp, w, count(*) AS n FROM (
+             SELECT source, unnest(string_split_regex(trim(text), ' +')) AS w
+             FROM documents)
+           WHERE length(w) >= 1 GROUP BY 1, 2),
+         corpus AS (SELECT w, CAST(sum(n) AS DOUBLE) AS cn FROM gt GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM gt),
+         g AS (SELECT grp, CAST(sum(n) AS DOUBLE) AS gn FROM gt GROUP BY 1)
+         SELECT grp, CAST(gn AS BIGINT) AS n_tokens,
+           round(sum((n / gn) * ln((n / gn) / (cn / total))), 4) AS kl
+         FROM gt JOIN corpus USING (w) JOIN g USING (grp), tot
+         GROUP BY grp, gn ORDER BY grp""",
     "q_embed_outliers" ->
       """WITH cent AS (
            SELECT label, list(mean_v ORDER BY dim) AS c FROM (

@@ -165,6 +165,42 @@ object Vocab {
         4).as("intercept"))
   }
 
+  /** Per-group KL divergence from the corpus token distribution —
+    * KL(P_group ‖ Q_corpus) = Σ_w P(w)·ln(P(w)/Q(w)) — the domain-shift
+    * scalar behind source-mixture decisions: a source whose unigram
+    * distribution sits far from the corpus mean is specialist content
+    * (code, legalese, another register) and gets weighted deliberately
+    * rather than by volume. No smoothing is needed: every group token is
+    * by construction in the corpus, so Q > 0 wherever P > 0.
+    *
+    * Plan: ONE token explode feeds the (group, token) aggregate; corpus
+    * counts derive FROM that aggregate (vocabulary-sized input), join
+    * back un-hinted (vocab grows with the corpus; AQE broadcasts while
+    * it measures small), and group totals ride a vocabulary-sized
+    * window. KL is 4-dp-snapped (ln + order-dependent summation).
+    */
+  def sourceDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val gt = docs
+      .select(col(groupCol).as("grp"),
+        explode(split(trim(col(textCol)), " +")).as("__w"))
+      .filter(length(col("__w")) >= 1)
+      .groupBy(col("grp"), col("__w")).agg(count(lit(1)).as("__n"))
+    val corpus = gt.groupBy(col("__w")).agg(sum(col("__n")).as("__cn"))
+    val total = gt.agg(sum(col("__n"))).head().getLong(0).toDouble
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    gt.join(corpus, Seq("__w"))
+      .withColumn("__gn", sum(col("__n")).over(wGrp))
+      .withColumn("__p", col("__n") / col("__gn"))
+      .withColumn("__q", col("__cn") / lit(total))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("__gn")).as("n_tokens"),
+        round(sum(col("__p") * log(col("__p") / col("__q"))), 4).as("kl"))
+  }
+
   def rareTokenDocs(
       docs: DataFrame,
       idCol: String,

@@ -73,6 +73,26 @@ class VocabSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sourceDivergence: hand-computed KL against the pooled distribution") {
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "b"))
+      .toDF("doc_id", "source", "text")
+    def snap(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: a=2 b=2 → Q = (.5, .5)
+    val kl1 = snap(2.0 / 3 * math.log(2.0 / 3 / 0.5) + 1.0 / 3 * math.log(1.0 / 3 / 0.5))
+    val kl2 = snap(math.log(1.0 / 0.5))
+    val got = Vocab.sourceDivergence(docs, "source", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("s1" -> ((3L, kl1)), "s2" -> ((1L, kl2))))
+  }
+
+  test("sourceDivergence of a single group is zero (P = Q)") {
+    val docs = Seq((1L, "only", "x y x z")).toDF("doc_id", "source", "text")
+    val got = Vocab.sourceDivergence(docs, "source", "text")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("only", 4L, 0.0)))
+  }
+
   test("rareTokenDocs flags docs with below-df tokens, counts distinct rare tokens") {
     val docs = Seq(
       (1L, "common secretkey99 common"),   // 1 rare token
