@@ -1135,6 +1135,31 @@ object SparkEntry {
     graft.operators.Vocab.sourceDivergence(T.documents(s, d), "source", "text")
       .orderBy(col("grp"))
 
+  /** Naive Bayes language classification ([[graft.operators.Classify]]):
+    * train the multinomial model on the 4/5 held-in docs (label = lang),
+    * score the 1/5 held-out docs — the model-based routing/quality
+    * filter, exact-count math end to end so the oracle can re-derive the
+    * same posterior.
+    */
+  private def qNbClassify(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val model = graft.operators.Classify.nbTrain(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    graft.operators.Classify.nbScore(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance weights ([[graft.operators.Dsir.importanceWeights]]):
+    * every document's log likelihood ratio between the English-subset
+    * hashed-unigram distribution and the raw-corpus one — the
+    * domain-targeted data-selection score (Xie et al. 2023).
+    */
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(
+      T.documents(s, d), "doc_id", "text", col("lang") === "en", buckets = 16384)
+      .orderBy(col("doc_id"))
+
   /** Composed RAG-prep pipeline — the round-8 operators chained as ONE
     * lazy plan: PII scrub → Unicode normalize (both narrow, fused into
     * the scan) → per-source cap (one WindowGroupLimit-bounded shuffle)
@@ -2130,6 +2155,8 @@ object SparkEntry {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_source_divergence" -> (qSourceDivergence _),
+    "q_nb_classify" -> (qNbClassify _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3147,6 +3174,54 @@ object SparkEntry {
            round(sum((n / gn) * ln((n / gn) / (cn / total))), 4) AS kl
          FROM gt JOIN corpus USING (w) JOIN g USING (grp), tot
          GROUP BY grp, gn ORDER BY grp""",
+    "q_nb_classify" ->
+      """WITH train AS (SELECT lang AS label, text FROM documents WHERE doc_id % 5 <> 0),
+         scored AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         tc AS (SELECT label, term, count(*) AS cnt FROM (
+                  SELECT label, unnest(string_split_regex(trim(text), ' +')) AS term
+                  FROM train)
+                WHERE length(term) >= 1 GROUP BY 1, 2),
+         lab AS (SELECT label, count(*) AS n_docs FROM train GROUP BY 1),
+         lt AS (SELECT label, CAST(sum(cnt) AS DOUBLE) AS n_tokens FROM tc GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tc),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM lab),
+         dt AS (SELECT doc_id, term, count(*) AS c FROM (
+                  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+                  FROM scored)
+                WHERE length(term) >= 1 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n_doc FROM dt GROUP BY 1),
+         ov AS (SELECT doc_id, label, sum(c * ln(cnt + 1.0)) AS ov
+                FROM dt JOIN tc USING (term) GROUP BY 1, 2),
+         g AS (SELECT dl.doc_id, lab.label,
+                 ln(lab.n_docs / total) - dl.n_doc * ln(lt.n_tokens + v.v)
+                   + coalesce(ov.ov, 0) AS s
+               FROM dl CROSS JOIN lab
+               JOIN lt ON lt.label = lab.label
+               LEFT JOIN ov ON ov.doc_id = dl.doc_id AND ov.label = lab.label, v, tot),
+         r AS (SELECT doc_id, label, round(s, 4) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY round(s, 4) DESC, label ASC) AS rn
+               FROM g)
+         SELECT doc_id, label AS pred_label, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+             CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 16384 AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(text), ' +')) AS term
+                 FROM documents)
+           WHERE length(term) >= 1),
+         db AS (SELECT doc_id, tgt, b, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         dist AS (SELECT b, CAST(sum(c) AS DOUBLE) AS rawc,
+                    CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS DOUBLE) AS tgtc
+                  FROM db GROUP BY 1),
+         tot AS (SELECT sum(rawc) AS rawtot, sum(tgtc) AS tgttot FROM dist)
+         SELECT doc_id,
+           round(sum(c * (ln((tgtc + 1.0) / (tgttot + 16384.0))
+                        - ln((rawc + 1.0) / (rawtot + 16384.0)))), 4) AS weight,
+           CAST(sum(c) AS BIGINT) AS n_features
+         FROM db JOIN dist USING (b), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_outliers" ->
       """WITH cent AS (
            SELECT label, list(mean_v ORDER BY dim) AS c FROM (
