@@ -1150,6 +1150,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints ([[graft.operators.Winnow.fingerprints]]):
+    * MOSS-style local k-gram sampling over the held-out fifth of the
+    * corpus — the guaranteed-recall substring-match index.
+    */
+  private def qWinnowFp(s: SparkSession, d: String): DataFrame =
+    graft.operators.Winnow.fingerprints(
+      T.documents(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Winnowing overlap report ([[graft.operators.Winnow.overlap]]) with a
+    * PLANTED sentinel sentence on every 11th doc: those docs must pair up
+    * through their shared fingerprints (any ≥ w+k−1 char match is
+    * guaranteed caught), on top of whatever natural overlap exists.
+    */
+  private def qWinnowOverlap(s: SparkSession, d: String): DataFrame = {
+    val planted = T.documents(s, d).withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"),
+          lit(" The winnowing sentinel phrase appears verbatim in every planted document.")))
+        .otherwise(col("text")))
+    graft.operators.Winnow.overlap(planted, "doc_id", "text", minCommon = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** DSIR importance weights ([[graft.operators.Dsir.importanceWeights]]):
     * every document's log likelihood ratio between the English-subset
     * hashed-unigram distribution and the raw-corpus one — the
@@ -2157,6 +2181,8 @@ object SparkEntry {
     "q_source_divergence" -> (qSourceDivergence _),
     "q_nb_classify" -> (qNbClassify _),
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_winnow_fp" -> (qWinnowFp _),
+    "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -3203,6 +3229,49 @@ object SparkEntry {
                    ORDER BY round(s, 4) DESC, label ASC) AS rn
                FROM g)
          SELECT doc_id, label AS pred_label, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_winnow_fp" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 5 = 0 AND length(text) >= 8),
+         g0 AS (SELECT doc_id, text, length(text) - 7 AS ng,
+                  unnest(range(1, length(text) - 8 + 2)) AS i
+                FROM d),
+         g AS (SELECT doc_id, i, ng,
+                 CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8)
+                   AS BIGINT) * 1048576 + (1048576 - i) AS key
+               FROM g0),
+         wm AS (SELECT doc_id, i, ng,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk
+                FROM g),
+         sel AS (SELECT DISTINCT doc_id, mk FROM wm
+                 WHERE i <= greatest(1, ng - 16 + 1))
+         SELECT doc_id, 1048576 - (mk % 1048576) AS pos, mk // 1048576 AS fp
+         FROM sel ORDER BY doc_id, pos""",
+    "q_winnow_overlap" ->
+      """WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 0 THEN text ||
+                    ' The winnowing sentinel phrase appears verbatim in every planted document.'
+                  ELSE text END AS text
+                FROM documents),
+         d1 AS (SELECT doc_id, text FROM d WHERE length(text) >= 8),
+         g0 AS (SELECT doc_id, text, length(text) - 7 AS ng,
+                  unnest(range(1, length(text) - 8 + 2)) AS i
+                FROM d1),
+         g AS (SELECT doc_id, i, ng,
+                 CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8)
+                   AS BIGINT) * 1048576 + (1048576 - i) AS key
+               FROM g0),
+         wm AS (SELECT doc_id, i, ng,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk
+                FROM g),
+         fps AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp FROM wm
+                 WHERE i <= greatest(1, ng - 16 + 1)),
+         fpk AS (SELECT * FROM fps WHERE fp IN (
+                   SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""",
     "q_dsir_weights" ->
       """WITH tok AS (
            SELECT doc_id, lang = 'en' AS tgt,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent MD5 gram hash (no shared code with the operator). */
+  private def gramHash(g: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+
+  test("every fingerprint points at a gram whose hash it equals") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val k = 8
+    val got = Winnow.fingerprints(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      k = k, w = 4).as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, pos, fp) =>
+      val gram = text.substring(pos.toInt - 1, pos.toInt - 1 + k)
+      assert(gramHash(gram) === fp, s"pos $pos gram '$gram'")
+    }
+  }
+
+  test("fewer grams than the window → exactly the whole-document minimum, rightmost on ties") {
+    // k=3 grams of "abcabcabc": abc bca cab abc bca cab abc — the min
+    // gram hash repeats; the single window must keep its LAST position
+    val text = "abcabcabc"
+    val grams = (0 to text.length - 3).map(i => text.substring(i, i + 3))
+    val minHash = grams.map(gramHash).min
+    val wantPos = grams.lastIndexWhere(g => gramHash(g) == minHash) + 1
+    val got = Winnow.fingerprints(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, w = 100).as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, wantPos.toLong, minHash)))
+  }
+
+  test("guarantee: a shared substring of length >= w+k-1 always shares a fingerprint") {
+    // w=16, k=8 → any 23-char common substring must be caught. Build 40
+    // doc pairs with a shared 23-char core at varying offsets.
+    val core = "SHARED-CORE-0123456789A" // 23 chars
+    require(core.length == 23)
+    val docs = (1 to 40).flatMap { i =>
+      val pad1 = s"left pad $i ${"x" * (i % 7)}"
+      val pad2 = s"${"y" * (i % 5)} other tail ${i * 31}"
+      Seq((i * 2L, s"$pad1 $core end$i"), (i * 2L + 1L, s"begin$i $core $pad2"))
+    }
+    val pairs = Winnow.overlap(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, w = 16, maxDf = 200)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    (1 to 40).foreach { i =>
+      assert(pairs.contains((i * 2L, i * 2L + 1L)),
+        s"pair ${i * 2} / ${i * 2 + 1} missed despite 23-char shared core")
+    }
+  }
+
+  test("fingerprint density sits near the 2/(w+1) expectation, never above 1 per window") {
+    val rnd = new scala.util.Random(7)
+    val text = (1 to 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 16
+    val n = Winnow.fingerprints(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      k = k, w = w).count()
+    val ng = text.length - k + 1
+    val windows = ng - w + 1
+    assert(n <= windows, "more fingerprints than windows")
+    val density = n.toDouble / ng
+    assert(density > 1.0 / (w + 1) && density < 4.0 / (w + 1),
+      s"density $density far from 2/(w+1)=${2.0 / (w + 1)}")
+  }
+
+  test("boilerplate fingerprints past maxDf never form pairs") {
+    val docs = (1L to 30L).map(i => (i, s"entirely shared boilerplate text body ${i % 1}"))
+      .map { case (i, t) => (i, t + " unique" + ("z" * i.toInt)) }
+    val got = Winnow.overlap(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, w = 4, maxDf = 5)
+    // the shared prefix appears in all 30 docs — df 30 > 5 kills those
+    // fingerprints; the unique tails share nothing
+    assert(got.count() === 0L)
+  }
+
+  test("plan: fingerprint selection is narrow — no Exchange before the explode") {
+    val df = Seq((1L, "some text long enough to produce grams here")).toDF("doc_id", "text")
+    val p = Winnow.fingerprints(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"fingerprinting must not shuffle:\n$p")
+  }
+}
