@@ -1047,7 +1047,11 @@ object SparkEntry {
     * vocabulary, the arg-max is an ORDER BY … LIMIT 1 scalar subquery, and
     * the merge is the same sentinel-string `replace`.
     */
-  private def bpeTrainOracle(steps: Int): String = {
+  /** Shared CTE chain for the BPE oracles: word frequencies, sentinel
+    * encoding, and `steps` unrolled merge rounds (m1..mN hold each
+    * round's arg-max pair).
+    */
+  private def bpeOracleCtes(steps: Int): String = {
     val head =
       """WITH wf AS (
            SELECT w, count(*) AS cnt FROM (
@@ -1072,12 +1076,39 @@ object SparkEntry {
          t$k AS (SELECT CAST(sum(cnt * (length(enc) - length(replace(enc, '(', '')))) AS BIGINT) AS toks
                  FROM e$k)"""
     }.mkString
+    s"$head$stepCtes"
+  }
+
+  private def bpeTrainOracle(steps: Int): String = {
     val steps_sel = (1 to steps).map { k =>
       s"""SELECT CAST($k AS INT) AS step, (SELECT l FROM m$k) AS left_sym,
             (SELECT r FROM m$k) AS right_sym, (SELECT n FROM m$k) AS pair_n,
             (SELECT toks FROM t$k) AS corpus_tokens"""
     }.mkString("\n         UNION ALL\n         ")
-    s"$head$stepCtes\n         $steps_sel\n         ORDER BY step"
+    s"${bpeOracleCtes(steps)}\n         $steps_sel\n         ORDER BY step"
+  }
+
+  /** Oracle for [[qBpeApply]]: the same unrolled training rounds supply
+    * m1..mN, then every document word replays the merges as the identical
+    * nested replace chain.
+    */
+  private def bpeApplyOracle(steps: Int): String = {
+    val applied = (1 to steps).foldLeft("enc") { (e, k) =>
+      s"""replace($e, (SELECT pat FROM m$k),
+           '(' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ')')"""
+    }
+    s"""${bpeOracleCtes(steps)},
+         dw AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+             FROM documents)
+           WHERE length(w) >= 1 AND w NOT LIKE '%(%' AND w NOT LIKE '%)%'),
+         de AS (SELECT doc_id, regexp_replace(w, '(.)', '(\\1)', 'g') AS enc FROM dw),
+         da AS (SELECT doc_id, $applied AS enc_n FROM de)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(length(enc_n) - length(replace(enc_n, '(', ''))) AS BIGINT)
+             AS n_tokens_bpe
+         FROM da GROUP BY 1 ORDER BY 1"""
   }
 
   /** Iterative BPE training ([[graft.operators.Vocab.bpeTrain]]): four
@@ -1087,6 +1118,19 @@ object SparkEntry {
     */
   private def qBpeTrain(s: SparkSession, d: String): DataFrame =
     graft.operators.Vocab.bpeTrain(T.documents(s, d), "text", 4)
+
+  /** BPE apply ([[graft.operators.Vocab.bpeApply]]): train 4 merges, then
+    * re-encode every document with them — per-doc word and trained-token
+    * counts, the tokenizer loop closed end to end.
+    */
+  private def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val merges = graft.operators.Vocab.bpeTrain(docs, "text", 4)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Vocab.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
 
   /** Bigram-LM perplexity filter ([[graft.operators.UnigramLm.bigramDocLogLoss]]):
     * per-doc mean NLL under the corpus' own add-½-smoothed bigram model —
@@ -2174,6 +2218,7 @@ object SparkEntry {
     "q_pipeline_rag" -> (qPipelineRag _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -3187,6 +3232,7 @@ object SparkEntry {
          FROM a FULL JOIN b ON a.grp = b.grp AND a.k = b.k
          GROUP BY 1 ORDER BY 1""",
     "q_bpe_train" -> bpeTrainOracle(4),
+    "q_bpe_apply" -> bpeApplyOracle(4),
     "q_source_divergence" ->
       """WITH gt AS (
            SELECT source AS grp, w, count(*) AS n FROM (

@@ -131,6 +131,42 @@ object Vocab {
     learned.toSeq.toDF("step", "left_sym", "right_sym", "pair_n", "corpus_tokens")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output order) to the
+    * corpus — the other half of the tokenizer loop: train once, then
+    * measure what the corpus costs in TRAINED tokens (the budget that
+    * matters downstream is post-merge tokens, not whitespace words).
+    * Each word is sentinel-encoded exactly as in training and the merges
+    * replay as ordered non-overlapping string replaces, so apply(train(C))
+    * on the training corpus itself reproduces training's final encoding.
+    *
+    * Returns (id, n_words, n_tokens_bpe). Scale shape: one word explode,
+    * `merges.size` narrow chained `replace`s (codegen'd string ops, no
+    * HOF), one per-doc aggregate — a single corpus-sized shuffle. The
+    * merge table is model-sized by definition (it arrived through a
+    * driver-side `collect` in training), so passing it as a literal Seq
+    * is not a data collect.
+    */
+  def bpeApply(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc0 = regexp_replace(col("__w"), "(.)", "($1)")
+    val encoded = merges.foldLeft(enc0) { case (e, (l, r)) =>
+      replace(e, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    docs
+      .select(col(idCol), explode(split(trim(col(textCol)), " +")).as("__w"))
+      .filter(length(col("__w")) >= 1 &&
+        !col("__w").contains("(") && !col("__w").contains(")"))
+      .select(col(idCol), encoded.as("__enc"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("__enc")) - length(translate(col("__enc"), "(", "")))
+          .as("n_tokens_bpe"))
+  }
+
   /** Zipf rank–frequency fit — the corpus-health scalar: natural text has
     * log(freq) ≈ intercept + slope·log(rank) with slope near −1; a much
     * flatter slope signals templated/synthetic text, a much steeper one a

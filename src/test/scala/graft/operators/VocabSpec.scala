@@ -108,6 +108,36 @@ class VocabSpec extends SparkSpec {
     assert(loose === Map(1L -> 1L, 2L -> 3L, 3L -> 1L))
   }
 
+  test("bpeApply: hand-computed encoding under a fixed merge table") {
+    // merges: (l,o)→lo then (lo,w)→low. "low lower owl" →
+    // low: 1 token; lower: low+e+r = 3; owl: o+w+l = 3 (no 'lo' substring
+    // at symbol level: (o)(w)(l) has no (l)(o) pair)
+    val docs = Seq((1L, "low lower owl"), (2L, "low low")).toDF("doc_id", "text")
+    val got = Vocab.bpeApply(docs, "doc_id", "text", Seq(("l", "o"), ("lo", "w")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((3L, 7L)), 2L -> ((2L, 2L))))
+  }
+
+  test("bpeApply(train(C)) on the training corpus reproduces training's token curve") {
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma tok${i % 9} alpha beta"))
+      .toDF("doc_id", "text")
+    val schedule = Vocab.bpeTrain(docs, "text", 5)
+    val merges = schedule.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val finalTokens = schedule.orderBy(col("step").desc).head().getLong(4)
+    val applied = Vocab.bpeApply(docs, "doc_id", "text", merges)
+      .agg(sum("n_tokens_bpe")).head().getLong(0)
+    assert(applied === finalTokens,
+      s"apply(train) token total $applied != training's final $finalTokens")
+  }
+
+  test("bpeApply with no merges counts characters per word") {
+    val docs = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    val got = Vocab.bpeApply(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 5L)))
+  }
+
   test("rareTokenDocs rare-set join carries no broadcast hint (AQE decides)") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val logical = Vocab.rareTokenDocs(docs, "doc_id", "text", 2L)
