@@ -1194,6 +1194,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher rule battery ([[graft.functions.Text.gopherFlags]]): per-rule
+    * booleans + the keep conjunction for every document — the structured
+    * quality filter (which rule fired, not just that one did).
+    */
+  private def qGopherFilter(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), graft.functions.Text.gopherFlags(col("text"),
+        stopwords = Seq("the", "a")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .withColumn("keep",
+        col("wc_ok") && col("mean_word_ok") && col("symbol_ok") && col("bullet_ok") &&
+          col("ellipsis_ok") && col("alpha_ok") && col("stopword_ok"))
+      .orderBy(col("doc_id"))
+
   /** Winnowing fingerprints ([[graft.operators.Winnow.fingerprints]]):
     * MOSS-style local k-gram sampling over the held-out fifth of the
     * corpus — the guaranteed-recall substring-match index.
@@ -2226,6 +2240,7 @@ object SparkEntry {
     "q_source_divergence" -> (qSourceDivergence _),
     "q_nb_classify" -> (qNbClassify _),
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_gopher_filter" -> (qGopherFilter _),
     "q_winnow_fp" -> (qWinnowFp _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
@@ -3275,6 +3290,31 @@ object SparkEntry {
                    ORDER BY round(s, 4) DESC, label ASC) AS rn
                FROM g)
          SELECT doc_id, label AS pred_label, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_gopher_filter" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+         b AS (SELECT doc_id, t,
+                 string_split_regex(t, ' +') AS ws,
+                 string_split(t, chr(10)) AS ls
+               FROM d),
+         f AS (SELECT doc_id,
+                 len(ws) BETWEEN 50 AND 100000 AS wc_ok,
+                 (length(replace(t, ' ', '')) * 1.0 / greatest(len(ws), 1))
+                   BETWEEN 3.0 AND 10.0 AS mean_word_ok,
+                 10 * (3 * (length(t) - length(replace(t, '#', '')))
+                     + (length(t) - length(replace(t, '...', ''))))
+                   <= 3 * len(ws) AS symbol_ok,
+                 10 * len(list_filter(ls, l -> substring(trim(l), 1, 1) IN ('-', '•', '*')))
+                   <= len(ls) AS bullet_ok,
+                 10 * len(list_filter(ls, l -> trim(l) LIKE '%...'))
+                   <= 3 * len(ls) AS ellipsis_ok,
+                 5 * len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   >= 4 * len(ws) AS alpha_ok,
+                 (CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT))
+                   >= 2 AS stopword_ok
+               FROM b)
+         SELECT *, wc_ok AND mean_word_ok AND symbol_ok AND bullet_ok
+                   AND ellipsis_ok AND alpha_ok AND stopword_ok AS keep
+         FROM f ORDER BY doc_id""",
     "q_winnow_fp" ->
       """WITH d AS (SELECT doc_id, text FROM documents
                     WHERE doc_id % 5 = 0 AND length(text) >= 8),

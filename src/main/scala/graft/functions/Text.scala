@@ -102,6 +102,52 @@ object Text {
     when(total <= 0, lit(0.0)).otherwise((total - distinct) / total)
   }
 
+  /** The Gopher rule battery (Rae et al. 2021, appendix A) as a struct of
+    * per-rule booleans plus the conjunction — the structured version of
+    * [[qualityScore]]'s blended scalar: pipelines want to know WHICH rule
+    * rejected a document (to tune thresholds per source), not just that
+    * one did. Rules: word count in [50, 100k]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1; ≤ 10% of lines
+    * bullet-led; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain a
+    * letter; ≥ 2 of the stopword list present (default: the paper's 8
+    * English function words — pass a per-language/per-corpus list, same
+    * as [[langIdScore]]'s marker table).
+    *
+    * Ratio thresholds compare in INTEGER arithmetic (10·bullets ≤ lines,
+    * not bullets/lines ≤ 0.1) so no engine can disagree on a float
+    * boundary. Everything is codegen'd column arithmetic except the two
+    * per-line/per-word `filter` HOFs (short arrays, interpreted lambda —
+    * the surrounding scan dominates).
+    */
+  def gopherFlags(
+      text: Column,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): Column = {
+    require(stopwords.size >= 2, "the ≥2-stopwords rule needs at least 2 candidates")
+    val t = trim(text)
+    val ws = tokens(t)
+    val wc = size(ws)
+    val ls = split(t, "\n")
+    val nl = size(ls)
+    val hashN = length(t) - length(replace(t, lit("#"), lit("")))
+    val ellN3 = length(t) - length(replace(t, lit("..."), lit("")))
+    val alphaW = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val bulletL = size(filter(ls, l => substring(trim(l), 1, 1).isin("-", "•", "*")))
+    val ellL = size(filter(ls, l => endswith(trim(l), lit("..."))))
+    val stops = stopwords
+      .map(s => array_contains(ws, s).cast("int")).reduce(_ + _)
+    val meanWord = length(replace(t, lit(" "), lit(""))).cast("double") /
+      greatest(wc, lit(1)).cast("double")
+    struct(
+      wc.between(50, 100000).as("wc_ok"),
+      meanWord.between(3.0, 10.0).as("mean_word_ok"),
+      (lit(10) * (lit(3) * hashN + ellN3) <= lit(3) * wc).as("symbol_ok"),
+      (lit(10) * bulletL <= nl).as("bullet_ok"),
+      (lit(10) * ellL <= lit(3) * nl).as("ellipsis_ok"),
+      (lit(5) * alphaW >= lit(4) * wc).as("alpha_ok"),
+      (stops >= 2).as("stopword_ok"))
+  }
+
   /** PII redaction: emails → `<EMAIL>`, dotted-quad IPv4 → `<IP>`,
     * `+`-prefixed phone-shaped digit runs → `<PHONE>` — the C4-style
     * scrub step a training corpus runs before anything else sees the

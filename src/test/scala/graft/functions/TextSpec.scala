@@ -89,6 +89,44 @@ class TextSpec extends SparkSpec {
     assert(got(0) === ((3.0 / 6, 1.0 / 6, 1.0 / 6, 1.0 / 6)))
     assert(got(1) === ((0.0, 0.0, 0.0, 0.0)))
   }
+
+  test("gopher flags: each rule trips on its own violation") {
+    val fifty = (1 to 50).map(i => s"the of word$i").mkString(" ") // 150 words, clean
+    val cases = Seq(
+      (1L, fifty),                                   // all pass
+      (2L, "the of tiny doc"),                       // wc < 50
+      (3L, (1 to 60).map(_ => "xy").mkString(" ") + " the of"), // mean word < 3
+      (4L, (1 to 60).map(i => s"w$i ###").mkString(" ") + " the of"), // symbols > 10%
+      (5L, (1 to 60).map(i => s"1$i 2$i").mkString(" ") + " the of"), // <80% alphabetic
+      (6L, (1 to 60).map(i => s"alpha beta$i").mkString(" ")))       // no stopwords
+      .toDF("id", "text")
+    val got = cases
+      .select(col("id"), Text.gopherFlags(col("text"),
+        stopwords = Seq("the", "of", "and")).as("g"))
+      .select(col("id"), col("g.*"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(6), r.getBoolean(7)))
+      .toMap // (wc_ok, mean_word_ok, symbol_ok, alpha_ok, stopword_ok)
+    assert(got(1L) === ((true, true, true, true, true)))
+    assert(got(2L)._1 === false)
+    assert(got(3L)._2 === false)
+    assert(got(4L)._3 === false)
+    assert(got(5L)._4 === false)
+    assert(got(6L)._5 === false)
+  }
+
+  test("gopher flags: line rules count bullet-led and ellipsis-ended lines") {
+    val bullets = (1 to 10).map(i => s"- bullet line number$i").mkString("\n")
+    val dots = (1 to 10).map(i => s"line number$i trails off...").mkString("\n")
+    val clean = (1 to 10).map(i => s"plain line number$i").mkString("\n")
+    val got = Seq((1L, bullets), (2L, dots), (3L, clean)).toDF("id", "text")
+      .select(col("id"), Text.gopherFlags(col("text")).as("g"))
+      .select(col("id"), col("g.bullet_ok"), col("g.ellipsis_ok"))
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((false, true)))
+    assert(got(2L) === ((true, false)))
+    assert(got(3L) === ((true, true)))
+  }
 }
 
 class AssetsSpec extends SparkSpec {
