@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *     norms are preserved, cross-replica cosine decorrelates, and the
   *     per-replica neighborhood structure is intact.
   *
-  * `events.ts` is kept as the raw int64 nanosecond column (the source
-  * parquet is TIMESTAMP(NANOS), read with `nanosAsLong`), so the scaled
-  * table round-trips through [[Tables.events]] identically.
+  * `events.ts` is normalized to a micros session-local TIMESTAMP on
+  * write, whatever footer shape the source shipped with (nanos or
+  * micros-NTZ — see [[Tables.events]]), so the scaled table round-trips
+  * through [[Tables.events]]'s pass-through branch.
   */
 object ScaleUp {
 
@@ -89,13 +90,21 @@ object ScaleUp {
       shift(_, _, "l_orderkey" -> FACT_STRIDE, "l_partkey" -> DIM_STRIDE,
         "l_suppkey" -> DIM_STRIDE)))
 
-    // events: the source ts is TIMESTAMP(NANOS) (readable only as raw
-    // nanos); write it back as micros TIMESTAMP — the same truncation
-    // Tables.events applies, and a type DuckDB can read directly
+    // events: the source ts footer has shipped as TIMESTAMP(NANOS)
+    // (readable only as raw nanos) and micros-NTZ across driver refreshes;
+    // normalize exactly as Tables.events does and write back a micros
+    // TIMESTAMP — a type DuckDB reads directly
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write("events")(replicate(read("events"))(
-      shift(_, _, "event_id" -> FACT_STRIDE, "user_id" -> DIM_STRIDE))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val evRaw = read("events")
+    val evTs = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        evRaw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => evRaw
+    }
+    write("events")(replicate(evTs)(
+      shift(_, _, "event_id" -> FACT_STRIDE, "user_id" -> DIM_STRIDE)))
 
     val letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
     // Per-replica AFFINE letter permutation c → a·c + b (mod 26), a coprime

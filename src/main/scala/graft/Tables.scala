@@ -27,16 +27,21 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     table(s, d, "lineitem").withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
   def events(s: SparkSession, d: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects natively;
-    // read the raw int64 nanos and truncate to microseconds (matches what
-    // any micro-precision consumer of this column observes). A rewritten
-    // copy of the table (e.g. ScaleUp's) already carries micros — pass
-    // that through unchanged.
+    // events.ts has shipped as three parquet footer shapes across driver
+    // testdata refreshes — TIMESTAMP(NANOS) (Spark rejects natively; read
+    // as raw int64 via nanosAsLong and truncate to micros), TIMESTAMP
+    // (MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ; the session
+    // runs in UTC, so an NTZ→LTZ cast is value-identical to how DuckDB
+    // treats the same naive micros), and plain session-local TIMESTAMP
+    // (e.g. ScaleUp's rewritten copy — passes through). Normalizing all
+    // three here keeps every downstream query and oracle shape-agnostic.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
