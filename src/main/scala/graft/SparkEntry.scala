@@ -1426,6 +1426,176 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** The dHash image fixture set: eight pattern images (four seeds; docs
+    * 1 and 3 are PLANTED near-dups — same seed, small white perturbation
+    * box) alternating PNG/BMP codecs, plus one garbage payload. The
+    * nonlinear pattern plus integer-exact hash math make every dHash a
+    * pre-computable constant (the literal oracle); perturbed pairs land
+    * at hamming 4, distinct seeds at ≥ 20.
+    */
+  private def imageHashFixtures(s: SparkSession): DataFrame = {
+    import graft.operators.Multimodal
+    import s.implicits._
+    // (w, h, seed, perturb) — parameters chosen so near pairs (0,1) and
+    // (2,3) sit at hamming 4 and every cross-seed pair at ≥ 20
+    val specs: Map[Long, (Int, Int, Int, Option[(Int, Int, Int, Int)])] = Map(
+      0L -> (64, 64, 1, None),
+      1L -> (64, 64, 1, Some((12, 12, 10, 10))),
+      2L -> (48, 40, 2, None),
+      3L -> (48, 40, 2, Some((28, 18, 8, 8))),
+      4L -> (64, 64, 3, None),
+      5L -> (56, 48, 4, None),
+      6L -> (64, 32, 5, None),
+      7L -> (40, 40, 6, None))
+    s.range(9).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        specs.get(i) match {
+          case Some((w, h, seed, p)) =>
+            val fmt = if (i % 2 == 0) "png" else "bmp"
+            (i, Multimodal.syntheticPatternImage(w, h, seed, p, fmt))
+          case None => (i, "not an image payload".getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Perceptual image hashing end-to-end: real PNG/BMP bytes decode
+    * through `javax.imageio` into 64-bit dHashes
+    * ([[graft.operators.Multimodal.dhash64]]). Integer-exact pixel math
+    * over lossless codecs makes each hash a constant — the oracle is
+    * LITERAL hex rows. The garbage payload exercises hash_ok=false.
+    */
+  private def qImageDhash(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    val media = Multimodal.toMediaTable(imageHashFixtures(s), "doc_id", "payload")
+    Multimodal.dhash64(media).toDF()
+      .select(col("doc_id"),
+        when(col("hash_ok"), format_string("%016x", col("dhash")))
+          .as("dhash_hex"),
+        col("hash_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image near-dup detection: dHash fingerprints through the banded
+    * hamming join ([[graft.operators.Dedup.hammingPairs64]] — pigeonhole
+    * chunking, pair-emit-once, never a cross join). Exactly the planted
+    * pairs (0,1) and (2,3) at hamming 4 survive maxHamming=6; the oracle
+    * is literal.
+    */
+  private def qImageNeardup(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    implicit val sp: SparkSession = s
+    val media = Multimodal.toMediaTable(imageHashFixtures(s), "doc_id", "payload")
+    val hashed = Multimodal.dhash64(media).toDF().filter(col("hash_ok"))
+    Dedup.hammingPairs64(hashed, "doc_id", "dhash", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** CCNet-style boilerplate removal: every doc is wrapped with a shared
+    * per-language nav header and a global footer (planted boilerplate),
+    * plus its unique body — the cross-document line-frequency filter
+    * ([[graft.operators.Boilerplate.removeBoilerplate]]) must strip
+    * exactly the planted lines and reassemble bodies in order.
+    */
+  private def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Boilerplate
+    val docs = T.documents(s, d)
+      .withColumn("wrapped",
+        concat_ws("\n",
+          concat(lit("NAV "), col("lang")),
+          lit("Cookie notice: this site uses cookies"),
+          col("text"),
+          concat(lit("ID "), col("doc_id")),
+          lit("(c) example.org - all rights reserved")))
+    Boilerplate.removeBoilerplate(docs, "doc_id", "wrapped", minDf = 50L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-space benchmark decontamination
+    * ([[graft.operators.Decontam.semanticContaminated]]): corpus vectors
+    * within 0.30 rounded cosine of any of the five "benchmark" vectors,
+    * with hit count and best match — the paraphrase-robust companion to
+    * n-gram decontamination, scored by the fused native CosineSim over a
+    * broadcast bench side.
+    */
+  private def qSemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Decontam
+    val e = T.embeddings(s, d)
+    Decontam.semanticContaminated(
+      e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", threshold = 0.30)
+      .orderBy(col("vec_id"))
+  }
+
+  /** ANN quality measured, not assumed: recall@10 of the IVF probe path
+    * ([[graft.operators.Ann.ivfTopK]], 8 cells, nProbe=2) against the
+    * exact brute-force top-10, per query, for five query vectors. The
+    * oracle mirrors BOTH paths in SQL, so the recall numbers are
+    * cross-engine-verified — the metric a deployment watches when
+    * trading probe count against cost.
+    */
+  private def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Ann
+    import scala.jdk.CollectionConverters._
+    val e = T.embeddings(s, d)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cents = Ann.seedCentroids(corpus, "vec_id", "embedding", 8)
+    val assigned = Ann.ivfAssign(corpus, "vec_id", "embedding", cents)
+    // five query vectors — metadata-sized driver fetch by design
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id"))
+      .collectAsList().asScala
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+    val perQuery = qs.map { case (qid, qv) =>
+      val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding", qv, 10)
+        .select(col("vec_id"))
+      val approx = Ann.ivfTopK(assigned, "vec_id", "embedding", cents, qv, 10, nProbe = 2)
+        .select(col("vec_id").as("__ivf_id"))
+      exact.join(approx, col("vec_id") === col("__ivf_id"), "left")
+        .agg((count(col("__ivf_id")) / lit(10.0)).as("recall"))
+        .select(lit(qid).as("query_id"), col("recall"))
+    }
+    perQuery.reduce(_ unionByName _).orderBy(col("query_id"))
+  }
+
+  /** Leakage-safe train/val/test split: the label keys on the dedup
+    * CLUSTER ([[graft.operators.Split.assignByCluster]] over the same
+    * connected-components membership as q_dedup_clusters), so
+    * near-duplicates can never straddle train and test — the eval-leak
+    * failure an id-keyed split cannot prevent. Oracle re-derives the
+    * closure (recursive CTE) and the md5 bucket on the cluster id.
+    */
+  private def qLeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val members = Cluster.connectedComponents(clusterPairs(s, d))
+    Split.assignByCluster(T.documents(s, d), "doc_id", members,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The multimodal pipeline composed end-to-end: decode (real codecs) →
+    * perceptual hash → banded near-dup join → survivor pruning → feature
+    * extraction, ONE lazy plan over the image fixture set. Survivors are
+    * the lowest-id representative of each near-dup group (the standard
+    * one-pass rule, [[graft.operators.Dedup.survivors]]); the undecodable
+    * payload is carried through on the decode_ok=false ladder. The
+    * literal oracle re-derives survivor features from the fixture
+    * closed forms.
+    */
+  private def qPipelineMultimodal(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    implicit val sp: SparkSession = s
+    val media = Multimodal.toMediaTable(imageHashFixtures(s), "doc_id", "payload")
+    val hashed = Multimodal.dhash64(media).toDF().filter(col("hash_ok"))
+    val pairs = Dedup.hammingPairs64(hashed, "doc_id", "dhash", maxHamming = 6)
+    val survivors = Dedup.survivors(media, pairs, "doc_id")
+    Multimodal.decodeImages(survivors).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit content fingerprints (xxhash64; no SQL oracle — DuckDB has no
     * xxhash64). Deterministic; spec-tested for normalization invariance.
     */
@@ -2247,6 +2417,13 @@ object SparkEntry {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
+    "q_image_dhash" -> (qImageDhash _),
+    "q_image_neardup" -> (qImageNeardup _),
+    "q_pipeline_multimodal" -> (qPipelineMultimodal _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_semantic_decontam" -> (qSemanticDecontam _),
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_leakage_split" -> (qLeakageSplit _),
     "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
     "q_hyperion_dedup" -> (qHypDedup _),
@@ -2542,6 +2719,41 @@ object SparkEntry {
            SELECT doc_id,
              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
            FROM documents)
+         ORDER BY doc_id""",
+    "q_leakage_split" ->
+      // same recursive closure as q_dedup_clusters; the split bucket then
+      // keys on the CLUSTER id (singletons on their own id), so members
+      // of a component provably share a label on both engines
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS gram
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM t a JOIN t b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= CAST(0.95 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         walk(u, r) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT w.u, e.v FROM walk w JOIN edges e ON w.r = e.u),
+         cc AS (SELECT u AS id, min(r) AS comp FROM walk GROUP BY 1),
+         tagged AS (
+           SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id, cluster_id,
+             CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+           FROM tagged)
          ORDER BY doc_id""",
     "q_stratified_sample" ->
       """WITH r AS (
@@ -3579,6 +3791,124 @@ object SparkEntry {
              CAST(-1 AS INTEGER), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
              CAST(0 AS DOUBLE), FALSE
          ORDER BY doc_id, frame_idx""",
+    // literal oracle: the dHash pipeline is integer-exact over lossless
+    // codecs, so each hash is a constant derivable from the fixture
+    // formulas alone (independently computed from the pixel pattern —
+    // see MultimodalSpec's cross-check)
+    "q_image_dhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, dhash_hex, hash_ok
+         FROM (VALUES
+           (0, 'b264224492a29626', TRUE), (1, 'b264224492ac9426', TRUE),
+           (2, '8a99622326aa31e6', TRUE), (3, '8a99624346aa31e6', TRUE),
+           (4, '68b2c9a2c96a4d93', TRUE), (5, 'd9ab66998a261899', TRUE),
+           (6, 'b66cb649b2243549', TRUE), (7, '6b4e189f2c69d631', TRUE),
+           (8, CAST(NULL AS VARCHAR), FALSE)) AS t(doc_id, dhash_hex, hash_ok)
+         ORDER BY doc_id""",
+    "q_image_neardup" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INTEGER) AS hamming
+         FROM (VALUES (0, 1, 4), (2, 3, 4)) AS t(id_a, id_b, hamming)
+         ORDER BY id_a, id_b""",
+    // survivors = near-dup losers (1, 3) pruned; channel sums are exact
+    // integer constants from the pattern formulas (independently computed),
+    // divided as IEEE doubles exactly like the Spark side
+    "q_pipeline_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sb AS DOUBLE) / (w * h) AS mean_b,
+           TRUE AS decode_ok
+         FROM (VALUES
+           (0, 64, 64, 521216, 522240, 491008),
+           (2, 48, 40, 245248, 245248, 222176),
+           (4, 64, 64, 521216, 524288, 499456),
+           (5, 56, 48, 342528, 341248, 329632),
+           (6, 64, 32, 262656, 259328, 253696),
+           (7, 40, 40, 204672, 205056, 199952)) AS t(doc_id, w, h, sr, sg, sb)
+         UNION ALL
+         SELECT CAST(8 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+           CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), FALSE
+         ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH d2 AS (
+           SELECT doc_id,
+             'NAV ' || lang || chr(10) ||
+             'Cookie notice: this site uses cookies' || chr(10) ||
+             text || chr(10) ||
+             'ID ' || doc_id || chr(10) ||
+             '(c) example.org - all rights reserved' AS t
+           FROM documents),
+         ls AS (
+           SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                  generate_subscripts(string_split(t, chr(10)), 1) AS line_no
+           FROM d2),
+         df AS (
+           SELECT line, count(DISTINCT doc_id) AS line_df
+           FROM ls GROUP BY 1),
+         kept AS (
+           SELECT ls.doc_id, ls.line_no, ls.line
+           FROM ls JOIN df USING (line) WHERE line_df < 50),
+         built AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(b.clean_text, '') AS clean_text
+         FROM d2 d LEFT JOIN built b USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q_semantic_decontam" ->
+      """WITH b AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS bv
+           FROM embeddings WHERE vec_id < 5),
+         c AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id >= 5),
+         s AS (
+           SELECT c.vec_id,
+             round(list_cosine_similarity(v, bv), 4) AS cos
+           FROM c CROSS JOIN b)
+         SELECT vec_id, count(*) AS n_hits, max(cos) AS max_cos
+         FROM s WHERE cos >= 0.30 GROUP BY 1 ORDER BY vec_id""",
+    "q_ann_recall" ->
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id >= 5),
+         qs AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         assign AS (
+           SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, c) DESC, cid DESC) AS rn
+           FROM corpus CROSS JOIN cent),
+         asg AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+         probes AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.cid ASC) AS pr
+             FROM cent c CROSS JOIN qs q) WHERE pr <= 2),
+         exact AS (
+           SELECT qid, vec_id FROM (
+             SELECT q.qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(c.v, q.qv), 4) DESC,
+                          c.vec_id ASC) AS rk
+             FROM corpus c CROSS JOIN qs q) WHERE rk <= 10),
+         ivf AS (
+           SELECT qid, vec_id FROM (
+             SELECT p.qid, a.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC,
+                          a.vec_id ASC) AS rk
+             FROM asg a JOIN probes p ON a.cid = p.cid
+             JOIN qs q ON q.qid = p.qid) WHERE rk <= 10)
+         SELECT e.qid AS query_id,
+           count(i.vec_id) / CAST(10.0 AS DOUBLE) AS recall
+         FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+         GROUP BY 1 ORDER BY 1""",
     "q_frame_sample" ->
       """SELECT doc_id, unnest(range(0, strlen(text) % 10 + 1, 3)) AS frame_idx
          FROM documents ORDER BY doc_id, frame_idx""",

@@ -53,4 +53,55 @@ object Decontam {
     // side shuffle-free end to end
     docs.join(broadcast(hits), Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination — embedding-space overlap with the benchmark,
+    * the companion check to n-gram [[contaminated]]: a paraphrased test
+    * question shares no 8-gram with its source but sits at high cosine to
+    * it. Returns corpus ids whose rounded cosine to ANY benchmark vector
+    * reaches `threshold`, with the hit count and the best match.
+    *
+    * The threshold compares the 4-dp-ROUNDED cosine (the repo's
+    * cross-engine convention): a raw-float compare at exactly the
+    * threshold boundary could flip between engines' accumulation orders.
+    *
+    * Scale shape: the benchmark side is an eval set (thousands of
+    * vectors) — broadcast; scoring is a broadcast nested-loop with the
+    * fused native [[graft.exprs.CosineSim]], corpus-partition-parallel,
+    * zero shuffle; the only aggregation is per-corpus-id over its OWN
+    * benchmark hits (map-side combined, output bounded by the hit set).
+    * For benchmark sets too big to broadcast, IVF-partition both sides
+    * ([[Ann.ivfAssign]]) and run this within probe cells.
+    */
+  def semanticContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val b = benchmark.select(col(vecCol).as("__bv"))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(b))
+      .select(col(idCol),
+        round(graft.exprs.CosineSim(col("__cv"), col("__bv")), 4).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
+  }
+
+  /** The corpus with every semantically-contaminated row removed. The hit
+    * set is threshold-dependent (a lax threshold can flag a large corpus
+    * fraction), so the anti join carries NO broadcast hint — AQE picks
+    * broadcast when the hits measure small, shuffle anti join otherwise
+    * (same policy as [[Ann.semDedup]]).
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val hits = semanticContaminated(corpus, benchmark, idCol, vecCol, threshold)
+      .select(col(idCol))
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -209,16 +209,40 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      docs.select(col(idCol).as("id"),
+        // fused native fingerprinting (one pass per token) — SimHash64Spec
+        // proves bit-equality with the HOF Sim.simHash
+        graft.exprs.SimHash64(Text.tokens(col(textCol))).as("sh")),
+      "id", "sh", maxHamming)
+
+  /** All pairs of 64-bit fingerprints within hamming distance
+    * `maxHamming` — the banded-join core shared by text [[simhash]] and
+    * image [[Multimodal.dhash64]] near-dup detection (one fingerprint
+    * domain, one join implementation).
+    *
+    * Banding: the hash splits into (maxHamming+1) chunks — any pair
+    * within distance k agrees on at least one chunk (pigeonhole; bits
+    * past chunks·⌊64/chunks⌋ are uncovered, which only ADDS candidate
+    * pairs, never loses one), so a join per chunk index finds all
+    * candidates without a cross join. Pairs colliding in several chunks
+    * are kept only at their first shared chunk (recomputable from the
+    * carried fingerprints — no extra state), so no pair-dedup shuffle.
+    */
+  def hammingPairs64(
+      hashed0: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     def chunkKey(sh: Column, c: Column): Column =
       call_function("shiftright", sh, (c * bitsPer).cast("int"))
         .bitwiseAND(lit((1L << bitsPer) - 1))
-    val hashed = docs.select(col(idCol).as("id"),
-      // fused native fingerprinting (one pass per token) — SimHash64Spec
-      // proves bit-equality with the HOF Sim.simHash
-      graft.exprs.SimHash64(Text.tokens(col(textCol))).as("sh"))
+    val hashed = hashed0.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"), chunkKey(col("sh"), lit(c)).as("key"))

@@ -27,6 +27,16 @@ final case class ImageFeatures(
     mean_b: Double,
     decode_ok: Boolean)
 
+/** One perceptually-hashed image (the dHash path's output shape).
+  * `hash_ok=false` marks payloads that do not decode OR are smaller than
+  * the 9×8 hash grid (a hash over sub-grid pixels is meaningless) — data,
+  * not exceptions, same ladder as [[ImageFeatures]].
+  */
+final case class ImageHash(
+    doc_id: Long,
+    dhash: Long,
+    hash_ok: Boolean)
+
 /** One REALLY-decoded audio asset (the javax.sound.sampled path's output
   * shape). Amplitude stats are over RAW integer sample values (16-bit:
   * [-32768, 32767]; 8-bit unsigned rebased to [-128, 127]) — integers
@@ -150,6 +160,89 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection: resize-, crop-
+    * tail- and re-encode-tolerant, because it keys on the SIGN of adjacent
+    * brightness gradients, not pixel values. Algorithm (public, from the
+    * perceptual-hashing literature):
+    *
+    *   1. integer luma per pixel: (77·r + 150·g + 29·b) >> 8 — the fixed-
+    *      point BT.601 weights, exact in Int;
+    *   2. area-downsample to a 9×8 grid with floor boundaries
+    *      (block i spans [⌊i·w/9⌋, ⌊(i+1)·w/9⌋)); block compares use
+    *      cross-multiplied Long sums, so NO division rounding anywhere;
+    *   3. bit (row, col) = 1 iff block(col) is brighter than block(col+1):
+    *      64 gradient signs = one Long.
+    *
+    * The whole pipeline is integer arithmetic over losslessly-decoded
+    * pixels, so the hash is bit-reproducible by ANY engine from the pixel
+    * formulas alone — the property the literal SQL oracle relies on.
+    *
+    * Scale shape: same as [[decodeImages]] — one narrow partition-parallel
+    * pass, no shuffle; pair it with [[Dedup.hammingPairs64]] for the
+    * banded near-dup join (pigeonhole chunking, never a cross join).
+    */
+  def dhash64(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            ImageHash(id, 0L, hash_ok = false)
+          else ImageHash(id, dhashOf(img), hash_ok = true)
+        }
+      }
+  }
+
+  /** The 9×8-grid gradient hash of one decoded image (see [[dhash64]]). */
+  private def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        sums(j)(i) = s
+        cnts(j)(i) = (y1 - y0).toLong * (x1 - x0)
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        // avg(left) > avg(right) via cross-multiplication — exact in Long
+        if (sums(j)(i) * cnts(j)(i + 1) > sums(j)(i + 1) * cnts(j)(i))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
   }
 
   /** REAL audio decode — WAV/RIFF via `javax.sound.sampled.AudioSystem`
@@ -500,6 +593,47 @@ object Multimodal {
       var x = 0
       while (x < w) {
         img.setRGB(x, y, ((x % 256) << 16) | ((y % 256) << 8) | 37)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no JDK encoder for format $format")
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image with a NONLINEAR pattern —
+    * r = (7x² + 13y + 29·seed) mod 256, g = (5y² + 11x + 41·seed) mod 256,
+    * b = (xy + 11·seed) mod 256 — plus an optional white perturbation box
+    * (x0, y0, boxW, boxH). Distinct seeds produce images ~20+ dHash bits
+    * apart; a small perturbation box flips only the handful of gradient
+    * signs its blocks touch — the planted-near-dup fixture for
+    * [[dhash64]]. True-color codecs only ("png", "bmp"): the pixel math
+    * must survive the round-trip exactly for the literal oracle to hold.
+    */
+  def syntheticPatternImage(
+      w: Int, h: Int, seed: Int,
+      perturb: Option[(Int, Int, Int, Int)],
+      format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val inBox = perturb.exists { case (x0, y0, pw, ph) =>
+          x >= x0 && x < x0 + pw && y >= y0 && y < y0 + ph
+        }
+        val rgb =
+          if (inBox) 0xffffff
+          else {
+            val r = (x * x * 7 + y * 13 + seed * 29) % 256
+            val g = (y * y * 5 + x * 11 + seed * 41) % 256
+            val b = (x * y + seed * 11) % 256
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
         x += 1
       }
       y += 1

@@ -44,21 +44,52 @@ object Split {
     df.filter(hashDraw32(col(idCol), salt) <
       floor(weightCol * lit(4294967296.0)).cast("long"))
 
+  /** The split-label expression over a [0, 100) bucket column — shared
+    * by id-keyed [[assign]] and cluster-keyed [[assignByCluster]] so the
+    * boundary arithmetic can never drift between the two.
+    */
+  private def splitLabel(bucket: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    weights.zip(bounds).tail
+      .foldLeft(when(bucket < bounds.head, lit(weights.head._1))) {
+        case (acc, ((name, _), hi)) => acc.when(bucket < hi, lit(name))
+      }
+  }
+
   /** Adds a `split` label column from percentage weights, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. Weights must sum
     * to 100. The split is a narrow projection — at 100 TB it costs one
     * pass with no shuffle, and rows keep their label forever (adding
     * data never reassigns existing rows across splits).
     */
-  def assign(df: DataFrame, idCol: String, weights: Seq[(String, Int)]): DataFrame = {
-    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
-    val bucket = hashBucket(col(idCol))
-    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
-    val label = weights.zip(bounds).tail
-      .foldLeft(when(bucket < bounds.head, lit(weights.head._1))) {
-        case (acc, ((name, _), hi)) => acc.when(bucket < hi, lit(name))
-      }
-    df.withColumn("split", label)
+  def assign(df: DataFrame, idCol: String, weights: Seq[(String, Int)]): DataFrame =
+    df.withColumn("split", splitLabel(hashBucket(col(idCol)), weights))
+
+  /** LEAKAGE-SAFE split: the label is drawn on the dedup CLUSTER id, not
+    * the document id, so near-duplicates can never straddle train/test —
+    * the classic eval-leakage failure an id-keyed [[assign]] cannot
+    * prevent (two independent draws split a near-dup pair across labels
+    * 1 − (0.8² + 0.1² + 0.1²) = 34% of the time at 80/10/10). `members` is a (id, cluster_id) frame, e.g.
+    * [[Cluster.connectedComponents]] output; docs absent from it are
+    * singletons and key on their own id, BIT-IDENTICALLY to [[assign]]
+    * (same md5 bucket on the same decimal string), so adding a dedup
+    * pass never reshuffles the unaffected corpus across splits.
+    *
+    * Scale shape: the pair graph is ≪ corpus (only colliding docs
+    * appear), so the membership join broadcasts — same justification as
+    * [[Cluster.canonical]]; the label itself stays a narrow projection.
+    */
+  def assignByCluster(
+      docs: DataFrame,
+      idCol: String,
+      members: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val m = members.select(col("id").as(idCol), col("cluster_id").as("__cid"))
+    docs.join(broadcast(m), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("__cid"), col(idCol).cast("long")))
+      .drop("__cid")
+      .withColumn("split", splitLabel(hashBucket(col("cluster_id")), weights))
   }
 
   /** Exact stratified sample: per stratum, keep `ceil(frac · n)` rows,

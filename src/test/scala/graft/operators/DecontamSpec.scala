@@ -55,6 +55,45 @@ class DecontamSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("semantic contamination flags embedding-space overlap the n-grams miss") {
+    // bench vector [1,0,0]; corpus: a paraphrase-like near vector, an
+    // orthogonal one, and an anti-parallel one
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.95, 0.1, 0.0)),  // near: cos ≈ 0.9945
+      (2L, Seq(0.0, 1.0, 0.0)),   // orthogonal: cos 0
+      (3L, Seq(-1.0, 0.0, 0.0))). // anti-parallel: cos −1
+      toDF("vec_id", "embedding")
+    val hits = Decontam.semanticContaminated(corpus, bench, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.toSeq === Seq((1L, 1L, 0.9945)))
+    val kept = Decontam.semanticDecontaminate(corpus, bench, "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L))
+  }
+
+  test("semantic threshold compares the ROUNDED cosine (engine-stable boundary)") {
+    val bench = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // cos = 0.8999999... raw; rounds to 0.9 exactly → must be flagged at 0.9
+    val v = Seq(0.9, math.sqrt(1 - 0.9 * 0.9) * (1 + 1e-9))
+    val corpus = Seq((1L, Seq(v.head / math.sqrt(v.map(x => x * x).sum),
+      v(1) / math.sqrt(v.map(x => x * x).sum)))).toDF("vec_id", "embedding")
+    val hits = Decontam.semanticContaminated(corpus, bench, "vec_id", "embedding", 0.9)
+    assert(hits.count() === 1L, "boundary case must be decided on the 4-dp snap")
+  }
+
+  test("semantic decontaminate never force-broadcasts the hit set") {
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val plan = Decontam.semanticDecontaminate(corpus2, bench, "vec_id", "embedding", 0.5)
+      .queryExecution.logical.toString
+    // the hit set is threshold-dependent — AQE must choose the join side
+    assert(!plan.contains("UnresolvedHint hint=broadcast, child=Join"),
+      "hit-set anti join must stay AQE-decided")
+  }
+
+  private lazy val corpus2 = Seq(
+    (1L, Seq(0.95, 0.1, 0.0)), (2L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+
   test("corpus side never shuffles: every exchange is inside a broadcast build") {
     val plan = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 3)
       .queryExecution.executedPlan.toString

@@ -119,6 +119,87 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash64: fingerprint matches an independent formula-space computation") {
+    // independent implementation: compute the dHash straight from the
+    // synthetic pixel FORMULAS (no codec, no BufferedImage) — agreement
+    // proves the decode→luma→grid→gradient pipeline is lossless and the
+    // literal oracle constants are not self-referential
+    def formulaDhash(w: Int, h: Int, seed: Int,
+        perturb: Option[(Int, Int, Int, Int)]): Long = {
+      def luma(x: Int, y: Int): Int = {
+        val inBox = perturb.exists { case (x0, y0, pw, ph) =>
+          x >= x0 && x < x0 + pw && y >= y0 && y < y0 + ph }
+        val (r, g, b) =
+          if (inBox) (255, 255, 255)
+          else ((x * x * 7 + y * 13 + seed * 29) % 256,
+            (y * y * 5 + x * 11 + seed * 41) % 256,
+            (x * y + seed * 11) % 256)
+        (77 * r + 150 * g + 29 * b) >> 8
+      }
+      var hash = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        def block(bi: Int): (Long, Long) = {
+          val x0 = bi * w / 9; val x1 = (bi + 1) * w / 9
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var s = 0L
+          for (y <- y0 until y1; x <- x0 until x1) s += luma(x, y)
+          (s, (x1 - x0).toLong * (y1 - y0))
+        }
+        val (sl, cl) = block(i); val (sr, cr) = block(i + 1)
+        if (sl * cr > sr * cl) hash |= 1L << (j * 8 + i)
+      }
+      hash
+    }
+    val cases = Seq(
+      (1L, 64, 64, 1, None, "png"),
+      (2L, 64, 64, 1, Some((12, 12, 10, 10)), "bmp"),
+      (3L, 48, 40, 2, None, "png"),
+      (4L, 40, 40, 6, Some((5, 5, 4, 4)), "bmp"))
+    val payloads = cases.map { case (id, w, h, seed, p, fmt) =>
+      (id, Multimodal.syntheticPatternImage(w, h, seed, p, fmt))
+    }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.dhash64(media).collect().map(x => x.doc_id -> x).toMap
+    cases.foreach { case (id, w, h, seed, p, _) =>
+      assert(got(id).hash_ok)
+      assert(got(id).dhash === formulaDhash(w, h, seed, p),
+        s"doc $id: codec round-trip drifted from formula space")
+    }
+  }
+
+  test("dhash64: perturbed images stay near, distinct seeds stay far") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val payloads = Seq(
+      (0L, Multimodal.syntheticPatternImage(64, 64, 1, None, "png")),
+      (1L, Multimodal.syntheticPatternImage(64, 64, 1, Some((12, 12, 10, 10)), "bmp")),
+      (2L, Multimodal.syntheticPatternImage(64, 64, 3, None, "png")),
+      (3L, "garbage".getBytes("UTF-8")),
+      (4L, Multimodal.syntheticPatternImage(8, 6, 1, None, "png"))) // sub-grid
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "doc_id", "payload")
+    val got = Multimodal.dhash64(media).collect().map(x => x.doc_id -> x).toMap
+    assert(ham(got(0L).dhash, got(1L).dhash) <= 6, "planted near-dup drifted far")
+    assert(ham(got(0L).dhash, got(2L).dhash) >= 15, "distinct seeds too close")
+    // undecodable and sub-grid payloads are rows on the hash_ok=false
+    // ladder, never exceptions
+    assert(!got(3L).hash_ok && !got(4L).hash_ok)
+  }
+
+  test("dhash64 + hammingPairs64: banded join finds exactly the planted pairs") {
+    val payloads = Seq(
+      (0L, Multimodal.syntheticPatternImage(64, 64, 1, None, "png")),
+      (1L, Multimodal.syntheticPatternImage(64, 64, 1, Some((12, 12, 10, 10)), "bmp")),
+      (2L, Multimodal.syntheticPatternImage(48, 40, 2, None, "png")),
+      (3L, Multimodal.syntheticPatternImage(48, 40, 2, Some((28, 18, 8, 8)), "bmp")),
+      (4L, Multimodal.syntheticPatternImage(64, 64, 3, None, "png")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(3), "doc_id", "payload")
+    val hashed = Multimodal.dhash64(media).toDF().filter($"hash_ok")
+    val pairs = Dedup.hammingPairs64(hashed, "doc_id", "dhash", maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
     val resized = Multimodal.resizePlan(features, maxSide = 64)

@@ -116,6 +116,47 @@ class SplitSpec extends SparkSpec {
     assert(lo > hi * 3, s"bias missing: $lo low-id vs $hi high-id keeps")
   }
 
+  test("assignByCluster: every member of a cluster shares one split label") {
+    // clusters {1,2,3}, {10,11}; the rest singletons
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val out = Split.assignByCluster(df, "id", members,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val labels = out.filter($"id".isin(1L, 2L, 3L))
+      .select("split").distinct().as[String].collect()
+    assert(labels.length === 1, "cluster {1,2,3} straddles splits")
+    val labels2 = out.filter($"id".isin(10L, 11L))
+      .select("split").distinct().as[String].collect()
+    assert(labels2.length === 1, "cluster {10,11} straddles splits")
+    assert(out.count() === 1000L, "membership join must not drop or dup docs")
+  }
+
+  test("assignByCluster: singletons get BIT-IDENTICAL labels to assign") {
+    val members = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val byCluster = Split.assignByCluster(df, "id", members,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .filter(!$"id".isin(1L, 2L))
+      .select("id", "split").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val byId = Split.assign(df, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .filter(!$"id".isin(1L, 2L))
+      .select("id", "split").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(byCluster === byId,
+      "adding a dedup pass must not reshuffle unaffected docs across splits")
+  }
+
+  test("assignByCluster keys the label on the cluster id, not the member id") {
+    // cluster 500 pulls doc 999 under doc 500's draw
+    val members = Seq((999L, 500L), (500L, 500L)).toDF("id", "cluster_id")
+    val out = Split.assignByCluster(df, "id", members,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .filter($"id".isin(500L, 999L))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val expect = Split.assign(Seq(500L).toDF("id"), "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("split").as[String].head()
+    assert(out(999L) === expect && out(500L) === expect)
+  }
+
   test("stratifiedSample is deterministic across runs and partitionings") {
     val a = Split.stratifiedSample(df, "lang", "id", 0.05)
       .select("id").as[Long].collect().sorted.toSeq
