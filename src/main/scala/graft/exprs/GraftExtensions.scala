@@ -113,6 +113,10 @@ object GraftExtensions {
       fn("redact_pii", Text.getClass) { children =>
         expectArity("redact_pii(text)", children, 1)
         expression(Text.redactPii(column(children(0))))
+      },
+      fn("char_entropy", classOf[CharEntropy]) { children =>
+        expectArity("char_entropy(text)", children, 1)
+        CharEntropy(children(0))
       })
   }
 

@@ -202,4 +202,12 @@ object Text {
     when(n === 0, lit(0.0))
       .otherwise((n - length(regexp_replace(text, pattern, ""))).cast("double") / n)
   }
+
+  /** Shannon entropy (bits) of the code-point distribution — the
+    * gibberish/repetition scalar ([[graft.exprs.CharEntropy]], one
+    * codegen'd pass). Snap with `round(…, 4)` when comparing across
+    * engines (unordered SQL aggregation vs this expression's pinned
+    * ascending-code-point order).
+    */
+  def charEntropy(text: Column): Column = graft.exprs.CharEntropy(text)
 }

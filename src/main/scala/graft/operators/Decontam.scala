@@ -54,6 +54,33 @@ object Decontam {
     docs.join(broadcast(hits), Seq(idCol), "left_anti")
   }
 
+  /** Contamination FORENSICS: for every contaminated doc, WHICH benchmark
+    * n-grams it shares — the evidence a data audit needs before deleting
+    * a document (and the input to span-level surgical removal, where only
+    * the leaked span dies instead of the whole doc). Same scale shape as
+    * [[contaminated]] (broadcast bench grams, corpus never shuffles until
+    * the hit aggregation, output bounded by the hit set); the matched
+    * grams per doc are at most the benchmark's distinct grams, re-joined
+    * '|'-sorted into one string so the result stays flat and
+    * hash-comparable.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(Shingles(col(textCol), n)).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"),
+        array_join(sort_array(collect_set(col("__gram"))), "|").as("shared_grams"))
+  }
+
   /** SEMANTIC contamination — embedding-space overlap with the benchmark,
     * the companion check to n-gram [[contaminated]]: a paraphrased test
     * question shares no 8-gram with its source but sits at high cosine to
