@@ -117,6 +117,12 @@ object GraftExtensions {
       fn("char_entropy", classOf[CharEntropy]) { children =>
         expectArity("char_entropy(text)", children, 1)
         CharEntropy(children(0))
+      },
+      fn("winnow_keys", classOf[WinnowKeys]) { children =>
+        val f = "winnow_keys(text, k, w)"
+        expectArity(f, children, 3)
+        WinnowKeys(children(0), intLit(children(1), f, "k"),
+          intLit(children(2), f, "w"))
       })
   }
 

@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   * 2⁵³.) Gram hashes go through the repo's md5 draw ([[Split.hashDraw32]])
   * — engine-reproducible, like the split/sample/DSIR operators.
   *
-  * Scale shape: fingerprint selection is PER-DOCUMENT array arithmetic —
-  * hash, window-min, distinct all run as higher-order functions over the
-  * gram array, so the pass is narrow: zero shuffles, embarrassingly
-  * parallel across documents, cost O(len·w) per doc (the HOF lambdas are
-  * interpreted, but each element is an md5 — the hash dominates either
-  * way). Only the final explode-to-rows is corpus-sized, and it feeds
-  * the caller's aggregate directly.
+  * Scale shape: fingerprint selection is PER-DOCUMENT arithmetic inside
+  * ONE fused codegen'd expression ([[graft.exprs.WinnowKeys]]: byte-walk
+  * → gram md5 → monotonic-deque window-min → distinct), so the pass is
+  * narrow: zero shuffles, embarrassingly parallel across documents, cost
+  * O(len) per doc. Only the final explode-to-rows is corpus-sized, and
+  * it feeds the caller's aggregate directly. The original HOF form is
+  * kept as [[fingerprintsHof]] — the executable reference WinnowSpec
+  * proves the fused kernel bit-equal to.
   */
 object Winnow {
 
@@ -35,9 +36,32 @@ object Winnow {
     * 1-based character offset of the k-gram and `fp` its 32-bit hash.
     * Documents shorter than `k` characters have no grams and drop out;
     * documents with fewer than `w` grams contribute their single
-    * whole-document window.
+    * whole-document window. Bound: documents up to 2²⁰ characters (the
+    * key packing above).
     */
   def fingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    require(w >= 1, s"window must be >= 1, got $w")
+    val sel = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(graft.exprs.WinnowKeys(col(textCol), k, w)).as("__key"))
+    sel.select(col(idCol),
+      (lit(POS_BOUND) - col("__key") % POS_BOUND).as("pos"),
+      shiftright(col("__key"), 20).as("fp"))
+  }
+
+  /** The original higher-order-function form of [[fingerprints]] — kept
+    * as the executable reference the fused [[graft.exprs.WinnowKeys]]
+    * kernel is proven bit-equal to (WinnowSpec), the same pattern as
+    * `Sim.minHash` vs `MinHashSig`. Not used by any registered query.
+    */
+  private[graft] def fingerprintsHof(
       docs: DataFrame,
       idCol: String,
       textCol: String,

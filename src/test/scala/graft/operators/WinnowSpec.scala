@@ -81,6 +81,45 @@ class WinnowSpec extends SparkSpec {
     assert(got.count() === 0L)
   }
 
+  test("fused WinnowKeys kernel is bit-equal to the HOF reference form") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 60L).map { i =>
+      val len = rnd.nextInt(400)
+      val body = (0 until len).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => 'a'                                   // heavy repetition → hash ties
+          case 1 => ('a' + rnd.nextInt(3)).toChar
+          case 2 => "é".charAt(0)                         // 2-byte UTF-8
+          case 3 => '中'                              // 3-byte UTF-8
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      }.mkString
+      (i, body + "😀")                          // 4-byte surrogate pair tail
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 16), (3, 4), (1, 1), (5, 100))) {
+      val native = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+        .as[(Long, Long, Long)].collect().toSet
+      val hof = Winnow.fingerprintsHof(docs, "doc_id", "text", k, w)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(native === hof, s"k=$k w=$w")
+    }
+  }
+
+  test("winnow_keys SQL function matches the operator's key stream") {
+    graft.exprs.GraftExtensions.registerAll(spark)
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("winnow_sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, 1048576 - key % 1048576 AS pos, shiftright(key, 20) AS fp
+        |FROM winnow_sql_docs
+        |LATERAL VIEW explode(winnow_keys(text, 8, 4)) t AS key""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaOp = Winnow.fingerprints(df, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSql === viaOp)
+  }
+
   test("plan: fingerprint selection is narrow — no Exchange before the explode") {
     val df = Seq((1L, "some text long enough to produce grams here")).toDF("doc_id", "text")
     val p = Winnow.fingerprints(df, "doc_id", "text")
