@@ -1320,6 +1320,19 @@ object SparkEntry {
           lit(" Café ÜBER\tnaïve  São RÉSUMÉ Ångström "))).as("norm"))
       .orderBy(col("doc_id"))
 
+  /** Code-point Shannon entropy ([[graft.exprs.CharEntropy]]) over every
+    * document with a planted multi-byte tail (CJK + an astral-plane emoji
+    * — surrogate pairs must count once), snapped at 4 dp per the
+    * cross-engine contract (Spark accumulates in code-point order, the
+    * SQL mirror unordered; only the snapped value is comparable).
+    */
+  private def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        round(Text.charEntropy(concat(col("text"), lit(" 中中😀😀 éé"))), 4)
+          .as("ent"))
+      .orderBy(col("doc_id"))
+
   /** Hard-negative mining: top-5 wrong-label neighbors per probe vector
     * ([[graft.operators.Ann.hardNegatives]] — broadcast probes, native
     * CosineSim, WindowGroupLimit top-k, label filter before the window).
@@ -1508,6 +1521,7 @@ object SparkEntry {
           concat(lit("ID "), col("doc_id")),
           lit("(c) example.org - all rights reserved")))
     Boilerplate.removeBoilerplate(docs, "doc_id", "wrapped", minDf = 50L)
+      .select(col("doc_id"), col("wrapped").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -2392,6 +2406,7 @@ object SparkEntry {
     "q_bpe_estimate" -> (qBpeEstimate _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_text_normalize" -> (qTextNormalize _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_rollup_report" -> (qRollupReport _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -3376,6 +3391,18 @@ object SparkEntry {
              text || ' Café ÜBER' || chr(9) || 'naïve  São RÉSUMÉ Ångström ')),
              '\s+', ' ', 'g')) AS norm
          FROM documents ORDER BY doc_id""",
+    "q_char_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id,
+             unnest(string_split_regex(text || ' 中中😀😀 éé', '')) AS ch
+           FROM documents),
+         counts AS (
+           SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS tot FROM counts GROUP BY 1)
+         SELECT c.doc_id,
+           round(sum(-(n / tot) * log2(n / tot)), 4) + 0 AS ent
+         FROM counts c JOIN tot USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "q_chunk_docs" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks

@@ -49,9 +49,12 @@ object Boilerplate {
       .agg(count(lit(1)).as("line_df"))
 
   /** Every document with its boilerplate lines (line_df ≥ `minDf`)
-    * removed and the survivors rejoined in original order. Documents
-    * whose lines are ALL boilerplate survive with empty text — dropping
-    * them is a separate, explicit filter decision.
+    * removed and the survivors rejoined in original order. The output
+    * keeps the INPUT schema: every other column (lang, url, …) rides
+    * through untouched and `textCol` is replaced in place with the
+    * cleaned text, so the operator composes mid-pipeline without a
+    * re-join. Documents whose lines are ALL boilerplate survive with
+    * empty text — dropping them is a separate, explicit filter decision.
     */
   def removeBoilerplate(
       docs: DataFrame,
@@ -70,10 +73,10 @@ object Boilerplate {
         transform(
           array_sort(collect_list(struct(col("line_no"), col("line")))),
           e => e.getField("line")),
-        "\n").as("clean_text"))
-    docs.select(col(idCol).as("id"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        "\n").as("__clean"))
+      .select(col("id").as(idCol), col("__clean"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
   }
 }

@@ -113,7 +113,7 @@ object Cluster {
     * silently collapsing every singleton into one null-keyed cluster —
     * the whole corpus deduped to a single survivor. Fail loudly instead.
     */
-  private def requireIntegralIds(df: DataFrame, cols: String*): Unit =
+  private[operators] def requireIntegralIds(df: DataFrame, cols: String*): Unit =
     cols.foreach { c =>
       import org.apache.spark.sql.types._
       val ok = df.schema(c).dataType match {

@@ -239,9 +239,14 @@ object Dedup {
       s"maxHamming must be in [0, 64), got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // maxHamming = 0 → one 64-bit chunk; (1L << 64) is 1 (shift counts are
+    // mod 64), so the generic mask would be 0 and every row would band to
+    // key 0 — a silent full self cross join. Full-width mask instead: the
+    // candidate join becomes an exact-hash equi-join, as it should.
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     def chunkKey(sh: Column, c: Column): Column =
       call_function("shiftright", sh, (c * bitsPer).cast("int"))
-        .bitwiseAND(lit((1L << bitsPer) - 1))
+        .bitwiseAND(lit(mask))
     val hashed = hashed0.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>

@@ -85,6 +85,10 @@ object Split {
       idCol: String,
       members: DataFrame,
       weights: Seq[(String, Int)]): DataFrame = {
+    // same hazard as Cluster.canonical: a non-integral id would
+    // cast('long') to NULL in the singleton fallback, and hashBucket(NULL)
+    // → splitLabel(NULL) silently labels every such doc split = NULL
+    Cluster.requireIntegralIds(docs, idCol)
     val m = members.select(col("id").as(idCol), col("cluster_id").as("__cid"))
     docs.join(broadcast(m), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("__cid"), col(idCol).cast("long")))

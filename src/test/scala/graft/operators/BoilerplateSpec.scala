@@ -45,6 +45,16 @@ class BoilerplateSpec extends SparkSpec {
     assert(out === orig)
   }
 
+  test("output keeps the input schema: metadata columns ride through, textCol replaced in place") {
+    val withMeta = docs.withColumn("lang", concat(lit("l"), $"doc_id" % 2))
+      .withColumn("url", concat(lit("https://ex.org/"), $"doc_id"))
+    val out = Boilerplate.removeBoilerplate(withMeta, "doc_id", "text", minDf = 4L)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang", "url"))
+    val row = out.filter($"doc_id" === 3L)
+      .as[(Long, String, String, String)].head()
+    assert(row === ((3L, "gamma body three\nmiddle extra", "l1", "https://ex.org/3")))
+  }
+
   test("the boilerplate join carries no broadcast hint (AQE decides)") {
     val plan = Boilerplate.removeBoilerplate(docs, "doc_id", "text", minDf = 2L)
       .queryExecution.logical.toString

@@ -200,6 +200,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (2L, 3L)))
   }
 
+  test("hammingPairs64 maxHamming=0: exact-hash pairs, bands stay discriminative") {
+    // one 64-bit chunk — the mask must cover all 64 bits, not degenerate
+    // to 0 (which would band every row to key 0: a full self cross join)
+    val hashed = Seq(
+      (1L, 0x1234567890abcdefL), (2L, 0x1234567890abcdefL),
+      (3L, 0x1234567890abcdeeL), // hamming 1 from the pair — must NOT match
+      (4L, -1L), (5L, -1L), (6L, 0L))
+      .toDF("doc_id", "h")
+    val pairs = Dedup.hammingPairs64(hashed, "doc_id", "h", maxHamming = 0)
+    assert(pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (4L, 5L)))
+    // and the banded join keys on the full hash: distinct hashes never meet
+    val keys = hashed.select(
+      call_function("shiftright", $"h", lit(0)).bitwiseAND(lit(-1L)).as("k"))
+      .distinct().count()
+    assert(keys === 4L)
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
     val resized = Multimodal.resizePlan(features, maxSide = 64)

@@ -157,6 +157,18 @@ class SplitSpec extends SparkSpec {
     assert(out(999L) === expect && out(500L) === expect)
   }
 
+  test("assignByCluster refuses non-integral ids instead of silently NULL-splitting") {
+    // a string id would cast('long') → NULL in the singleton fallback and
+    // every unclustered doc would get split = NULL — fail loudly instead
+    val strDocs = Seq(("doc-a", "x"), ("doc-b", "y")).toDF("id", "text")
+    val members = Seq((1L, 1L)).toDF("id", "cluster_id")
+    val e = intercept[IllegalArgumentException] {
+      Split.assignByCluster(strDocs, "id", members,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("stratifiedSample is deterministic across runs and partitionings") {
     val a = Split.stratifiedSample(df, "lang", "id", 0.05)
       .select("id").as[Long].collect().sorted.toSeq
