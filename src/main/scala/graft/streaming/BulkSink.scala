@@ -39,7 +39,8 @@ final class BulkStateSink(
     val keys: Seq[String],
     blockCol: String = "block_num",
     presentCol: String = "present",
-    retryOnConflict: Int = 3) extends StateSink {
+    retryOnConflict: Int = 3,
+    strictDeletes: Boolean = false) extends StateSink {
   import org.apache.hadoop.fs.Path
 
   def mergeBatch(batch: DataFrame)(implicit spark: SparkSession): Unit = {
@@ -50,17 +51,25 @@ final class BulkStateSink(
     // rendering both lines of an op into a single value keeps the
     // action/source pairing atomic across partitions and file splits.
     //
-    // CONTRACT NOTE — deletes are wire-faithful, hence UNCONDITIONAL
-    // (makeDelOp carries no block guard; real ES has no guarded delete).
-    // Within a batch the per-key block ordering below sequences them
-    // correctly; ACROSS batches the sink assumes per-key block_num never
-    // decreases batch-over-batch — the property every chain stream (and
-    // the reference's own ES deployment) relies on. A regressing-block
-    // tombstone delivered a batch late would delete newer state here,
-    // where the parquet sink's merge would keep it.
+    // CONTRACT NOTE — deletes carry the tombstone's block as an EXTERNAL
+    // VERSION (`"version": block_num, "version_type": "external_gte"` —
+    // real ES wire fields; makeDelOp itself sends a bare delete and relies
+    // on per-key monotone blocks). Within a batch the per-key block
+    // ordering below sequences ops correctly either way; ACROSS batches
+    // the version guard closes the one divergence window a bare delete
+    // has: a tombstone delivered a batch late (per-key block_num
+    // regressing batch-over-batch) would unconditionally delete newer
+    // state where [[graft.state.StateMerge]]'s LWW keeps it. The embedded
+    // index skips-and-logs such regressing deletes (external_gte: apply
+    // only when version >= stored block — ties delete, matching
+    // StateMerge's batch-beats-state-at-equal-block rule), or fails the
+    // batch when `strictDeletes` is set.
     val id = concat_ws("-", keys.map(col): _*)
     val action = when(col(presentCol) === 0,
-      to_json(struct(struct(col("__id").as("_id")).as("delete"))))
+      to_json(struct(struct(
+        col("__id").as("_id"),
+        col(blockCol).cast("long").as("version"),
+        lit("external_gte").as("version_type")).as("delete"))))
       .otherwise(to_json(struct(struct(
         col("__id").as("_id"),
         lit(retryOnConflict).as("retry_on_conflict")).as("update"))))
@@ -93,9 +102,10 @@ final class BulkStateSink(
       // embedded index is in-JVM; on a cluster this closure is where the
       // HTTP POST to _bulk would go
       val target = dir
+      val strict = strictDeletes
       ops.foreachPartition {
         rows: Iterator[org.apache.spark.sql.Row] =>
-          EmbeddedBulkIndex.post(target, rows.map(_.getString(0)))
+          EmbeddedBulkIndex.post(target, rows.map(_.getString(0)), strict)
       }
     } finally ops.unpersist()
   }
@@ -175,7 +185,8 @@ object EmbeddedBulkIndex {
     * bulk response would report per-item 409s; the sink treats any as
     * batch failure so Structured Streaming redelivers.
     */
-  def post(target: String, lines: Iterator[String]): Unit = {
+  def post(target: String, lines: Iterator[String],
+      strictDeletes: Boolean = false): Unit = {
     val idx = index(target)
     // accept both physical lines and multi-line op strings (an update op
     // is an action line + a source line)
@@ -184,7 +195,12 @@ object EmbeddedBulkIndex {
       val action = JsonMethods.parse(it.next()).asInstanceOf[JObject]
       action.obj.head match {
         case ("delete", meta) =>
-          idx.remove(idString(meta))
+          val version = (meta \ "version") match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None // bare delete: unconditional, wire-compatible
+          }
+          deleteVersioned(idx, idString(meta), version, strictDeletes, target)
         case ("update", meta) =>
           val source = JsonMethods.parse(it.next()).asInstanceOf[JObject]
           val params = (source \ "script" \ "params").asInstanceOf[JObject]
@@ -285,17 +301,54 @@ object EmbeddedBulkIndex {
     }
   }
 
+  /** ES external_gte delete: apply only when the op's version (the
+    * tombstone's block_num) is >= the stored doc's — ties delete,
+    * matching [[graft.state.StateMerge]]'s batch-beats-state rule. A
+    * REGRESSING delete (stored block newer than the tombstone) is the
+    * late-delivery divergence the round-8 contract note documented:
+    * skip it (log) so LWW state survives exactly as the parquet sink
+    * keeps it, or throw under `strict` so Structured Streaming surfaces
+    * the ordering violation as a batch failure. Conditional remove
+    * (CHM.remove(key, value)) keeps the read-check-remove atomic against
+    * concurrent partition writers.
+    */
+  private def deleteVersioned(
+      idx: ConcurrentHashMap[String, Entry],
+      id: String,
+      version: Option[Long],
+      strict: Boolean,
+      target: String): Unit = {
+    var done = false
+    while (!done) {
+      val prev = idx.get(id)
+      if (prev == null) done = true // absent doc: delete is a no-op
+      else {
+        val regressing = version.exists(v =>
+          blockOf(prev.doc).exists(_ > BigInt(v)))
+        if (regressing) {
+          val msg = s"regressing delete on _id=$id at $target: delete " +
+            s"version ${version.get} < stored block ${blockOf(prev.doc).get} " +
+            "— late tombstone, newer state kept (LWW)"
+          if (strict) throw new IllegalStateException(msg)
+          Console.err.println(s"[bulk-sink] $msg")
+          done = true
+        } else done = idx.remove(id, prev)
+      }
+    }
+  }
+
+  private def blockOf(o: JObject): Option[BigInt] = (o \ "block_num") match {
+    case JInt(n) => Some(n)
+    case JLong(n) => Some(BigInt(n))
+    case _ => None
+  }
+
   /** The updateByBlock script (updateByBlock.painless.ts:3-30): apply
     * params unless the stored doc has a NEWER block_num; null-valued
     * params remove fields.
     */
   private def applyUpdateByBlock(
       prev: Option[JObject], params: JObject): Option[JObject] = {
-    def blockOf(o: JObject): Option[BigInt] = (o \ "block_num") match {
-      case JInt(n) => Some(n)
-      case JLong(n) => Some(BigInt(n))
-      case _ => None
-    }
     val stale = (for {p <- prev; old <- blockOf(p); inc <- blockOf(params)}
       yield inc < old).getOrElse(false)
     if (stale) None

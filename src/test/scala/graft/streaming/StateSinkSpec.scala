@@ -141,6 +141,63 @@ class StateSinkSpec extends SparkSpec {
     EmbeddedBulkIndex.drop(t)
   }
 
+  test("versioned delete guard: a late tombstone skips; equal-block deletes; strict throws") {
+    val t = "mem://late-tombstone"
+    EmbeddedBulkIndex.drop(t)
+    def upd(id: String, body: String) = Iterator(
+      s"""{"update":{"_id":"$id","retry_on_conflict":3}}""",
+      s"""{"script":{"id":"updateByBlock","params":$body},"scripted_upsert":true,"upsert":{}}""")
+    def del(id: String, v: Long) = Iterator(
+      s"""{"delete":{"_id":"$id","version":$v,"version_type":"external_gte"}}""")
+    // batch N delivers the newer state; batch N+1 delivers a REGRESSING
+    // tombstone (block 7 < stored 10) — the parquet sink's LWW keeps the
+    // row, so the bulk sink must too
+    EmbeddedBulkIndex.post(t, upd("k", """{"block_num":10,"v":1}"""))
+    EmbeddedBulkIndex.post(t, del("k", 7L))
+    assert(EmbeddedBulkIndex.docs(t).nonEmpty,
+      "late tombstone must not delete newer state")
+    // external_gte: an equal-version delete applies (StateMerge's
+    // batch-beats-state-at-equal-block rule)
+    EmbeddedBulkIndex.post(t, del("k", 10L))
+    assert(EmbeddedBulkIndex.docs(t).isEmpty, "equal-block delete must apply")
+    // strict mode surfaces the ordering violation as a batch failure
+    EmbeddedBulkIndex.post(t, upd("k", """{"block_num":20,"v":2}"""))
+    val e = intercept[IllegalStateException] {
+      EmbeddedBulkIndex.post(t, del("k", 12L), strictDeletes = true)
+    }
+    assert(e.getMessage.contains("regressing delete"))
+    assert(EmbeddedBulkIndex.docs(t).nonEmpty, "strict failure must not apply")
+    EmbeddedBulkIndex.drop(t)
+  }
+
+  test("late tombstone: bulk sink state equals parquet StateMerge state batch-over-batch") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_bulk_late").toString
+    val sink = new BulkStateSink(s"$t/es", Seq("k"))
+    val schema = Seq((1L, 10L, 1L, "a")).toDF("k", "block_num", "present", "data").schema
+    def frame(rows: (Long, Long, Long, String)*) = {
+      val df = rows.toDF("k", "block_num", "present", "data")
+      spark.createDataFrame(df.rdd, schema)
+    }
+    // batch 1: key 1 updated at block 10, key 2 at block 5
+    val b1 = frame((1L, 10L, 1L, "a"), (2L, 5L, 1L, "b"))
+    // batch 2: a LATE tombstone for key 1 at block 7 (regressed), and a
+    // legitimate delete for key 2 at block 6
+    val b2 = frame((1L, 7L, 0L, "gone"), (2L, 6L, 0L, "gone"))
+    sink.mergeBatch(b1)(spark)
+    sink.mergeBatch(b2)(spark)
+    val viaBulk = sink.read(spark).select($"k", $"block_num", $"data")
+      .as[(Long, Long, String)].collect().toSet
+    val viaMerge = graft.state.StateMerge
+      .merge(graft.state.StateMerge.merge(b1.limit(0), b1, Seq("k")), b2, Seq("k"))
+      .select($"k", $"block_num", $"data")
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaBulk === viaMerge,
+      "bulk sink must keep exactly what the parquet merge keeps")
+    assert(viaBulk === Set((1L, 10L, "a")), "key 1 survives, key 2 deleted")
+    EmbeddedBulkIndex.drop(s"$t/es")
+  }
+
   test("startStateMerge is exactly the parquet specialization (unchanged behavior)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     val rawDir = s"$tmp/deltas"
