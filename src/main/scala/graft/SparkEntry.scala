@@ -761,6 +761,84 @@ object SparkEntry {
       .select(col("doc_id"), graft.exprs.SimHash64(Text.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------- md5-twin hash queries
+  // The production hash kernels draw from xxhash64 — engine-specific, so
+  // q_minhash_sig / q_simhash / q_fingerprint / q_incremental_neardup
+  // carry rows-only checks. These twins run the IDENTICAL pipelines over
+  // the repo's engine-reproducible md5 draw ([[graft.exprs.Md5Draw]] ≡
+  // [[Split.hashDraw32]] ≡ DuckDB md5 arithmetic), so the full
+  // shingle→sign→band→join→estimate chain gets a hash-verified oracle.
+
+  /** The universal-hash family constants shared by `Sim.minHash`,
+    * [[graft.exprs.MinHashSig]], and the twin oracles below.
+    */
+  private val MhP = 2147483647L
+  private def mhA(j: Int): Long = (2654435761L * (j + 1) + 40503L) % (MhP - 1) + 1
+  private def mhB(j: Int): Long = (1103515245L * (j + 1) + 12345L) % MhP
+
+  /** md5-twin of [[qMinhashSig]]: same fused signing + banding kernels in
+    * md5Base mode, 16 hashes, 4×4 bands.
+    */
+  private def qMinhashSigMd5(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        graft.exprs.MinHashSig(
+          graft.exprs.Shingles(col("text"), 2), 16, md5Base = true).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("h0"),
+        element_at(col("sig"), 2).as("h1"),
+        element_at(
+          graft.exprs.LshBandKeys(col("sig"), 4, 4, md5Base = true), 1)
+          .as("band0_bucket"))
+      .orderBy(col("doc_id"))
+
+  /** md5-twin of [[qSimhash]]: 32-bit per-bit majority vote over md5
+    * token draws — same vote rule as `Sim.simHash`, draw swapped.
+    */
+  private def qSimhashMd5(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val hs = transform(toks, t => Split.hashDraw32(t))
+    val bits = (0 until 32).map { bit =>
+      val ones = size(filter(hs,
+        h => shiftright(h, bit).bitwiseAND(lit(1L)) === lit(1L)))
+      when((ones * 2) > size(hs), shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    T.documents(s, d)
+      .select(col("doc_id"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** md5-twin of [[qFingerprint]]: the exact-dedup key over the md5 draw
+    * instead of xxhash64 — same normalization (lower ∘ trim).
+    */
+  private def qFingerprintMd5(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        Split.hashDraw32(lower(trim(col("text")))).as("fp32"))
+      .orderBy(col("doc_id"))
+
+  /** md5-twin of [[qIncrementalNearDup]]: the SAME
+    * [[graft.operators.Dedup.incrementalNearDup]] operator (batch-vs-
+    * history band join, broadcast bucket semi-join, signature estimate)
+    * in md5Base mode with an 8-hash / 4-band signature the oracle can
+    * afford to spell out column-by-column.
+    */
+  private def qIncrementalNearDupMd5(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val history = docs.filter(col("doc_id") < 400)
+    val edits = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat_ws(" ", lit("EDITMARK"), col("text")).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+      .select((col("doc_id") + 2000).as("doc_id"), col("text"))
+    Dedup.incrementalNearDup(edits.unionByName(fresh), history,
+      "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4,
+      threshold = 0.5, md5Base = true)
+      .orderBy(col("id_b"))
+  }
+
   /** Brute-force cosine top-k ANN against the corpus (query = vector 0). */
   private def qAnnCosine(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
@@ -2388,6 +2466,10 @@ object SparkEntry {
     "q_curriculum" -> (qCurriculum _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
+    "q_minhash_sig_md5" -> (qMinhashSigMd5 _),
+    "q_simhash_md5" -> (qSimhashMd5 _),
+    "q_fingerprint_md5" -> (qFingerprintMd5 _),
+    "q_incremental_neardup_md5" -> (qIncrementalNearDupMd5 _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_ann_quantized" -> (qAnnQuantized _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3391,6 +3473,124 @@ object SparkEntry {
              text || ' Café ÜBER' || chr(9) || 'naïve  São RÉSUMÉ Ångström ')),
              '\s+', ' ', 'g')) AS norm
          FROM documents ORDER BY doc_id""",
+    "q_minhash_sig_md5" -> {
+      val hs = (0 until 4).map(j =>
+        s"CAST(min((hb * ${mhA(j)} + ${mhB(j)}) % $MhP) AS BIGINT) AS h$j")
+        .mkString(",\n             ")
+      s"""WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS sh
+           FROM t WHERE len(toks) >= 2),
+         hx AS (
+           SELECT doc_id,
+             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
+           FROM g),
+         sig AS (
+           SELECT doc_id,
+             $hs
+           FROM hx GROUP BY 1)
+         SELECT doc_id, h0, h1,
+           CAST('0x' || substring(md5(
+             '0_' || h0 || '_' || h1 || '_' || h2 || '_' || h3), 1, 8)
+             AS BIGINT) AS band0_bucket
+         FROM sig ORDER BY doc_id"""
+    },
+    "q_simhash_md5" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS hv
+           FROM t),
+         v AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN ones * 2 > n
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash32
+         FROM v GROUP BY 1 ORDER BY 1""",
+    "q_fingerprint_md5" ->
+      """SELECT doc_id,
+           CAST('0x' || substring(md5(lower(trim(text))), 1, 8) AS BIGINT)
+             AS fp32
+         FROM documents ORDER BY doc_id""",
+    "q_incremental_neardup_md5" -> {
+      def sigCols(src: String) = (0 until 8).map(j =>
+        s"CAST(min((hb * ${mhA(j)} + ${mhB(j)}) % $MhP) AS BIGINT) AS h$j")
+        .mkString(",\n             ")
+      def bandRows(sig: String) =
+        s"""SELECT doc_id, 0 AS b, h0 AS c0, h1 AS c1 FROM $sig
+           UNION ALL SELECT doc_id, 1, h2, h3 FROM $sig
+           UNION ALL SELECT doc_id, 2, h4, h5 FROM $sig
+           UNION ALL SELECT doc_id, 3, h6, h7 FROM $sig"""
+      val estSum = (0 until 8).map(j =>
+        s"(CASE WHEN bs.h$j = hs.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH hist AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         batch AS (
+           SELECT doc_id + 1000 AS doc_id, 'EDITMARK ' || text AS text
+           FROM documents WHERE doc_id < 20
+           UNION ALL
+           SELECT doc_id + 2000, text
+           FROM documents WHERE doc_id >= 400 AND doc_id < 410),
+         bg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+                 FROM batch)
+           WHERE len(toks) >= 3),
+         hg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+                 FROM hist)
+           WHERE len(toks) >= 3),
+         bsig AS (
+           SELECT doc_id,
+             ${sigCols("bg")}
+           FROM (SELECT doc_id,
+                   CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
+                 FROM bg)
+           GROUP BY 1),
+         hsig AS (
+           SELECT doc_id,
+             ${sigCols("hg")}
+           FROM (SELECT doc_id,
+                   CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
+                 FROM hg)
+           GROUP BY 1),
+         bband AS (
+           SELECT doc_id, b,
+             CAST('0x' || substring(md5(b || '_' || c0 || '_' || c1), 1, 8)
+               AS BIGINT) AS bucket
+           FROM (${bandRows("bsig")})),
+         hband AS (
+           SELECT doc_id, b,
+             CAST('0x' || substring(md5(b || '_' || c0 || '_' || c1), 1, 8)
+               AS BIGINT) AS bucket
+           FROM (${bandRows("hsig")})),
+         cand AS (
+           SELECT DISTINCT bb.doc_id AS id_b, hb2.doc_id AS id_h
+           FROM bband bb JOIN hband hb2 ON bb.b = hb2.b AND bb.bucket = hb2.bucket),
+         est AS (
+           SELECT c.id_b, c.id_h,
+             ($estSum) / 8.0 AS e
+           FROM cand c
+           JOIN bsig bs ON c.id_b = bs.doc_id
+           JOIN hsig hs ON c.id_h = hs.doc_id)
+         SELECT id_b, count(DISTINCT id_h) AS n_neighbors,
+           round(max(e), 4) AS max_jaccard
+         FROM est WHERE e >= 0.5 GROUP BY 1 ORDER BY 1"""
+    },
     "q_char_entropy" ->
       """WITH chars AS (
            SELECT doc_id,

@@ -24,8 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * This loop formats each band key into one reused buffer and hashes it
   * with the builtin's kernel.
   */
-case class LshBandKeys(child: Expression, bands: Int, rows: Int)
-    extends UnaryExpression {
+case class LshBandKeys(child: Expression, bands: Int, rows: Int,
+    md5Base: Boolean = false) extends UnaryExpression {
 
   require(bands > 0 && rows > 0, "bands and rows must be positive")
 
@@ -60,8 +60,10 @@ case class LshBandKeys(child: Expression, bands: Int, rows: Int)
         }
         r += 1
       }
-      out(b) = XxHash64Function.hash(
-        UTF8String.fromString(sb.toString), StringType, 42L)
+      val key = UTF8String.fromString(sb.toString)
+      out(b) =
+        if (md5Base) Md5Draw.draw32(key) // engine-reproducible bucket draw
+        else XxHash64Function.hash(key, StringType, 42L)
       b += 1
     }
     new GenericArrayData(out)
@@ -95,9 +97,12 @@ case class LshBandKeys(child: Expression, bands: Int, rows: Int)
          |      $first = false;
          |    }
          |  }
-         |  $out[$b] = $xx.hash(
-         |    org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString()),
-         |    $stype, 42L);
+         |  $out[$b] = ${
+             if (md5Base)
+               s"graft.exprs.Md5Draw.draw32(org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString()))"
+             else
+               s"$xx.hash(org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString()), $stype, 42L)"
+           };
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -112,4 +117,10 @@ object LshBandKeys {
   import org.apache.spark.sql.GraftShim
   def apply(sig: Column, bands: Int, rows: Int): Column =
     GraftShim.column(LshBandKeys(GraftShim.expression(sig), bands, rows))
+
+  /** md5Base = true buckets with [[Md5Draw]] instead of xxhash64 — the
+    * oracle-twin mode; see [[MinHashSig.apply]].
+    */
+  def apply(sig: Column, bands: Int, rows: Int, md5Base: Boolean): Column =
+    GraftShim.column(LshBandKeys(GraftShim.expression(sig), bands, rows, md5Base))
 }

@@ -26,8 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus-scale MinHash dedup collapses from 64 array materializations
   * per row to one.
   */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+case class MinHashSig(child: Expression, numHashes: Int,
+    md5Base: Boolean = false) extends UnaryExpression {
 
   require(numHashes > 0, "numHashes must be positive")
 
@@ -58,8 +58,14 @@ case class MinHashSig(child: Expression, numHashes: Int)
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
     while (i < n) {
+      // md5 mode: the engine-reproducible draw (nulls hash as the empty
+      // string; the shingle front never emits nulls). xxhash64 mode:
+      // null = the seed, matching the builtin.
       val h0 =
-        if (arr.isNullAt(i)) 42L // xxhash64(null) = the seed
+        if (md5Base)
+          Md5Draw.draw32(
+            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i))
+        else if (arr.isNullAt(i)) 42L // xxhash64(null) = the seed
         else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       val hb = ((h0 % p) + p) % p
       var j = 0
@@ -90,6 +96,21 @@ case class MinHashSig(child: Expression, numHashes: Int)
       val hb = ctx.freshName("hb")
       val hj = ctx.freshName("hj")
       val s = ctx.freshName("s")
+      val baseHash =
+        if (md5Base)
+          s"""if ($a.isNullAt($i)) {
+             |      $h0 = graft.exprs.Md5Draw.draw32(
+             |        org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8);
+             |    } else {
+             |      $h0 = graft.exprs.Md5Draw.draw32($a.getUTF8String($i));
+             |    }""".stripMargin
+        else
+          s"""if ($a.isNullAt($i)) {
+             |      $h0 = 42L;
+             |    } else {
+             |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+             |      $h0 = $xx.hash($s, $stype, 42L);
+             |    }""".stripMargin
       s"""
          |final int $n = $a.numElements();
          |if ($n == 0) {
@@ -100,12 +121,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |  java.util.Arrays.fill($out, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
          |    long $h0;
-         |    if ($a.isNullAt($i)) {
-         |      $h0 = 42L;
-         |    } else {
-         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |      $h0 = $xx.hash($s, $stype, 42L);
-         |    }
+         |    $baseHash
          |    final long $hb = (($h0 % ${p}L) + ${p}L) % ${p}L;
          |    for (int $j = 0; $j < $numHashes; $j++) {
          |      final long $hj = ($hb * $aRef[$j] + $bRef[$j]) % ${p}L;
@@ -126,4 +142,12 @@ object MinHashSig {
   import org.apache.spark.sql.GraftShim
   def apply(tokens: Column, numHashes: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(tokens), numHashes))
+
+  /** md5Base = true swaps the xxhash64 base hash for [[Md5Draw]] (the
+    * engine-reproducible `Split.hashDraw32` twin) — same universal-hash
+    * family on top, so the full MinHash pipeline becomes DuckDB-
+    * verifiable. Production keeps xxhash64 (faster, engine-specific).
+    */
+  def apply(tokens: Column, numHashes: Int, md5Base: Boolean): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(tokens), numHashes, md5Base))
 }

@@ -72,11 +72,6 @@ object WinnowKeys {
 
   private val POS_BOUND = 1L << 20
 
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Static entry for generated code (and the interpreted path). */
   def selectKeys(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.getBytes
@@ -94,15 +89,10 @@ object WinnowKeys {
     offsets(nChars) = nb
     val ng = nChars - k + 1
     if (ng <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val md = mdLocal.get()
     val keys = new Array[Long](ng)
     var i = 0
     while (i < ng) {
-      md.reset()
-      md.update(bytes, offsets(i), math.min(offsets(i + k), nb) - offsets(i))
-      val d = md.digest()
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h = Md5Draw.draw32(bytes, offsets(i), math.min(offsets(i + k), nb) - offsets(i))
       keys(i) = h * POS_BOUND + (POS_BOUND - (i + 1))
       i += 1
     }

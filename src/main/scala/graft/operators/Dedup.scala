@@ -116,15 +116,17 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      md5Base: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     def keyed(df: DataFrame, side: String) = df
       .select(col(idCol).as(s"id_$side"),
         graft.exprs.MinHashSig(
-          graft.exprs.Shingles(col(textCol), shingleN), numHashes).as(s"sig_$side"))
+          graft.exprs.Shingles(col(textCol), shingleN), numHashes, md5Base)
+          .as(s"sig_$side"))
       .filter(size(col(s"sig_$side")) > 0)
       .select(col(s"id_$side"), col(s"sig_$side"),
-        posexplode(graft.exprs.LshBandKeys(col(s"sig_$side"), bands, rows)))
+        posexplode(graft.exprs.LshBandKeys(col(s"sig_$side"), bands, rows, md5Base)))
       .select(col(s"id_$side"), col(s"sig_$side"),
         col("pos").as("band"), col("col").as("bucket"))
     val b = keyed(batch, "b")

@@ -50,4 +50,26 @@ class LshBandKeysSpec extends SparkSpec {
       .toLongArray().toSeq
     assert(viaCodegen === viaEval)
   }
+
+  test("md5Base mode: bucket = md5 draw of the same key string, eval ≡ codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def draw(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val sig = Seq(11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L)
+    val expected = (0 until 4).map(b =>
+      draw(s"${b}_${sig(b * 2)}_${sig(b * 2 + 1)}"))
+    val viaCodegen = Seq(Tuple1(sig)).toDF("sig")
+      .select(LshBandKeys($"sig", 4, 2, md5Base = true).as("k"))
+      .head().getSeq[Long](0)
+    val viaEval = LshBandKeys(
+      Literal.create(sig, ArrayType(LongType)), 4, 2, md5Base = true)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(viaCodegen === expected)
+    assert(viaEval === expected)
+  }
 }

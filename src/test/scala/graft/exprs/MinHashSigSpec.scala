@@ -58,6 +58,40 @@ class MinHashSigSpec extends SparkSpec {
     assert(viaCodegen.map(_.toSeq).toSeq === viaEval)
   }
 
+  test("md5Base mode matches an independent MessageDigest computation") {
+    // independent evaluator: no shared code with Md5Draw
+    def draw(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val p = 2147483647L
+    def expected(toks: Seq[String], n: Int): Seq[Long] =
+      (0 until n).map { j =>
+        val a = (2654435761L * (j + 1) + 40503L) % (p - 1) + 1
+        val b = (1103515245L * (j + 1) + 12345L) % p
+        toks.map(t => ((draw(t) % p) * a + b) % p).min
+      }
+    val toks = Seq("spark", "query", "tøkens", "漢字", "😀")
+    val got = Seq(Tuple1(toks)).toDF("toks")
+      .select(MinHashSig($"toks", 16, md5Base = true).as("s"))
+      .head().getSeq[Long](0)
+    assert(got === expected(toks, 16))
+  }
+
+  test("md5Base: interpreted eval equals codegen output") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val ts = Seq("alpha", "beta", "漢字")
+    val viaCodegen = Seq(Tuple1(ts)).toDF("toks")
+      .select(MinHashSig($"toks", 8, md5Base = true).as("s"))
+      .head().getSeq[Long](0)
+    val viaEval = MinHashSig(Literal.create(ts, ArrayType(StringType)), 8, md5Base = true)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(viaCodegen === viaEval)
+  }
+
   test("rejects non-string arrays at analysis") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Tuple1(Seq(1L, 2L))).toDF("toks")
