@@ -147,4 +147,45 @@ object Layout {
     fs.delete(new Path(staged), true)
     fragmented.length
   }
+
+  /** History-table retention — the engine-side analogue of the
+    * reference's index-lifecycle DELETE phase (per-block-range indices
+    * aged out wholesale once they fall behind the retention watermark;
+    * hyperion-history-api docs/index-management): drop every
+    * `block_bucket=N` partition whose ENTIRE block range sits below
+    * `keepBlocksAbove`.
+    *
+    * METADATA-ONLY: one filesystem listing decides, whole-directory
+    * deletes execute — no job runs, no row is read, exactly like
+    * dropping an ES index. A bucket that STRADDLES the watermark is kept
+    * in full (retention is bucket-granular, as it is in the reference —
+    * the watermark effectively rounds down to a partition boundary), so
+    * every surviving row remains readable and bucket-pruned reads are
+    * untouched. Returns the number of partitions dropped.
+    */
+  def expire(
+      dir: String,
+      keepBlocksAbove: Long,
+      partitionSize: Long = 1000000L,
+      partitionCol: String = "block_bucket")(
+      implicit spark: SparkSession): Int = {
+    import org.apache.hadoop.fs.Path
+    require(partitionSize > 0, "partition size must be positive")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val prefix = partitionCol + "="
+    val doomed = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter { s =>
+        val v = s.getPath.getName.stripPrefix(prefix)
+        // bucket b covers [b·span, (b+1)·span); drop only if the whole
+        // range is below the watermark. Non-numeric partition dirs
+        // (HIVE_DEFAULT, foreign layouts) are never expired.
+        v.nonEmpty && v.forall(_.isDigit) &&
+          (v.toLong + 1) * partitionSize <= keepBlocksAbove
+      }
+    doomed.foreach(s => fs.delete(s.getPath, true))
+    doomed.length
+  }
 }

@@ -147,6 +147,45 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().toSet === before)
   }
 
+  test("expire drops whole below-watermark buckets, keeps straddlers, prunes reads") {
+    val dir = tmp("expire")
+    // buckets 0..5, 1000 blocks each: blocks 0..5999
+    val hist = (0L until 6000L).map(i => (i, i, s"p$i"))
+      .toDF("global_sequence", "block_num", "payload")
+      .withColumn("block_bucket", (col("block_num") / 1000L).cast("long"))
+    hist.repartition(8).write.partitionBy("block_bucket").parquet(dir)
+
+    // watermark 2500: buckets 0 and 1 are wholly below; bucket 2 straddles
+    val dropped = Layout.expire(dir, keepBlocksAbove = 2500L, partitionSize = 1000L)
+    assert(dropped === 2)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("block_bucket=")).map(_.getName).toSet
+    assert(dirs === Set("block_bucket=2", "block_bucket=3",
+      "block_bucket=4", "block_bucket=5"),
+      "only fully-expired buckets may be deleted")
+    // the straddling bucket keeps its FULL range (even rows below the
+    // watermark) — retention is bucket-granular
+    val left = spark.read.parquet(dir)
+    assert(left.count() === 4000L)
+    assert(left.agg(min(col("block_num"))).head().getLong(0) === 2000L)
+    // idempotent; and a higher watermark expires more
+    assert(Layout.expire(dir, 2500L, 1000L) === 0)
+    assert(Layout.expire(dir, 4000L, 1000L) === 2)
+    // bucket-pruned read of a surviving range still works
+    assert(spark.read.parquet(dir)
+      .filter(col("block_bucket") === 5L).count() === 1000L)
+  }
+
+  test("expire never touches non-numeric partition dirs or foreign layouts") {
+    val dir = tmp("expire2")
+    val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    docs.write.partitionBy("lang").parquet(dir)
+    assert(Layout.expire(dir, keepBlocksAbove = Long.MaxValue,
+      partitionSize = 1000L, partitionCol = "lang") === 0)
+    assert(spark.read.parquet(dir).count() === 100L)
+  }
+
   test("compact handles string-valued partitions (lang=en) without crashing") {
     val dir = tmp("strpart")
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de", s"t$i"))

@@ -98,6 +98,34 @@ class IngestSpec extends SparkSpec {
     assert(written.select($"global_sequence").distinct().count() === written.count())
   }
 
+  test("retention: Layout.expire ages out an old range; ingest history unchanged above it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_exp").toString
+    val rawDir = s"$tmp/raw"; val outDir = s"$tmp/actions"; val ckpt = s"$tmp/ckpt"
+    Fixtures.rawTraces(spark, 30, 10, 2).write.parquet(rawDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(rawDir).schema)
+      .parquet(rawDir)
+    Ingest.startActionIngest(stream, outDir, ckpt, partitionSize = 100L)
+      .awaitTermination(60000)
+    val live = spark.read.parquet(outDir).collect().toSet
+    // plant an ANCIENT fully-expired range (bucket 0: blocks 0..99) in the
+    // same layout — the ILM delete-phase candidate
+    val plantDir = s"$tmp/plant"
+    spark.read.parquet(outDir).limit(20)
+      .withColumn("block_num", col("block_num") % 100L)
+      .withColumn("block_bucket", lit(0L))
+      .write.parquet(plantDir) // materialize first: no self-referential append
+    spark.read.parquet(plantDir)
+      .write.mode("append").partitionBy("block_bucket").parquet(outDir)
+    assert(spark.read.parquet(outDir).count() === live.size + 20L)
+    // expire everything below block 100: exactly the planted bucket dies,
+    // and the live history reads back bit-identical
+    assert(graft.sources.Layout.expire(outDir, keepBlocksAbove = 100L,
+      partitionSize = 100L) === 1)
+    assert(spark.read.parquet(outDir).collect().toSet === live)
+    assert(graft.sources.Layout.expire(outDir, 100L, 100L) === 0, "fixpoint")
+  }
+
   test("state-table maintenance stream: last-writer-wins compaction (S5)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_state").toString
     val rawDir = s"$tmp/deltas"; val stateDir = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
