@@ -1488,6 +1488,30 @@ object SparkEntry {
     * per-frame pattern (r = 2x+f, g = 4y+2f, b = 37) makes sampled-frame
     * means integer closed forms, so the oracle re-derives them in SQL.
     */
+  /** REAL animated-GIF frame sampling
+    * ([[graft.operators.Multimodal.decodeGifFrames]], JDK GIF reader):
+    * 4 synthetic animations (indexed two-color frames — lossless through
+    * the 256-entry palette, so per-frame means have closed forms) plus
+    * one corrupt payload on the decode_ok=false ladder, stride 2.
+    */
+  private def qGifFrames(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(5).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i < 4)
+          (i, Multimodal.syntheticAnimatedGif(
+            8 + 2 * i.toInt, 4 + i.toInt, 2 + i.toInt, i.toInt))
+        else (i, "GIF89a-but-not-really".getBytes("UTF-8"))
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeGifFrames(media, everyK = 2).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   private def qMultimodalVideo(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     implicit val sp: SparkSession = s
@@ -2514,6 +2538,7 @@ object SparkEntry {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_multimodal_video" -> (qMultimodalVideo _),
+    "q_gif_frames" -> (qGifFrames _),
     "q_image_dhash" -> (qImageDhash _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_pipeline_multimodal" -> (qPipelineMultimodal _),
@@ -4015,6 +4040,25 @@ object SparkEntry {
            FROM u
          UNION ALL
          SELECT CAST(3 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             CAST(0 AS DOUBLE), FALSE
+         ORDER BY doc_id, frame_idx""",
+    // closed-form oracle: indexed two-color frames are lossless through
+    // the GIF palette; left half (⌈w/2⌉ = w/2 columns, even widths)
+    // carries ((29i+11f)%256, (41i+7f)%256, (11i+3f)%256), right half
+    // black → mean_c = c/2 exactly
+    "q_gif_frames" ->
+      """WITH p AS (SELECT unnest(range(0, 4)) AS i),
+         u AS (SELECT i, unnest(range(0, 2 + i, 2)) AS f FROM p)
+         SELECT CAST(i AS BIGINT) AS doc_id, CAST(f AS INTEGER) AS frame_idx,
+             CAST(8 + 2 * i AS INTEGER) AS width, CAST(4 + i AS INTEGER) AS height,
+             CAST((29 * i + 11 * f) % 256 AS DOUBLE) / 2 AS mean_r,
+             CAST((41 * i + 7 * f) % 256 AS DOUBLE) / 2 AS mean_g,
+             CAST((11 * i + 3 * f) % 256 AS DOUBLE) / 2 AS mean_b,
+             TRUE AS decode_ok
+           FROM u
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
              CAST(-1 AS INTEGER), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
              CAST(0 AS DOUBLE), FALSE
          ORDER BY doc_id, frame_idx""",

@@ -461,6 +461,105 @@ object Multimodal {
       }
   }
 
+  /** REAL animated-GIF frame sampling — the JDK GIF `ImageReader` walks
+    * the frame sequence natively (`getNumImages` + indexed `read`), so a
+    * second genuine multi-frame container joins AVI behind the same
+    * `VideoFrameFeatures` shape; [[decodeStub]] keeps shrinking to the
+    * codecs the JDK truly lacks (H.264, FLAC, WebP). Frames are the RAW
+    * per-frame rasters (no disposal-method compositing — corpus feature
+    * extraction wants each frame's own pixels, and the synthetic-fixture
+    * oracle pins full-frame rasters anyway). Skipped frames are never
+    * decoded: `reader.read(i)` is indexed, so the stride skips whole LZW
+    * payloads, the same scan-vs-decode lever as the AVI path. Container
+    * and per-frame failures land on `decode_ok=false` rows, not
+    * exceptions.
+    */
+  def decodeGifFrames(media: DataFrame, everyK: Int)(
+      implicit spark: SparkSession): Dataset[VideoFrameFeatures] = {
+    require(everyK >= 1, "sampling stride must be >= 1")
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val bad = VideoFrameFeatures(id, -1, -1, -1, 0.0, 0.0, 0.0, decode_ok = false)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq(bad)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (!reader.getFormatName.equalsIgnoreCase("gif")) Seq(bad)
+              else {
+                val n = reader.getNumImages(true)
+                if (n <= 0) Seq(bad)
+                else (0 until n by everyK).map { i =>
+                  try {
+                    val img = reader.read(i)
+                    val (mr, mg, mb) = rgbMeans(img)
+                    VideoFrameFeatures(id, i, img.getWidth, img.getHeight,
+                      mr, mg, mb, decode_ok = true)
+                  } catch {
+                    case _: Exception =>
+                      VideoFrameFeatures(id, i, -1, -1, 0.0, 0.0, 0.0,
+                        decode_ok = false)
+                  }
+                }
+              }
+            } finally reader.dispose()
+          }
+        } catch { case _: Exception => Seq(bad) }
+      }
+  }
+
+  /** Deterministic synthetic animated GIF via the JDK's sequence writer:
+    * frame `f` is a LOSSLESS two-color raster — left half
+    * (r, g, b) = ((29·seed + 11f) mod 256, (41·seed + 7f) mod 256,
+    * (11·seed + 3f) mod 256), right half black — so the 256-entry GIF
+    * palette holds every color exactly and per-frame means have closed
+    * forms a SQL oracle can re-derive: mean_c = c · ⌈w/2⌉ / w.
+    */
+  def syntheticAnimatedGif(w: Int, h: Int, nFrames: Int, seed: Int): Array[Byte] = {
+    require(w >= 2 && h >= 1 && nFrames >= 1, "degenerate GIF fixture")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val r = (seed * 29 + f * 11) % 256
+        val g = (seed * 41 + f * 7) % 256
+        val b = (seed * 11 + f * 3) % 256
+        // EXPLICIT 2-entry palette: a TYPE_INT_RGB source would let the
+        // JDK GIF writer quantize through its default web palette (and
+        // dither) — indexed input round-trips bit-exactly instead
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val left = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, if (x < (w + 1) / 2) left else 0)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

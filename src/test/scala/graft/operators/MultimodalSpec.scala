@@ -218,6 +218,32 @@ class MultimodalSpec extends SparkSpec {
     assert(keys === 4L)
   }
 
+  test("animated GIF frame sampling: exact two-color means, stride, failure ladder") {
+    val payloads = Seq(
+      (0L, Multimodal.syntheticAnimatedGif(10, 6, 5, 3)),
+      (1L, Multimodal.syntheticAnimatedGif(8, 4, 1, 7)),  // single frame
+      (2L, "GIF89a-but-not-really".getBytes("UTF-8")),    // corrupt GIF header
+      (3L, Array[Byte](1, 2, 3)))                         // not a container at all
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.decodeGifFrames(media, everyK = 2).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    // doc 0: frames 0, 2, 4 sampled out of 5
+    assert(got.keySet === Set((0L, 0), (0L, 2), (0L, 4), (1L, 0), (2L, -1), (3L, -1)))
+    // exact means: left half (5 of 10 cols) color, right half black
+    def c(seed: Int, f: Int) =
+      ((seed * 29 + f * 11) % 256, (seed * 41 + f * 7) % 256, (seed * 11 + f * 3) % 256)
+    for (f <- Seq(0, 2, 4)) {
+      val (r, g, b) = c(3, f)
+      val row = got((0L, f))
+      assert(row.decode_ok && row.width === 10 && row.height === 6)
+      assert(row.mean_r === r / 2.0 && row.mean_g === g / 2.0 && row.mean_b === b / 2.0,
+        s"frame $f")
+    }
+    assert(got((1L, 0)).decode_ok && got((1L, 0)).width === 8)
+    assert(!got((2L, -1)).decode_ok && !got((3L, -1)).decode_ok)
+  }
+
   test("resize plan preserves aspect and caps the long side") {
     val features = Multimodal.decodeStub(Multimodal.toMediaTable(docs, "doc_id", "text")).toDF()
     val resized = Multimodal.resizePlan(features, maxSide = 64)
