@@ -11,13 +11,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // degradation rehearsal: SPARK_GRAFT_NO_BROADCAST=1 disables BOTH the
+    // static and the AQE broadcast thresholds, so every un-hinted join
+    // runs its shuffle-join fallback — the path a model table takes when
+    // a real corpus pushes it past broadcast size
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")) {
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: touch every table + exercise shuffle/codegen paths once.

@@ -76,4 +76,35 @@ class UnigramLmSpec extends SparkSpec {
       .queryExecution.logical.toString
     assert(!logical.contains("hint"), s"unexpected join hint in:\n$logical")
   }
+
+  test("past broadcast size the model joins degrade to shuffle joins with identical scores") {
+    // the claim the plan notes make: when a real corpus pushes the bigram
+    // table past broadcast size, the un-hinted joins fall back to
+    // shuffle joins — not driver blowups — and results are unchanged
+    val docs = (1L to 40L)
+      .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} end"))
+      .toDF("doc_id", "text")
+    val reference = UnigramLm.bigramDocLogLoss(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().toSet
+    val conf = spark.conf
+    val oldStatic = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val scored = UnigramLm.bigramDocLogLoss(docs, "doc_id", "text")
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-join fallback:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast must be fully disabled:\n$plan")
+      assert(scored.as[(Long, Double, Long)].collect().toSet === reference)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldStatic)
+      oldAqe match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
