@@ -1383,6 +1383,55 @@ object SparkEntry {
       .centroidsByGroup(T.embeddings(s, d), "label", "embedding")
       .orderBy(col("label"), col("dim"))
 
+  /** Full k-means training loop ([[graft.operators.Ann.kmeansTrace]]):
+    * 3 Lloyd steps over the embedding corpus from first-4-by-id seeds,
+    * emitting the per-step centroid trace. The oracle unrolls the loop
+    * as chained CTEs (the [[qBpeTrain]] pattern) — each step re-derives
+    * the snapped-cosine argmax assignment and the snapped means from the
+    * PREVIOUS step's table, so hash equality proves the entire iterated
+    * computation, not just the final state.
+    */
+  private def qKmeans(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ann
+      .kmeansTrace(T.embeddings(s, d), "vec_id", "embedding", k = 4, steps = 3)
+      .orderBy(col("step"), col("centroid_id"), col("dim"))
+
+  /** Unrolled-CTE mirror of [[qKmeans]]: c0 = first-k-by-id seeds; each
+    * step s computes per-(vec, centroid) dots against c(s-1), snaps the
+    * cosine at 4 dp, assigns by (cos DESC, cid DESC), and snaps the new
+    * means — exactly the engine-stability contract kmeansTrace implements.
+    */
+  private def kmeansOracle(k: Int, steps: Int): String = {
+    val base = s"""
+         e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         c0 AS (SELECT s.cid, e.dim, e.x AS m FROM seeds s JOIN e USING (vec_id)),
+         nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1)"""
+    val stepCtes = (1 to steps).map { s =>
+      val prev = s"c${s - 1}"
+      s"""
+         cn$s AS (SELECT cid, sqrt(sum(m * m)) AS nc FROM $prev GROUP BY 1),
+         d$s AS (SELECT e.vec_id, c.cid, sum(e.x * c.m) AS dot
+                 FROM e JOIN $prev c USING (dim) GROUP BY 1, 2),
+         sc$s AS (SELECT d.vec_id, d.cid, round(d.dot / (nv.nrm * cn.nc), 4) AS cos
+                  FROM d$s d JOIN nv USING (vec_id) JOIN cn$s cn USING (cid)),
+         a$s AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos DESC, cid DESC) AS rn
+                   FROM sc$s) WHERE rn = 1),
+         c$s AS (SELECT a.cid, e.dim, round(avg(e.x), 4) AS m,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM a$s a JOIN e USING (vec_id) GROUP BY 1, 2)"""
+    }.mkString(",")
+    val sel = (1 to steps).map { s =>
+      s"SELECT CAST($s AS INT) AS step, cid AS centroid_id, dim, n, m AS mean FROM c$s"
+    }.mkString("\n         UNION ALL\n         ")
+    s"WITH $base,$stepCtes\n         $sel\n         ORDER BY step, centroid_id, dim"
+  }
+
   /** Unicode normalization with PLANTED accent witnesses: every doc gets
     * a diacritic-laden suffix (with a tab and doubled spaces) appended,
     * then the native [[graft.exprs.NormalizeText]] folds it. The oracle
@@ -1477,6 +1526,58 @@ object SparkEntry {
     Multimodal.decodeAudio(media).toDF()
       .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
         col("n_frames"), col("rms"), col("mean_amp"), col("peak"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** AIFF/AU audio decode — the JDK's OTHER two audio containers (both
+    * big-endian signed PCM), through the real `AudioSystem.write` encoder
+    * and back through [[graft.operators.Multimodal.decodeAudio]]'s
+    * unchanged 16-bit branch. Same integer sample formula as
+    * [[qMultimodalAudio]], so the oracle re-derives rms/mean/peak in SQL
+    * integer arithmetic; the garbage row rides the decode_ok=false
+    * ladder. With WAV/AIFF/AU real, `decodeStub` covers only
+    * out-of-JDK codecs (FLAC, MP3) — the honest seam.
+    */
+  private def qAudioContainers(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(5).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i == 4) (i, "not an aiff container".getBytes("UTF-8"))
+        else {
+          val container = if (i < 2) "aiff" else "au"
+          (i, Multimodal.syntheticPcm16(240 + 60 * i.toInt,
+            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, container))
+        }
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeAudio(media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"), col("rms"), col("mean_amp"), col("peak"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TIFF decode through the JDK's built-in TIFF plugin (ImageIO ships a
+    * reader+writer since Java 9) — [[graft.operators.Multimodal.decodeImages]]
+    * is format-agnostic, so this is purely a new REAL container through
+    * the existing narrow decode pass: 8 deterministic true-color TIFFs
+    * (lossless, so the closed-form pixel means hold exactly, like PNG/BMP)
+    * plus one garbage payload on the decode_ok=false ladder.
+    */
+  private def qMultimodalTiff(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(9).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i == 8) (i, "II-but-not-a-tiff".getBytes("UTF-8"))
+        else (i, Multimodal.syntheticImage(16 + 8 * i.toInt, 16 + 4 * i.toInt, "tiff"))
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeImages(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
       .orderBy(col("doc_id"))
   }
 
@@ -2518,6 +2619,7 @@ object SparkEntry {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_cap_per_source" -> (qCapPerSource _),
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
+    "q_kmeans" -> (qKmeans _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_char_profile" -> (qCharProfile _),
     "q_pipeline_rag" -> (qPipelineRag _),
@@ -2537,6 +2639,8 @@ object SparkEntry {
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_audio_containers" -> (qAudioContainers _),
+    "q_multimodal_tiff" -> (qMultimodalTiff _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_gif_frames" -> (qGifFrames _),
     "q_image_dhash" -> (qImageDhash _),
@@ -3990,6 +4094,7 @@ object SparkEntry {
                   generate_subscripts(embedding, 1) AS i
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_kmeans" -> kmeansOracle(4, 3),
     "q_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -4027,6 +4132,51 @@ object SparkEntry {
          SELECT CAST(5 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
              CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
+         ORDER BY doc_id""",
+    // same integer-formula re-derivation as q_multimodal_audio — only the
+    // doc grid differs (AIFF docs 0–1, AU docs 2–3, garbage doc 4)
+    "q_audio_containers" ->
+      """WITH p AS (SELECT * FROM (VALUES
+             (0, 240, 8000, 1, 16), (1, 300, 16000, 2, 16),
+             (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16)) AS t(doc_id, n, rate, c, bits)),
+         a AS (SELECT doc_id, n, rate, c, bits,
+             list_sum(list_transform(range(0, n*c),
+               k -> ((k//c)*37 + (k%c)*11) % 201 - 100)) AS s,
+             list_sum(list_transform(range(0, n*c),
+               k -> CAST((((k//c)*37 + (k%c)*11) % 201 - 100) AS BIGINT)
+                  * CAST((((k//c)*37 + (k%c)*11) % 201 - 100) AS BIGINT))) AS ss,
+             list_max(list_transform(range(0, n*c),
+               k -> abs(((k//c)*37 + (k%c)*11) % 201 - 100))) AS peak
+           FROM p)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST(c AS INTEGER) AS channels, CAST(bits AS INTEGER) AS bits,
+             CAST(n AS BIGINT) AS n_frames,
+             sqrt(CAST(ss AS DOUBLE) / (n*c)) AS rms,
+             CAST(s AS DOUBLE) / (n*c) AS mean_amp,
+             CAST(peak AS INTEGER) AS peak, TRUE AS decode_ok
+           FROM a
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
+         ORDER BY doc_id""",
+    // TIFF is lossless true-color, so the q_multimodal_decode closed
+    // forms hold; doc 8 is the planted undecodable payload
+    "q_multimodal_tiff" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((w - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST((h - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST(37.0 AS DOUBLE) AS mean_b, TRUE AS decode_ok
+         FROM (VALUES (0, 16, 16), (1, 24, 20), (2, 32, 24), (3, 40, 28),
+                      (4, 48, 32), (5, 56, 36), (6, 64, 40), (7, 72, 44))
+           AS t(doc_id, w, h)
+         UNION ALL
+         SELECT CAST(8 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), FALSE
          ORDER BY doc_id""",
     "q_multimodal_video" ->
       """WITH p AS (SELECT * FROM (VALUES

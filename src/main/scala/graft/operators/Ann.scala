@@ -330,6 +330,73 @@ object Ann {
     else q.map(v => math.floor(v / scale * 127.0 + 0.5).toInt)
   }
 
+  /** Full iterated Lloyd's k-means over the embedding corpus, emitting
+    * the per-step centroid trace `(step, centroid_id, dim, n, mean)` —
+    * the convergence curve a pipeline actually inspects before freezing
+    * an IVF index or a semantic-dedup partitioning. Composes the
+    * existing primitives ([[seedCentroids]] → assign → mean) into the
+    * whole training loop, the way [[graft.operators.Vocab.bpeTrain]]
+    * closes the tokenizer loop.
+    *
+    * Engine-stable by construction (the repo's cross-engine convention):
+    * assignment ranks on the 4-dp-ROUNDED cosine with ties to the LARGER
+    * centroid id (the [[graft.exprs.NearestCentroid]] tie rule), and each
+    * step's means are 4-dp-snapped BEFORE feeding the next step — so both
+    * engines iterate from bit-identical centroid tables and the whole
+    * N-step trace is reproducible by an unrolled SQL mirror. Production
+    * IVF builds that don't need an oracle can keep the full-precision
+    * [[ivfAssign]]/[[lloydStep]] pair; the loop shape is identical.
+    *
+    * Scale shape: each step is ONE distributed pass — the k rounded
+    * cosines evaluate as a codegen'd literal-centroid struct array and
+    * `array_max` folds the argmax (largest cos, then largest cid) with
+    * zero shuffle; the only exchange per step carries k × dim partial
+    * (sum, count) pairs (map-side-combined posexplode aggregate), and
+    * only the k × dim × steps trace rows ever reach the driver —
+    * metadata-sized, independent of corpus size. Centroids that lose
+    * all members are dropped (the [[lloydStep]] convention).
+    */
+  def kmeansTrace(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      steps: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(steps >= 1 && steps <= 16,
+      s"steps must be in [1, 16] (each step is a full corpus pass), got $steps")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(vecCol).cast("array<double>").as("__v"))
+    var centroids: Seq[(Int, Seq[Double])] = seedCentroids(emb, idCol, vecCol, k)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Double)]
+    var s = 1
+    while (s <= steps) {
+      // snapped-cosine argmax: struct comparison orders by (cos, cid), so
+      // array_max IS "ORDER BY cos DESC, cid DESC LIMIT 1"
+      val scored = array(centroids.map { case (cid, c) =>
+        struct(round(graft.exprs.CosineSim(col("__v"), vecLit(c)), 4).as("c"),
+          lit(cid).as("cid"))
+      }: _*)
+      // per-(centroid, dim) snapped mean + member count; the count is the
+      // cluster size (every member vector contributes each dim once)
+      val rows = vecs
+        .select(array_max(scored).getField("cid").as("__cid"),
+          posexplode(col("__v")))
+        .groupBy(col("__cid"), col("pos"))
+        .agg(round(avg(col("col")), 4).as("m"), count(lit(1)).as("n"))
+        .collect()
+      centroids = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq: Seq[Double])
+      }.toSeq.sortBy(_._1)
+      rows.foreach { r =>
+        trace += ((s, r.getInt(0), r.getInt(1), r.getLong(3), r.getDouble(2)))
+      }
+      s += 1
+    }
+    trace.toSeq.toDF("step", "centroid_id", "dim", "n", "mean")
+  }
+
   /** Exact top-k by QUANTIZED cosine: the int8 analog of
     * [[bruteForceTopK]] — same one-pass scan → project →
     * TakeOrderedAndProject plan, but the scan reads tinyint arrays (4×

@@ -677,6 +677,42 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic 16-bit PCM payload through the JDK's OWN encoders for
+    * the non-RIFF container family — AIFF and AU, both big-endian signed
+    * PCM (`javax.sound.sampled.AudioSystem.write`). Same integer sample
+    * formula as [[syntheticWav]] (`((i·37 + c·11) mod 201) − 100`), but
+    * the bytes come from the real encoder, so the fixture exercises the
+    * full JDK encoder→decoder round trip for each container rather than
+    * a hand-built header. [[decodeAudio]] needs no changes to read these:
+    * its 16-bit branch already handles either endianness.
+    */
+  def syntheticPcm16(
+      nFrames: Int, sampleRate: Int, channels: Int, container: String): Array[Byte] = {
+    val raw = java.nio.ByteBuffer.allocate(nFrames * channels * 2) // big-endian default
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        raw.putShort(((i * 37 + c * 11) % 201 - 100).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw.array()), fmt, nFrames.toLong)
+    val fileType = container match {
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+      case other  => throw new IllegalArgumentException(
+        s"unsupported synthetic container $other (aiff | au)")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic image: red = x mod 256, green = y mod 256,
     * blue = 37, encoded with the named JDK codec. The closed-form decode
     * features — mean_r = (w−1)/2, mean_g = (h−1)/2, mean_b = 37 (w,h ≤

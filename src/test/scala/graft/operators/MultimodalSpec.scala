@@ -82,6 +82,48 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(3).decode_ok && got(3).bits === -1 && got(3).n_frames === -1L)
   }
 
+  test("real audio decode: AIFF and AU round-trip through the JDK encoders") {
+    val payloads = Seq(
+      (1L, Multimodal.syntheticPcm16(480, 8000, 1, "aiff")),
+      (2L, Multimodal.syntheticPcm16(600, 16000, 2, "aiff")),
+      (3L, Multimodal.syntheticPcm16(256, 11025, 1, "au")),
+      (4L, Multimodal.syntheticPcm16(300, 22050, 2, "au")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.decodeAudio(media).collect().sortBy(_.doc_id)
+    def expect(n: Int, ch: Int): (Double, Double, Int) = {
+      var sum = 0L; var ss = 0L; var peak = 0
+      for (i <- 0 until n; c <- 0 until ch) {
+        val v = (i * 37 + c * 11) % 201 - 100
+        sum += v; ss += v.toLong * v; peak = math.max(peak, math.abs(v))
+      }
+      (math.sqrt(ss.toDouble / (n * ch)), sum.toDouble / (n * ch), peak)
+    }
+    for ((f, (nf, rate, ch)) <- Seq(
+        got(0) -> (480, 8000, 1), got(1) -> (600, 16000, 2),
+        got(2) -> (256, 11025, 1), got(3) -> (300, 22050, 2))) {
+      val (rms, mean, peak) = expect(nf, ch)
+      assert(f.decode_ok && f.sample_rate === rate && f.channels === ch &&
+        f.bits === 16 && f.n_frames === nf.toLong, f)
+      assert(f.rms === rms && f.mean_amp === mean && f.peak === peak, f)
+    }
+  }
+
+  test("real decode: TIFF round-trips to exact pixel features (JDK plugin)") {
+    val payloads = Seq(
+      (1L, Multimodal.syntheticImage(32, 16, "tiff")),
+      (2L, Multimodal.syntheticImage(48, 24, "tiff")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads.repartition(2), "doc_id", "payload")
+    val got = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+    assert(got(0).decode_ok && got(0).width === 32 && got(0).height === 16 &&
+      got(0).channels === 3 && got(0).mean_r === 15.5 &&
+      got(0).mean_g === 7.5 && got(0).mean_b === 37.0, got(0))
+    assert(got(1).decode_ok && got(1).width === 48 && got(1).height === 24 &&
+      got(1).mean_r === 23.5 && got(1).mean_g === 11.5 && got(1).mean_b === 37.0,
+      got(1))
+  }
+
   test("real video decode: AVI raw-DIB frames sample by stride with exact means") {
     val payloads = Seq(
       (1L, Multimodal.syntheticAvi(32, 16, 7)),
