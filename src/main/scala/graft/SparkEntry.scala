@@ -1744,6 +1744,57 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** MinHash-LSH quality measured, not assumed: the band-collision recall
+    * against EXACT 3-gram Jaccard ground truth — the (bands × rows) dial
+    * a dedup deployment turns (2-row bands at 8 perms catch
+    * 1−(1−j²)⁴ of true pairs, so recall < 1 is the honest expected
+    * answer, not a bug). Runs the md5-base twin of the production
+    * minhash chain ([[graft.exprs.MinHashSig]]/[[graft.exprs.LshBandKeys]])
+    * so BOTH sides — exact pairs, candidate pairs, and their overlap —
+    * are engine-reproducible integers; the only doubles are two terminal
+    * divisions. The candidate join is the production banded shape,
+    * never all-pairs.
+    */
+  private def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    // planted mid-similarity witnesses: a 70%-token-prefix variant of the
+    // first 40 docs sits at 3-gram jaccard ≈ 0.7 — high enough to be
+    // ground truth, low enough that a 2-row band can MISS it (per-pair
+    // collision ≈ 1−(1−j²)⁴ ≈ 0.93), so the measured recall is a real
+    // number, not the saturated 1.0 the corpus's near-identical
+    // duplicate clusters alone would give
+    val base = T.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
+          "(size(split(trim(text), ' +')) * 7 + 9) div 10))").as("text"))
+    val docs = base.unionByName(planted)
+    val exact = Dedup
+      .ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.35)
+      .select(col("id_a"), col("id_b"))
+    val banded = docs
+      .select(col("doc_id"),
+        graft.exprs.MinHashSig(
+          graft.exprs.Shingles(col("text"), 3), 8, md5Base = true).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"),
+        posexplode(graft.exprs.LshBandKeys(col("sig"), 4, 2, md5Base = true)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        (col("n_hit").cast("double") / col("n_candidates")).as("candidate_precision"))
+  }
+
   /** ANN quality measured, not assumed: recall@10 of the IVF probe path
     * ([[graft.operators.Ann.ivfTopK]], 8 cells, nProbe=2) against the
     * exact brute-force top-10, per query, for five query vectors. The
@@ -2649,6 +2700,7 @@ object SparkEntry {
     "q_boilerplate" -> (qBoilerplate _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_minhash_recall" -> (qMinhashRecall _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
@@ -3626,6 +3678,67 @@ object SparkEntry {
              '0_' || h0 || '_' || h1 || '_' || h2 || '_' || h3), 1, 8)
              AS BIGINT) AS band0_bucket
          FROM sig ORDER BY doc_id"""
+    },
+    // the recall dial: exact 3-gram jaccard ground truth vs the md5-twin
+    // banded candidates — every count integer-exact on both engines
+    "q_minhash_recall" -> {
+      val sigCols = (0 until 8).map(j =>
+        s"CAST(min((hb * ${mhA(j)} + ${mhB(j)}) % $MhP) AS BIGINT) AS h$j")
+        .mkString(",\n             ")
+      s"""WITH t0 AS (
+           SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id, toks FROM t0
+           UNION ALL
+           SELECT doc_id + 10000, toks[1:(7 * len(toks) + 9) // 10]
+           FROM t0 WHERE doc_id < 40),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM t WHERE len(toks) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         exact AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = inter.id_a
+           JOIN sizes sb ON sb.doc_id = inter.id_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35),
+         hx AS (
+           SELECT doc_id,
+             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
+           FROM g),
+         sig AS (SELECT doc_id,
+             $sigCols
+           FROM hx GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS b, h0 AS c0, h1 AS c1 FROM sig
+           UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+           UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+           UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+         bk AS (
+           SELECT doc_id, b,
+             CAST('0x' || substring(md5(b || '_' || c0 || '_' || c1), 1, 8)
+               AS BIGINT) AS bucket
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM bk a JOIN bk b2 ON a.b = b2.b AND a.bucket = b2.bucket
+             AND a.doc_id < b2.doc_id),
+         hit AS (SELECT e.id_a, e.id_b FROM exact e
+                 JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         SELECT
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM exact) AS recall,
+           CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM cand) AS candidate_precision"""
     },
     "q_simhash_md5" ->
       """WITH t AS (
