@@ -1310,6 +1310,32 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact repeated-substring extraction
+    * ([[graft.operators.Winnow.repeatedSpans]], the Lee et al. 2022
+    * substring-dedup signal): docs in the %5 %25 subset, with a 90-char
+    * sentinel passage planted on the %75 sub-subset — every planted pair
+    * must report the passage as a maximal shared span with exact
+    * positions and length (all-integer output, so the oracle — which
+    * replays fingerprinting, the maxDf guard, the candidate join, the
+    * gram table, and the diagonal gaps-and-islands in SQL — hash-matches
+    * bit-for-bit).
+    */
+  private def qRepeatedSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 75 === 0,
+          concat(col("text"),
+            lit(" Repeated-span sentinel passage: planted once, shared verbatim across every third subset document.")))
+          .otherwise(col("text")))
+    // k=12 (vs the fingerprint queries' 8): same w+k−1 = 23 guarantee
+    // boundary, but 12-char grams are far rarer than 8-char ones, so the
+    // phrase-coincidence candidate pairs that dominate verify cost at
+    // k=8 collapse (measured: ~250k pairs → ~4k true spans at k=8)
+    graft.operators.Winnow.repeatedSpans(docs, "doc_id", "text", k = 12, w = 12)
+      .orderBy(col("id_a"), col("id_b"), col("start_a"))
+  }
+
   /** DSIR importance weights ([[graft.operators.Dsir.importanceWeights]]):
     * every document's log likelihood ratio between the English-subset
     * hashed-unigram distribution and the raw-corpus one — the
@@ -2687,6 +2713,7 @@ object SparkEntry {
     "q_gopher_filter" -> (qGopherFilter _),
     "q_winnow_fp" -> (qWinnowFp _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
+    "q_repeated_spans" -> (qRepeatedSpans _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -4014,6 +4041,60 @@ object SparkEntry {
                  WHERE i <= greatest(1, ng - 16 + 1))
          SELECT doc_id, 1048576 - (mk % 1048576) AS pos, mk // 1048576 AS fp
          FROM sel ORDER BY doc_id, pos""",
+    // full repeated-spans mirror: winnow selection -> maxDf guard ->
+    // candidate pairs -> gram table (pair docs only) -> diagonal islands;
+    // constants generated so the SQL can never drift from the query's
+    // (k, w, maxDf) parameterization
+    "q_repeated_spans" -> {
+      val k = 12; val w = 12; val maxDf = 50
+      val minLen = w + k - 1
+      s"""WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 75 = 0 THEN text ||
+               ' Repeated-span sentinel passage: planted once, shared verbatim across every third subset document.'
+             ELSE text END AS text
+           FROM documents WHERE doc_id % 25 = 0),
+         d1 AS (SELECT doc_id, text FROM d WHERE length(text) >= $k),
+         g0 AS (SELECT doc_id, text, length(text) - ${k - 1} AS ng,
+                  unnest(range(1, length(text) - $k + 2)) AS i
+                FROM d1),
+         g AS (SELECT doc_id, i, ng,
+                 CAST('0x' || substring(md5(substring(text, CAST(i AS INT), $k)), 1, 8)
+                   AS BIGINT) * 1048576 + (1048576 - i) AS key
+               FROM g0),
+         wm AS (SELECT doc_id, i, ng,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk
+                FROM g),
+         sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp FROM wm
+                 WHERE i <= greatest(1, ng - $w + 1)),
+         kept AS (SELECT fp FROM (
+                    SELECT fp, count(*) AS df FROM sel GROUP BY 1)
+                  WHERE df <= $maxDf),
+         fk AS (SELECT s.doc_id, s.fp FROM sel s JOIN kept USING (fp)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         pid AS (SELECT id_a AS doc_id FROM pairs
+                 UNION SELECT id_b FROM pairs),
+         gr AS (SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+                  CAST('0x' || substring(md5(substring(text, CAST(i AS INT), $k)), 1, 8)
+                    AS BIGINT) AS gh
+                FROM g0 WHERE doc_id IN (SELECT doc_id FROM pid)),
+         m AS (SELECT p.id_a, p.id_b, ga.gpos AS pos_a, gb.gpos AS pos_b
+               FROM pairs p
+               JOIN gr ga ON ga.doc_id = p.id_a
+               JOIN gr gb ON gb.doc_id = p.id_b AND gb.gh = ga.gh),
+         isl AS (SELECT id_a, id_b, pos_a, pos_b,
+                   pos_a - row_number() OVER (
+                     PARTITION BY id_a, id_b, pos_a - pos_b
+                     ORDER BY pos_a) AS grp
+                 FROM m)
+         SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+           CAST(count(*) + ${k - 1} AS BIGINT) AS span_len
+         FROM isl GROUP BY id_a, id_b, pos_a - pos_b, grp
+         HAVING count(*) + ${k - 1} >= $minLen
+         ORDER BY id_a, id_b, start_a"""
+    },
     "q_winnow_overlap" ->
       """WITH d AS (SELECT doc_id,
                   CASE WHEN doc_id % 11 = 0 THEN text ||

@@ -367,11 +367,15 @@ object Ann {
       s"steps must be in [1, 16] (each step is a full corpus pass), got $steps")
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col(vecCol).cast("array<double>").as("__v"))
-    var centroids: Seq[(Int, Seq[Double])] = seedCentroids(emb, idCol, vecCol, k)
+    // a null vector has no cosine to any centroid (CosineSim convention:
+    // null, not 0) — drop it here rather than let a null-field struct
+    // ride into array_max with engine-defined ordering
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val vecs = nonNull.select(col(vecCol).cast("array<double>").as("__v"))
+    var centroids: Seq[(Int, Seq[Double])] = seedCentroids(nonNull, idCol, vecCol, k)
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Double)]
     var s = 1
-    while (s <= steps) {
+    while (s <= steps && centroids.nonEmpty) { // empty corpus → empty trace
       // snapped-cosine argmax: struct comparison orders by (cos, cid), so
       // array_max IS "ORDER BY cos DESC, cid DESC LIMIT 1"
       val scored = array(centroids.map { case (cid, c) =>

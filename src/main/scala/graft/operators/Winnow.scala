@@ -84,6 +84,92 @@ object Winnow {
       shiftright(col("__key"), 20).as("fp"))
   }
 
+  /** Cross-document EXACT repeated-substring extraction — the substring-
+    * level signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): for every candidate pair, the maximal
+    * runs of shared character k-grams, i.e. the exact repeated
+    * substrings with positions and lengths. Output one row per maximal
+    * shared span: (id_a, id_b, start_a, start_b, span_len), spans of
+    * length ≥ w + k − 1 only — the winnowing guarantee boundary, below
+    * which the candidate stage cannot promise exhaustiveness.
+    *
+    * Three stages, none all-pairs:
+    *  1. candidates — [[overlap]]: winnow fingerprints → inverted-index
+    *     join with the `maxDf` boilerplate guard. The winnow guarantee
+    *     (any match ≥ w + k − 1 chars shares a fingerprint) makes this
+    *     candidate set EXHAUSTIVE for the spans this operator reports,
+    *     as long as the shared span's fingerprints survive `maxDf`.
+    *     For a passage shared by MORE than `maxDf` documents the guard
+    *     drops every interior fingerprint, collapsing the clique's
+    *     candidate volume — but selections from windows STRADDLING the
+    *     passage boundary are document-specific and can keep a residual
+    *     pair alive, so `maxDf` is a volume bound, not a semantic
+    *     boilerplate filter (WinnowSpec witnesses both halves). Strip
+    *     boilerplate first ([[Boilerplate.removeBoilerplate]]) when the
+    *     report must exclude it entirely.
+    *  2. gram table — ALL k-gram hashes with positions, computed ONLY
+    *     for documents appearing in some candidate pair (semi-join
+    *     prune): per-doc narrow arithmetic, corpus cost proportional to
+    *     candidate volume, not corpus size.
+    *  3. diagonal islands — shared grams of a true repeated substring
+    *     lie on one diagonal (pos_a − pos_b constant) at consecutive
+    *     positions; a row_number gaps-and-islands window per
+    *     (pair, diagonal) merges them into maximal runs; a run of n
+    *     grams is an exact shared substring of n + k − 1 characters.
+    *
+    * Exact up to 32-bit gram-hash collisions (md5 draw, ~2⁻³² per gram
+    * pair — the [[Split.hashDraw32]] family, so every stage is
+    * engine-reproducible and the whole chain oracles in SQL). The
+    * quadratic surface is bounded twice: candidate pairs by Σ df² over
+    * maxDf-surviving fingerprints, and the gram join by pair-member
+    * documents only.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      maxDf: Int = 50): DataFrame = {
+    val minLen = w + k - 1
+    val pairs = overlap(docs, idCol, textCol, k, w, maxDf, minCommon = 1)
+      .select(col("id_a"), col("id_b"))
+    val ids = pairs.select(col("id_a").as("__id"))
+      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
+    val cand = docs.join(ids, col(idCol) === col("__id"), "left_semi")
+    // all gram hashes for candidate docs — the verify stage, bounded by
+    // the candidate set; fused single-pass kernel ([[graft.exprs
+    // .GramKeys]], the WinnowKeys companion), position 1-based like
+    // [[fingerprints]]
+    val grams = cand.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("__gid"),
+        posexplode(graft.exprs.GramKeys(col(textCol), k)))
+      .select(col("__gid"), (col("pos") + 1).cast("long").as("gpos"),
+        col("col").as("gh"))
+    // gram-level inverted index FIRST (output-proportional: rows =
+    // actually-shared grams + vanishing hash collisions), THEN the
+    // candidate-pair semi filter — never pairs × full gram streams
+    val matched = grams
+      .select(col("__gid").as("id_a"), col("gpos").as("pos_a"), col("gh"))
+      .join(grams.select(col("__gid").as("id_b"), col("gpos").as("pos_b"),
+        col("gh")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy(col("pos_a"))
+    matched
+      .withColumn("__grp", col("pos_a") - row_number().over(win))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("__grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+  }
+
   /** Cross-document overlap: pairs sharing at least one fingerprint,
     * with the count of distinct shared fingerprints — the MOSS report.
     * Fingerprints appearing in more than `maxDf` documents are dropped

@@ -60,6 +60,20 @@ class KmeansSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("an empty corpus yields an empty trace, not a crash") {
+    val e = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Ann.kmeansTrace(e, "vec_id", "embedding", k = 2, steps = 2).count() === 0L)
+  }
+
+  test("null vectors are dropped, not assigned") {
+    val withNull = emb(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(3.0, 0.0), 3L -> null)
+    val clean = emb(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0), 2L -> Seq(3.0, 0.0))
+    assert(trace(Ann.kmeansTrace(withNull, "vec_id", "embedding", k = 2, steps = 2)) ===
+      trace(Ann.kmeansTrace(clean, "vec_id", "embedding", k = 2, steps = 2)))
+  }
+
   test("cluster sizes sum to the corpus on every step") {
     val rows = (0L until 40L).map(i =>
       (i, Seq((i % 5).toDouble + 1.0, (i % 3).toDouble, (i % 11).toDouble)))

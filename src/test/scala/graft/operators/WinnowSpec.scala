@@ -126,4 +126,81 @@ class WinnowSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"fingerprinting must not shuffle:\n$p")
   }
+
+  test("fused GramKeys kernel is bit-equal to the HOF md5-draw reference") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "短い multi-byte ✓ text with émojis 😀 and ascii",
+      "aaaaaaa", "", "ab")
+    for ((t, id) <- texts.zipWithIndex; k <- Seq(3, 8)) {
+      val df = Seq((id.toLong, t)).toDF("doc_id", "text")
+      val fused = df.select(graft.exprs.GramKeys(col("text"), k).as("g"))
+        .as[Seq[Long]].head()
+      val ng = t.codePointCount(0, t.length) - k + 1
+      val hof =
+        if (ng <= 0) Seq.empty[Long]
+        else df.select(transform(sequence(lit(1), lit(ng)),
+          i => Split.hashDraw32(col("text").substr(i, lit(k)))).as("g"))
+          .as[Seq[Long]].head()
+      assert(fused === hof, s"text '$t' k=$k")
+    }
+  }
+
+  // ------------------------------------------------- repeated spans
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("id_a"), col("id_b"), col("start_a"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("repeatedSpans reports the exact shared passage with exact positions") {
+    // 30-char shared passage at different offsets; surroundings disjoint
+    val p = "SHARED-PASSAGE-OF-THIRTY-CHARS"
+    assert(p.length === 30)
+    val a = "aaaaaaaaaaaaaaaaaaaa" + p + "zzzzzzzzzz"
+    val b = "bbbbbbbbbb" + p + "yyyyyyyyyyyyyyyyyyyy"
+    val got = spans(Winnow.repeatedSpans(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got === Seq((1L, 2L, 21L, 11L, 30L)))
+  }
+
+  test("two shared passages yield two maximal spans") {
+    val p1 = "FIRST-SHARED-PASSAGE-IS-HERE-NOW"  // 32 chars
+    val p2 = "SECOND+SHARED+PASSAGE+GOES+THERE" // 32 chars
+    val a = "aaaaaa" + p1 + "qqqqqqqqqq" + p2 + "rrrrrr"
+    val b = "bbbbbbbbbbbbbb" + p2 + "ssssssssssssssss" + p1 + "tt"
+    val got = spans(Winnow.repeatedSpans(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got === Seq(
+      (1L, 2L, 7L, 63L, 32L),   // p1: a pos 7, b pos 14+32+16+1 = 63
+      (1L, 2L, 49L, 15L, 32L))) // p2: a pos 6+32+10+1 = 49, b pos 15
+  }
+
+  test("a sub-threshold shared substring (< w+k-1 chars) is not reported") {
+    val p = "ONLY-TWENTY-TWO-CHARS0" // 22 < 16+8-1 = 23
+    assert(p.length === 22)
+    val a = "aaaaaaaaaaaaaaaaaaaa" + p + "zzzzzzzzzzzzzzzzzzzz"
+    val b = "bbbbbbbbbbbbbbbbbbbb" + p + "yyyyyyyyyyyyyyyyyyyy"
+    val got = spans(Winnow.repeatedSpans(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got.isEmpty)
+  }
+
+  test("the maxDf guard collapses the boilerplate clique's candidate volume") {
+    val p = "BOILERPLATE-PASSAGE-SHARED-BY-EVERY-DOCUMENT-IN-THE-SET"
+    val docs = (1L to 5L).map(i => (i, s"doc$i-" * 8 + p + s"-tail$i" * 6))
+      .toDF("doc_id", "text")
+    // with the guard open, every one of the 5·4/2 pairs reports the passage
+    val open = spans(Winnow.repeatedSpans(docs, "doc_id", "text", maxDf = 50))
+    assert(open.size === 10, s"all 10 pairs expected: $open")
+    assert(open.forall(_._5 >= p.length), open)
+    // maxDf=2 drops every INTERIOR fingerprint of the shared passage
+    // (df = 5) — only boundary-window selections, which are doc-specific,
+    // can leak a residual pair. The guard is a candidate-VOLUME bound,
+    // not a semantic boilerplate filter: the clique must collapse, and
+    // whatever survives must be a span the open run also found (exact,
+    // never spurious).
+    val guarded = spans(Winnow.repeatedSpans(docs, "doc_id", "text", maxDf = 2))
+    assert(guarded.size < open.size / 2, s"clique must collapse: $guarded")
+    assert(guarded.toSet.subsetOf(open.toSet), (guarded, open))
+  }
 }
