@@ -123,6 +123,11 @@ object GraftExtensions {
         expectArity(f, children, 3)
         WinnowKeys(children(0), intLit(children(1), f, "k"),
           intLit(children(2), f, "w"))
+      },
+      fn("gram_keys", classOf[GramKeys]) { children =>
+        val f = "gram_keys(text, k)"
+        expectArity(f, children, 2)
+        GramKeys(children(0), intLit(children(1), f, "k"))
       })
   }
 

@@ -146,15 +146,22 @@ object Winnow {
         posexplode(graft.exprs.GramKeys(col(textCol), k)))
       .select(col("__gid"), (col("pos") + 1).cast("long").as("gpos"),
         col("col").as("gh"))
-    // gram-level inverted index FIRST (output-proportional: rows =
-    // actually-shared grams + vanishing hash collisions), THEN the
-    // candidate-pair semi filter — never pairs × full gram streams
-    val matched = grams
-      .select(col("__gid").as("id_a"), col("gpos").as("pos_a"), col("gh"))
-      .join(grams.select(col("__gid").as("id_b"), col("gpos").as("pos_b"),
-        col("gh")), Seq("gh"))
-      .filter(col("id_a") < col("id_b"))
-      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+    // pair-bounded gram match: expand each candidate pair with side-a's
+    // gram stream, then hash-join side-b on (doc, gram hash). Work is
+    // bounded by |pairs| × doc length — the right bound when candidate
+    // cliques grow with the corpus. The tempting alternative (gram-level
+    // inverted index first, pair semi filter after) is output-
+    // proportional at small scale but measured CATASTROPHIC at 100×
+    // (Σ df² over grams shared across a large candidate-doc clique:
+    // 34 s → 700 s at sf10) — the same all-pairs-bucket failure the
+    // winnow/jaccard joins guard against with maxDf.
+    val matched = pairs
+      .join(grams.select(col("__gid"), col("gpos").as("pos_a"), col("gh")),
+        pairs("id_a") === col("__gid"))
+      .drop("__gid")
+      .join(grams.select(col("__gid"), col("gpos").as("pos_b"),
+        col("gh").as("__ghb")),
+        col("id_b") === col("__gid") && col("gh") === col("__ghb"))
       .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))

@@ -127,6 +127,17 @@ class WinnowSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"fingerprinting must not shuffle:\n$p")
   }
 
+  test("gram_keys SQL function matches the expression's gram stream") {
+    val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("gram_sql_docs")
+    val viaSql = spark.sql("SELECT gram_keys(text, 8) AS g FROM gram_sql_docs")
+      .as[Seq[Long]].head()
+    val viaExpr = df.select(graft.exprs.GramKeys(col("text"), 8).as("g"))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaExpr)
+    assert(viaSql.nonEmpty)
+  }
+
   test("fused GramKeys kernel is bit-equal to the HOF md5-draw reference") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
