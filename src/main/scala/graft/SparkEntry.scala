@@ -1218,6 +1218,14 @@ object SparkEntry {
     graft.operators.UnigramLm.bigramDocLogLoss(T.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Kneser–Ney smoothed bigram scoring
+    * ([[graft.operators.UnigramLm.kneserNeyDocLogLoss]]): the
+    * continuation-count smoothing real perplexity filters use.
+    */
+  private def qKneserNeyLm(s: SparkSession, d: String): DataFrame =
+    graft.operators.UnigramLm.kneserNeyDocLogLoss(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Zipf rank–frequency fit ([[graft.operators.Vocab.zipfSlope]]): one
     * corpus-health row — log-log least-squares slope/intercept of the
     * token frequency spectrum.
@@ -1285,6 +1293,24 @@ object SparkEntry {
         col("wc_ok") && col("mean_word_ok") && col("symbol_ok") && col("bullet_ok") &&
           col("ellipsis_ok") && col("alpha_ok") && col("stopword_ok"))
       .orderBy(col("doc_id"))
+
+  /** Filter-threshold calibration ([[graft.operators.Calibrate.sweep]]):
+    * precision/recall/F1 of "character entropy ≥ t predicts the Gopher
+    * keep verdict" at every distinct 2-dp entropy — the sweep that picks
+    * a filter cutoff before committing a corpus to it.
+    */
+  private def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val flags = graft.functions.Text.gopherFlags(col("text"), Seq("the", "a"))
+    val keep = Seq("wc_ok", "mean_word_ok", "symbol_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_ok", "stopword_ok")
+      .map(flags.getField).reduce(_ && _)
+    graft.operators.Calibrate.sweep(
+      T.documents(s, d).select(
+        graft.functions.Text.charEntropy(col("text")).as("score"),
+        keep.as("label")),
+      col("score"), col("label"), bucketize = Some(2))
+      .orderBy(col("threshold").desc)
+  }
 
   /** Winnowing fingerprints ([[graft.operators.Winnow.fingerprints]]):
     * MOSS-style local k-gram sampling over the held-out fifth of the
@@ -2704,6 +2730,7 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_kneser_ney_lm" -> (qKneserNeyLm _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_embed_outliers" -> (qEmbedOutliers _),
@@ -2711,6 +2738,7 @@ object SparkEntry {
     "q_nb_classify" -> (qNbClassify _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_gopher_filter" -> (qGopherFilter _),
+    "q_calibration" -> (qCalibration _),
     "q_winnow_fp" -> (qWinnowFp _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_repeated_spans" -> (qRepeatedSpans _),
@@ -3998,6 +4026,52 @@ object SparkEntry {
                    ORDER BY round(s, 4) DESC, label ASC) AS rn
                FROM g)
          SELECT doc_id, label AS pred_label, score FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_calibration" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+         chars AS (
+           SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+           FROM documents),
+         counts AS (
+           SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS tot FROM counts GROUP BY 1),
+         q AS (SELECT c.doc_id,
+                 round(sum(-(n / tot) * log2(n / tot)), 2) + 0 AS score
+               FROM counts c JOIN tot USING (doc_id) GROUP BY 1),
+         b AS (SELECT doc_id, t,
+                 string_split_regex(t, ' +') AS ws,
+                 string_split(t, chr(10)) AS ls
+               FROM d),
+         g AS (SELECT doc_id,
+                 len(ws) BETWEEN 50 AND 100000
+                 AND (length(replace(t, ' ', '')) * 1.0 / greatest(len(ws), 1))
+                   BETWEEN 3.0 AND 10.0
+                 AND 10 * (3 * (length(t) - length(replace(t, '#', '')))
+                     + (length(t) - length(replace(t, '...', ''))))
+                   <= 3 * len(ws)
+                 AND 10 * len(list_filter(ls, l -> substring(trim(l), 1, 1) IN ('-', '•', '*')))
+                   <= len(ls)
+                 AND 10 * len(list_filter(ls, l -> trim(l) LIKE '%...'))
+                   <= 3 * len(ls)
+                 AND 5 * len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   >= 4 * len(ws)
+                 AND (CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT))
+                   >= 2 AS label
+               FROM b),
+         h AS (SELECT score AS threshold, count(*) AS n,
+                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+               FROM q JOIN g USING (doc_id) GROUP BY 1),
+         t AS (SELECT CAST(sum(pos) AS BIGINT) AS totpos FROM h),
+         c AS (SELECT threshold,
+                 CAST(sum(n) OVER (ORDER BY threshold DESC) AS BIGINT) AS pred_pos,
+                 CAST(sum(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp
+               FROM h)
+         SELECT threshold, pred_pos, tp,
+           round(tp * 1.0 / pred_pos, 4) AS precision,
+           round(CASE WHEN totpos = 0 THEN 0.0 ELSE tp * 1.0 / totpos END, 4) AS recall,
+           round(CASE WHEN tp = 0 THEN 0.0
+             ELSE 2.0 * (tp * 1.0 / pred_pos) * (tp * 1.0 / totpos)
+               / (tp * 1.0 / pred_pos + tp * 1.0 / totpos) END, 4) AS f1
+         FROM c, t ORDER BY threshold DESC""",
     "q_gopher_filter" ->
       """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
          b AS (SELECT doc_id, t,
@@ -4191,6 +4265,27 @@ object SparkEntry {
            round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS nll,
            count(*) AS n_bigrams
          FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1), v
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_kneser_ney_lm" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+           FROM documents WHERE len(string_split_regex(trim(text), ' +')) >= 2),
+         bg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+             FROM tok)),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM big GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY 1),
+         ty AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM big)
+         SELECT doc_id,
+           round(avg(-ln(
+             greatest(c12 - 0.75, 0.0) / c1
+             + 0.75 * n1f / c1 * (n1b / t))), 4) AS nll,
+           count(*) AS n_bigrams
+         FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1)
+           JOIN cont USING (w2), ty
          GROUP BY doc_id ORDER BY doc_id""",
     "q_zipf_slope" ->
       """WITH f AS (

@@ -26,7 +26,7 @@ object Selection {
     * exactly the reproducible-across-engines convention the 4-dp rounded
     * operators (TfIdf, UnigramLm) already follow.
     */
-  private def snap(score: Column, bucketize: Option[Int]): Column =
+  private[operators] def snap(score: Column, bucketize: Option[Int]): Column =
     bucketize.fold(score.cast("double"))(d => round(score.cast("double"), d))
 
   /** Collect the per-score histogram with a hard cardinality fail-fast:
@@ -36,7 +36,7 @@ object Selection {
     * fetch into a data collect. Failing fast with the fix in the message
     * beats an eventual driver OOM at 100 TB.
     */
-  private def boundedHistogram(
+  private[operators] def boundedHistogram(
       hist: DataFrame,
       maxScoreCardinality: Int,
       op: String): Array[org.apache.spark.sql.Row] = {

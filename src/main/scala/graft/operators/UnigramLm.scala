@@ -100,4 +100,61 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(round(avg(-logp), 4).as("nll"), count(lit(1)).as("n_bigrams"))
   }
+
+  /** Per-document mean negative log-likelihood under an interpolated
+    * Kneser–Ney bigram model — the smoothing the strong n-gram scorers
+    * (KenLM-style perplexity filters) actually use. Where add-α gives
+    * unseen/rare continuations probability proportional to nothing but α,
+    * KN backs off to the CONTINUATION unigram — how many distinct
+    * contexts a word follows — so "Francisco" (frequent but only ever
+    * after "San") is correctly penalized in novel contexts:
+    *
+    *   p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with discount 0 < D < 1, N₁₊(w₁·) = distinct continuations of w₁,
+    * N₁₊(·w₂) = distinct contexts preceding w₂, N₁₊(··) = distinct
+    * bigram types. Scoring the training corpus itself means every scored
+    * bigram has c ≥ 1, and the continuation term is strictly positive,
+    * so log p is always finite.
+    *
+    * Plan: identical shape to [[bigramDocLogLoss]] — ONE in-doc bigram
+    * explode feeds the bigram-type aggregate; the context (w₁) and
+    * continuation (w₂) model tables both derive FROM the type table
+    * (vocabulary-sized input, not the corpus); N₁₊(··) is one scalar.
+    * All model joins stay un-hinted: bigram-type tables are not safely
+    * broadcast-able at corpus scale, and the measured no-broadcast
+    * degradation curve for the add-α variant (SCALING.md) covers this
+    * plan verbatim — same joins, one more vocabulary-sized side.
+    */
+  def kneserNeyDocLogLoss(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "KN discount must be in (0, 1)")
+    val toks = Text.tokens(col(textCol))
+    val bigrams = docs
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(
+          element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = big.count().toDouble // one scalar: distinct bigram types
+    val p = greatest(col("c12") - lit(discount), lit(0.0)) / col("c1") +
+      lit(discount) * col("n1f") / col("c1") * (col("n1b") / lit(types))
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(p)), 4).as("nll"), count(lit(1)).as("n_bigrams"))
+  }
 }

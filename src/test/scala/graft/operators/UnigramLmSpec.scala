@@ -77,6 +77,80 @@ class UnigramLmSpec extends SparkSpec {
     assert(!logical.contains("hint"), s"unexpected join hint in:\n$logical")
   }
 
+  test("Kneser–Ney log-loss matches the hand-computed interpolated model") {
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    // bigram types: (a,b):1, (b,a):2 → T=2
+    // ctx a: c1=1 n1f=1; ctx b: c1=2 n1f=1; cont a: n1b=1; cont b: n1b=1
+    val pba = math.max(1 - 0.75, 0) / 1.0 + 0.75 * 1 / 1.0 * (1 / 2.0) // p(b|a)=0.625
+    val pab = math.max(2 - 0.75, 0) / 2.0 + 0.75 * 1 / 2.0 * (1 / 2.0) // p(a|b)=0.8125
+    def snap(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = UnigramLm.kneserNeyDocLogLoss(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((snap(-(math.log(pba) + math.log(pab)) / 2), 2L)),
+      2L -> ((snap(-math.log(pab)), 1L))))
+  }
+
+  test("Kneser–Ney matches an independent model build and sums to 1 per context") {
+    val docs = (1L to 30L)
+      .map(i => (i, s"w${i % 5} w${(i + 2) % 7} w${i % 3} w${(i + 1) % 5} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val d = 0.75
+    // independent evaluator: build the model with plain Scala collections
+    val texts = docs.as[(Long, String)].collect().toMap
+    val bg = texts.toSeq.flatMap { case (id, t) =>
+      val w = t.trim.split(" +"); w.zip(w.tail).map(p => (id, p))
+    }
+    val c12 = bg.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = c12.groupBy(_._1._1).view.mapValues(_.size.toDouble).toMap
+    val n1b = c12.groupBy(_._1._2).view.mapValues(_.size.toDouble).toMap
+    val types = c12.size.toDouble
+    def p(w1: String, w2: String): Double =
+      math.max(c12((w1, w2)) - d, 0) / c1(w1) +
+        d * n1f(w1) / c1(w1) * (n1b(w2) / types)
+    // the interpolated distribution is proper: Σ_w2 p(w2|w1) = 1 when the
+    // continuation unigram is summed over its full support
+    for (w1 <- c1.keys) {
+      // .iterator: mapping a key SET to probabilities would collapse ties
+      val seen = c12.keys.iterator.filter(_._1 == w1)
+        .map { case (_, w2) => p(w1, w2) }.sum
+      val unseenCont = n1b.keys.iterator.filterNot(w2 => c12.contains((w1, w2)))
+        .map(w2 => d * n1f(w1) / c1(w1) * (n1b(w2) / types)).sum
+      assert(math.abs(seen + unseenCont - 1.0) < 1e-9, s"improper at context $w1")
+    }
+    val expect = bg.groupBy(_._1).map { case (id, pairs) =>
+      val nll = pairs.map { case (_, (w1, w2)) => -math.log(p(w1, w2)) }.sum / pairs.size
+      id -> BigDecimal(nll).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = UnigramLm.kneserNeyDocLogLoss(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === expect)
+  }
+
+  test("Kneser–Ney penalizes single-context words harder than add-α (the Francisco case)") {
+    // "francisco" is frequent but only ever follows "san"; "bay" is seen
+    // after many distinct contexts. A novel-context occurrence of each
+    // ("other francisco" / "other bay", both c=1) should score francisco
+    // as the bigger surprise — continuation counts see it, raw counts don't.
+    val sanFrancisco = (1L to 10L).map(i => (i, "san francisco"))
+    val manyBay = (11L to 20L).map(i => (i, s"ctx${i} bay"))
+    val probes = Seq((98L, "other francisco"), (99L, "other bay"))
+    val docs = (sanFrancisco ++ manyBay ++ probes).toDF("doc_id", "text")
+    val kn = UnigramLm.kneserNeyDocLogLoss(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(kn(98L) > kn(99L),
+      s"single-context francisco must surprise more: $kn")
+  }
+
+  test("Kneser–Ney model joins carry no broadcast hint") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val logical = UnigramLm.kneserNeyDocLogLoss(docs, "doc_id", "text")
+      .queryExecution.logical.toString
+    assert(!logical.contains("hint"), s"unexpected join hint in:\n$logical")
+  }
+
   test("past broadcast size the model joins degrade to shuffle joins with identical scores") {
     // the claim the plan notes make: when a real corpus pushes the bigram
     // table past broadcast size, the un-hinted joins fall back to
