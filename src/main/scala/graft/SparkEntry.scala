@@ -1448,6 +1448,24 @@ object SparkEntry {
       .kmeansTrace(T.embeddings(s, d), "vec_id", "embedding", k = 4, steps = 3)
       .orderBy(col("step"), col("centroid_id"), col("dim"))
 
+  /** PCA covariance pass ([[graft.operators.Pca.covariance]]): the d×d
+    * matrix the eigensolve consumes — the only corpus-touching step of
+    * PCA, shuffle volume = partitions × d² regardless of corpus size.
+    */
+  private def qPcaCovariance(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.covariance(T.embeddings(s, d), "embedding", 64)
+      .orderBy(col("i"), col("j"))
+
+  /** PCA variance-explained report ([[graft.operators.Pca.varianceExplained]]):
+    * eigenvalues + cumulative variance fraction of the top 16 axes. No SQL
+    * oracle — a Jacobi eigensolve is not SQL-expressible; PcaSpec locks the
+    * invariants (residuals, orthonormality, trace, projection variance).
+    */
+  private def qPcaVariance(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca
+      .varianceExplained(T.embeddings(s, d), "embedding", 64, 16)
+      .orderBy(col("component"))
+
   /** Unrolled-CTE mirror of [[qKmeans]]: c0 = first-k-by-id seeds; each
     * step s computes per-(vec, centroid) dots against c(s-1), snaps the
     * cosine at 4 dp, assigns by (cos DESC, cid DESC), and snaps the new
@@ -2723,6 +2741,8 @@ object SparkEntry {
     "q_cap_per_source" -> (qCapPerSource _),
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
     "q_kmeans" -> (qKmeans _),
+    "q_pca_covariance" -> (qPcaCovariance _),
+    "q_pca_variance" -> (qPcaVariance _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_char_profile" -> (qCharProfile _),
     "q_pipeline_rag" -> (qPipelineRag _),
@@ -4384,6 +4404,16 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_kmeans" -> kmeansOracle(4, 3),
+    "q_pca_covariance" ->
+      """WITH x AS (
+           SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         p AS (SELECT a.i AS i, b.i AS j, a.v AS x, b.v AS y
+               FROM x a JOIN x b USING (vec_id))
+         SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) + 0 AS cov
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,

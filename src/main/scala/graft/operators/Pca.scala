@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA for embedding columns — the dimensionality-reduction step before
+  * clustering / ANN / visualization, decomposed the way it scales:
+  *
+  *   1. ONE corpus pass builds the d×d covariance — each row explodes to
+  *     its d² position-pair products, map-side combine collapses every
+  *     partition to ≤ d² partial sums, so the shuffle carries
+  *     partitions × d² rows regardless of corpus size;
+  *   2. the eigendecomposition runs on the DRIVER over the d² matrix —
+  *     dim-bounded arithmetic (a 64-dim cov is 32 KiB; the guard caps d
+  *     where d² stops being metadata), classic cyclic Jacobi;
+  *   3. projection is a broadcast of k·d literal weights into a
+  *     codegen'd expression — zero shuffle, zero UDF, whole-stage.
+  *
+  * Only step 1 touches the corpus; steps 2–3 cost the same at 100 TB as
+  * at 1 GB. This is the standard big-data PCA decomposition (compute the
+  * Gram/covariance distributed, solve the small eigenproblem centrally).
+  */
+object Pca {
+
+  /** d above which the d² covariance stops being "metadata-sized" for a
+    * driver collect + broadcast-literal projection (1024² doubles = 8 MiB).
+    * Past this, PCA wants a randomized/iterative method, not a bigger
+    * collect — fail loud instead of OOMing quiet.
+    */
+  val MaxDim = 1024
+
+  /** Population covariance of an array column as a (i, j, cov) frame,
+    * 0-based positions, snapped to `snapDp` decimals (None = raw). The
+    * explode emits d² products per row; Spark's partial aggregation
+    * collapses each partition to ≤ d² groups before the exchange.
+    * Rows shorter than `dim` contribute only to the cells they cover
+    * (each cell divides by its own count) — ragged inputs are the
+    * caller's bug, not silently averaged away; see [[fit]]'s guard.
+    */
+  def covariance(
+      emb: DataFrame,
+      vecCol: String,
+      dim: Int,
+      snapDp: Option[Int] = Some(6)): DataFrame = {
+    require(dim > 0 && dim <= MaxDim,
+      s"covariance is driver-collected as d² cells; dim=$dim exceeds $MaxDim")
+    val v = col(vecCol)
+    val pairs = emb
+      .select(explode(flatten(transform(v, (xi, i) =>
+        transform(v, (xj, j) => struct(
+          i.as("i"), j.as("j"),
+          (xi.cast("double") * xj.cast("double")).as("xy")))))).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xy"))
+    val moments = pairs.groupBy("i", "j").agg(avg("xy").as("exy"))
+    val means = emb
+      .select(posexplode(v).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
+    val cov = col("exy") - col("mi") * col("mj")
+    moments
+      .join(broadcast(means.select(col("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        // + 0.0 normalizes IEEE -0.0 (a negative value rounding to zero)
+        snapDp.fold(cov)(d => round(cov, d) + lit(0.0)).as("cov"))
+  }
+
+  /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations
+    * (driver-side; O(sweeps·n³) on an n ≤ [[MaxDim]] matrix). Returns
+    * eigenvalues descending and the matching eigenvectors as ROWS, each
+    * sign-canonicalized (largest-|component| positive) so the output is
+    * deterministic — eigenvector sign is otherwise arbitrary.
+    */
+  def eigenSym(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    require(m.forall(_.length == n), "matrix must be square")
+    val a = m.map(_.clone())
+    val vec = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-22 && sweep < 64) {
+      for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-18) {
+        val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+          else 1.0 / (theta - math.sqrt(theta * theta + 1))
+        val c = 1.0 / math.sqrt(t * t + 1)
+        val s = t * c
+        var k = 0
+        while (k < n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val vkp = vec(k)(p); val vkq = vec(k)(q)
+          vec(k)(p) = c * vkp - s * vkq
+          vec(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val col = Array.tabulate(n)(r => vec(r)(c))
+      val pivot = col.indices.maxBy(i => math.abs(col(i)))
+      if (col(pivot) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** A fitted PCA basis: `components(c)` is the c-th principal axis. */
+  final case class Model(
+      dim: Int,
+      means: Array[Double],
+      eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Fit on one covariance pass + one dim-sized mean collect, with a
+    * ragged-input fail-fast (a short vector would silently skew cells).
+    */
+  def fit(emb: DataFrame, vecCol: String, dim: Int): Model = {
+    val bad = emb.filter(size(col(vecCol)) =!= dim).limit(1).count()
+    require(bad == 0, s"fit: found a $vecCol row whose size != $dim — " +
+      "ragged vectors would corrupt covariance cells; filter or pad first")
+    val cov = covariance(emb, vecCol, dim, snapDp = None)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val matrix = Array.tabulate(dim, dim)((i, j) => cov((i, j)))
+    val means = emb.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val (vals, vecs) = eigenSym(matrix)
+    Model(dim, Array.tabulate(dim)(means), vals, vecs)
+  }
+
+  /** Project onto the top-k axes: k codegen'd dot products against
+    * literal weights — a narrow plan (no shuffle, no UDF, no broadcast
+    * exchange; the model rides in the expression tree).
+    */
+  def project(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      k: Int): DataFrame = {
+    require(k > 0 && k <= model.dim, s"k=$k out of range 1..${model.dim}")
+    val v = col(vecCol)
+    val coords = (0 until k).map { c =>
+      val w = model.components(c)
+      (0 until model.dim).map { i =>
+        (element_at(v, i + 1).cast("double") - lit(model.means(i))) * lit(w(i))
+      }.reduce(_ + _).as(s"pc$c")
+    }
+    emb.select(col(idCol) +: coords: _*)
+  }
+
+  /** Variance-explained report: one row per component, eigenvalue and
+    * cumulative fraction of total variance (= trace), 6-dp snapped.
+    */
+  def varianceExplained(emb: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
+    val model = fit(emb, vecCol, dim)
+    val total = model.eigenvalues.sum
+    def snap(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cum = 0.0
+    val rows = model.eigenvalues.take(k).zipWithIndex.map { case (ev, c) =>
+      cum += ev
+      (c, snap(ev), snap(if (total == 0) 0.0 else cum / total))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("component", "eigenvalue", "cum_var_frac")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def syntheticEmb(n: Int, dim: Int): Seq[(Long, Seq[Float])] =
+    // deterministic anisotropic cloud: axis 0 has ~4x the spread of axis
+    // 1, the rest are small — eigenvalue ordering is unambiguous
+    (1 to n).map { i =>
+      val base = Seq.tabulate(dim) { d =>
+        val t = (i * (d + 3) % 17) - 8.0
+        (t / (d + 1.0) / 2.0).toFloat
+      }
+      (i.toLong, base.updated(0, (((i % 13) - 6) * 2.0).toFloat))
+    }
+
+  test("covariance matches a plain-Scala covariance on the same rows") {
+    val data = syntheticEmb(40, 5)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Pca.covariance(df, "embedding", 5)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = data.map(_._2.map(_.toDouble))
+    val n = vecs.size.toDouble
+    def mean(i: Int) = vecs.map(_(i)).sum / n
+    for (i <- 0 until 5; j <- 0 until 5) {
+      val exp = vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+      assert(math.abs(got((i, j)) - exp) < 1e-6, s"cell ($i,$j)")
+    }
+  }
+
+  test("eigenSym solves a hand-checkable symmetric matrix") {
+    // [[2,1],[1,2]] → λ = 3, 1; eigvecs (1,1)/√2 and (1,-1)/√2
+    val (vals, vecs) = Pca.eigenSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1 / math.sqrt(2)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(math.abs(vecs(1)(0)) - r) < 1e-12)
+    assert(math.abs(vecs(1)(0) + vecs(1)(1)) < 1e-12)
+  }
+
+  test("fit satisfies the eigen invariants: residual, orthonormality, trace, order") {
+    val dim = 8
+    val df = syntheticEmb(60, dim).toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim)
+    val cov = Pca.covariance(df, "embedding", dim, snapDp = None)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val a = Array.tabulate(dim, dim)((i, j) => cov((i, j)))
+    // A·v = λ·v for every pair
+    for (c <- 0 until dim) {
+      val v = model.components(c)
+      val av = Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+      val res = math.sqrt(av.zip(v).map { case (x, y) =>
+        val d = x - model.eigenvalues(c) * y; d * d
+      }.sum)
+      assert(res < 1e-9, s"eigenpair $c residual $res")
+    }
+    // orthonormal basis
+    for (c1 <- 0 until dim; c2 <- c1 until dim) {
+      val dot = model.components(c1).zip(model.components(c2)).map(p => p._1 * p._2).sum
+      val expect = if (c1 == c2) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-10, s"<v$c1,v$c2> = $dot")
+    }
+    // eigenvalues: descending, non-negative (covariance is PSD), Σλ = trace
+    assert(model.eigenvalues.toSeq === model.eigenvalues.sortBy(-_).toSeq)
+    assert(model.eigenvalues.forall(_ > -1e-10))
+    val trace = (0 until dim).map(i => a(i)(i)).sum
+    assert(math.abs(model.eigenvalues.sum - trace) < 1e-9)
+    // the planted dominant axis wins
+    assert(math.abs(model.components(0)(0)) > 0.9, "axis 0 must dominate pc0")
+  }
+
+  test("projected coordinate c has variance = eigenvalue c, and coords decorrelate") {
+    val dim = 6
+    val df = syntheticEmb(80, dim).toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim)
+    val proj = Pca.project(df, "vec_id", "embedding", model, k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+    val cols = Seq(proj.map(_._2), proj.map(_._3), proj.map(_._4))
+    for (c <- 0 until 3) {
+      val xs = cols(c); val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - model.eigenvalues(c)) < 1e-9,
+        s"var(pc$c)=$v != λ=${model.eigenvalues(c)}")
+      assert(math.abs(m) < 1e-9, "projection of centered data must have zero mean")
+    }
+    val c01 = cols(0).zip(cols(1)).map(p => p._1 * p._2).sum / proj.length
+    assert(math.abs(c01) < 1e-9, "pc0 and pc1 must be uncorrelated")
+  }
+
+  test("projection is a narrow plan: no Exchange, no UDF") {
+    val df = syntheticEmb(10, 4).toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", 4)
+    val plan = Pca.project(df, "vec_id", "embedding", model, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("fit fails fast on ragged vectors instead of averaging them away") {
+    val df = (Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(df, "embedding", 3)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("dim guard refuses a covariance that is no longer metadata-sized") {
+    val df = Seq((1L, Seq(1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.covariance(df, "embedding", Pca.MaxDim + 1)
+    }
+    assert(e.getMessage.contains("exceeds"))
+  }
+}
