@@ -1448,6 +1448,16 @@ object SparkEntry {
       .kmeansTrace(T.embeddings(s, d), "vec_id", "embedding", k = 4, steps = 3)
       .orderBy(col("step"), col("centroid_id"), col("dim"))
 
+  /** Z-order key ([[graft.sources.Layout.zorderKey]]): the Morton
+    * interleave that [[graft.sources.Layout.writeZOrdered]] clusters on —
+    * checked bit-for-bit against an independent SQL bit-spread.
+    */
+  private def qZorderKey(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** PCA covariance pass ([[graft.operators.Pca.covariance]]): the d×d
     * matrix the eigensolve consumes — the only corpus-touching step of
     * PCA, shuffle volume = partitions × d² regardless of corpus size.
@@ -2741,6 +2751,7 @@ object SparkEntry {
     "q_cap_per_source" -> (qCapPerSource _),
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
     "q_kmeans" -> (qKmeans _),
+    "q_zorder_key" -> (qZorderKey _),
     "q_pca_covariance" -> (qPcaCovariance _),
     "q_pca_variance" -> (qPcaVariance _),
     "q_corpus_diff" -> (qCorpusDiff _),
@@ -4404,6 +4415,26 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_kmeans" -> kmeansOracle(4, 3),
+    "q_zorder_key" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+           (l_partkey & 2147483647) AS xa, (l_suppkey & 2147483647) AS xb
+         FROM lineitem),
+         a1 AS (SELECT *, ((xa | (xa << 16)) & 281470681808895) AS pa,
+                          ((xb | (xb << 16)) & 281470681808895) AS pb FROM s),
+         a2 AS (SELECT l_orderkey, l_linenumber,
+                  ((pa | (pa << 8)) & 71777214294589695) AS pa,
+                  ((pb | (pb << 8)) & 71777214294589695) AS pb FROM a1),
+         a3 AS (SELECT l_orderkey, l_linenumber,
+                  ((pa | (pa << 4)) & 1085102592571150095) AS pa,
+                  ((pb | (pb << 4)) & 1085102592571150095) AS pb FROM a2),
+         a4 AS (SELECT l_orderkey, l_linenumber,
+                  ((pa | (pa << 2)) & 3689348814741910323) AS pa,
+                  ((pb | (pb << 2)) & 3689348814741910323) AS pb FROM a3),
+         a5 AS (SELECT l_orderkey, l_linenumber,
+                  ((pa | (pa << 1)) & 6148914691236517205) AS pa,
+                  ((pb | (pb << 1)) & 6148914691236517205) AS pb FROM a4)
+         SELECT l_orderkey, l_linenumber, (pa | (pb << 1)) AS zkey
+         FROM a5 ORDER BY 1, 2""",
     "q_pca_covariance" ->
       """WITH x AS (
            SELECT vec_id,

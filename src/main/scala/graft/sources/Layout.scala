@@ -73,6 +73,59 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Spread the low 31 bits of `c` so bit i lands at position 2i — the
+    * magic-mask half of a Morton encode; five codegen'd shift/mask steps,
+    * no loop, no UDF.
+    */
+  private def spread31(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton (Z-order) key over TWO cluster dimensions: bits of `a` and
+    * `b` interleaved, so sorting by the key keeps rows close in BOTH
+    * dimensions at once — the layout trick (Delta/Iceberg `ZORDER BY`)
+    * that lets one file layout serve selective range scans on either
+    * column, where a plain sort serves only its leading column and leaves
+    * the second dimension scattered across every file.
+    *
+    * Uses the low 31 bits of each input (62-bit key, sign bit never set,
+    * so long ordering == unsigned curve ordering). Keys wider than 31
+    * bits should be range-bucketed or right-shifted first — locality only
+    * needs the high bits to be honest. Monotone per-axis: with one
+    * coordinate fixed, the key orders exactly like the other coordinate.
+    */
+  def zorderKey(
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spread31(a).bitwiseOR(shiftleft(spread31(b), 1))
+
+  /** Z-order-clustered layout: range-partition + sort on the interleaved
+    * [[zorderKey]] instead of a lexicographic (a, b) sort. Every output
+    * file owns a compact square-ish region of the (a, b) plane, so
+    * parquet min/max footer stats prune files for range predicates on
+    * EITHER dimension — the two-dimensional generalization of
+    * [[writeRangeClustered]].
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      dir: String,
+      nFiles: Int,
+      dimA: String,
+      dimB: String): Unit = {
+    require(nFiles > 0, "need a positive file count")
+    val key = zorderKey(col(dimA), col(dimB)).as("__z")
+    df.withColumn("__z", key)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Compaction for the `__kb`-bucketed state layout
     * ([[graft.streaming.ParquetStateSink]]) — the engine-side analogue of
     * the reference's index-lifecycle rollover/shrink: every touched-bucket
