@@ -507,6 +507,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-k importance resampling ([[graft.operators.Split.weightedTopK]]):
+    * 100 documents drawn without replacement, inclusion odds proportional
+    * to token count — token-proportional corpus sampling, the selection
+    * step DSIR weights feed.
+    */
+  private def qImportanceSample(s: SparkSession, d: String): DataFrame = {
+    val w = Text.tokenCountSimple(col("text")).cast("double")
+    Split.weightedTopK(
+      T.documents(s, d).select(col("doc_id"), w.as("w")),
+      "doc_id", col("w"), k = 100)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget selection: best documents first (score = 1 − repetition,
     * ties by id) until a 10k-token spend — distributed two-phase greedy,
     * no global window.
@@ -2708,6 +2721,7 @@ object SparkEntry {
     "q_semdedup" -> (qSemDedup _),
     "q_contamination" -> (qContamination _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_importance_sample" -> (qImportanceSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_budget_continuous" -> (qBudgetContinuous _),
     "q_budget_by_source" -> (qBudgetBySource _),
@@ -3222,6 +3236,21 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT gram) AS n_shared
          FROM g JOIN bench USING (gram) WHERE doc_id % 41 <> 0
          GROUP BY 1 ORDER BY doc_id""",
+    "q_importance_sample" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS w
+           FROM documents),
+         p AS (
+           SELECT doc_id, w,
+             round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) + 1.0) / 4294967296.0) / w, 6) AS k
+           FROM t WHERE w > 0)
+         SELECT doc_id, w FROM (
+           SELECT doc_id, w FROM p ORDER BY k DESC, doc_id ASC LIMIT 100)
+         ORDER BY doc_id""",
     "q_weighted_sample" ->
       """WITH t AS (
            SELECT doc_id, lang, trim(text) AS tt,

@@ -44,6 +44,47 @@ object Split {
     df.filter(hashDraw32(col(idCol), salt) <
       floor(weightCol * lit(4294967296.0)).cast("long"))
 
+  /** Exact-k importance resampling WITHOUT replacement
+    * (Efraimidis–Spirakis): every row draws key = ln(u)/w from its
+    * deterministic md5 uniform u ∈ (0, 1] and weight w > 0, and the k
+    * LARGEST keys win — inclusion probability proportional to weight,
+    * sample size exactly k. This is the selection step a DSIR-weighted
+    * corpus actually runs ([[graft.operators.Dsir]] produces the w
+    * column), and with w = token count it is token-proportional document
+    * sampling.
+    *
+    * Scale shape: the key is a narrow codegen'd projection (zero
+    * shuffle); the top-k is TakeOrderedAndProject — per-partition heaps
+    * + a k-row driver merge, never a global sort. That makes k driver-
+    * bounded, hence the guard: sample-sized k only. For budget-scale
+    * selection ("the best N billion tokens") use
+    * [[Selection.selectByBudget]], whose histogram decomposition has no
+    * driver-side k.
+    *
+    * The key is snapped to 6 dp before ranking (ties broken by id ASC):
+    * `ln` differs across engines in the last ulp, and an unsnapped
+    * boundary row would make the k-th seat engine-dependent — same
+    * convention as [[graft.operators.Ann.knnJoin]]'s 4-dp cosine rank.
+    * Rows with w ≤ 0 or null are excluded (never sampled).
+    */
+  def weightedTopK(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0 && k <= (1 << 22),
+      "weightedTopK's top-k merges k rows per partition on the driver; " +
+        "for corpus-scale selection use Selection.selectByBudget")
+    val u = (hashDraw32(col(idCol), salt).cast("double") + 1.0) / 4294967296.0
+    val key = round(log(u) / weightCol, 6)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__k", key)
+      .orderBy(col("__k").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__k")
+  }
+
   /** The split-label expression over a [0, 100) bucket column — shared
     * by id-keyed [[assign]] and cluster-keyed [[assignByCluster]] so the
     * boundary arithmetic can never drift between the two.

@@ -176,4 +176,69 @@ class SplitSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("weightedTopK matches an independent Scala evaluation of the same keys") {
+    val df = (1L to 200L).map(i => (i, 0.5 + (i % 7))).toDF("id", "w")
+    val got = Split.weightedTopK(df, "id", col("w"), k = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    def draw32(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val expect = (1L to 200L).map { i =>
+      val u = (draw32(i).toDouble + 1.0) / 4294967296.0
+      val key = BigDecimal(math.log(u) / (0.5 + (i % 7)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, key)
+    }.sortBy { case (i, k) => (-k, i) }.take(25).map(_._1).sorted
+    assert(got === expect)
+  }
+
+  test("weightedTopK returns exactly k rows and is partitioning-invariant") {
+    val df = (1L to 500L).map(i => (i, 1.0 + (i % 3))).toDF("id", "w")
+    val a = Split.weightedTopK(df, "id", col("w"), k = 40)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a.size === 40)
+    val b = Split.weightedTopK(df.repartition(17), "id", col("w"), k = 40)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("weightedTopK: dominant weights always win; w <= 0 and null never sampled") {
+    val heavy = (1L to 5L).map(i => (i, 1e9))
+    val light = (6L to 100L).map(i => (i, 1e-9))
+    val junk = Seq((101L, 0.0), (102L, -1.0))
+    val df = (heavy ++ light ++ junk).toDF("id", "w")
+    val got = Split.weightedTopK(df, "id", col("w"), k = 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (1L to 5L), s"heavy rows must take every seat: $got")
+    val all = Split.weightedTopK(df, "id", col("w"), k = 200)
+      .select("id").as[Long].collect().toSet
+    assert(!all.contains(101L) && !all.contains(102L))
+  }
+
+  test("weightedTopK inclusion rate tracks weight (2x weight ~ 2x the seats)") {
+    val df = (1L to 4000L).map(i => (i, if (i <= 2000) 2.0 else 1.0)).toDF("id", "w")
+    val picked = Split.weightedTopK(df, "id", col("w"), k = 600)
+      .select("id").as[Long].collect()
+    val heavyShare = picked.count(_ <= 2000L).toDouble / picked.length
+    assert(heavyShare > 0.55 && heavyShare < 0.78,
+      s"expected ~2/3 of seats for the double-weight half, got $heavyShare")
+  }
+
+  test("weightedTopK plan is a per-partition top-k merge, not a global sort") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = Split.weightedTopK(df, "id", col("w"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("weightedTopK refuses a driver-breaking k") {
+    val df = Seq((1L, 1.0)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Split.weightedTopK(df, "id", col("w"), k = (1 << 22) + 1)
+    }
+    assert(e.getMessage.contains("selectByBudget"))
+  }
 }
