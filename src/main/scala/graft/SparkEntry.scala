@@ -1461,6 +1461,27 @@ object SparkEntry {
       .kmeansTrace(T.embeddings(s, d), "vec_id", "embedding", k = 4, steps = 3)
       .orderBy(col("step"), col("centroid_id"), col("dim"))
 
+  /** Content-defined chunk boundaries ([[graft.operators.Chunk.contentDefinedChunks]])
+    * over a doc subset: every cut position and chunk hash, engine-checked.
+    */
+  private def qCdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk.contentDefinedChunks(
+      T.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Corpus-wide CDC duplicate chunks: the shift-stable shared-content
+    * report exact dedup cannot produce (an inserted word breaks every
+    * fixed chunking; content-defined boundaries re-align).
+    */
+  private def qCdcDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk.contentDefinedChunks(T.documents(s, d), "doc_id", "text")
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("chunk_hash"))
+
   /** Z-order key ([[graft.sources.Layout.zorderKey]]): the Morton
     * interleave that [[graft.sources.Layout.writeZOrdered]] clusters on —
     * checked bit-for-bit against an independent SQL bit-spread.
@@ -2765,6 +2786,8 @@ object SparkEntry {
     "q_cap_per_source" -> (qCapPerSource _),
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
     "q_kmeans" -> (qKmeans _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_cdc_dedup" -> (qCdcDedup _),
     "q_zorder_key" -> (qZorderKey _),
     "q_pca_covariance" -> (qPcaCovariance _),
     "q_pca_variance" -> (qPcaVariance _),
@@ -4444,6 +4467,57 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_kmeans" -> kmeansOracle(4, 3),
+    "q_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text AS t, length(text) AS n
+           FROM documents WHERE length(text) > 0 AND doc_id < 100),
+         g AS (SELECT doc_id, t, n,
+                 list_filter(
+                   list_transform(range(1, n - 14),
+                     i -> CASE WHEN CAST('0x' || substring(
+                         md5(substring(t, CAST(i AS INT), 16)), 1, 8) AS BIGINT)
+                         % 64 = 0
+                       THEN i + 15 ELSE -1 END),
+                   x -> x >= 0 AND x < n) AS cuts
+               FROM d),
+         b AS (SELECT doc_id, t, [0] || cuts || [n] AS bounds FROM g),
+         p AS (SELECT doc_id, t,
+                 unnest(list_transform(range(1, len(bounds)),
+                   i -> {'idx': i - 1, 'a': bounds[i], 'b': bounds[i + 1]})) AS u
+               FROM b)
+         SELECT doc_id,
+           CAST(u.idx AS INT) AS chunk_idx,
+           CAST(u.a AS INT) AS chunk_start,
+           CAST(u.b - u.a AS INT) AS chunk_len,
+           md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
+             AS chunk_hash
+         FROM p ORDER BY doc_id, chunk_idx""",
+    "q_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, text AS t, length(text) AS n
+           FROM documents WHERE length(text) > 0),
+         g AS (SELECT doc_id, t, n,
+                 list_filter(
+                   list_transform(range(1, n - 14),
+                     i -> CASE WHEN CAST('0x' || substring(
+                         md5(substring(t, CAST(i AS INT), 16)), 1, 8) AS BIGINT)
+                         % 64 = 0
+                       THEN i + 15 ELSE -1 END),
+                   x -> x >= 0 AND x < n) AS cuts
+               FROM d),
+         b AS (SELECT doc_id, t, [0] || cuts || [n] AS bounds FROM g),
+         p AS (SELECT doc_id, t,
+                 unnest(list_transform(range(1, len(bounds)),
+                   i -> {'a': bounds[i], 'b': bounds[i + 1]})) AS u
+               FROM b),
+         c AS (SELECT doc_id,
+                 CAST(u.b - u.a AS INT) AS chunk_len,
+                 md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
+                   AS chunk_hash
+               FROM p)
+         SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences,
+           max(chunk_len) AS chunk_len
+         FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""",
     "q_zorder_key" ->
       """WITH s AS (SELECT l_orderkey, l_linenumber,
            (l_partkey & 2147483647) AS xa, (l_suppkey & 2147483647) AS xb

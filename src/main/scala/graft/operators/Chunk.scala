@@ -60,4 +60,69 @@ object Chunk {
         array_join(slice(col("__toks"), col("chunk_start") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
   }
+
+  /** Content-defined chunking (CDC): cut a document where the rolling
+    * k-gram hash hits a zero-mask value (probability 2^-maskBits per
+    * position, so chunks average ~2^maskBits characters) — the dedup
+    * chunking that SURVIVES INSERTIONS. Fixed-size or token-window
+    * chunks shift at every boundary after an edit, so one inserted word
+    * re-hashes a whole document; content-defined boundaries re-align
+    * immediately, so edited documents still share every untouched chunk
+    * hash (the rsync/LBFS trick, applied to corpus dedup).
+    *
+    * Boundary rule: a cut falls after character `i + k − 1` whenever the
+    * md5 draw of the k-gram starting at 1-based character i — the native
+    * [[graft.exprs.GramKeys]] kernel, bit-identical to
+    * `Split.hashDraw32(substr(i, k))` — is ≡ 0 mod 2^maskBits. A cut
+    * landing exactly at the text end merges with the final boundary.
+    * Stateless by design (no min/max chunk clamps): every boundary
+    * decision depends only on its own k characters, which is what makes
+    * the cut positions engine-reproducible AND shift-stable; the cost is
+    * a geometric chunk-length tail (documented, not clamped).
+    *
+    * Scale shape: per-doc narrow work — one codegen'd gram-hash walk,
+    * one O(len) arithmetic filter over the hash array, one explode; no
+    * shuffle, no window, no state. Dup detection downstream is a plain
+    * `groupBy(chunk_hash)` — map-side combined, shuffle = distinct
+    * chunk count.
+    *
+    * Output: id, `chunk_idx` (0-based), `chunk_start` (0-based chars),
+    * `chunk_len` (chars), `chunk_hash` (md5 hex of the chunk text).
+    */
+  def contentDefinedChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      maskBits: Int = 6): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    require(maskBits >= 1 && maskBits <= 30,
+      s"maskBits must be in [1, 30], got $maskBits")
+    val mask = 1L << maskBits
+    val t = col(textCol)
+    val n = length(t)
+    val grams = graft.exprs.GramKeys(t, k)
+    // qualifying cut offsets (char counts), strictly inside the text so
+    // the appended final boundary never duplicates
+    val cuts = filter(
+      transform(grams, (h, j) =>
+        when(h % lit(mask) === 0, j + lit(k)).otherwise(lit(-1))),
+      c => c >= 0 && c < n)
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    val pairs = transform(
+      sequence(lit(1), size(bounds) - 1),
+      i => struct(
+        element_at(bounds, i).as("a"),
+        element_at(bounds, i + 1).as("b")))
+    docs
+      .filter(n > 0)
+      .select(col(idCol), t.as("__t"), posexplode(pairs).as(Seq("chunk_idx", "p")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("p.a").as("chunk_start"),
+        (col("p.b") - col("p.a")).as("chunk_len"),
+        md5(col("__t").substr(col("p.a") + 1, col("p.b") - col("p.a"))
+          .cast("binary")).as("chunk_hash"))
+  }
 }

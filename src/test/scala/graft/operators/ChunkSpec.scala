@@ -48,4 +48,76 @@ class ChunkSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  private def draw32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+
+  /** Independent CDC reference: cut after char i+k-1 (1-based i) when the
+    * gram draw is 0 mod 2^maskBits; bounds 0 ‖ cuts<n ‖ n.
+    */
+  private def cdcRef(t: String, k: Int, maskBits: Int): Seq[(Int, Int, String)] = {
+    val n = t.length
+    val cuts = (1 to n - k + 1)
+      .filter(i => draw32(t.substring(i - 1, i - 1 + k)) % (1L << maskBits) == 0)
+      .map(_ + k - 1).filter(c => c < n)
+    val bounds = 0 +: cuts :+ n
+    bounds.zip(bounds.tail).zipWithIndex.map { case ((a, b), idx) =>
+      (idx, a, t.substring(a, b))
+    }
+  }
+
+  test("contentDefinedChunks matches the independent per-position reference") {
+    val rng = new scala.util.Random(11)
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 40 + rng.nextInt(200)).map(_ => ('a' + rng.nextInt(6)).toChar).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val got = Chunk.contentDefinedChunks(df, "doc_id", "text", k = 8, maskBits = 4)
+      .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_len")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._2, c._3, c._4)).toSeq).toMap
+    docs.foreach { case (id, t) =>
+      val exp = cdcRef(t, 8, 4).map { case (idx, a, chunk) => (idx, a, chunk.length) }
+      assert(got(id) === exp, s"doc $id")
+    }
+  }
+
+  test("CDC chunks tile the document exactly and short docs emit one chunk") {
+    val df = Seq((1L, "abcdefghij" * 30), (2L, "tiny")).toDF("doc_id", "text")
+    val rows = Chunk.contentDefinedChunks(df, "doc_id", "text", k = 6, maskBits = 3)
+      .select($"doc_id", $"chunk_start", $"chunk_len")
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    for ((id, cs) <- rows) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 === 0)
+      sorted.sliding(2).foreach {
+        case Array((_, a, la), (_, b, _)) => assert(a + la === b, s"gap in doc $id")
+        case _ =>
+      }
+    }
+    assert(rows(2L).toSeq === Seq((2L, 0, 4)), "sub-k doc = one whole-doc chunk")
+  }
+
+  test("CDC is shift-stable: an inserted prefix keeps every later chunk hash") {
+    val base = (1 to 400).map(i => ('a' + (i * 7 % 11) % 26).toChar).mkString
+    val df = Seq((1L, base), (2L, "ZZZ" + base)).toDF("doc_id", "text")
+    val hashes = Chunk.contentDefinedChunks(df, "doc_id", "text", k = 8, maskBits = 4)
+      .select($"doc_id", $"chunk_hash").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = hashes(1L).intersect(hashes(2L)).size
+    // only the chunks overlapping the edit region may differ
+    assert(shared >= hashes(1L).size - 2,
+      s"CDC must re-align after an insertion: ${hashes(1L).size} vs shared $shared")
+    assert(shared < hashes(1L).size, "the edited head chunk itself must differ")
+  }
+
+  test("contentDefinedChunks is a narrow plan: no Exchange, no UDF") {
+    val df = Seq((1L, "abcdef" * 50)).toDF("doc_id", "text")
+    val plan = Chunk.contentDefinedChunks(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"),
+      s"unexpected shuffle/UDF:\n$plan")
+  }
 }
