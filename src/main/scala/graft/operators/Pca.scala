@@ -29,13 +29,40 @@ object Pca {
     */
   val MaxDim = 1024
 
+  /** The shared one-pass moment aggregate: each row explodes to its
+    * UPPER-TRIANGULAR position-pair products (cov is symmetric — emitting
+    * both halves would double the explode for information the matrix
+    * already has) plus d single-value rows tagged j = −1 for the means.
+    * One corpus pass, one shuffle of ≤ partitions × (d(d+1)/2 + d) rows
+    * after map-side combine. Returns (i, j, exy) with the j = −1 rows
+    * carrying E[xᵢ].
+    */
+  private def moments(emb: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val tri = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + lit(1), size(v) - i), (xj, jj) => struct(
+        i.as("i"), (i + jj).as("j"),
+        (xi.cast("double") * xj.cast("double")).as("xy")))))
+    val singles = transform(v, (x, i) =>
+      struct(i.as("i"), lit(-1).as("j"), x.cast("double").as("xy")))
+    emb.select(explode(concat(tri, singles)).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xy"))
+      .groupBy("i", "j").agg(avg("xy").as("exy"))
+  }
+
   /** Population covariance of an array column as a (i, j, cov) frame,
-    * 0-based positions, snapped to `snapDp` decimals (None = raw). The
-    * explode emits d² products per row; Spark's partial aggregation
-    * collapses each partition to ≤ d² groups before the exchange.
-    * Rows shorter than `dim` contribute only to the cells they cover
-    * (each cell divides by its own count) — ragged inputs are the
-    * caller's bug, not silently averaged away; see [[fit]]'s guard.
+    * 0-based positions, snapped to `snapDp` decimals (None = raw).
+    *
+    * ONE corpus pass: the triangular [[moments]] aggregate is collected
+    * (≤ d(d+1)/2 + d cells — metadata by the [[MaxDim]] guard) and the
+    * full matrix is mirrored by DRIVER arithmetic. A plan-level mirror
+    * (union of the upper triangle with its transpose) re-runs the
+    * corpus explode per branch — Catalyst pushes each branch's filter
+    * below the aggregate, so the exchanges never unify for reuse; the
+    * driver mirror costs d² tuples instead of a second pass. Rows
+    * shorter than `dim` contribute only to the cells they cover (each
+    * cell averages its own count) — ragged inputs are the caller's bug,
+    * not silently averaged away; see [[fit]]'s guard.
     */
   def covariance(
       emb: DataFrame,
@@ -44,24 +71,17 @@ object Pca {
       snapDp: Option[Int] = Some(6)): DataFrame = {
     require(dim > 0 && dim <= MaxDim,
       s"covariance is driver-collected as d² cells; dim=$dim exceeds $MaxDim")
-    val v = col(vecCol)
-    val pairs = emb
-      .select(explode(flatten(transform(v, (xi, i) =>
-        transform(v, (xj, j) => struct(
-          i.as("i"), j.as("j"),
-          (xi.cast("double") * xj.cast("double")).as("xy")))))).as("p"))
-      .select(col("p.i"), col("p.j"), col("p.xy"))
-    val moments = pairs.groupBy("i", "j").agg(avg("xy").as("exy"))
-    val means = emb
-      .select(posexplode(v).as(Seq("i", "x")))
-      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
-    val cov = col("exy") - col("mi") * col("mj")
-    moments
-      .join(broadcast(means.select(col("i"), col("m").as("mi"))), Seq("i"))
-      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        // + 0.0 normalizes IEEE -0.0 (a negative value rounding to zero)
-        snapDp.fold(cov)(d => round(cov, d) + lit(0.0)).as("cov"))
+    val mom = moments(emb, vecCol)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def snap(d: Double) = snapDp.fold(d)(p =>
+      BigDecimal(d).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val rows = mom.keysIterator.filter(_._2 >= 0).flatMap { case (i, j) =>
+      val cov = snap(mom((i, j)) - mom((i, -1)) * mom((j, -1)))
+      if (i == j) Iterator((i, j, cov)) else Iterator((i, j, cov), (j, i, cov))
+    }.toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rows.toDF("i", "j", "cov")
   }
 
   /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations
@@ -130,21 +150,22 @@ object Pca {
       eigenvalues: Array[Double],
       components: Array[Array[Double]])
 
-  /** Fit on one covariance pass + one dim-sized mean collect, with a
-    * ragged-input fail-fast (a short vector would silently skew cells).
+  /** Fit on ONE triangular [[moments]] pass (collected as ≤ d(d+1)/2 + d
+    * cells — metadata-sized) plus a narrow ragged-input fail-fast scan
+    * (a short vector would silently skew cells).
     */
   def fit(emb: DataFrame, vecCol: String, dim: Int): Model = {
     val bad = emb.filter(size(col(vecCol)) =!= dim).limit(1).count()
     require(bad == 0, s"fit: found a $vecCol row whose size != $dim — " +
       "ragged vectors would corrupt covariance cells; filter or pad first")
-    val cov = covariance(emb, vecCol, dim, snapDp = None)
+    val mom = moments(emb, vecCol)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    val matrix = Array.tabulate(dim, dim)((i, j) => cov((i, j)))
-    val means = emb.select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val means = Array.tabulate(dim)(i => mom((i, -1)))
+    val matrix = Array.tabulate(dim, dim) { (i, j) =>
+      mom((math.min(i, j), math.max(i, j))) - means(i) * means(j)
+    }
     val (vals, vecs) = eigenSym(matrix)
-    Model(dim, Array.tabulate(dim)(means), vals, vecs)
+    Model(dim, means, vals, vecs)
   }
 
   /** Project onto the top-k axes: k codegen'd dot products against

@@ -90,6 +90,21 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(c01) < 1e-9, "pc0 and pc1 must be uncorrelated")
   }
 
+  test("covariance runs ONE corpus pass; the mirror is driver arithmetic") {
+    val df = syntheticEmb(30, 5).toDF("vec_id", "embedding")
+    val out = Pca.covariance(df, "embedding", 5)
+    // the returned frame is a local relation of mirrored cells — the
+    // corpus explode ran exactly once, during the moments collect
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Exchange"),
+      s"mirror must not re-touch the corpus:\n$plan")
+    // and the mirror is exact: cell (i,j) == cell (j,i), d² cells total
+    val cells = out.as[(Int, Int, Double)].collect()
+    assert(cells.length === 25)
+    val m = cells.map(c => (c._1, c._2) -> c._3).toMap
+    for (i <- 0 until 5; j <- 0 until 5) assert(m((i, j)) === m((j, i)))
+  }
+
   test("projection is a narrow plan: no Exchange, no UDF") {
     val df = syntheticEmb(10, 4).toDF("vec_id", "embedding")
     val model = Pca.fit(df, "embedding", 4)
