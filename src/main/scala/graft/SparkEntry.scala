@@ -878,6 +878,17 @@ object SparkEntry {
     Ann.bruteForceTopKQuantized(quantized, "vec_id", Ann.quantizeVec(q), 10)
   }
 
+  /** Johnson–Lindenstrauss random projection
+    * ([[graft.operators.Ann.randomProject]]): 64 → 8 dims through a
+    * salt-derived Rademacher matrix that exists only as codegen'd
+    * literals — the no-training dimensionality reduction for vectors
+    * past [[graft.operators.Pca]]'s guard. The oracle rebuilds the
+    * identical matrix from md5 parity.
+    */
+  private def qRandomProjection(s: SparkSession, d: String): DataFrame =
+    Ann.randomProject(T.embeddings(s, d), "vec_id", "embedding", dim = 64, k = 8)
+      .orderBy(col("vec_id"))
+
   /** IVF ANN (scale path): 8 seeded centroids, assign the corpus, probe
     * only the 2 centroid partitions nearest the query, exact top-k within
     * them. At 100 TB the assignment is written out partitioned by
@@ -1509,6 +1520,25 @@ object SparkEntry {
     graft.operators.Pca
       .varianceExplained(T.embeddings(s, d), "embedding", 64, 16)
       .orderBy(col("component"))
+
+  /** SQL mirror of [[qRandomProjection]]: each output coordinate rebuilds
+    * the ±1/√k Rademacher weights from md5("c:i") parity inside a
+    * `list_transform` sum — the matrix is derivation, not data, on both
+    * engines.
+    */
+  private def randomProjOracle(dim: Int, k: Int): String = {
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+    val cols = (0 until k).map { c =>
+      s"""round(list_sum(list_transform(range(1, ${dim + 1}),
+         i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+           (CASE WHEN CAST('0x' || substring(md5(
+               '$c:' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+             THEN $invSqrtK ELSE -$invSqrtK END))), 4) + 0 AS r$c"""
+    }.mkString(",\n           ")
+    s"""SELECT vec_id,
+           $cols
+         FROM embeddings ORDER BY vec_id"""
+  }
 
   /** Unrolled-CTE mirror of [[qKmeans]]: c0 = first-k-by-id seeds; each
     * step s computes per-(vec, centroid) dots against c(s-1), snaps the
@@ -2763,6 +2793,7 @@ object SparkEntry {
     "q_incremental_neardup_md5" -> (qIncrementalNearDupMd5 _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_ann_quantized" -> (qAnnQuantized _),
+    "q_random_projection" -> (qRandomProjection _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_sessionize" -> (qSessionize _),
@@ -4467,6 +4498,7 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_kmeans" -> kmeansOracle(4, 3),
+    "q_random_projection" -> randomProjOracle(64, 8),
     "q_cdc_chunks" ->
       """WITH d AS (SELECT doc_id, text AS t, length(text) AS n
            FROM documents WHERE length(text) > 0 AND doc_id < 100),

@@ -421,4 +421,52 @@ object Ann {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** The deterministic Rademacher sign for random-projection cell
+    * (c, i): +1 when the 32-bit md5 draw of "salt:c:i" is even, −1 when
+    * odd — `Split.hashDraw32`'s derivation on a synthetic key, so ANY
+    * engine rebuilds the identical matrix from the salt alone (nothing
+    * to store or broadcast).
+    */
+  private[operators] def rademacherSign(salt: String, c: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt$c:$i".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `k` dimensions with a
+    * Rademacher (±1/√k) matrix — the dimensionality reduction that works
+    * where [[Pca]] cannot: no training pass, no d² covariance, distances
+    * preserved in expectation (E‖f(x)‖² = ‖x‖²) with distortion
+    * O(√(log n / k)). Use it to shrink vectors past Pca's dim guard, or
+    * to cheapen a downstream ANN/near-dup join.
+    *
+    * The matrix never exists as data: each of the k output coordinates
+    * is a codegen'd sum of d literal-signed terms (the signs derive from
+    * md5("salt:c:i") parity — [[rademacherSign]]), so the plan is one
+    * narrow projection: zero shuffle, zero UDF, zero broadcast, and an
+    * external SQL engine reproduces every output value from the salt.
+    * Coordinates are 4-dp snapped (both engines sum the d terms in
+    * index order; the snap absorbs last-ulp libm drift).
+    */
+  def randomProject(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, "target dimension must be positive")
+    require(dim > 0 && dim <= 65536, "source dimension out of range")
+    val v = col(vecCol)
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+    val coords = (0 until k).map { c =>
+      (0 until dim).map { i =>
+        element_at(v, i + 1).cast("double") *
+          lit(rademacherSign(salt, c, i) * invSqrtK)
+      }.reduce(_ + _)
+    }.zipWithIndex.map { case (e, c) => (round(e, 4) + lit(0.0)).as(s"r$c") }
+    emb.select(col(idCol) +: coords: _*)
+  }
 }

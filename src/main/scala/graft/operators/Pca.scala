@@ -177,13 +177,21 @@ object Pca {
       idCol: String,
       vecCol: String,
       model: Model,
-      k: Int): DataFrame = {
+      k: Int,
+      whiten: Boolean = false): DataFrame = {
     require(k > 0 && k <= model.dim, s"k=$k out of range 1..${model.dim}")
+    if (whiten) require(model.eigenvalues(k - 1) > 1e-12,
+      s"cannot whiten: axis ${k - 1} is degenerate " +
+        s"(λ=${model.eigenvalues(k - 1)}); reduce k below the effective rank")
     val v = col(vecCol)
     val coords = (0 until k).map { c =>
+      // whitening folds 1/√λ into the SAME literal weights — the
+      // unit-variance decorrelated coordinates cost nothing extra
+      val scale = if (whiten) 1.0 / math.sqrt(model.eigenvalues(c)) else 1.0
       val w = model.components(c)
       (0 until model.dim).map { i =>
-        (element_at(v, i + 1).cast("double") - lit(model.means(i))) * lit(w(i))
+        (element_at(v, i + 1).cast("double") - lit(model.means(i))) *
+          lit(w(i) * scale)
       }.reduce(_ + _).as(s"pc$c")
     }
     emb.select(col(idCol) +: coords: _*)

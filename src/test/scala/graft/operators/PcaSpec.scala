@@ -105,6 +105,33 @@ class PcaSpec extends SparkSpec {
     for (i <- 0 until 5; j <- 0 until 5) assert(m((i, j)) === m((j, i)))
   }
 
+  test("whitened projection has unit variance per axis and zero cross-covariance") {
+    val dim = 6
+    val df = syntheticEmb(80, dim).toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim)
+    val proj = Pca.project(df, "vec_id", "embedding", model, k = 3, whiten = true)
+      .as[(Long, Double, Double, Double)].collect()
+    val cols = Seq(proj.map(_._2), proj.map(_._3), proj.map(_._4))
+    for (c <- 0 until 3) {
+      val xs = cols(c)
+      val v = xs.map(x => x * x).sum / xs.length // mean is 0 (centered)
+      assert(math.abs(v - 1.0) < 1e-9, s"var(white pc$c)=$v")
+    }
+    val c01 = cols(0).zip(cols(1)).map(p => p._1 * p._2).sum / proj.length
+    assert(math.abs(c01) < 1e-9)
+  }
+
+  test("whitening a degenerate axis fails fast instead of dividing by ~zero") {
+    // rank-1 data: axis 0 carries everything, axis 1 is constant
+    val df = (1 to 20).map(i => (i.toLong, Seq(i.toFloat, 2f * i, 3f * i)))
+      .toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", 3)
+    val e = intercept[IllegalArgumentException] {
+      Pca.project(df, "vec_id", "embedding", model, k = 3, whiten = true)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("projection is a narrow plan: no Exchange, no UDF") {
     val df = syntheticEmb(10, 4).toDF("vec_id", "embedding")
     val model = Pca.fit(df, "embedding", 4)
