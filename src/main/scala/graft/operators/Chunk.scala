@@ -98,16 +98,12 @@ object Chunk {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(maskBits >= 1 && maskBits <= 30,
       s"maskBits must be in [1, 30], got $maskBits")
-    val mask = 1L << maskBits
     val t = col(textCol)
     val n = length(t)
-    val grams = graft.exprs.GramKeys(t, k)
-    // qualifying cut offsets (char counts), strictly inside the text so
-    // the appended final boundary never duplicates
-    val cuts = filter(
-      transform(grams, (h, j) =>
-        when(h % lit(mask) === 0, j + lit(k)).otherwise(lit(-1))),
-      c => c >= 0 && c < n)
+    // fused native kernel: one byte walk emits the qualifying cut offsets
+    // (strictly inside the text, so the appended final boundary never
+    // duplicates) — no interpreted per-position lambda
+    val cuts = graft.exprs.CdcCuts(t, k, maskBits)
     val bounds = concat(array(lit(0)), cuts, array(n))
     val pairs = transform(
       sequence(lit(1), size(bounds) - 1),
