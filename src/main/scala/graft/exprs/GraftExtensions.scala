@@ -128,6 +128,12 @@ object GraftExtensions {
         val f = "gram_keys(text, k)"
         expectArity(f, children, 2)
         GramKeys(children(0), intLit(children(1), f, "k"))
+      },
+      fn("cdc_cuts", classOf[CdcCuts]) { children =>
+        val f = "cdc_cuts(text, k, maskBits)"
+        expectArity(f, children, 3)
+        CdcCuts(children(0), intLit(children(1), f, "k"),
+          intLit(children(2), f, "maskBits"))
       })
   }
 

@@ -88,6 +88,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ext_docs")
   }
 
+  test("cdc_cuts from SQL equals the Column API and the HOF formulation") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val df = Seq("abcdefgh" * 40, "tiny", "").toDF("t")
+    df.createOrReplaceTempView("cdc_docs")
+    val sql = spark.sql("SELECT cdc_cuts(t, 8, 4) AS c FROM cdc_docs")
+      .as[Seq[Int]].collect().toSeq
+    val api = df.select(CdcCuts($"t", 8, 4).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(sql === api)
+    // and the fused kernel equals the gram_keys HOF it replaced
+    val hof = df.select(
+      org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.transform(GramKeys($"t", 8),
+          (h, j) => org.apache.spark.sql.functions.when(
+            h % 16 === 0, j + org.apache.spark.sql.functions.lit(8))
+            .otherwise(org.apache.spark.sql.functions.lit(-1))),
+        c => c >= 0 && c < org.apache.spark.sql.functions.length($"t"))
+        .as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(api === hof)
+    spark.catalog.dropTempView("cdc_docs")
+  }
+
   test("table functions: dedup_spans and pack_sequences from pure SQL") {
     val spark = graft.TestSession.spark
     import spark.implicits._
