@@ -1242,6 +1242,28 @@ object SparkEntry {
     graft.operators.UnigramLm.bigramDocLogLoss(T.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Composed selection pipeline — the corpus-selection flow a training
+    * run executes, end to end in ONE lazy plan: Gopher rule gate (narrow
+    * filter, fuses into the scan) → Kneser–Ney perplexity TRAINED ON THE
+    * GATED CORPUS (the model never sees rejected docs — order matters
+    * and the oracle proves it) → fluency band at the calibration-chosen
+    * cutoff → exact-k importance sample ∝ size (50 seats). Shuffles:
+    * the KN model aggregates + the per-doc mean; the gate, band, key
+    * and top-k add none.
+    */
+  private def qPipelineSelect(s: SparkSession, d: String): DataFrame = {
+    val flags = graft.functions.Text.gopherFlags(col("text"), Seq("the", "a"))
+    val keep = Seq("wc_ok", "mean_word_ok", "symbol_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_ok", "stopword_ok")
+      .map(flags.getField).reduce(_ && _)
+    val gated = T.documents(s, d).filter(keep)
+    val scored = graft.operators.UnigramLm
+      .kneserNeyDocLogLoss(gated, "doc_id", "text")
+    val banded = scored.filter(col("nll") <= 3.45)
+    Split.weightedTopK(banded, "doc_id", col("n_bigrams").cast("double"), k = 50)
+      .orderBy(col("doc_id"))
+  }
+
   /** Kneser–Ney smoothed bigram scoring
     * ([[graft.operators.UnigramLm.kneserNeyDocLogLoss]]): the
     * continuation-count smoothing real perplexity filters use.
@@ -2830,6 +2852,7 @@ object SparkEntry {
     "q_bpe_apply" -> (qBpeApply _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kneser_ney_lm" -> (qKneserNeyLm _),
+    "q_pipeline_select" -> (qPipelineSelect _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_embed_outliers" -> (qEmbedOutliers _),
@@ -4380,6 +4403,60 @@ object SparkEntry {
            count(*) AS n_bigrams
          FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1), v
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_pipeline_select" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+         b AS (SELECT doc_id, t,
+                 string_split_regex(t, ' +') AS ws,
+                 string_split(t, chr(10)) AS ls
+               FROM d),
+         g AS (SELECT doc_id,
+                 len(ws) BETWEEN 50 AND 100000
+                 AND (length(replace(t, ' ', '')) * 1.0 / greatest(len(ws), 1))
+                   BETWEEN 3.0 AND 10.0
+                 AND 10 * (3 * (length(t) - length(replace(t, '#', '')))
+                     + (length(t) - length(replace(t, '...', ''))))
+                   <= 3 * len(ws)
+                 AND 10 * len(list_filter(ls, l -> substring(trim(l), 1, 1) IN ('-', '•', '*')))
+                   <= len(ls)
+                 AND 10 * len(list_filter(ls, l -> trim(l) LIKE '%...'))
+                   <= 3 * len(ls)
+                 AND 5 * len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   >= 4 * len(ws)
+                 AND (CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT))
+                   >= 2 AS label
+               FROM b),
+         gd AS (SELECT doc_id, t FROM d JOIN g USING (doc_id) WHERE label),
+         tok AS (
+           SELECT doc_id, string_split_regex(t, ' +') AS tk
+           FROM gd WHERE len(string_split_regex(t, ' +')) >= 2),
+         bg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+             FROM tok)),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM big GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY 1),
+         ty AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM big),
+         sc AS (
+           SELECT doc_id,
+             round(avg(-ln(
+               greatest(c12 - 0.75, 0.0) / c1
+               + 0.75 * n1f / c1 * (n1b / tt))), 4) AS nll,
+             count(*) AS n_bigrams
+           FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1)
+             JOIN cont USING (w2), ty
+           GROUP BY doc_id),
+         bd AS (SELECT * FROM sc WHERE nll <= 3.45),
+         p AS (
+           SELECT doc_id, nll, n_bigrams,
+             round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) + 1.0) / 4294967296.0)
+               / CAST(n_bigrams AS DOUBLE), 6) AS k
+           FROM bd)
+         SELECT doc_id, nll, n_bigrams FROM (
+           SELECT doc_id, nll, n_bigrams FROM p ORDER BY k DESC, doc_id ASC LIMIT 50)
+         ORDER BY doc_id""",
     "q_kneser_ney_lm" ->
       """WITH tok AS (
            SELECT doc_id, string_split_regex(trim(text), ' +') AS t
