@@ -1502,6 +1502,16 @@ object SparkEntry {
       T.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Fast-kernel CDC ([[graft.operators.Chunk.contentDefinedChunksFast]]):
+    * the XOR-gear rolling-hash boundaries over the same doc subset as
+    * [[qCdcChunks]] — the oracle evaluates the hash's windowed-XOR
+    * closed form, so even the rolling state is engine-checked.
+    */
+  private def qCdcGear(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk.contentDefinedChunksFast(
+      T.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Corpus-wide CDC duplicate chunks: the shift-stable shared-content
     * report exact dedup cannot produce (an inserted word breaks every
     * fixed chunking; content-defined boundaries re-align).
@@ -1560,6 +1570,44 @@ object SparkEntry {
     s"""SELECT vec_id,
            $cols
          FROM embeddings ORDER BY vec_id"""
+  }
+
+  /** SQL mirror of [[qCdcGear]]: the XOR-gear rolling hash evaluated by
+    * its windowed closed form — h_i = XOR_j (G[b_{i−j}] << j) mod 2³²
+    * over j = 0…min(31, i−1) — with the 256-entry gear table inlined as
+    * literals (it derives from md5("gear:b"), documented in
+    * [[graft.exprs.GearCuts]]). `ord(char)` = byte because the corpus is
+    * ASCII; the expression's contract is UTF-8 bytes.
+    */
+  private def gearCdcOracle(maskBits: Int): String = {
+    val table = graft.exprs.GearCuts.gear.mkString("[", ", ", "]")
+    val mask = 1L << maskBits
+    s"""WITH d AS (SELECT doc_id, text AS t, length(text) AS n
+           FROM documents WHERE length(text) > 0 AND doc_id < 100),
+         g AS (SELECT $table AS gt),
+         c AS (SELECT doc_id, t, n,
+                 list_filter(
+                   list_transform(range(1, n + 1),
+                     i -> CASE WHEN list_reduce(
+                         list_transform(range(0, CAST(least(32, i) AS INT)),
+                           j -> (gt[ord(substring(t, CAST(i - j AS INT), 1)) + 1]
+                                 * (1::BIGINT << j)) % 4294967296),
+                         (a, b) -> xor(a, b)) % $mask = 0
+                       AND i < n
+                       THEN CAST(i AS INT) ELSE -1 END),
+                   x -> x >= 0) AS cuts
+               FROM d, g),
+         b AS (SELECT doc_id, t, [0] || cuts || [n] AS bounds FROM c),
+         p AS (SELECT doc_id, t,
+                 unnest(list_transform(range(1, len(bounds)),
+                   i -> {'idx': i - 1, 'a': bounds[i], 'b': bounds[i + 1]})) AS u
+               FROM b)
+         SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx,
+           CAST(u.a AS INT) AS chunk_start,
+           CAST(u.b - u.a AS INT) AS chunk_len,
+           md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
+             AS chunk_hash
+         FROM p ORDER BY doc_id, chunk_idx"""
   }
 
   /** Unrolled-CTE mirror of [[qKmeans]]: c0 = first-k-by-id seeds; each
@@ -2840,6 +2888,7 @@ object SparkEntry {
     "q_embedding_centroids" -> (qEmbeddingCentroids _),
     "q_kmeans" -> (qKmeans _),
     "q_cdc_chunks" -> (qCdcChunks _),
+    "q_cdc_gear" -> (qCdcGear _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_zorder_key" -> (qZorderKey _),
     "q_pca_covariance" -> (qPcaCovariance _),
@@ -4600,6 +4649,7 @@ object SparkEntry {
            md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
              AS chunk_hash
          FROM p ORDER BY doc_id, chunk_idx""",
+    "q_cdc_gear" -> gearCdcOracle(6),
     "q_cdc_dedup" ->
       """WITH d AS (SELECT doc_id, text AS t, length(text) AS n
            FROM documents WHERE length(text) > 0),

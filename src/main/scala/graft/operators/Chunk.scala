@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Overlapping token-window document chunking — the RAG / context-window
@@ -98,12 +98,43 @@ object Chunk {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(maskBits >= 1 && maskBits <= 30,
       s"maskBits must be in [1, 30], got $maskBits")
-    val t = col(textCol)
-    val n = length(t)
     // fused native kernel: one byte walk emits the qualifying cut offsets
     // (strictly inside the text, so the appended final boundary never
     // duplicates) — no interpreted per-position lambda
-    val cuts = graft.exprs.CdcCuts(t, k, maskBits)
+    chunksFromCuts(docs, idCol, textCol,
+      graft.exprs.CdcCuts(col(textCol), k, maskBits))
+  }
+
+  /** The FAST CDC variant: same output contract as
+    * [[contentDefinedChunks]] but boundaries come from the 32-bit
+    * XOR-gear rolling hash ([[graft.exprs.GearCuts]]) — one lookup +
+    * shift + xor per byte instead of an md5 digest per position, with a
+    * 32-byte re-alignment window. Still engine-reproducible: the gear
+    * hash has a windowed-XOR closed form the SQL oracle evaluates
+    * directly (no recursion), and the gear table derives from md5
+    * parity, so nothing is entropy. Cut POSITIONS differ from the md5
+    * kernel's (different hash, same ~2^-maskBits density); pick one
+    * kernel per corpus and stay with it.
+    */
+  def contentDefinedChunksFast(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 6): DataFrame =
+    chunksFromCuts(docs, idCol, textCol,
+      graft.exprs.GearCuts(col(textCol), maskBits))
+
+  /** Shared cut-array → chunk-row assembly: bounds = 0 ‖ cuts ‖ len,
+    * consecutive pairs become (start, len, md5) chunk rows via one
+    * explode. Narrow throughout.
+    */
+  private def chunksFromCuts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cuts: Column): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
     val bounds = concat(array(lit(0)), cuts, array(n))
     val pairs = transform(
       sequence(lit(1), size(bounds) - 1),

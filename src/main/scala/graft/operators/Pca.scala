@@ -160,6 +160,8 @@ object Pca {
       "ragged vectors would corrupt covariance cells; filter or pad first")
     val mom = moments(emb, vecCol)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    require(mom.nonEmpty,
+      s"fit: no $vecCol rows to fit on — an empty corpus has no covariance")
     val means = Array.tabulate(dim)(i => mom((i, -1)))
     val matrix = Array.tabulate(dim, dim) { (i, j) =>
       mom((math.min(i, j), math.max(i, j))) - means(i) * means(j)

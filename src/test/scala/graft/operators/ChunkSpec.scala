@@ -113,6 +113,54 @@ class ChunkSpec extends SparkSpec {
     assert(shared < hashes(1L).size, "the edited head chunk itself must differ")
   }
 
+  /** Independent XOR-gear reference: plain rolling loop, no closed form. */
+  private def gearRef(t: String, maskBits: Int): Seq[(Int, Int)] = {
+    val bytes = t.getBytes("UTF-8")
+    val mask = (1L << maskBits) - 1
+    var h = 0L
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    // ASCII fixtures: byte index == char index
+    bytes.indices.foreach { i =>
+      h = ((h << 1) ^ graft.exprs.GearCuts.gear(bytes(i) & 0xFF)) & 0xFFFFFFFFL
+      if ((h & mask) == 0L && i + 1 < t.length) cuts += (i + 1)
+    }
+    val bounds = 0 +: cuts.toSeq :+ t.length
+    bounds.zip(bounds.tail).map { case (a, b) => (a, b - a) }
+  }
+
+  test("gear CDC matches the independent rolling-loop reference") {
+    val rng = new scala.util.Random(31)
+    val docs = (1L to 25L).map(i =>
+      (i, (1 to 100 + rng.nextInt(300)).map(_ => ('a' + rng.nextInt(8)).toChar).mkString))
+    val got = Chunk.contentDefinedChunksFast(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maskBits = 4)
+      .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_len")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) === gearRef(t, 4), s"doc $id")
+    }
+  }
+
+  test("gear CDC re-aligns within its 32-byte window after an insertion") {
+    val base = (1 to 600).map(i => ('a' + (i * 13 % 17) % 26).toChar).mkString
+    val df = Seq((1L, base), (2L, "PREFIX-" + base)).toDF("doc_id", "text")
+    val hashes = Chunk.contentDefinedChunksFast(df, "doc_id", "text", maskBits = 4)
+      .select($"doc_id", $"chunk_hash").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = hashes(1L).intersect(hashes(2L)).size
+    assert(shared >= hashes(1L).size - 3,
+      s"gear must re-align after an edit: ${hashes(1L).size} vs shared $shared")
+  }
+
+  test("gear CDC is a narrow plan with no digest in the hot loop") {
+    val df = Seq((1L, "abcdef" * 50)).toDF("doc_id", "text")
+    val plan = Chunk.contentDefinedChunksFast(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("contentDefinedChunks is a narrow plan: no Exchange, no UDF") {
     val df = Seq((1L, "abcdef" * 50)).toDF("doc_id", "text")
     val plan = Chunk.contentDefinedChunks(df, "doc_id", "text")

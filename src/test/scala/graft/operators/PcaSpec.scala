@@ -150,6 +150,14 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("fit on an empty corpus fails loudly, not with a bare map lookup") {
+    val df = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(df, "embedding", 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("dim guard refuses a covariance that is no longer metadata-sized") {
     val df = Seq((1L, Seq(1f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
