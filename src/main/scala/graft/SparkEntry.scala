@@ -1554,7 +1554,8 @@ object SparkEntry {
       .orderBy(col("component"))
 
   /** SQL mirror of [[qRandomProjection]]: each output coordinate rebuilds
-    * the ±1/√k Rademacher weights from md5("c:i") parity inside a
+    * the ±1/√k Rademacher weights from md5(":c:i") parity (the
+    * empty-salt form of the documented "salt:c:i" key) inside a
     * `list_transform` sum — the matrix is derivation, not data, on both
     * engines.
     */
@@ -1564,7 +1565,7 @@ object SparkEntry {
       s"""round(list_sum(list_transform(range(1, ${dim + 1}),
          i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
            (CASE WHEN CAST('0x' || substring(md5(
-               '$c:' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+               ':$c:' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
              THEN $invSqrtK ELSE -$invSqrtK END))), 4) + 0 AS r$c"""
     }.mkString(",\n           ")
     s"""SELECT vec_id,

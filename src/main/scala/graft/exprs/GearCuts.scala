@@ -62,14 +62,9 @@ object GearCuts {
   /** G[b] = first-4-byte md5 draw of "gear:b" — 256 engine-reproducible
     * 32-bit constants.
     */
-  val gear: Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(256) { b =>
-      md.reset()
-      val hex = md.digest(s"gear:$b".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
+  val gear: Array[Long] = Array.tabulate(256) { b =>
+    val key = s"gear:$b".getBytes("UTF-8")
+    Md5Draw.draw32(key, 0, key.length)
   }
 
   /** Static entry for generated code (and the interpreted path). */

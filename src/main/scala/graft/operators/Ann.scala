@@ -423,16 +423,17 @@ object Ann {
   }
 
   /** The deterministic Rademacher sign for random-projection cell
-    * (c, i): +1 when the 32-bit md5 draw of "salt:c:i" is even, −1 when
-    * odd — `Split.hashDraw32`'s derivation on a synthetic key, so ANY
-    * engine rebuilds the identical matrix from the salt alone (nothing
-    * to store or broadcast).
+    * (c, i): +1 when the 32-bit md5 draw of "salt:c:i" (the literal
+    * ':'-joined string, empty salt included) is even, −1 when odd —
+    * `Split.hashDraw32`'s derivation on a synthetic key via the shared
+    * [[graft.exprs.Md5Draw]] kernel, so ANY engine rebuilds the
+    * identical matrix from the salt alone (nothing to store or
+    * broadcast), and distinct (salt, c) pairs can never collide into
+    * one key.
     */
   private[operators] def rademacherSign(salt: String, c: Int, i: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$salt$c:$i".getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    val key = s"$salt:$c:$i".getBytes("UTF-8")
+    if (graft.exprs.Md5Draw.draw32(key, 0, key.length) % 2 == 0) 1.0 else -1.0
   }
 
   /** Johnson–Lindenstrauss random projection to `k` dimensions with a

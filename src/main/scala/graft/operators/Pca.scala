@@ -36,9 +36,16 @@ object Pca {
     * One corpus pass, one shuffle of ≤ partitions × (d(d+1)/2 + d) rows
     * after map-side combine. Returns (i, j, exy) with the j = −1 rows
     * carrying E[xᵢ].
+    *
+    * The vector is `slice`d to `dim` FIRST, so the explode and the
+    * downstream driver collect are bounded by the DECLARED dimension
+    * even when a row carries a wider array — the [[MaxDim]] guard
+    * cannot be bypassed by data (positions past `dim` are ignored, the
+    * documented ragged-input semantics in reverse; [[fit]]'s exact-width
+    * guard refuses mixed widths outright).
     */
-  private def moments(emb: DataFrame, vecCol: String): DataFrame = {
-    val v = col(vecCol)
+  private def moments(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val v = slice(col(vecCol), 1, dim)
     val tri = flatten(transform(v, (xi, i) =>
       transform(slice(v, i + lit(1), size(v) - i), (xj, jj) => struct(
         i.as("i"), (i + jj).as("j"),
@@ -71,7 +78,7 @@ object Pca {
       snapDp: Option[Int] = Some(6)): DataFrame = {
     require(dim > 0 && dim <= MaxDim,
       s"covariance is driver-collected as d² cells; dim=$dim exceeds $MaxDim")
-    val mom = moments(emb, vecCol)
+    val mom = moments(emb, vecCol, dim)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     def snap(d: Double) = snapDp.fold(d)(p =>
       BigDecimal(d).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -158,7 +165,7 @@ object Pca {
     val bad = emb.filter(size(col(vecCol)) =!= dim).limit(1).count()
     require(bad == 0, s"fit: found a $vecCol row whose size != $dim — " +
       "ragged vectors would corrupt covariance cells; filter or pad first")
-    val mom = moments(emb, vecCol)
+    val mom = moments(emb, vecCol, dim)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     require(mom.nonEmpty,
       s"fit: no $vecCol rows to fit on — an empty corpus has no covariance")

@@ -121,8 +121,11 @@ object UnigramLm {
     * Plan: identical shape to [[bigramDocLogLoss]] — ONE in-doc bigram
     * explode feeds the bigram-type aggregate; the context (w₁) and
     * continuation (w₂) model tables both derive FROM the type table
-    * (vocabulary-sized input, not the corpus); N₁₊(··) is one scalar.
-    * All model joins stay un-hinted: bigram-type tables are not safely
+    * (vocabulary-sized input, not the corpus); N₁₊(··) is a one-row
+    * aggregate cross-joined broadcast (the J2 scalar-lookup pattern), so
+    * the WHOLE scorer is one lazy plan — no eager driver job, nothing
+    * executed twice when composed into a larger pipeline. All model
+    * joins stay un-hinted: bigram-type tables are not safely
     * broadcast-able at corpus scale, and the measured no-broadcast
     * degradation curve for the add-α variant (SCALING.md) covers this
     * plan verbatim — same joins, one more vocabulary-sized side.
@@ -147,13 +150,16 @@ object UnigramLm {
     val ctx = big.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val cont = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
-    val types = big.count().toDouble // one scalar: distinct bigram types
+    // N₁₊(··) as a lazy 1-row frame, not an eager .count() — keeps the
+    // scorer a single plan and the bigram aggregate executed once
+    val ty = big.agg(count(lit(1)).cast("double").as("__tt"))
     val p = greatest(col("c12") - lit(discount), lit(0.0)) / col("c1") +
-      lit(discount) * col("n1f") / col("c1") * (col("n1b") / lit(types))
+      lit(discount) * col("n1f") / col("c1") * (col("n1b") / col("__tt"))
     bigrams
       .join(big, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
       .join(cont, Seq("w2"))
+      .crossJoin(broadcast(ty))
       .groupBy(col(idCol))
       .agg(round(avg(-log(p)), 4).as("nll"), count(lit(1)).as("n_bigrams"))
   }

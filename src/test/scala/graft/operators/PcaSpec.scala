@@ -150,6 +150,22 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("covariance is bounded by the DECLARED dim even when rows are wider") {
+    val data = syntheticEmb(25, 6)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Pca.covariance(df, "embedding", 3)
+      .as[(Int, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 9, "the declared dim, not the array width, sizes the output")
+    // and values equal the covariance of the 3-coordinate prefix
+    val vecs = data.map(_._2.take(3).map(_.toDouble))
+    val n = vecs.size.toDouble
+    def mean(i: Int) = vecs.map(_(i)).sum / n
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val exp = vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+      assert(math.abs(got((i, j)) - exp) < 1e-6, s"cell ($i,$j)")
+    }
+  }
+
   test("fit on an empty corpus fails loudly, not with a bare map lookup") {
     val df = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {

@@ -144,11 +144,30 @@ class UnigramLmSpec extends SparkSpec {
       s"single-context francisco must surprise more: $kn")
   }
 
-  test("Kneser–Ney model joins carry no broadcast hint") {
+  test("Kneser–Ney model joins carry no broadcast hint; only the 1-row scalar does") {
     val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
     val logical = UnigramLm.kneserNeyDocLogLoss(docs, "doc_id", "text")
       .queryExecution.logical.toString
-    assert(!logical.contains("hint"), s"unexpected join hint in:\n$logical")
+    // exactly ONE hint: the lazy N₁₊(··) 1-row cross join (the J2
+    // scalar-lookup pattern); the corpus-growing model joins stay un-hinted
+    val hints = "hint".r.findAllIn(logical.toLowerCase).size
+    assert(hints === 1, s"expected only the scalar broadcast hint in:\n$logical")
+  }
+
+  test("Kneser–Ney is one lazy plan: constructing it executes nothing") {
+    // a corpus whose text column THROWS when evaluated (ANSI divide by
+    // zero, data-dependent so it survives constant folding): if the
+    // scorer still ran an eager job at construction time (the old
+    // big.count()), building the frame would blow up here
+    val poisoned = spark.range(2).select(
+      col("id").as("doc_id"),
+      concat(lit("w "), (col("id") / (col("id") - col("id"))).cast("string"))
+        .as("text"))
+    val scored = UnigramLm.kneserNeyDocLogLoss(poisoned, "doc_id", "text")
+    // ...and the poison is real: acting on the plan does throw
+    val e = intercept[Exception] { scored.collect() }
+    assert(e.getMessage.toLowerCase.contains("divide"),
+      s"expected the ANSI division error, got: ${e.getMessage}")
   }
 
   test("past broadcast size the model joins degrade to shuffle joins with identical scores") {
