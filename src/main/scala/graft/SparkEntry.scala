@@ -507,6 +507,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled source mixture
+    * ([[graft.operators.Split.temperatureMixture]]): α = 0.5 rebalancing
+    * of the corpus's sources toward uniform, 200-row target — the
+    * multilingual upsampling step, rates engine-checked.
+    */
+  private def qTemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val names = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted // source cardinality is tiny
+    val sources = names.toSeq.map(n => n -> docs.filter(col("source") === n))
+    Split.temperatureMixture(sources, "doc_id", alpha = 0.5, targetRows = 200)
+      .select(col("doc_id"), col("source"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-k importance resampling ([[graft.operators.Split.weightedTopK]]):
     * 100 documents drawn without replacement, inclusion odds proportional
     * to token count — token-proportional corpus sampling, the selection
@@ -2844,6 +2859,7 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_importance_sample" -> (qImportanceSample _),
+    "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_token_budget" -> (qTokenBudget _),
     "q_budget_continuous" -> (qBudgetContinuous _),
     "q_budget_by_source" -> (qBudgetBySource _),
@@ -3363,6 +3379,19 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT gram) AS n_shared
          FROM g JOIN bench USING (gram) WHERE doc_id % 41 <> 0
          GROUP BY 1 ORDER BY doc_id""",
+    "q_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT source, n, power(CAST(n AS DOUBLE), 0.5) AS w FROM c),
+         t AS (SELECT sum(w) AS ws FROM w),
+         r AS (SELECT source, n,
+                 round(least(1.0, w / ws * 200.0 / n), 6) AS keep_rate
+               FROM w, t)
+         SELECT d.doc_id, d.source, r.keep_rate
+         FROM documents d JOIN r USING (source)
+         WHERE CAST('0x' || substring(md5(d.source || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT)
+           < CAST(floor(keep_rate * 4294967296.0) AS BIGINT)
+         ORDER BY d.doc_id""",
     "q_importance_sample" ->
       """WITH t AS (
            SELECT doc_id,

@@ -44,6 +44,47 @@ object Split {
     df.filter(hashDraw32(col(idCol), salt) <
       floor(weightCol * lit(4294967296.0)).cast("long"))
 
+  /** Temperature-scaled source mixture — the multilingual/multi-source
+    * rebalancing step (mT5/XLM-R style): target share of source s is
+    * qₛ ∝ nₛ^α, so α = 1 keeps natural proportions, α → 0 flattens
+    * toward uniform (upsampling the tails by keeping more of them while
+    * heads are downsampled). Each source keeps rows whose 32-bit md5
+    * draw (salted by the source name) falls under
+    * rate_s = min(1, qₛ·T / nₛ) for a target total T.
+    *
+    * The per-source counts are ONE count job each (metadata-sized,
+    * eager by nature — the rates ARE the operator's output contract);
+    * the sampling itself is the zero-shuffle [[weightedSample]] filter.
+    * Rates are snapped to 6 dp BEFORE the 2³² threshold multiply so the
+    * `pow`-derived boundary is engine-reproducible (pow differs in the
+    * last ulp across libms; the snap absorbs it — the knnJoin 4-dp rank
+    * convention, applied to a keep-rate).
+    */
+  def temperatureMixture(
+      sources: Seq[(String, DataFrame)],
+      idCol: String,
+      alpha: Double,
+      targetRows: Long): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(alpha > 0 && alpha <= 1, s"temperature alpha in (0, 1], got $alpha")
+    require(targetRows > 0, "target size must be positive")
+    val counts = sources.map { case (name, df) => (name, df, df.count()) }
+    val weights = counts.map { case (_, _, n) => math.pow(n.toDouble, alpha) }
+    val wSum = weights.sum
+    require(wSum > 0, "all sources are empty")
+    counts.zip(weights).map { case ((name, df, n), w) =>
+      val rate =
+        if (n == 0) 0.0
+        else math.min(1.0, w / wSum * targetRows.toDouble / n.toDouble)
+      val snapped = BigDecimal(rate)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      df.filter(hashDraw32(col(idCol), salt = name) <
+          math.floor(snapped * 4294967296.0).toLong)
+        .withColumn("source", lit(name))
+        .withColumn("keep_rate", lit(snapped))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact-k importance resampling WITHOUT replacement
     * (Efraimidis–Spirakis): every row draws key = ln(u)/w from its
     * deterministic md5 uniform u ∈ (0, 1] and weight w > 0, and the k

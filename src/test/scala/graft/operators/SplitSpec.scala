@@ -234,6 +234,49 @@ class SplitSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("temperatureMixture: alpha = 1 keeps every source at the same rate") {
+    val a = (1L to 900L).map(i => (i, "big"))
+    val b = (1001L to 1100L).map(i => (i, "small"))
+    def src(rows: Seq[(Long, String)]) = rows.toDF("id", "source").drop("source")
+    val out = Split.temperatureMixture(
+      Seq("big" -> src(a), "small" -> src(b)), "id", alpha = 1.0, targetRows = 500)
+    val rates = out.select("source", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // α=1: rate_s = (n_s/N)·T/n_s = T/N for every source
+    assert(rates("big") === rates("small"))
+    assert(math.abs(rates("big") - 0.5) < 1e-6)
+  }
+
+  test("temperatureMixture: low alpha upsamples the tail source") {
+    val a = (1L to 2000L).map(i => (i, ())).map(_._1).map(i => Tuple1(i))
+    val b = (10001L to 10100L).map(i => Tuple1(i))
+    val out = Split.temperatureMixture(
+      Seq("head" -> a.toDF("id"), "tail" -> b.toDF("id")),
+      "id", alpha = 0.3, targetRows = 600)
+    val rates = out.select("source", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("tail") > rates("head"),
+      s"flattening must favor the small source: $rates")
+    // and the realized keep fraction tracks the rate
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("head").toDouble / 2000 - rates("head")) < 0.05)
+  }
+
+  test("temperatureMixture is deterministic and rejects bad parameters") {
+    val df = (1L to 50L).map(Tuple1(_)).toDF("id")
+    val r1 = Split.temperatureMixture(Seq("s" -> df), "id", 0.5, 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    val r2 = Split.temperatureMixture(Seq("s" -> df), "id", 0.5, 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(r1 === r2)
+    intercept[IllegalArgumentException] {
+      Split.temperatureMixture(Seq("s" -> df), "id", 0.0, 25)
+    }
+    intercept[IllegalArgumentException] {
+      Split.temperatureMixture(Seq.empty, "id", 0.5, 25)
+    }
+  }
+
   test("weightedTopK refuses a driver-breaking k") {
     val df = Seq((1L, 1.0)).toDF("id", "w")
     val e = intercept[IllegalArgumentException] {
