@@ -512,15 +512,11 @@ object SparkEntry {
     * of the corpus's sources toward uniform, 200-row target — the
     * multilingual upsampling step, rates engine-checked.
     */
-  private def qTemperatureMixture(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
-    val names = docs.select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted // source cardinality is tiny
-    val sources = names.toSeq.map(n => n -> docs.filter(col("source") === n))
-    Split.temperatureMixture(sources, "doc_id", alpha = 0.5, targetRows = 200)
+  private def qTemperatureMixture(s: SparkSession, d: String): DataFrame =
+    Split.temperatureMixtureByColumn(
+      T.documents(s, d), "doc_id", "source", alpha = 0.5, targetRows = 200)
       .select(col("doc_id"), col("source"), col("keep_rate"))
       .orderBy(col("doc_id"))
-  }
 
   /** Exact-k importance resampling ([[graft.operators.Split.weightedTopK]]):
     * 100 documents drawn without replacement, inclusion odds proportional

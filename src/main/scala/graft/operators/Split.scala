@@ -25,7 +25,14 @@ object Split {
     * [[hashBucket]] is this mod 100.
     */
   def hashDraw32(id: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
+    hashDraw32(id, lit(salt))
+
+  /** Column-salted draw — the same derivation with a PER-ROW salt (e.g.
+    * a source-label column), for single-scan operators over labeled
+    * tables.
+    */
+  def hashDraw32(id: Column, salt: Column): Column =
+    conv(substring(md5(concat(salt, id.cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
   /** Deterministic weighted sampling: keep each row with probability
@@ -66,23 +73,64 @@ object Split {
       alpha: Double,
       targetRows: Long): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
+    val rates = temperatureRates(
+      sources.map { case (name, df) => (name, df.count()) }, alpha, targetRows)
+    sources.map { case (name, df) =>
+      // the sampling IS weightedSample — one filter definition repo-wide
+      weightedSample(df, idCol, lit(rates(name)), salt = name)
+        .withColumn("source", lit(name))
+        .withColumn("keep_rate", lit(rates(name)))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Single-scan variant for the common case of ONE labeled table: the
+    * per-source counts come from one `groupBy(sourceCol)` job and the
+    * sampling is one narrow filtered pass with a per-row column-salted
+    * draw against a source-keyed threshold — no per-source scans, no
+    * union. Row-identical to [[temperatureMixture]] over the per-label
+    * slices (spec-locked).
+    */
+  def temperatureMixtureByColumn(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      targetRows: Long): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "no source labels to mix")
+    val rates = temperatureRates(counts, alpha, targetRows)
+    val thr = counts.map { case (name, _) =>
+      (name, math.floor(rates(name) * 4294967296.0).toLong)
+    }
+    def chain[T](pairs: Seq[(String, T)]): Column =
+      pairs.tail.foldLeft(
+        when(col(sourceCol) === pairs.head._1, lit(pairs.head._2))) {
+        case (acc, (name, v)) => acc.when(col(sourceCol) === name, lit(v))
+      }
+    df.filter(hashDraw32(col(idCol), col(sourceCol)) < chain(thr))
+      .withColumn("keep_rate", chain(rates.toSeq.sortBy(_._1)))
+  }
+
+  /** Shared α-rate arithmetic: qₛ ∝ nₛ^α, rate_s = min(1, qₛ·T/nₛ),
+    * snapped at 6 dp so the pow-derived boundary is engine-exact.
+    */
+  private def temperatureRates(
+      counts: Seq[(String, Long)],
+      alpha: Double,
+      targetRows: Long): Map[String, Double] = {
     require(alpha > 0 && alpha <= 1, s"temperature alpha in (0, 1], got $alpha")
     require(targetRows > 0, "target size must be positive")
-    val counts = sources.map { case (name, df) => (name, df, df.count()) }
-    val weights = counts.map { case (_, _, n) => math.pow(n.toDouble, alpha) }
+    val weights = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
     val wSum = weights.sum
     require(wSum > 0, "all sources are empty")
-    counts.zip(weights).map { case ((name, df, n), w) =>
+    counts.zip(weights).map { case ((name, n), w) =>
       val rate =
         if (n == 0) 0.0
         else math.min(1.0, w / wSum * targetRows.toDouble / n.toDouble)
-      val snapped = BigDecimal(rate)
+      name -> BigDecimal(rate)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      df.filter(hashDraw32(col(idCol), salt = name) <
-          math.floor(snapped * 4294967296.0).toLong)
-        .withColumn("source", lit(name))
-        .withColumn("keep_rate", lit(snapped))
-    }.reduce(_ unionByName _)
+    }.toMap
   }
 
   /** Exact-k importance resampling WITHOUT replacement

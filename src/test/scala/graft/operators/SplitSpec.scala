@@ -248,8 +248,8 @@ class SplitSpec extends SparkSpec {
   }
 
   test("temperatureMixture: low alpha upsamples the tail source") {
-    val a = (1L to 2000L).map(i => (i, ())).map(_._1).map(i => Tuple1(i))
-    val b = (10001L to 10100L).map(i => Tuple1(i))
+    val a = (1L to 2000L).map(Tuple1(_))
+    val b = (10001L to 10100L).map(Tuple1(_))
     val out = Split.temperatureMixture(
       Seq("head" -> a.toDF("id"), "tail" -> b.toDF("id")),
       "id", alpha = 0.3, targetRows = 600)
@@ -260,6 +260,22 @@ class SplitSpec extends SparkSpec {
     // and the realized keep fraction tracks the rate
     val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
     assert(math.abs(kept("head").toDouble / 2000 - rates("head")) < 0.05)
+  }
+
+  test("temperatureMixtureByColumn is row-identical to the per-frame variant") {
+    val rows = (1L to 600L).map(i =>
+      (i, if (i % 7 == 0) "books" else if (i % 3 == 0) "code" else "web"))
+    val df = rows.toDF("id", "source")
+    val byCol = Split.temperatureMixtureByColumn(df, "id", "source", 0.4, 250)
+      .select("id", "source", "keep_rate")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val names = rows.map(_._2).distinct.sorted
+    val perFrame = Split.temperatureMixture(
+      names.map(n => n -> df.filter($"source" === n).drop("source")),
+      "id", 0.4, 250)
+      .select("id", "source", "keep_rate")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(byCol === perFrame)
   }
 
   test("temperatureMixture is deterministic and rejects bad parameters") {
