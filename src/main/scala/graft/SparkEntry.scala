@@ -1622,6 +1622,71 @@ object SparkEntry {
          FROM p ORDER BY doc_id, chunk_idx"""
   }
 
+  /** SQL mirror of the MinHash-LSH recall metric, parameterized by an
+    * optional sample predicate on `documents` (the production
+    * sampled-recall path) — the full/sampled variants share one oracle
+    * definition exactly as the Spark side shares one query body.
+    */
+  private def minhashRecallOracle(sampleWhere: String): String = {
+    val sigCols = (0 until 8).map(j =>
+      s"CAST(min((hb * ${mhA(j)} + ${mhB(j)}) % $MhP) AS BIGINT) AS h$j")
+      .mkString(",\n             ")
+    s"""WITH t0 AS (
+           SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+           FROM documents $sampleWhere),
+         t AS (
+           SELECT doc_id, toks FROM t0
+           UNION ALL
+           SELECT doc_id + 10000, toks[1:(7 * len(toks) + 9) // 10]
+           FROM t0 WHERE doc_id < 40),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM t WHERE len(toks) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         exact AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = inter.id_a
+           JOIN sizes sb ON sb.doc_id = inter.id_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35),
+         hx AS (
+           SELECT doc_id,
+             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
+           FROM g),
+         sig AS (SELECT doc_id,
+             $sigCols
+           FROM hx GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS b, h0 AS c0, h1 AS c1 FROM sig
+           UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+           UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+           UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+         bk AS (
+           SELECT doc_id, b,
+             CAST('0x' || substring(md5(b || '_' || c0 || '_' || c1), 1, 8)
+               AS BIGINT) AS bucket
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM bk a JOIN bk b2 ON a.b = b2.b AND a.bucket = b2.bucket
+             AND a.doc_id < b2.doc_id),
+         hit AS (SELECT e.id_a, e.id_b FROM exact e
+                 JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         SELECT
+           (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM exact) AS recall,
+           CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM cand) AS candidate_precision"""
+  }
+
   /** Unrolled-CTE mirror of [[qKmeans]]: c0 = first-k-by-id seeds; each
     * step s computes per-(vec, centroid) dots against c(s-1), snaps the
     * cosine at 4 dp, assigns by (cos DESC, cid DESC), and snaps the new
@@ -1981,7 +2046,21 @@ object SparkEntry {
     * divisions. The candidate join is the production banded shape,
     * never all-pairs.
     */
-  private def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+  private def qMinhashRecall(s: SparkSession, d: String): DataFrame =
+    minhashRecall(s, d, sampledPct = None)
+
+  /** The PRODUCTION recall path: the identical metric on a 25% md5
+    * bucket sample of the corpus. The exact ground-truth side is
+    * definitionally the work LSH avoids — at corpus scale a deployment
+    * measures recall on a sample and pays a fixed, chosen cost (the
+    * sample fraction), not the full-corpus exact join; this query IS
+    * that practice, engine-checked end to end.
+    */
+  private def qMinhashRecallSampled(s: SparkSession, d: String): DataFrame =
+    minhashRecall(s, d, sampledPct = Some(25))
+
+  private def minhashRecall(
+      s: SparkSession, d: String, sampledPct: Option[Int]): DataFrame = {
     import graft.operators.Dedup
     // planted mid-similarity witnesses: a 70%-token-prefix variant of the
     // first 40 docs sits at 3-gram jaccard ≈ 0.7 — high enough to be
@@ -1989,7 +2068,9 @@ object SparkEntry {
     // collision ≈ 1−(1−j²)⁴ ≈ 0.93), so the measured recall is a real
     // number, not the saturated 1.0 the corpus's near-identical
     // duplicate clusters alone would give
-    val base = T.documents(s, d).select(col("doc_id"), col("text"))
+    val all = T.documents(s, d).select(col("doc_id"), col("text"))
+    val base = sampledPct.fold(all)(p =>
+      all.filter(Split.hashBucket(col("doc_id"), salt = "recall") < p))
     val planted = base.filter(col("doc_id") < 40)
       .select((col("doc_id") + 10000).as("doc_id"),
         expr("concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
@@ -2940,6 +3021,7 @@ object SparkEntry {
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_minhash_recall_sampled" -> (qMinhashRecallSampled _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
@@ -3948,65 +4030,10 @@ object SparkEntry {
     },
     // the recall dial: exact 3-gram jaccard ground truth vs the md5-twin
     // banded candidates — every count integer-exact on both engines
-    "q_minhash_recall" -> {
-      val sigCols = (0 until 8).map(j =>
-        s"CAST(min((hb * ${mhA(j)} + ${mhB(j)}) % $MhP) AS BIGINT) AS h$j")
-        .mkString(",\n             ")
-      s"""WITH t0 AS (
-           SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
-           FROM documents),
-         t AS (
-           SELECT doc_id, toks FROM t0
-           UNION ALL
-           SELECT doc_id + 10000, toks[1:(7 * len(toks) + 9) // 10]
-           FROM t0 WHERE doc_id < 40),
-         g AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
-           FROM t WHERE len(toks) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         exact AS (
-           SELECT id_a, id_b FROM inter
-           JOIN sizes sa ON sa.doc_id = inter.id_a
-           JOIN sizes sb ON sb.doc_id = inter.id_b
-           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35),
-         hx AS (
-           SELECT doc_id,
-             CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
-           FROM g),
-         sig AS (SELECT doc_id,
-             $sigCols
-           FROM hx GROUP BY 1),
-         bands AS (
-           SELECT doc_id, 0 AS b, h0 AS c0, h1 AS c1 FROM sig
-           UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
-           UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
-           UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
-         bk AS (
-           SELECT doc_id, b,
-             CAST('0x' || substring(md5(b || '_' || c0 || '_' || c1), 1, 8)
-               AS BIGINT) AS bucket
-           FROM bands),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-           FROM bk a JOIN bk b2 ON a.b = b2.b AND a.bucket = b2.bucket
-             AND a.doc_id < b2.doc_id),
-         hit AS (SELECT e.id_a, e.id_b FROM exact e
-                 JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b)
-         SELECT
-           (SELECT count(*) FROM exact) AS n_exact,
-           (SELECT count(*) FROM cand) AS n_candidates,
-           (SELECT count(*) FROM hit) AS n_hit,
-           CAST((SELECT count(*) FROM hit) AS DOUBLE)
-             / (SELECT count(*) FROM exact) AS recall,
-           CAST((SELECT count(*) FROM hit) AS DOUBLE)
-             / (SELECT count(*) FROM cand) AS candidate_precision"""
-    },
+    "q_minhash_recall" -> minhashRecallOracle(""),
+    "q_minhash_recall_sampled" -> minhashRecallOracle(
+      """WHERE CAST('0x' || substring(md5('recall' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 100 < 25"""),
     "q_simhash_md5" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
