@@ -1637,7 +1637,7 @@ object SparkEntry {
          t AS (
            SELECT doc_id, toks FROM t0
            UNION ALL
-           SELECT doc_id + 10000, toks[1:(7 * len(toks) + 9) // 10]
+           SELECT -doc_id - 1, toks[1:(7 * len(toks) + 9) // 10]
            FROM t0 WHERE doc_id < 40),
          g AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2071,8 +2071,12 @@ object SparkEntry {
     val all = T.documents(s, d).select(col("doc_id"), col("text"))
     val base = sampledPct.fold(all)(p =>
       all.filter(Split.hashBucket(col("doc_id"), salt = "recall") < p))
+    // twin ids are NEGATIVE (−id−1): collision-proof against any corpus
+    // with non-negative ids, not merely safe under ScaleUp's 1M replica
+    // stride (a twin landing on a real id would merge two shingle sets
+    // into a chimera and silently corrupt the ground truth)
     val planted = base.filter(col("doc_id") < 40)
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((-col("doc_id") - 1).as("doc_id"),
         expr("concat_ws(' ', slice(split(trim(text), ' +'), 1, " +
           "(size(split(trim(text), ' +')) * 7 + 9) div 10))").as("text"))
     val docs = base.unionByName(planted)
