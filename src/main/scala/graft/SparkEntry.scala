@@ -1586,17 +1586,20 @@ object SparkEntry {
 
   /** SQL mirror of [[qCdcGear]]: the XOR-gear rolling hash evaluated by
     * its windowed closed form — h_i = XOR_j (G[b_{i−j}] << j) mod 2³²
-    * over j = 0…min(31, i−1) — with the 256-entry gear table inlined as
-    * literals (it derives from md5("gear:b"), documented in
-    * [[graft.exprs.GearCuts]]). `ord(char)` = byte because the corpus is
-    * ASCII; the expression's contract is UTF-8 bytes.
+    * over j = 0…min(31, i−1) — with the 256-entry gear table DERIVED
+    * INSIDE the oracle from md5('gear:' || b) (the documented
+    * [[graft.exprs.GearCuts]] construction), so a table-derivation bug
+    * in the Scala side cannot self-confirm through the gate. `ord(char)`
+    * = byte because the corpus is ASCII; the expression's contract is
+    * UTF-8 bytes.
     */
   private def gearCdcOracle(maskBits: Int): String = {
-    val table = graft.exprs.GearCuts.gear.mkString("[", ", ", "]")
     val mask = 1L << maskBits
     s"""WITH d AS (SELECT doc_id, text AS t, length(text) AS n
            FROM documents WHERE length(text) > 0 AND doc_id < 100),
-         g AS (SELECT $table AS gt),
+         g AS (SELECT list_transform(range(0, 256),
+                 b -> CAST('0x' || substring(md5('gear:' || b), 1, 8)
+                        AS BIGINT)) AS gt),
          c AS (SELECT doc_id, t, n,
                  list_filter(
                    list_transform(range(1, n + 1),
@@ -4348,7 +4351,7 @@ object SparkEntry {
                 FROM d),
          g AS (SELECT doc_id, i, ng,
                  CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8)
-                   AS BIGINT) * 1048576 + (1048576 - i) AS key
+                   AS BIGINT) * 1073741824 + (1073741824 - i) AS key
                FROM g0),
          wm AS (SELECT doc_id, i, ng,
                   min(key) OVER (PARTITION BY doc_id ORDER BY i
@@ -4356,7 +4359,7 @@ object SparkEntry {
                 FROM g),
          sel AS (SELECT DISTINCT doc_id, mk FROM wm
                  WHERE i <= greatest(1, ng - 16 + 1))
-         SELECT doc_id, 1048576 - (mk % 1048576) AS pos, mk // 1048576 AS fp
+         SELECT doc_id, 1073741824 - (mk % 1073741824) AS pos, mk // 1073741824 AS fp
          FROM sel ORDER BY doc_id, pos""",
     // full repeated-spans mirror: winnow selection -> maxDf guard ->
     // candidate pairs -> gram table (pair docs only) -> diagonal islands;
@@ -4377,13 +4380,13 @@ object SparkEntry {
                 FROM d1),
          g AS (SELECT doc_id, i, ng,
                  CAST('0x' || substring(md5(substring(text, CAST(i AS INT), $k)), 1, 8)
-                   AS BIGINT) * 1048576 + (1048576 - i) AS key
+                   AS BIGINT) * 1073741824 + (1073741824 - i) AS key
                FROM g0),
          wm AS (SELECT doc_id, i, ng,
                   min(key) OVER (PARTITION BY doc_id ORDER BY i
                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk
                 FROM g),
-         sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp FROM wm
+         sel AS (SELECT DISTINCT doc_id, mk // 1073741824 AS fp FROM wm
                  WHERE i <= greatest(1, ng - $w + 1)),
          kept AS (SELECT fp FROM (
                     SELECT fp, count(*) AS df FROM sel GROUP BY 1)
@@ -4424,13 +4427,13 @@ object SparkEntry {
                 FROM d1),
          g AS (SELECT doc_id, i, ng,
                  CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8)
-                   AS BIGINT) * 1048576 + (1048576 - i) AS key
+                   AS BIGINT) * 1073741824 + (1073741824 - i) AS key
                FROM g0),
          wm AS (SELECT doc_id, i, ng,
                   min(key) OVER (PARTITION BY doc_id ORDER BY i
                     ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk
                 FROM g),
-         fps AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp FROM wm
+         fps AS (SELECT DISTINCT doc_id, mk // 1073741824 AS fp FROM wm
                  WHERE i <= greatest(1, ng - 16 + 1)),
          fpk AS (SELECT * FROM fps WHERE fp IN (
                    SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50))

@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ONE pass: hash every character k-gram (md5 first-4-bytes, the repo's
   * engine-reproducible draw — bit-identical to [[graft.operators
   * .Split.hashDraw32]]), fold the rightmost-tie rule into the key
-  * (key = h·2²⁰ + (2²⁰ − pos), so plain `min` IS "min hash, tie → max
+  * (key = h·2³⁰ + (2³⁰ − pos), so plain `min` IS "min hash, tie → max
   * position"), take each w-window's minimum with a monotonic deque, and
   * emit the distinct selected keys in first-selection order.
   *
@@ -70,7 +70,7 @@ object WinnowKeys {
   def apply(text: Column, k: Int, w: Int): Column =
     GraftShim.column(WinnowKeys(GraftShim.expression(text), k, w))
 
-  private val POS_BOUND = 1L << 20
+  private val POS_BOUND = 1L << 30
 
   /** Static entry for generated code (and the interpreted path). */
   def selectKeys(text: UTF8String, k: Int, w: Int): ArrayData = {
@@ -89,6 +89,12 @@ object WinnowKeys {
     offsets(nChars) = nb
     val ng = nChars - k + 1
     if (ng <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // fail-loud packing bound (repo convention: Pca.MaxDim, Dedup's
+    // maxHamming require): past 2^30 grams the position term would wrap
+    // into the hash term and fingerprints would collide silently
+    if (ng > POS_BOUND) throw new IllegalArgumentException(
+      s"winnow: document has $ng k-grams, past the 2^30 key-packing bound " +
+        "— split documents above 1 GiB before fingerprinting")
     val keys = new Array[Long](ng)
     var i = 0
     while (i < ng) {

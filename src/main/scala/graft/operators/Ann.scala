@@ -459,7 +459,15 @@ object Ann {
       k: Int,
       salt: String = ""): DataFrame = {
     require(k > 0, "target dimension must be positive")
-    require(dim > 0 && dim <= 65536, "source dimension out of range")
+    // the plan holds k·dim literal-signed terms; past ~64k expression
+    // nodes whole-stage codegen falls back to interpreted evaluation and
+    // Catalyst planning itself becomes the bottleneck (JVM 64KB method
+    // bodies are split, but the tree walk is not) — fail loud at the
+    // codegen-realistic bound instead of stalling quiet
+    require(dim > 0 && dim.toLong * k <= 65536,
+      s"randomProject builds dim*k literal terms (${dim.toLong * k}); " +
+        "past 65536 the expression tree defeats codegen — reduce in two " +
+        "stages (project to an intermediate width, then again)")
     val v = col(vecCol)
     val invSqrtK = 1.0 / math.sqrt(k.toDouble)
     val coords = (0 until k).map { c =>

@@ -158,13 +158,45 @@ object Dedup {
     * Plan: docs → shingle+sign (narrow) → explode band keys (×bands) →
     * shuffle on (band,bucket) self-join → verify with the signature
     * estimate. The join key cardinality ≈ n·bands, each bucket small, so
-    * the shuffle is linear in data size; skewed buckets (e.g. empty-text)
-    * should be pre-filtered by the caller. Pairs colliding in several
+    * the shuffle is linear in data size. Pairs colliding in several
     * bands are kept only at their first shared bucket (`firstCollision`
     * over the carried per-band bucket arrays — bucket equality, not raw
     * band-slice equality, so the kept row is exactly one of the emitted
     * ones even under a bucket-hash collision), so no pair-dedup shuffle
     * is needed.
+    *
+    * ==The hot-bucket guard (`maxBucket`)==
+    * A duplicate CLIQUE — 100k mirror pages, a boilerplate template —
+    * collides in EVERY band and a pair-exact bucket join emits O(c²)
+    * candidates from one bucket: quadratic in exactly the rows a dedup
+    * pipeline exists to handle. With `maxBucket` set, buckets of size
+    * ≤ maxBucket keep the pair-exact plan above, while HOT buckets emit
+    * only O(c) STAR edges (bucket-min-id leader → member), computed from
+    * two window aggregates over the SAME (band,bucket) key the join
+    * shuffles on. Volume bound: ≤ maxBucket·n exact pairs + bands·n star
+    * edges — linear whatever the duplicate distribution.
+    *
+    * Capped-mode contract (a volume bound, not a semantic guarantee —
+    * the [[Winnow.overlap]] maxDf framing):
+    *  - a pair whose FIRST shared bucket is small is reported exactly as
+    *    in pair-exact mode;
+    *  - hot-bucket members are reported through their leader edge
+    *    (verified against the same threshold), so transitive connected
+    *    components — what the clustering consumers [[Cluster]] build —
+    *    are preserved whenever leader–member similarity clears the
+    *    threshold, which a genuine duplicate clique does by construction;
+    *  - a pair colliding ONLY in hot buckets, both sides non-leaders, is
+    *    not reported as an explicit pair (its members remain connected
+    *    via the leader). PlantedCliqueSpec proves cluster equality under
+    *    a planted power-law clique, where pair-exact mode goes quadratic.
+    * The final `groupBy(id_a, id_b)` dedups the small/star union — it
+    * shuffles the POST-verification result (output-proportional), never
+    * the candidate stream; default Int.MaxValue keeps the historical
+    * single-pass plan bit-identical with no window stage at all.
+    *
+    * `md5Base` swaps the xxhash64 draw for the repo's md5 draw so an
+    * external SQL engine can replay every stage (the
+    * [[incrementalNearDup]] convention).
     */
   def minhashLsh(
       docs: DataFrame,
@@ -173,32 +205,60 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = Int.MaxValue,
+      md5Base: Boolean = false): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rows = numHashes / bands
     val signed = docs
       .select(col(idCol).as("id"),
         // fused native signing (one pass, all minima in registers) —
         // MinHashSigSpec proves bit-equality with the HOF Sim.minHash
-        graft.exprs.MinHashSig(graft.exprs.Shingles(col(textCol), shingleN), numHashes).as("sig"))
+        graft.exprs.MinHashSig(
+          graft.exprs.Shingles(col(textCol), shingleN), numHashes, md5Base)
+          .as("sig"))
       .filter(size(col("sig")) > 0)
     val banded = signed
       .select(col("id"), col("sig"),
         // fused native banding — LshBandKeysSpec proves bit-equality with
         // the HOF Sim.lshBands bucket field
-        graft.exprs.LshBandKeys(col("sig"), bands, rows).as("bkts"))
+        graft.exprs.LshBandKeys(col("sig"), bands, rows, md5Base).as("bkts"))
       .select(col("id"), col("sig"), col("bkts"), posexplode(col("bkts")))
       .select(col("id"), col("sig"), col("bkts"),
         col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("sig").as("sig_a"), col("bkts").as("bkts_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("sig").as("sig_b"), col("bkts").as("bkts_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(firstCollision(col("bkts_a"), col("bkts_b"), col("band")))
-      .select(col("id_a"), col("id_b"),
-        Sim.minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    def exactPairs(src: DataFrame): DataFrame = {
+      val a = src.select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("sig").as("sig_a"), col("bkts").as("bkts_a"))
+      val b = src.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sig").as("sig_b"), col("bkts").as("bkts_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(firstCollision(col("bkts_a"), col("bkts_b"), col("band")))
+        .select(col("id_a"), col("id_b"),
+          Sim.minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    }
+    if (maxBucket == Int.MaxValue) exactPairs(banded)
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      val sized = banded
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__lead", min(struct(col("id"), col("sig"))).over(w))
+      val small = exactPairs(
+        sized.filter(col("__bsz") <= maxBucket)
+          .select("id", "sig", "bkts", "band", "bucket"))
+      val star = sized
+        .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
+        .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
+          Sim.minHashJaccard(col("__lead.sig"), col("sig")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+      // one pair can surface from several bands' hot buckets AND from the
+      // small side; the estimate is a pure function of the two signatures,
+      // so max == the single value — this groupBy only dedups
+      small.unionByName(star)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("est_jaccard")).as("est_jaccard"))
+    }
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
@@ -211,13 +271,14 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
     hammingPairs64(
       docs.select(col(idCol).as("id"),
         // fused native fingerprinting (one pass per token) — SimHash64Spec
         // proves bit-equality with the HOF Sim.simHash
         graft.exprs.SimHash64(Text.tokens(col(textCol))).as("sh")),
-      "id", "sh", maxHamming)
+      "id", "sh", maxHamming, maxBucket)
 
   /** All pairs of 64-bit fingerprints within hamming distance
     * `maxHamming` — the banded-join core shared by text [[simhash]] and
@@ -236,9 +297,11 @@ object Dedup {
       hashed0: DataFrame,
       idCol: String,
       hashCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     // maxHamming = 0 → one 64-bit chunk; (1L << 64) is 1 (shift counts are
@@ -255,17 +318,44 @@ object Dedup {
         struct(lit(c).as("chunk"), chunkKey(col("sh"), lit(c)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // chunk keys are recomputable from the carried fingerprints, so the
-    // first-collision pair-emit check needs no extra carried state at all
-    val chunkMatches = transform(sequence(lit(0), lit(chunks - 1)),
-      c => chunkKey(col("sh_a"), c) === chunkKey(col("sh_b"), c))
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(array_position(chunkMatches, true) === col("chunk") + 1)
-      .select(col("id_a"), col("id_b"), Sim.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    def exactPairs(src: DataFrame): DataFrame = {
+      val a = src.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = src.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+      // chunk keys are recomputable from the carried fingerprints, so the
+      // first-collision pair-emit check needs no extra carried state at all
+      val chunkMatches = transform(sequence(lit(0), lit(chunks - 1)),
+        c => chunkKey(col("sh_a"), c) === chunkKey(col("sh_b"), c))
+      a.join(b, Seq("chunk", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(array_position(chunkMatches, true) === col("chunk") + 1)
+        .select(col("id_a"), col("id_b"), Sim.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+    if (maxBucket == Int.MaxValue) exactPairs(banded)
+    else {
+      // hot-bucket guard — the [[minhashLsh]] contract, fingerprint
+      // domain: a clique of identical/near-identical fingerprints lands
+      // in one chunk-key bucket in EVERY chunk and would emit O(c²)
+      // pairs; buckets past maxBucket emit O(c) star edges to the
+      // bucket-min-id leader instead, verified at the same distance
+      // bound. Two window aggregates on the join's own (chunk,key)
+      // partitioning; final groupBy dedups the output-sized union.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")
+      val sized = banded
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__lead", min(struct(col("id"), col("sh"))).over(w))
+      val small = exactPairs(
+        sized.filter(col("__bsz") <= maxBucket)
+          .select("id", "sh", "chunk", "key"))
+      val star = sized
+        .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
+        .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
+          Sim.hamming64(col("__lead.sh"), col("sh")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+      small.unionByName(star)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("hamming")).as("hamming"))
+    }
   }
 
   /** Greedy near-dup removal: given candidate pairs (id_a < id_b), keep

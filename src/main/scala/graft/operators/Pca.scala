@@ -67,9 +67,10 @@ object Pca {
     * corpus explode per branch — Catalyst pushes each branch's filter
     * below the aggregate, so the exchanges never unify for reuse; the
     * driver mirror costs d² tuples instead of a second pass. Rows
-    * shorter than `dim` contribute only to the cells they cover (each
-    * cell averages its own count) — ragged inputs are the caller's bug,
-    * not silently averaged away; see [[fit]]'s guard.
+    * shorter than `dim` or carrying null elements fail loudly up front
+    * (same guard family as [[fit]]; wider rows are fine — positions past
+    * `dim` are sliced off) — a ragged input would otherwise average each
+    * cell over a different count, silently skewing the matrix.
     */
   def covariance(
       emb: DataFrame,
@@ -78,6 +79,7 @@ object Pca {
       snapDp: Option[Int] = Some(6)): DataFrame = {
     require(dim > 0 && dim <= MaxDim,
       s"covariance is driver-collected as d² cells; dim=$dim exceeds $MaxDim")
+    requireCleanVectors(emb, vecCol, dim, exactWidth = false)
     val mom = moments(emb, vecCol, dim)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     def snap(d: Double) = snapDp.fold(d)(p =>
@@ -157,14 +159,32 @@ object Pca {
       eigenvalues: Array[Double],
       components: Array[Array[Double]])
 
+  /** Ragged/null fail-fast shared by [[fit]] (exact width) and
+    * [[covariance]] (width ≥ dim — wider rows are sliced): a short vector
+    * or a NULL ELEMENT inside one would null out pair products, making
+    * `avg` skip them per cell with DIFFERING counts — silently skewed
+    * covariance, the worst kind of wrong. One narrow limit(1) scan.
+    */
+  private def requireCleanVectors(
+      emb: DataFrame, vecCol: String, dim: Int, exactWidth: Boolean): Unit = {
+    val v = col(vecCol)
+    val widthBad = if (exactWidth) size(v) =!= dim else size(v) < dim
+    val bad = emb
+      .filter(v.isNull || widthBad ||
+        exists(slice(v, 1, dim), x => x.isNull))
+      .limit(1).count()
+    require(bad == 0, s"found a $vecCol row that is null, " +
+      s"ragged (${if (exactWidth) "not exactly" else "shorter than"} $dim " +
+      "wide), or has null elements — such rows would silently skew " +
+      "covariance cells; filter or pad first")
+  }
+
   /** Fit on ONE triangular [[moments]] pass (collected as ≤ d(d+1)/2 + d
-    * cells — metadata-sized) plus a narrow ragged-input fail-fast scan
-    * (a short vector would silently skew cells).
+    * cells — metadata-sized) plus a narrow ragged/null-input fail-fast
+    * scan (a short vector or null element would silently skew cells).
     */
   def fit(emb: DataFrame, vecCol: String, dim: Int): Model = {
-    val bad = emb.filter(size(col(vecCol)) =!= dim).limit(1).count()
-    require(bad == 0, s"fit: found a $vecCol row whose size != $dim — " +
-      "ragged vectors would corrupt covariance cells; filter or pad first")
+    requireCleanVectors(emb, vecCol, dim, exactWidth = true)
     val mom = moments(emb, vecCol, dim)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     require(mom.nonEmpty,

@@ -88,7 +88,8 @@ object Split {
     * sampling is one narrow filtered pass with a per-row column-salted
     * draw against a source-keyed threshold — no per-source scans, no
     * union. Row-identical to [[temperatureMixture]] over the per-label
-    * slices (spec-locked).
+    * slices (spec-locked). Rows with a NULL source label are excluded
+    * from both the rate computation and the output.
     */
   def temperatureMixtureByColumn(
       df: DataFrame,
@@ -96,7 +97,11 @@ object Split {
       sourceCol: String,
       alpha: Double,
       targetRows: Long): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // null labels are excluded up front (the Calibrate.sweep convention):
+    // without this, the count collect would NPE on String ordering while
+    // the sampling filter silently dropped the same rows — inconsistent
+    val labeled = df.filter(col(sourceCol).isNotNull)
+    val counts = labeled.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
     require(counts.nonEmpty, "no source labels to mix")
     val rates = temperatureRates(counts, alpha, targetRows)
@@ -108,7 +113,7 @@ object Split {
         when(col(sourceCol) === pairs.head._1, lit(pairs.head._2))) {
         case (acc, (name, v)) => acc.when(col(sourceCol) === name, lit(v))
       }
-    df.filter(hashDraw32(col(idCol), col(sourceCol)) < chain(thr))
+    labeled.filter(hashDraw32(col(idCol), col(sourceCol)) < chain(thr))
       .withColumn("keep_rate", chain(rates.toSeq.sortBy(_._1)))
   }
 

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * granularity) and span dedup (exact chunk granularity) both miss.
   *
   * The rightmost-tie rule is folded into integer arithmetic so every
-  * engine agrees bit-for-bit: each gram gets key = h·2²⁰ + (2²⁰ − pos),
+  * engine agrees bit-for-bit: each gram gets key = h·2³⁰ + (2³⁰ − pos),
   * so the plain `min` over a window IS "min hash, tie → max position".
-  * (Bound: documents up to 2²⁰ characters; h < 2³² keeps the key under
-  * 2⁵³.) Gram hashes go through the repo's md5 draw ([[Split.hashDraw32]])
+  * (Bound: documents up to 2³⁰ characters — 1 GiB, enforced fail-loud in
+  * the kernel; h < 2³² keeps the key under 2⁶², exact in LongType. The
+  * decoded (pos, fp) output is bound-INDEPENDENT: for any packing base
+  * larger than the document, min over h·B + (B − pos) selects the same
+  * fingerprints.) Gram hashes go through the repo's md5 draw ([[Split.hashDraw32]])
   * — engine-reproducible, like the split/sample/DSIR operators.
   *
   * Scale shape: fingerprint selection is PER-DOCUMENT arithmetic inside
@@ -30,14 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  private val POS_BOUND = 1L << 20
+  private val POS_BOUND = 1L << 30
 
   /** One row per selected fingerprint: (id, pos, fp) where `pos` is the
     * 1-based character offset of the k-gram and `fp` its 32-bit hash.
     * Documents shorter than `k` characters have no grams and drop out;
     * documents with fewer than `w` grams contribute their single
-    * whole-document window. Bound: documents up to 2²⁰ characters (the
-    * key packing above).
+    * whole-document window. Bound: documents up to 2³⁰ characters (the
+    * key packing above; the kernel throws past it rather than corrupt).
     */
   def fingerprints(
       docs: DataFrame,
@@ -53,7 +56,7 @@ object Winnow {
         explode(graft.exprs.WinnowKeys(col(textCol), k, w)).as("__key"))
     sel.select(col(idCol),
       (lit(POS_BOUND) - col("__key") % POS_BOUND).as("pos"),
-      shiftright(col("__key"), 20).as("fp"))
+      shiftright(col("__key"), 30).as("fp"))
   }
 
   /** The original higher-order-function form of [[fingerprints]] — kept
@@ -81,7 +84,7 @@ object Winnow {
         j => array_min(slice(col("__keys"), j, lit(w)))))).as("__key"))
     sel.select(col(idCol),
       (lit(POS_BOUND) - col("__key") % POS_BOUND).as("pos"),
-      shiftright(col("__key"), 20).as("fp"))
+      shiftright(col("__key"), 30).as("fp"))
   }
 
   /** Cross-document EXACT repeated-substring extraction — the substring-

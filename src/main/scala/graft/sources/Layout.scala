@@ -78,7 +78,14 @@ object Layout {
     * no loop, no UDF.
     */
   private def spread31(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val x0 = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    // fail loud on negatives: -1 & 0x7FFFFFFF would silently map to the
+    // 31-bit MAX, breaking the documented per-axis monotonicity (and the
+    // file pruning that depends on it). Offset signed domains first.
+    val raw = c.cast("long")
+    val x0 = when(raw < 0, raise_error(concat(
+        lit("zorderKey requires non-negative coordinates, got "),
+        raw.cast("string"))).cast("long"))
+      .otherwise(raw.bitwiseAND(lit(0x7FFFFFFFL)))
     val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
     val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
     val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -96,8 +103,11 @@ object Layout {
     * Uses the low 31 bits of each input (62-bit key, sign bit never set,
     * so long ordering == unsigned curve ordering). Keys wider than 31
     * bits should be range-bucketed or right-shifted first — locality only
-    * needs the high bits to be honest. Monotone per-axis: with one
-    * coordinate fixed, the key orders exactly like the other coordinate.
+    * needs the high bits to be honest. Inputs must be NON-NEGATIVE
+    * (enforced with a per-row raise_error — a silent mask of a negative
+    * would order it past the maximum); offset signed domains before
+    * keying. Monotone per-axis: with one coordinate fixed, the key
+    * orders exactly like the other coordinate.
     */
   def zorderKey(
       a: org.apache.spark.sql.Column,

@@ -150,6 +150,27 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("fit and covariance fail fast on NULL ELEMENTS inside vectors") {
+    // a null element nulls out its pair products; avg would then skip
+    // them per cell with differing counts — silently skewed covariance
+    val df = Seq((1L, Seq[java.lang.Float](1f, 2f, 3f)),
+        (2L, Seq[java.lang.Float](1f, null, 2f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](Pca.fit(df, "embedding", 3))
+    assert(e1.getMessage.contains("null elements"))
+    val e2 = intercept[IllegalArgumentException](Pca.covariance(df, "embedding", 3))
+    assert(e2.getMessage.contains("null elements"))
+  }
+
+  test("covariance fails fast on rows SHORTER than dim (wider stays fine)") {
+    val df = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.covariance(df, "embedding", 3)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("covariance is bounded by the DECLARED dim even when rows are wider") {
     val data = syntheticEmb(25, 6)
     val df = data.toDF("vec_id", "embedding")

@@ -278,6 +278,23 @@ class SplitSpec extends SparkSpec {
     assert(byCol === perFrame)
   }
 
+  test("temperatureMixtureByColumn excludes null source labels consistently") {
+    // a null label must neither NPE the rate collect nor skew the rates —
+    // the result equals the mixture over the non-null slice
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 5 == 0) null else if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("id", "source")
+    val got = Split.temperatureMixtureByColumn(df, "id", "source", 0.5, 100)
+      .select("id", "source", "keep_rate")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val clean = Split.temperatureMixtureByColumn(
+      df.filter($"source".isNotNull), "id", "source", 0.5, 100)
+      .select("id", "source", "keep_rate")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === clean)
+    assert(got.forall(_._2 != null))
+  }
+
   test("temperatureMixture is deterministic and rejects bad parameters") {
     val df = (1L to 50L).map(Tuple1(_)).toDF("id")
     val r1 = Split.temperatureMixture(Seq("s" -> df), "id", 0.5, 25)

@@ -84,4 +84,14 @@ class ZOrderSpec extends SparkSpec with TableDrivenPropertyChecks {
       .as[(String, Long)].collect().map(_._2).max
     assert(zSpanA <= 31L, s"z-order must keep a localized (got span $zSpanA)")
   }
+
+  test("negative coordinates fail loudly instead of silently breaking monotonicity") {
+    // -1 & 0x7FFFFFFF would map to the 31-bit MAX — ordered past every
+    // legitimate key, destroying the documented per-axis monotonicity
+    val df = Seq((-1L, 3L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Layout.zorderKey(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }
