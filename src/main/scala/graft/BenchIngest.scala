@@ -38,10 +38,11 @@ object BenchIngest {
   /** Distributed raw-trace generator: `txPerBlock` transfers per block,
     * 3 receipt rows each (the receipts-merge input shape).
     */
-  def traces(spark: SparkSession, nBlocks: Long, txPerBlock: Int): Dataset[RawTrace] = {
+  def traces(spark: SparkSession, nBlocks: Long, txPerBlock: Int,
+      blockOffset: Long = 0L): Dataset[RawTrace] = {
     import spark.implicits._
     spark.range(0L, nBlocks, 1L, 32).flatMap { b =>
-      val block = 1000L + b
+      val block = 1000L + blockOffset + b
       (0 until txPerBlock).flatMap { t =>
         val i = b * txPerBlock + t
         val from = accounts((i % 4).toInt)

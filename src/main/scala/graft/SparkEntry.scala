@@ -863,6 +863,30 @@ object SparkEntry {
       .orderBy(col("id_b"))
   }
 
+  /** Hot-bucket-capped MinHash LSH on a PLANTED duplicate clique
+    * ([[graft.operators.Dedup.minhashLsh]] with `maxBucket`): 120 mirror
+    * copies of one document — the duplicate distribution the
+    * affine-bijection ScaleUp corpora cannot produce — collide in EVERY
+    * band, so the pair-exact join would emit ~120²/2 candidates per
+    * band while the capped plan emits O(c) star edges to the bucket's
+    * min-id leader (here doc 7 itself, since the clique replicates its
+    * text). md5Base mode so the oracle replays signatures, buckets,
+    * bucket sizes, the first-small-collision rule, and the leader star
+    * join — the whole guard, hash-gated. PlantedCliqueSpec holds the
+    * cluster-equality and volume proofs.
+    */
+  private def qLshHotBucket(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val tail = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val clique = docs.filter(col("doc_id") === 7)
+      .select(explode(sequence(lit(0), lit(119))).as("i"), col("text"))
+      .select((lit(100000) + col("i")).cast("long").as("doc_id"), col("text"))
+    Dedup.minhashLsh(tail.unionByName(clique), "doc_id", "text",
+      shingleN = 3, numHashes = 8, bands = 4, threshold = 0.5,
+      maxBucket = 20, md5Base = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Brute-force cosine top-k ANN against the corpus (query = vector 0). */
   private def qAnnCosine(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d)
@@ -1536,6 +1560,23 @@ object SparkEntry {
       .filter(col("n_occurrences") > 1)
       .orderBy(col("chunk_hash"))
 
+  /** The GEAR-kernel CDC dedup pipeline end-to-end
+    * ([[graft.operators.Chunk.contentDefinedChunksFast]] → chunk-hash
+    * groupBy → duplicate report): the scale-default path — 16.7× cheaper
+    * than the md5 kernel at 100× data — correctness-gated as a PIPELINE,
+    * not just at the cut-kernel level ([[qCdcGear]]). The oracle replays
+    * the gear rolling hash by its windowed-XOR closed form over the FULL
+    * corpus and aggregates identically.
+    */
+  private def qCdcDedupGear(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk.contentDefinedChunksFast(T.documents(s, d), "doc_id", "text")
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("chunk_hash"))
+
   /** Z-order key ([[graft.sources.Layout.zorderKey]]): the Morton
     * interleave that [[graft.sources.Layout.writeZOrdered]] clusters on —
     * checked bit-for-bit against an independent SQL bit-spread.
@@ -1563,6 +1604,24 @@ object SparkEntry {
     graft.operators.Pca
       .varianceExplained(T.embeddings(s, d), "embedding", 64, 16)
       .orderBy(col("component"))
+
+  /** Eigensolve trace invariant, CROSS-ENGINE gated: Σ eigenvalues of
+    * the fitted PCA model must equal trace(covariance) — the one
+    * eigensolve identity an external SQL engine CAN check (DuckDB
+    * computes the trace as Σ per-coordinate variances, never touching
+    * the Jacobi solver). 4-dp snap absorbs the ~1e-9 Jacobi residual and
+    * cross-engine summation order; the nearest rounding boundary is
+    * ~4e-5 away at every shipped SF. Tightens the [[qPcaVariance]]
+    * no_oracle hole: variance fractions still rest on PcaSpec's eigen
+    * invariants, but the total mass is now oracle-verified.
+    */
+  private def qPcaTrace(s: SparkSession, d: String): DataFrame = {
+    val model = graft.operators.Pca.fit(T.embeddings(s, d), "embedding", 64)
+    val trace = BigDecimal(model.eigenvalues.sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    Seq((model.dim, trace)).toDF("n_components", "eigen_sum")
+  }
 
   /** SQL mirror of [[qRandomProjection]]: each output coordinate rebuilds
     * the ±1/√k Rademacher weights from md5(":c:i") parity (the
@@ -1593,10 +1652,34 @@ object SparkEntry {
     * = byte because the corpus is ASCII; the expression's contract is
     * UTF-8 bytes.
     */
-  private def gearCdcOracle(maskBits: Int): String = {
+  private def gearCdcOracle(
+      maskBits: Int,
+      docWhere: String = "AND doc_id < 100",
+      dedup: Boolean = false): String = {
     val mask = 1L << maskBits
+    val finalSelect =
+      if (dedup)
+        // the q_cdc_dedup aggregation shape over the gear chunk rows
+        """, cr AS (SELECT doc_id,
+             CAST(u.b - u.a AS INT) AS chunk_len,
+             md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
+               AS chunk_hash
+           FROM p)
+         SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences,
+           max(chunk_len) AS chunk_len
+         FROM cr GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash"""
+      else
+        """
+         SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx,
+           CAST(u.a AS INT) AS chunk_start,
+           CAST(u.b - u.a AS INT) AS chunk_len,
+           md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
+             AS chunk_hash
+         FROM p ORDER BY doc_id, chunk_idx"""
     s"""WITH d AS (SELECT doc_id, text AS t, length(text) AS n
-           FROM documents WHERE length(text) > 0 AND doc_id < 100),
+           FROM documents WHERE length(text) > 0 $docWhere),
          g AS (SELECT list_transform(range(0, 256),
                  b -> CAST('0x' || substring(md5('gear:' || b), 1, 8)
                         AS BIGINT)) AS gt),
@@ -1616,13 +1699,86 @@ object SparkEntry {
          p AS (SELECT doc_id, t,
                  unnest(list_transform(range(1, len(bounds)),
                    i -> {'idx': i - 1, 'a': bounds[i], 'b': bounds[i + 1]})) AS u
-               FROM b)
-         SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx,
-           CAST(u.a AS INT) AS chunk_start,
-           CAST(u.b - u.a AS INT) AS chunk_len,
-           md5(substring(t, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT)))
-             AS chunk_hash
-         FROM p ORDER BY doc_id, chunk_idx"""
+               FROM b)$finalSelect"""
+  }
+
+  /** SQL mirror of [[qLshHotBucket]] — the ENTIRE capped-mode contract
+    * replayed on the planted-clique fixture: md5 signatures, band
+    * buckets, per-bucket sizes, the first-small-collision pair rule,
+    * the hot-bucket min-id leader star join, and the verified union.
+    * 8 hashes / 4 bands of 2 rows, maxBucket 20, threshold 0.5.
+    */
+  private def lshHotBucketOracle: String = {
+    val sigCols = (0 until 8).map(j =>
+      s"CAST(min((hb * ${mhA(j)} + ${mhB(j)}) % $MhP) AS BIGINT) AS h$j")
+      .mkString(",\n             ")
+    val estExpr = (0 until 8).map(j =>
+      s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT 100000 + unnest(range(0, 120)), text
+           FROM documents WHERE doc_id = 7),
+         t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+               FROM corpus),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+               FROM t WHERE len(toks) >= 3),
+         hx AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % $MhP AS hb
+                FROM g),
+         sig AS (SELECT doc_id,
+             $sigCols
+           FROM hx GROUP BY 1),
+         bands AS (
+           SELECT doc_id, 0 AS b, h0 AS c0, h1 AS c1 FROM sig
+           UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+           UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+           UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+         bk AS (SELECT doc_id, b,
+             CAST('0x' || substring(md5(b || '_' || c0 || '_' || c1), 1, 8)
+               AS BIGINT) AS bucket
+           FROM bands),
+         piv AS (SELECT doc_id,
+             max(CASE WHEN b = 0 THEN bucket END) AS k0,
+             max(CASE WHEN b = 1 THEN bucket END) AS k1,
+             max(CASE WHEN b = 2 THEN bucket END) AS k2,
+             max(CASE WHEN b = 3 THEN bucket END) AS k3
+           FROM bk GROUP BY 1),
+         bs AS (SELECT b, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM bk a JOIN bk b2
+             ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         fe AS (SELECT c.id_a, c.id_b,
+             CASE WHEN pa.k0 = pb.k0 THEN 0 WHEN pa.k1 = pb.k1 THEN 1
+                  WHEN pa.k2 = pb.k2 THEN 2 ELSE 3 END AS fb,
+             CASE WHEN pa.k0 = pb.k0 THEN pa.k0 WHEN pa.k1 = pb.k1 THEN pa.k1
+                  WHEN pa.k2 = pb.k2 THEN pa.k2 ELSE pa.k3 END AS fk
+           FROM cand c
+           JOIN piv pa ON pa.doc_id = c.id_a
+           JOIN piv pb ON pb.doc_id = c.id_b),
+         small AS (SELECT fe.id_a, fe.id_b FROM fe
+           JOIN bs ON bs.b = fe.fb AND bs.bucket = fe.fk
+           WHERE bs.c <= 20),
+         hotm AS (SELECT k.b, k.bucket, k.doc_id
+           FROM bk k JOIN bs ON bs.b = k.b AND bs.bucket = k.bucket
+           WHERE bs.c > 20),
+         lead AS (SELECT b, bucket, min(doc_id) AS leader
+           FROM hotm GROUP BY 1, 2),
+         star AS (SELECT DISTINCT l.leader AS id_a, m.doc_id AS id_b
+           FROM hotm m
+           JOIN lead l ON l.b = m.b AND l.bucket = m.bucket
+           WHERE m.doc_id <> l.leader),
+         allp AS (SELECT id_a, id_b FROM small
+                  UNION SELECT id_a, id_b FROM star),
+         ev AS (SELECT p.id_a, p.id_b,
+             CAST($estExpr AS DOUBLE) / 8.0 AS est_jaccard
+           FROM allp p
+           JOIN sig sa ON sa.doc_id = p.id_a
+           JOIN sig sb ON sb.doc_id = p.id_b)
+         SELECT id_a, id_b, est_jaccard FROM ev
+         WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
   }
 
   /** SQL mirror of the MinHash-LSH recall metric, parameterized by an
@@ -2991,9 +3147,12 @@ object SparkEntry {
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_cdc_gear" -> (qCdcGear _),
     "q_cdc_dedup" -> (qCdcDedup _),
+    "q_cdc_dedup_gear" -> (qCdcDedupGear _),
     "q_zorder_key" -> (qZorderKey _),
     "q_pca_covariance" -> (qPcaCovariance _),
     "q_pca_variance" -> (qPcaVariance _),
+    "q_pca_trace" -> (qPcaTrace _),
+    "q_lsh_hot_bucket" -> (qLshHotBucket _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_char_profile" -> (qCharProfile _),
     "q_pipeline_rag" -> (qPipelineRag _),
@@ -4710,6 +4869,19 @@ object SparkEntry {
              AS chunk_hash
          FROM p ORDER BY doc_id, chunk_idx""",
     "q_cdc_gear" -> gearCdcOracle(6),
+    "q_cdc_dedup_gear" -> gearCdcOracle(6, docWhere = "", dedup = true),
+    "q_lsh_hot_bucket" -> lshHotBucketOracle,
+    "q_pca_trace" ->
+      """WITH x AS (
+           SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         d AS (SELECT i, avg(v * v) - avg(v) * avg(v) AS var
+               FROM x WHERE i < 64 GROUP BY i)
+         SELECT CAST(64 AS INT) AS n_components,
+           round(sum(var), 4) + 0 AS eigen_sum
+         FROM d""",
     "q_cdc_dedup" ->
       """WITH d AS (SELECT doc_id, text AS t, length(text) AS n
            FROM documents WHERE length(text) > 0),
