@@ -79,14 +79,15 @@ final case class VideoFrameFeatures(
   * Scala analog of `mapInPandas` batch UDFs: one iterator per partition,
   * amortized per-batch setup, no per-row driver involvement).
   *
-  * All three modalities decode with REAL codecs from the JDK alone:
-  * images via `javax.imageio` ([[Multimodal.decodeImages]]), audio via
-  * `javax.sound.sampled` ([[Multimodal.decodeAudio]]), video via a
-  * pure-Scala AVI/RIFF container walk with raw-DIB exact decode and
-  * MJPEG through the JDK JPEG reader ([[Multimodal.decodeVideoFrames]]).
-  * Only [[Multimodal.decodeStub]] remains as the documented seam where a
-  * deployment would plug richer codecs (H.264, FLAC, WebP) with the same
-  * partition-parallel signature.
+  * All three modalities decode with REAL codecs: images via
+  * `javax.imageio` ([[Multimodal.decodeImages]]), audio via
+  * `javax.sound.sampled` plus the in-repo [[FlacCodec]] fixed-predictor
+  * FLAC subset ([[Multimodal.decodeAudio]]), video via a pure-Scala
+  * AVI/RIFF container walk with raw-DIB exact decode and MJPEG through
+  * the JDK JPEG reader ([[Multimodal.decodeVideoFrames]]). Only
+  * [[Multimodal.decodeStub]] remains as the documented seam where a
+  * deployment would plug richer codecs (H.264, WebP, FLAC's LPC/stereo
+  * profiles) with the same partition-parallel signature.
   */
 object Multimodal {
 
@@ -265,6 +266,30 @@ object Multimodal {
           val bad = AudioFeatures(id, if (bytes == null) 0L else bytes.length.toLong,
             -1, -1, -1, -1L, 0.0, 0.0, 0, decode_ok = false)
           if (bytes == null) bad
+          else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+              bytes(2) == 'a' && bytes(3) == 'C') {
+            // FLAC: the JDK has no reader — the in-repo fixed-predictor
+            // subset codec ([[FlacCodec]]) decodes it; LPC/stereo-
+            // decorrelated streams land on the decode_ok=false ladder
+            FlacCodec.decode(bytes) match {
+              case None => bad
+              case Some(d) =>
+                val n = d.samples.length
+                var sum = 0L; var sumSq = 0L; var peak = 0
+                var i = 0
+                while (i < n) {
+                  val v = d.samples(i)
+                  sum += v; sumSq += v.toLong * v
+                  val a = math.abs(v); if (a > peak) peak = a
+                  i += 1
+                }
+                AudioFeatures(id, bytes.length.toLong, d.sampleRate,
+                  d.channels, d.bits, n.toLong / d.channels,
+                  rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n),
+                  mean_amp = if (n == 0) 0.0 else sum.toDouble / n,
+                  peak = peak, decode_ok = true)
+            }
+          }
           else try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
@@ -711,6 +736,31 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
     bos.toByteArray
+  }
+
+  /** Deterministic FLAC fixture through the in-repo [[FlacCodec]]
+    * encoder: same integer sample formula as [[syntheticWav]]
+    * (`((i·37 + c·11) mod 201) − 100`), 16-bit, so the closed-form
+    * rms/mean/peak oracle of the WAV family applies verbatim —
+    * lossless-ness IS the check. Strategy "fixed2" exercises the real
+    * compression path (order-2 fixed predictor + Rice residuals);
+    * "verbatim"/"constant" cover the other subframe types.
+    */
+  def syntheticFlac(
+      nFrames: Int, sampleRate: Int, channels: Int,
+      strategy: String = "fixed2"): Array[Byte] = {
+    val samples = new Array[Int](nFrames * channels)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        samples(i * channels + c) = (i * 37 + c * 11) % 201 - 100
+        c += 1
+      }
+      i += 1
+    }
+    FlacCodec.encode(samples, sampleRate, channels, bits = 16,
+      blockSize = 256, strategy = strategy)
   }
 
   /** Deterministic synthetic image: red = x mod 256, green = y mod 256,
