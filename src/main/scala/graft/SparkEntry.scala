@@ -2008,6 +2008,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** FLAC decode through the in-repo fixed-predictor subset codec
+    * ([[graft.operators.FlacCodec]] — the JDK has no FLAC reader):
+    * real Rice-coded compression round-tripped losslessly, so the WAV
+    * family's closed-form rms/mean/peak oracle applies verbatim. Docs
+    * 0/1/3 exercise the order-2 fixed-predictor path (doc 3 crosses a
+    * frame boundary at blockSize 256), doc 2 the verbatim subframe;
+    * doc 4 is a magic-bytes impostor on the decode_ok=false ladder.
+    */
+  private def qAudioFlac(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(5).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i == 4) (i, "fLaC but not actually a stream".getBytes("UTF-8"))
+        else {
+          val strategy = if (i == 2) "verbatim" else "fixed2"
+          (i, Multimodal.syntheticFlac(240 + 60 * i.toInt,
+            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, strategy))
+        }
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeAudio(media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"), col("rms"), col("mean_amp"), col("peak"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TIFF decode through the JDK's built-in TIFF plugin (ImageIO ships a
     * reader+writer since Java 9) — [[graft.operators.Multimodal.decodeImages]]
     * is format-agnostic, so this is purely a new REAL container through
@@ -3177,6 +3205,7 @@ object SparkEntry {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_audio_containers" -> (qAudioContainers _),
+    "q_audio_flac" -> (qAudioFlac _),
     "q_multimodal_tiff" -> (qMultimodalTiff _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_gif_frames" -> (qGifFrames _),
@@ -4980,6 +5009,34 @@ object SparkEntry {
     // same integer-formula re-derivation as q_multimodal_audio — only the
     // doc grid differs (AIFF docs 0–1, AU docs 2–3, garbage doc 4)
     "q_audio_containers" ->
+      """WITH p AS (SELECT * FROM (VALUES
+             (0, 240, 8000, 1, 16), (1, 300, 16000, 2, 16),
+             (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16)) AS t(doc_id, n, rate, c, bits)),
+         a AS (SELECT doc_id, n, rate, c, bits,
+             list_sum(list_transform(range(0, n*c),
+               k -> ((k//c)*37 + (k%c)*11) % 201 - 100)) AS s,
+             list_sum(list_transform(range(0, n*c),
+               k -> CAST((((k//c)*37 + (k%c)*11) % 201 - 100) AS BIGINT)
+                  * CAST((((k//c)*37 + (k%c)*11) % 201 - 100) AS BIGINT))) AS ss,
+             list_max(list_transform(range(0, n*c),
+               k -> abs(((k//c)*37 + (k%c)*11) % 201 - 100))) AS peak
+           FROM p)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST(c AS INTEGER) AS channels, CAST(bits AS INTEGER) AS bits,
+             CAST(n AS BIGINT) AS n_frames,
+             sqrt(CAST(ss AS DOUBLE) / (n*c)) AS rms,
+             CAST(s AS DOUBLE) / (n*c) AS mean_amp,
+             CAST(peak AS INTEGER) AS peak, TRUE AS decode_ok
+           FROM a
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
+         ORDER BY doc_id""",
+    // FLAC is lossless by construction, so the WAV-family closed forms
+    // hold for the in-repo subset codec; doc 4 is the magic impostor
+    "q_audio_flac" ->
       """WITH p AS (SELECT * FROM (VALUES
              (0, 240, 8000, 1, 16), (1, 300, 16000, 2, 16),
              (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16)) AS t(doc_id, n, rate, c, bits)),

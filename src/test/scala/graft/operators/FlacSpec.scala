@@ -78,7 +78,6 @@ class FlacSpec extends SparkSpec {
   }
 
   test("decodeAudio routes FLAC through the codec with WAV-identical stats") {
-    implicit val s = spark
     val flacRows = (0L until 3L).map { i =>
       (i, Multimodal.syntheticFlac(240 + i.toInt * 60, 8000, (i % 2).toInt + 1))
     }
