@@ -44,7 +44,10 @@ object BenchIngest {
     spark.range(0L, nBlocks, 1L, 32).flatMap { b =>
       val block = 1000L + blockOffset + b
       (0 until txPerBlock).flatMap { t =>
-        val i = b * txPerBlock + t
+        // i keys the GLOBAL sequence numbers: offset rides along so
+        // multi-segment soaks produce chain-realistic monotone sequences,
+        // never cross-segment duplicates
+        val i = (blockOffset + b) * txPerBlock + t
         val from = accounts((i % 4).toInt)
         val to = accounts(((i + 1) % 4).toInt)
         val act = Act("eosio.token", "transfer",

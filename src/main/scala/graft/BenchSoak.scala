@@ -118,9 +118,13 @@ object BenchSoak {
     }
     val wall = (System.nanoTime() - t0) / 1e9
 
-    // correctness: exactly the actions of every retained block, once each
+    // correctness: exactly the actions of every retained block, once
+    // each. Expiry is bucket-granular by design (metadata-only drops),
+    // so the retained range starts at the WATERMARK'S BUCKET FLOOR —
+    // the straddling bucket is kept whole.
     val history = spark.read.parquet(outDir)
-    val firstKept = math.max(1000L, expireWatermark)
+    val bucketFloor = (expireWatermark / partitionSize) * partitionSize
+    val firstKept = math.max(1000L, bucketFloor)
     val lastBlock = 1000L + segments * blocksPerSeg - 1
     val expected = (lastBlock - firstKept + 1) * txPerBlock
     val got = history.count()
@@ -128,8 +132,8 @@ object BenchSoak {
     val minBlock = history.agg(min("block_num")).head().getLong(0)
     require(got == expected && distinctGs == got,
       s"history corrupt: rows=$got distinct=$distinctGs expected=$expected")
-    require(minBlock >= firstKept - partitionSize && minBlock <= firstKept,
-      s"expiry boundary wrong: minBlock=$minBlock watermark=$expireWatermark")
+    require(minBlock == firstKept,
+      s"expiry boundary wrong: minBlock=$minBlock bucketFloor=$bucketFloor")
 
     val all = batchMs.toIndexedSeq
     def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size

@@ -119,6 +119,24 @@ class PlantedCliqueSpec extends SparkSpec {
     assert(capped.filter(col("hamming") > 3).count() === 0L)
   }
 
+  test("plan shapes: default mode pays NO window stage; capped mode exactly one") {
+    val df = docs
+    def plan(maxBucket: Int) = Dedup.minhashLsh(df, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5,
+      maxBucket = maxBucket).queryExecution.executedPlan.toString
+    val exact = plan(Int.MaxValue)
+    assert(!exact.contains("Window"),
+      "the historical pair-exact plan must stay window-free")
+    assert(!exact.contains("BatchEvalPython") && !exact.contains("ScalaUDF"))
+    val capped = plan(8)
+    // both window aggregates (bucket size + leader) share one partition
+    // spec, so Catalyst computes them in a single Window node over the
+    // same (band,bucket) exchange the join needs anyway
+    val nWindow = "\\bWindow\\b".r.findAllIn(capped).length
+    assert(nWindow === 1, s"capped mode must fuse its two window aggs:\n$capped")
+    assert(!capped.contains("CartesianProduct") && !capped.contains("BroadcastNestedLoop"))
+  }
+
   test("capped hamming with NO hot bucket equals pair-exact") {
     val rows = Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 0xF0L), (5L, 0xF1L))
     val df = rows.toDF("id", "sh")
