@@ -226,10 +226,10 @@ object Dedup {
       .select(col("id"), col("sig"), col("bkts"), posexplode(col("bkts")))
       .select(col("id"), col("sig"), col("bkts"),
         col("pos").as("band"), col("col").as("bucket"))
-    def exactPairs(src: DataFrame): DataFrame = {
-      val a = src.select(col("band"), col("bucket"), col("id").as("id_a"),
+    def exactPairs(srcA: DataFrame, srcB: DataFrame): DataFrame = {
+      val a = srcA.select(col("band"), col("bucket"), col("id").as("id_a"),
         col("sig").as("sig_a"), col("bkts").as("bkts_a"))
-      val b = src.select(col("band"), col("bucket"), col("id").as("id_b"),
+      val b = srcB.select(col("band"), col("bucket"), col("id").as("id_b"),
         col("sig").as("sig_b"), col("bkts").as("bkts_b"))
       a.join(b, Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
@@ -238,15 +238,24 @@ object Dedup {
           Sim.minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .filter(col("est_jaccard") >= threshold)
     }
-    if (maxBucket == Int.MaxValue) exactPairs(banded)
+    if (maxBucket == Int.MaxValue) exactPairs(banded, banded)
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-      val sized = banded
-        .withColumn("__bsz", count(lit(1)).over(w))
-        .withColumn("__lead", min(struct(col("id"), col("sig"))).over(w))
+      // one select, both aggregates: adjacent same-spec window exprs
+      // collapse into a single Window node (a withColumn chain would
+      // interpose a Project and leave two stacked passes)
+      val sized = banded.select(col("*"),
+        count(lit(1)).over(w).as("__bsz"),
+        min(struct(col("id"), col("sig"))).over(w).as("__lead"))
+      // a bucket's size is a property of the bucket, not the row: if the
+      // a-side row sits in a small bucket, every b-side row it joins
+      // shares that bucket — so the b side stays the UN-windowed banded
+      // stream, and only two window evaluations exist in the whole plan
+      // (small-side filter + star side), both over one reused exchange
       val small = exactPairs(
         sized.filter(col("__bsz") <= maxBucket)
-          .select("id", "sig", "bkts", "band", "bucket"))
+          .select("id", "sig", "bkts", "band", "bucket"),
+        banded)
       val star = sized
         .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
         .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
@@ -318,9 +327,9 @@ object Dedup {
         struct(lit(c).as("chunk"), chunkKey(col("sh"), lit(c)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    def exactPairs(src: DataFrame): DataFrame = {
-      val a = src.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-      val b = src.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    def exactPairs(srcA: DataFrame, srcB: DataFrame): DataFrame = {
+      val a = srcA.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = srcB.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
       // chunk keys are recomputable from the carried fingerprints, so the
       // first-collision pair-emit check needs no extra carried state at all
       val chunkMatches = transform(sequence(lit(0), lit(chunks - 1)),
@@ -331,22 +340,24 @@ object Dedup {
         .select(col("id_a"), col("id_b"), Sim.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
         .filter(col("hamming") <= maxHamming)
     }
-    if (maxBucket == Int.MaxValue) exactPairs(banded)
+    if (maxBucket == Int.MaxValue) exactPairs(banded, banded)
     else {
       // hot-bucket guard — the [[minhashLsh]] contract, fingerprint
       // domain: a clique of identical/near-identical fingerprints lands
       // in one chunk-key bucket in EVERY chunk and would emit O(c²)
       // pairs; buckets past maxBucket emit O(c) star edges to the
       // bucket-min-id leader instead, verified at the same distance
-      // bound. Two window aggregates on the join's own (chunk,key)
-      // partitioning; final groupBy dedups the output-sized union.
+      // bound. The join's b side stays un-windowed (a shared bucket's
+      // size is the bucket's, not the row's), so only two window
+      // evaluations exist; final groupBy dedups the output-sized union.
       val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")
-      val sized = banded
-        .withColumn("__bsz", count(lit(1)).over(w))
-        .withColumn("__lead", min(struct(col("id"), col("sh"))).over(w))
+      val sized = banded.select(col("*"),
+        count(lit(1)).over(w).as("__bsz"),
+        min(struct(col("id"), col("sh"))).over(w).as("__lead"))
       val small = exactPairs(
         sized.filter(col("__bsz") <= maxBucket)
-          .select("id", "sh", "chunk", "key"))
+          .select("id", "sh", "chunk", "key"),
+        banded)
       val star = sized
         .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
         .select(col("__lead.id").as("id_a"), col("id").as("id_b"),

@@ -129,11 +129,13 @@ class PlantedCliqueSpec extends SparkSpec {
       "the historical pair-exact plan must stay window-free")
     assert(!exact.contains("BatchEvalPython") && !exact.contains("ScalaUDF"))
     val capped = plan(8)
-    // both window aggregates (bucket size + leader) share one partition
-    // spec, so Catalyst computes them in a single Window node over the
-    // same (band,bucket) exchange the join needs anyway
-    val nWindow = "\\bWindow\\b".r.findAllIn(capped).length
-    assert(nWindow === 1, s"capped mode must fuse its two window aggs:\n$capped")
+    // two window EVALUATIONS total: the small-side filter and the star
+    // side (size + leader fuse into one Window node per consumer, same
+    // partition spec). The join's b side is the un-windowed banded
+    // stream — a third evaluation there would be pure waste, since a
+    // shared bucket's size is already known from the a side.
+    val nWindow = "\\bWindow \\[".r.findAllIn(capped).length
+    assert(nWindow === 2, s"capped mode must hold exactly two window evals:\n$capped")
     assert(!capped.contains("CartesianProduct") && !capped.contains("BroadcastNestedLoop"))
   }
 
