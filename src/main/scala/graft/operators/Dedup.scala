@@ -484,6 +484,13 @@ object Dedup {
     * docs within cosine θ collide with probability (1−θ/π)^planes per
     * table; `tables` repetitions boost recall. Pairs colliding in several
     * tables are kept only in the first shared one (no dedup shuffle).
+    *
+    * `maxBucket` is the [[minhashLsh]] hot-bucket guard in the embedding
+    * domain — a clique of (near-)identical vectors (mirror pages embed
+    * identically) lands in one bucket in EVERY table and would emit
+    * O(c²) pairs; past the cap a bucket emits O(c) min-id-leader star
+    * edges, cosine-verified at the same threshold, with the output-sized
+    * union dedup. Default keeps the historical single-pass plan.
     */
   def embeddingCosine(
       emb: DataFrame,
@@ -491,7 +498,9 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = 8,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val dim = 64
     // all tables×planes sign bits in ONE native fused loop per row
     // (graft.exprs.HyperplaneBuckets): the HOF form is tables×planes
@@ -503,18 +512,40 @@ object Dedup {
         graft.exprs.HyperplaneBuckets(col(vecCol), tables, planes, dim).as("bks"))
       .select(col("id"), col("v"), col("bks"), posexplode(col("bks")))
       .select(col("id"), col("v"), col("bks"), col("pos").as("table"), col("col").as("bucket"))
-    val a = keyed.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("bks").as("bks_a"))
-    val b = keyed.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("bks").as("bks_b"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      // keep a pair only in its first shared table: exact cosine then runs
-      // once per pair and no pair-dedup shuffle exists in the plan
-      .filter(firstCollision(col("bks_a"), col("bks_b"), col("table")))
-      .select(col("id_a"), col("id_b"),
-        graft.exprs.CosineSim(col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .withColumn("cos", round(col("cos"), 4))
+    def exactPairs(srcA: DataFrame, srcB: DataFrame): DataFrame = {
+      val a = srcA.select(col("table"), col("bucket"), col("id").as("id_a"),
+        col("v").as("v_a"), col("bks").as("bks_a"))
+      val b = srcB.select(col("table"), col("bucket"), col("id").as("id_b"),
+        col("v").as("v_b"), col("bks").as("bks_b"))
+      a.join(b, Seq("table", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        // keep a pair only in its first shared table: exact cosine then runs
+        // once per pair and no pair-dedup shuffle exists in the plan
+        .filter(firstCollision(col("bks_a"), col("bks_b"), col("table")))
+        .select(col("id_a"), col("id_b"),
+          graft.exprs.CosineSim(col("v_a"), col("v_b")).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+    val pairs =
+      if (maxBucket == Int.MaxValue) exactPairs(keyed, keyed)
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
+        val sized = keyed.select(col("*"),
+          count(lit(1)).over(w).as("__bsz"),
+          min(struct(col("id"), col("v"))).over(w).as("__lead"))
+        val small = exactPairs(
+          sized.filter(col("__bsz") <= maxBucket)
+            .select("id", "v", "bks", "table", "bucket"),
+          keyed)
+        val star = sized
+          .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
+          .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
+            graft.exprs.CosineSim(col("__lead.v"), col("v")).as("cos"))
+          .filter(col("cos") >= threshold)
+        small.unionByName(star)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(max(col("cos")).as("cos"))
+      }
+    pairs.withColumn("cos", round(col("cos"), 4))
   }
 }

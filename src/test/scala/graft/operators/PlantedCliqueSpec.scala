@@ -139,6 +139,38 @@ class PlantedCliqueSpec extends SparkSpec {
     assert(!capped.contains("CartesianProduct") && !capped.contains("BroadcastNestedLoop"))
   }
 
+  test("embeddingCosine: capped mode collapses an identical-vector clique, same components") {
+    // 60 identical embeddings (mirror pages embed identically), two
+    // planted near-pairs, scattered far vectors
+    val rnd = new scala.util.Random(17)
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(64)(i => (math.sin(seed * 31 + i) * 2).toFloat)
+    val cliqueV = vec(1)
+    val rows =
+      (0L until 60L).map(i => (i, cliqueV)) ++
+      Seq((100L, vec(5)), (101L, vec(5).updated(0, vec(5)(0) + 0.01f))) ++
+      (200L until 220L).map(i => (i, vec(i.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosine(df, "vec_id", "embedding", threshold = 0.9)
+    val capped = Dedup.embeddingCosine(df, "vec_id", "embedding", threshold = 0.9,
+      maxBucket = 8)
+    val nExact = exact.count()
+    val nCapped = capped.count()
+    assert(nExact >= 60L * 59 / 2, s"exact must be quadratic: $nExact")
+    assert(nCapped <= nExact / 8, s"capped must collapse: $nCapped")
+    def comp(p: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Cluster.connectedComponents(p, "id_a", "id_b").as[(Long, Long)]
+        .collect().toMap
+    assert(comp(capped) === comp(exact))
+    // and with no hot bucket, capped equals pair-exact row-for-row
+    val small = rows.filterNot(_._1 < 55).toDF("vec_id", "embedding")
+    def set(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().toSet
+    assert(set(Dedup.embeddingCosine(small, "vec_id", "embedding", 0.9,
+        maxBucket = 1000)) ===
+      set(Dedup.embeddingCosine(small, "vec_id", "embedding", 0.9)))
+  }
+
   test("capped hamming with NO hot bucket equals pair-exact") {
     val rows = Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 0xF0L), (5L, 0xF1L))
     val df = rows.toDF("id", "sh")
