@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   *     degree, answering "does the CC iteration need salting at planted
   *     -clique degrees" with numbers instead of a claim.
   *
+  *  3. `embed`: [[graft.operators.Dedup.embeddingCosine]] pair-exact vs
+  *     the production-default identical-vector group cap on corpora with
+  *     one planted byte-identical embedding clique (mirror pages embed
+  *     identically) — the pair-exact mode on growing cliques until its
+  *     O(c²) bucket explodes, the capped mode through 50k-vector cliques.
+  *
   * Prints one JSON line per measurement; knobs via env:
-  * SPARK_GRAFT_SKEW_MODE=lsh|cc|all (default all).
+  * SPARK_GRAFT_SKEW_MODE=lsh|cc|embed|all (default all).
   */
 object BenchSkew {
 
@@ -41,6 +47,22 @@ object BenchSkew {
     val cliqueText = (0 until 40).map(j => f"cliquetok$j%02d").mkString(" ")
     val dup = spark.range(0L, clique, 1L, 32)
       .select((col("id") + 10000000L).as("doc_id"), lit(cliqueText).as("text"))
+    tail.unionByName(dup)
+  }
+
+  /** Embedding corpus: `nTail` distinct id-derived 64-dim vectors plus
+    * one `clique`-sized block of BYTE-IDENTICAL copies of a fixed vector
+    * (mirror pages embed identically). Narrow generation, no files.
+    */
+  def plantedEmbeddings(spark: SparkSession, nTail: Long, clique: Long): DataFrame = {
+    val tailVec = transform(sequence(lit(0), lit(63)),
+      i => sin(col("id").cast("double") * 31.0 + i.cast("double") * 7.0).cast("float"))
+    val cliqueVec = transform(sequence(lit(0), lit(63)),
+      i => sin(i.cast("double") * 13.0 + 1.0).cast("float"))
+    val tail = spark.range(0L, nTail, 1L, 32)
+      .select(col("id").as("vec_id"), tailVec.as("embedding"))
+    val dup = spark.range(0L, clique, 1L, 32)
+      .select((col("id") + 10000000L).as("vec_id"), cliqueVec.as("embedding"))
     tail.unionByName(dup)
   }
 
@@ -126,6 +148,25 @@ object BenchSkew {
         Cluster.connectedComponents(pairs).count()
       }
       println(s"""{"metric":"lsh_capped_cc","clique":50000,"tail":20000,"members":$nc,"sec":${fmt(tc)}}""")
+    }
+
+    if (mode == "embed" || mode == "all") {
+      Dedup.embeddingCosine(plantedEmbeddings(spark, 1000, 100), "vec_id",
+        "embedding", threshold = 0.9, maxBucket = Int.MaxValue).count() // warm-up
+      // pair-exact on growing identical-vector cliques: the quadratic curve
+      for (c <- Seq(1000L, 2000L, 4000L, 8000L)) {
+        val emb = plantedEmbeddings(spark, 20000L, c)
+        val (n, t) = time(Dedup.embeddingCosine(emb, "vec_id", "embedding",
+          threshold = 0.9, maxBucket = Int.MaxValue).count())
+        println(s"""{"metric":"embed_pair_exact","clique":$c,"tail":20000,"pairs":$n,"sec":${fmt(t)}}""")
+      }
+      // the production DEFAULT cap through cliques pair-exact cannot touch
+      for (c <- Seq(1000L, 2000L, 4000L, 8000L, 20000L, 50000L)) {
+        val emb = plantedEmbeddings(spark, 20000L, c)
+        val (n, t) = time(Dedup.embeddingCosine(emb, "vec_id", "embedding",
+          threshold = 0.9).count())
+        println(s"""{"metric":"embed_capped","clique":$c,"tail":20000,"pairs":$n,"sec":${fmt(t)}}""")
+      }
     }
 
     if (mode == "cc" || mode == "all") {

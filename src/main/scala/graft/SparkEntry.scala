@@ -949,6 +949,11 @@ object SparkEntry {
     * random-hyperplane LSH bucketing, exact cosine within buckets.
     * The float scale-by-1.001 is IEEE-identical in Spark and DuckDB
     * (correctly-rounded float product), so the LSH buckets mirror exactly.
+    * Runs the operator's production default — the FINITE identical-vector
+    * group cap — whose output is row-identical to pair-exact here (the
+    * scaled copies are byte-distinct, so no over-cap group exists); the
+    * collapse path itself is exercised and oracled by
+    * [[qEmbedHotBucket]].
     */
   private def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
     val base = T.embeddings(s, d).filter(col("vec_id") < 2000)
@@ -956,6 +961,35 @@ object SparkEntry {
     val copies = base.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
     Dedup.embeddingCosine(base.union(copies), "vec_id", "embedding", threshold = 0.99)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Hot-group-capped embedding near-dup on a PLANTED identical-vector
+    * clique ([[graft.operators.Dedup.embeddingCosine]] with a finite
+    * `maxBucket`): 120 byte-identical copies of vector 7 — mirror pages
+    * embed identically — form a 121-member group that would emit ~121²/2
+    * bucket pairs per table under the pair-exact plan; the guard folds it
+    * to 120 min-id-leader star edges (cos(v, v), verified at the same
+    * threshold) while every distinct vector keeps the pair-exact
+    * hyperplane plan. The oracle replays the WHOLE guard in SQL: the
+    * identical-vector group window, the over-cap star side, and the
+    * hyperplane-bucket pair join on the kept rows. PlantedCliqueSpec
+    * holds the cluster-equality and row-identity proofs.
+    */
+  private def qEmbedHotBucket(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val tail = emb.filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val clique = emb.filter(col("vec_id") === 7)
+      .select(explode(sequence(lit(0), lit(119))).as("i"), col("embedding"))
+      .select((lit(100000) + col("i")).cast("long").as("vec_id"), col("embedding"))
+    // five byte-DISTINCT scaled near-copies (the q_embed_neardup trick)
+    // keep the pair-exact branch of the union non-empty alongside the
+    // star branch, so the oracle gates both paths in one query
+    val nearPairs = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    Dedup.embeddingCosine(tail.unionByName(clique).unionByName(nearPairs),
+      "vec_id", "embedding", threshold = 0.9, maxBucket = 20)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1704,7 +1738,8 @@ object SparkEntry {
 
   /** SQL mirror of [[qLshHotBucket]] — the ENTIRE capped-mode contract
     * replayed on the planted-clique fixture: md5 signatures, band
-    * buckets, per-bucket sizes, the first-small-collision pair rule,
+    * buckets, per-bucket sizes, the any-small-collision pair rule (a
+    * pair sharing ANY small bucket is pair-exact; the union dedups),
     * the hot-bucket min-id leader star join, and the verified union.
     * 8 hashes / 4 bands of 2 rows, maxBucket 20, threshold 0.5.
     */
@@ -1747,19 +1782,11 @@ object SparkEntry {
              max(CASE WHEN b = 3 THEN bucket END) AS k3
            FROM bk GROUP BY 1),
          bs AS (SELECT b, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-           FROM bk a JOIN bk b2
-             ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
-         fe AS (SELECT c.id_a, c.id_b,
-             CASE WHEN pa.k0 = pb.k0 THEN 0 WHEN pa.k1 = pb.k1 THEN 1
-                  WHEN pa.k2 = pb.k2 THEN 2 ELSE 3 END AS fb,
-             CASE WHEN pa.k0 = pb.k0 THEN pa.k0 WHEN pa.k1 = pb.k1 THEN pa.k1
-                  WHEN pa.k2 = pb.k2 THEN pa.k2 ELSE pa.k3 END AS fk
-           FROM cand c
-           JOIN piv pa ON pa.doc_id = c.id_a
-           JOIN piv pb ON pb.doc_id = c.id_b),
-         small AS (SELECT fe.id_a, fe.id_b FROM fe
-           JOIN bs ON bs.b = fe.fb AND bs.bucket = fe.fk
+         small AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM bk a
+           JOIN bk b2
+             ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+           JOIN bs ON bs.b = a.b AND bs.bucket = a.bucket
            WHERE bs.c <= 20),
          hotm AS (SELECT k.b, k.bucket, k.doc_id
            FROM bk k JOIN bs ON bs.b = k.b AND bs.bucket = k.bucket
@@ -3151,6 +3178,7 @@ object SparkEntry {
     "q_random_projection" -> (qRandomProjection _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_embed_hot_bucket" -> (qEmbedHotBucket _),
     "q_sessionize" -> (qSessionize _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_wildcard" -> (qWildcard _),
@@ -4138,6 +4166,60 @@ object SparkEntry {
          JOIN base va ON c.id_a = va.id
          JOIN base vb ON c.id_b = vb.id
          WHERE list_cosine_similarity(va.v, vb.v) >= 0.99
+         ORDER BY id_a, id_b""",
+    "q_embed_hot_bucket" ->
+      """WITH base AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 200
+           UNION ALL
+           SELECT 100000 + g.i AS id, CAST(e.embedding AS DOUBLE[]) AS v
+           FROM embeddings e, (SELECT unnest(range(120)) AS i) g
+           WHERE e.vec_id = 7
+           UNION ALL
+           SELECT vec_id + 200000 AS id,
+             CAST(list_transform(embedding,
+               x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+         grp AS (
+           SELECT id, v,
+             count(*) OVER (PARTITION BY v) AS gsz,
+             min(id) OVER (PARTITION BY v) AS lead
+           FROM base),
+         star AS (
+           SELECT lead AS id_a, id AS id_b,
+             round(list_cosine_similarity(v, v), 4) AS cos
+           FROM grp
+           WHERE gsz > 20 AND id <> lead
+             AND list_cosine_similarity(v, v) >= 0.9),
+         kept AS (SELECT id, v FROM grp WHERE gsz <= 20 OR id = lead),
+         proj AS (
+           -- ordered left fold in ascending dim order, matching the
+           -- native HyperplaneBuckets accumulation (see q_embed_neardup)
+           SELECT id, t.t, pl.pl,
+             list_reduce(
+               list_transform(v, (x, i) ->
+                 x * sin(1.0 + t.t * 97.0 + pl.pl * 31.0 + (i - 1) * 7.0)),
+               (acc, x) -> acc + x) AS p
+           FROM kept,
+             (SELECT unnest(range(4)) AS t) t,
+             (SELECT unnest(range(8)) AS pl) pl),
+         bkt AS (
+           SELECT id, t,
+             sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << pl) ELSE 0 END) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         pairs AS (
+           SELECT c.id_a, c.id_b,
+             round(list_cosine_similarity(va.v, vb.v), 4) AS cos
+           FROM cand c
+           JOIN kept va ON c.id_a = va.id
+           JOIN kept vb ON c.id_b = vb.id
+           WHERE list_cosine_similarity(va.v, vb.v) >= 0.9)
+         SELECT id_a, id_b, cos FROM pairs
+         UNION ALL
+         SELECT id_a, id_b, cos FROM star
          ORDER BY id_a, id_b""",
     "q_token_stats" ->
       """SELECT lang, count(*) AS docs,

@@ -178,8 +178,13 @@ object Dedup {
     *
     * Capped-mode contract (a volume bound, not a semantic guarantee —
     * the [[Winnow.overlap]] maxDf framing):
-    *  - a pair whose FIRST shared bucket is small is reported exactly as
-    *    in pair-exact mode;
+    *  - a pair sharing ANY small bucket is reported exactly as in
+    *    pair-exact mode — including the mixed case where the pair's
+    *    FIRST shared bucket is hot but a later shared bucket is small
+    *    (the first-collision emit rule is relaxed in capped mode: a
+    *    pair may surface from each of its small buckets, and the final
+    *    groupBy dedups; the estimate is a pure function of the two
+    *    signatures, so re-verification per band changes nothing);
     *  - hot-bucket members are reported through their leader edge
     *    (verified against the same threshold), so transitive connected
     *    components — what the clustering consumers [[Cluster]] build —
@@ -226,14 +231,25 @@ object Dedup {
       .select(col("id"), col("sig"), col("bkts"), posexplode(col("bkts")))
       .select(col("id"), col("sig"), col("bkts"),
         col("pos").as("band"), col("col").as("bucket"))
-    def exactPairs(srcA: DataFrame, srcB: DataFrame): DataFrame = {
+    // `firstOnly` governs pair-dedup strategy: the default plan emits a
+    // pair only at its first shared bucket (no dedup shuffle exists at
+    // all); the capped plan already ends in an output-sized groupBy, so
+    // there it emits at EVERY small shared bucket instead — which is
+    // what makes "shares any small bucket ⇒ pair-exact" hold even when
+    // the pair's first collision lands in a hot bucket
+    def exactPairs(srcA: DataFrame, srcB: DataFrame,
+        firstOnly: Boolean = true): DataFrame = {
       val a = srcA.select(col("band"), col("bucket"), col("id").as("id_a"),
         col("sig").as("sig_a"), col("bkts").as("bkts_a"))
       val b = srcB.select(col("band"), col("bucket"), col("id").as("id_b"),
         col("sig").as("sig_b"), col("bkts").as("bkts_b"))
-      a.join(b, Seq("band", "bucket"))
+      val joined = a.join(b, Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .filter(firstCollision(col("bkts_a"), col("bkts_b"), col("band")))
+      val kept =
+        if (firstOnly)
+          joined.filter(firstCollision(col("bkts_a"), col("bkts_b"), col("band")))
+        else joined
+      kept
         .select(col("id_a"), col("id_b"),
           Sim.minHashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .filter(col("est_jaccard") >= threshold)
@@ -255,7 +271,7 @@ object Dedup {
       val small = exactPairs(
         sized.filter(col("__bsz") <= maxBucket)
           .select("id", "sig", "bkts", "band", "bucket"),
-        banded)
+        banded, firstOnly = false)
       val star = sized
         .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
         .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
@@ -327,16 +343,25 @@ object Dedup {
         struct(lit(c).as("chunk"), chunkKey(col("sh"), lit(c)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    def exactPairs(srcA: DataFrame, srcB: DataFrame): DataFrame = {
+    // `firstOnly` as in [[minhashLsh]]: first-shared-chunk emit where no
+    // dedup shuffle exists (default mode); every-small-chunk emit where
+    // the capped mode's output-sized groupBy dedups anyway, so sharing
+    // ANY small chunk bucket stays pair-exact
+    def exactPairs(srcA: DataFrame, srcB: DataFrame,
+        firstOnly: Boolean = true): DataFrame = {
       val a = srcA.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
       val b = srcB.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
       // chunk keys are recomputable from the carried fingerprints, so the
       // first-collision pair-emit check needs no extra carried state at all
       val chunkMatches = transform(sequence(lit(0), lit(chunks - 1)),
         c => chunkKey(col("sh_a"), c) === chunkKey(col("sh_b"), c))
-      a.join(b, Seq("chunk", "key"))
+      val joined = a.join(b, Seq("chunk", "key"))
         .filter(col("id_a") < col("id_b"))
-        .filter(array_position(chunkMatches, true) === col("chunk") + 1)
+      val kept =
+        if (firstOnly)
+          joined.filter(array_position(chunkMatches, true) === col("chunk") + 1)
+        else joined
+      kept
         .select(col("id_a"), col("id_b"), Sim.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
         .filter(col("hamming") <= maxHamming)
     }
@@ -357,7 +382,7 @@ object Dedup {
       val small = exactPairs(
         sized.filter(col("__bsz") <= maxBucket)
           .select("id", "sh", "chunk", "key"),
-        banded)
+        banded, firstOnly = false)
       val star = sized
         .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
         .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
@@ -485,12 +510,42 @@ object Dedup {
     * table; `tables` repetitions boost recall. Pairs colliding in several
     * tables are kept only in the first shared one (no dedup shuffle).
     *
-    * `maxBucket` is the [[minhashLsh]] hot-bucket guard in the embedding
-    * domain — a clique of (near-)identical vectors (mirror pages embed
-    * identically) lands in one bucket in EVERY table and would emit
-    * O(c²) pairs; past the cap a bucket emits O(c) min-id-leader star
-    * edges, cosine-verified at the same threshold, with the output-sized
-    * union dedup. Default keeps the historical single-pass plan.
+    * `maxBucket` is the [[minhashLsh]] hot-bucket guard re-expressed for
+    * the embedding domain. The minhash star collapse does NOT transfer
+    * directly: a hyperplane bucket is a coarse 2^planes-cell partition of
+    * the sphere, not a similarity clique — a hot bucket holds the
+    * duplicate clique PLUS incidental dissimilar neighbors, so
+    * star-collapsing a (table, bucket) would drop true member–member
+    * pairs whose cosine-to-leader misses the threshold. The sound
+    * collapse unit here is the IDENTICAL-vector group: mirror pages
+    * embed byte-identically, share every bucket, and satisfy
+    * cos(rep, y) = cos(member, y) for every y — so a group of more than
+    * `maxBucket` equal vectors folds to its min-id representative
+    * (|G|−1 star edges, verified with the very expression pair-exact
+    * would run on the pair), while every row in a group of ≤ maxBucket
+    * (including all distinct-vector residents of a coarse bucket) keeps
+    * the pair-exact path. Consequences, all exact rather than
+    * best-effort:
+    *  - connected components are IDENTICAL to pair-exact mode (no
+    *    threshold-dependent loss is possible: the representative inherits
+    *    the member's buckets and cosines bit-for-bit);
+    *  - with no over-cap group the output is row-identical to pair-exact;
+    *  - volume is bounded at one bucket row per distinct vector plus
+    *    O(c) star edges per duplicate clique — the quadratic
+    *    mirror-page blowup cannot occur. A hot bucket of > maxBucket
+    *    DISTINCT vectors stays pair-exact by design (no sound O(c)
+    *    collapse exists for it; 2^planes cells keep its expected size at
+    *    n/2^planes per table).
+    * The DEFAULT is a finite cap: mirror cliques are routine in web
+    * corpora and the un-guarded plan goes quadratic on exactly those
+    * rows, so clique immunity is the production posture (the price is
+    * one partial-aggregable group-stats pass — the clique map-side
+    * combines, no window, no per-partition clique buffering — plus a
+    * join against the over-cap groups only, broadcast-sized whenever
+    * hot groups are rare). `maxBucket = Int.MaxValue` restores the
+    * historical single-pass pair-exact plan. PlantedCliqueSpec proves
+    * cluster equality, the no-hot-group row identity, the volume
+    * collapse, and the window-free plan shape.
     */
   def embeddingCosine(
       emb: DataFrame,
@@ -499,7 +554,7 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 4,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = 256): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val dim = 64
     // all tables×planes sign bits in ONE native fused loop per row
@@ -507,9 +562,10 @@ object Dedup {
     // interpreted lambda-aggregate trees per row, and inlining that many
     // separate native loops blows codegen method limits — one expression,
     // one JIT'd method. posexplode yields (table, bucket) directly.
-    val keyed = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        graft.exprs.HyperplaneBuckets(col(vecCol), tables, planes, dim).as("bks"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    def bucketed(src: DataFrame): DataFrame = src
+      .select(col("id"), col("v"),
+        graft.exprs.HyperplaneBuckets(col("v"), tables, planes, dim).as("bks"))
       .select(col("id"), col("v"), col("bks"), posexplode(col("bks")))
       .select(col("id"), col("v"), col("bks"), col("pos").as("table"), col("col").as("bucket"))
     def exactPairs(srcA: DataFrame, srcB: DataFrame): DataFrame = {
@@ -527,24 +583,39 @@ object Dedup {
         .filter(col("cos") >= threshold)
     }
     val pairs =
-      if (maxBucket == Int.MaxValue) exactPairs(keyed, keyed)
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
-        val sized = keyed.select(col("*"),
-          count(lit(1)).over(w).as("__bsz"),
-          min(struct(col("id"), col("v"))).over(w).as("__lead"))
-        val small = exactPairs(
-          sized.filter(col("__bsz") <= maxBucket)
-            .select("id", "v", "bks", "table", "bucket"),
-          keyed)
-        val star = sized
-          .filter(col("__bsz") > maxBucket && col("id") =!= col("__lead.id"))
-          .select(col("__lead.id").as("id_a"), col("id").as("id_b"),
-            graft.exprs.CosineSim(col("__lead.v"), col("v")).as("cos"))
+      if (maxBucket == Int.MaxValue) {
+        val keyed = bucketed(base)
+        exactPairs(keyed, keyed)
+      } else {
+        // group stats via a partial-aggregable groupBy, NOT a window: the
+        // mirror clique map-side combines to one row per vector (no
+        // executor ever buffers a clique, which the window form would),
+        // and only the OVER-CAP groups — a handful of (v, lead) rows —
+        // flow into the join below, so it broadcasts. The key is the
+        // full vector — a digest would merge distinct vectors on a hash
+        // collision and silently star-collapse non-duplicates.
+        val hot = base.groupBy(col("v"))
+          .agg(count(lit(1)).as("__gsz"), min(col("id")).as("__lead"))
+          .filter(col("__gsz") > maxBucket)
+          .select(col("v"), col("__lead"))
+        val flagged = base.join(hot, Seq("v"), "left")
+        // star edges carry the member's OWN vector on both sides: the
+        // leader's vector is equal by construction, so CosineSim(v, v)
+        // is bit-for-bit the value pair-exact would verify (and its
+        // degenerate cases — zero vectors, NaN components — degrade
+        // identically in both modes)
+        val star = flagged
+          .filter(col("__lead").isNotNull && col("id") =!= col("__lead"))
+          .select(col("__lead").as("id_a"), col("id").as("id_b"),
+            graft.exprs.CosineSim(col("v"), col("v")).as("cos"))
           .filter(col("cos") >= threshold)
-        small.unionByName(star)
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(max(col("cos")).as("cos"))
+        // collapsed non-leaders leave the bucketed stream entirely, so a
+        // star edge can never duplicate a pair-exact row: plain union,
+        // no pair-dedup shuffle
+        val kept = bucketed(flagged
+          .filter(col("__lead").isNull || col("id") === col("__lead"))
+          .select("id", "v"))
+        exactPairs(kept, kept).unionByName(star)
       }
     pairs.withColumn("cos", round(col("cos"), 4))
   }

@@ -161,7 +161,10 @@ object FlacCodec {
         r.pos += len * 8 // skip other metadata
       }
     }
-    if (totalSamples > (1L << 28)) return None // per-file sanity bound
+    // bound the PRODUCT, not just the sample count: 2^28 samples × 8
+    // channels is 2^31, which would wrap the Int array size below and
+    // silently reject a spec-valid stream via the catch-all
+    if (totalSamples * channels > (1L << 28)) return None // per-file sanity bound
     val out = new Array[Int]((totalSamples * channels).toInt)
     var written = 0L
     while (written < totalSamples) {
@@ -330,7 +333,13 @@ object FlacCodec {
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
     si.writeU(1, 1); si.writeU(0, 7); si.writeU(34, 24) // last block, STREAMINFO
-    si.writeU(blockSize, 16); si.writeU(blockSize, 16)
+    // STREAMINFO min/max must describe the blocks actually emitted (RFC
+    // 9639 §8.2, where min EXCLUDES a short last block): a stream
+    // shorter than one nominal block has min = max = nFrames; otherwise
+    // every non-last frame is nominal, so min = max = blockSize — never
+    // the nominal size for a stream that emits no block that long
+    val emitted = math.min(blockSize, math.max(nFrames, 1))
+    si.writeU(emitted, 16); si.writeU(emitted, 16)
     si.writeU(0, 24); si.writeU(0, 24)
     si.writeU(sampleRate, 20)
     si.writeU(channels - 1, 3)

@@ -44,6 +44,41 @@ object Pca {
     * documented ragged-input semantics in reverse; [[fit]]'s exact-width
     * guard refuses mixed widths outright).
     */
+  private type PlanKey =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int)
+
+  /** Session-scoped moments capture: the triangular pass is a pure
+    * function of (input plan, vecCol, dim) and its collected form is
+    * metadata-sized (≤ d(d+1)/2 + d doubles, [[MaxDim]]-bounded), so
+    * consumers that need several views of ONE covariance — the full
+    * matrix, the eigensolve, the trace — pay the corpus pass once per
+    * session instead of once per view. Keyed on the CANONICALIZED
+    * logical plan: two frames reading the same source through the same
+    * operators share the entry even though they are distinct Dataset
+    * objects. The capture assumes the source is immutable for the
+    * session (true of an analytics snapshot); call [[clearCaches]] after
+    * mutating a source in place.
+    */
+  private val momentsCache = new java.util.concurrent.ConcurrentHashMap[
+    PlanKey, Map[(Int, Int), Double]]()
+  private val cleanCache: java.util.Set[(
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, Int, Boolean)] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet()
+
+  private[graft] def clearCaches(): Unit = {
+    momentsCache.clear(); cleanCache.clear()
+  }
+  private[graft] def momentsCacheSize: Int = momentsCache.size
+
+  private def collectedMoments(
+      emb: DataFrame, vecCol: String, dim: Int): Map[(Int, Int), Double] = {
+    val key = (emb.queryExecution.analyzed.canonicalized, vecCol, dim)
+    momentsCache.computeIfAbsent(key, _ =>
+      moments(emb, vecCol, dim).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
+  }
+
   private def moments(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val v = slice(col(vecCol), 1, dim)
     val tri = flatten(transform(v, (xi, i) =>
@@ -80,8 +115,7 @@ object Pca {
     require(dim > 0 && dim <= MaxDim,
       s"covariance is driver-collected as d² cells; dim=$dim exceeds $MaxDim")
     requireCleanVectors(emb, vecCol, dim, exactWidth = false)
-    val mom = moments(emb, vecCol, dim)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val mom = collectedMoments(emb, vecCol, dim)
     def snap(d: Double) = snapDp.fold(d)(p =>
       BigDecimal(d).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val rows = mom.keysIterator.filter(_._2 >= 0).flatMap { case (i, j) =>
@@ -167,6 +201,12 @@ object Pca {
     */
   private def requireCleanVectors(
       emb: DataFrame, vecCol: String, dim: Int, exactWidth: Boolean): Unit = {
+    // a PASSED check is cached per canonical plan (same capture contract
+    // as [[collectedMoments]] — the scan is narrow but corpus-length, so
+    // re-proving a snapshot clean per view is pure waste); a FAILED check
+    // is never cached, it throws
+    val key = (emb.queryExecution.analyzed.canonicalized, vecCol, dim, exactWidth)
+    if (cleanCache.contains(key)) return
     val v = col(vecCol)
     val widthBad = if (exactWidth) size(v) =!= dim else size(v) < dim
     val bad = emb
@@ -177,6 +217,7 @@ object Pca {
       s"ragged (${if (exactWidth) "not exactly" else "shorter than"} $dim " +
       "wide), or has null elements — such rows would silently skew " +
       "covariance cells; filter or pad first")
+    cleanCache.add(key)
   }
 
   /** Fit on ONE triangular [[moments]] pass (collected as ≤ d(d+1)/2 + d
@@ -185,8 +226,7 @@ object Pca {
     */
   def fit(emb: DataFrame, vecCol: String, dim: Int): Model = {
     requireCleanVectors(emb, vecCol, dim, exactWidth = true)
-    val mom = moments(emb, vecCol, dim)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val mom = collectedMoments(emb, vecCol, dim)
     require(mom.nonEmpty,
       s"fit: no $vecCol rows to fit on — an empty corpus has no covariance")
     val means = Array.tabulate(dim)(i => mom((i, -1)))

@@ -72,7 +72,15 @@ object Winnow {
       w: Int = 16): DataFrame = {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
-    val ng = length(col(textCol)) - k + 1
+    // same fail-loud 2^30 bound the native kernel enforces
+    // (exprs.WinnowKeys): past it the position term would wrap into the
+    // hash term and the two "bit-identical" forms would silently diverge
+    // exactly where corruption starts
+    val ngRaw = length(col(textCol)) - k + 1
+    val ng = when(ngRaw > lit(POS_BOUND.toInt), raise_error(concat(
+        lit("winnow: document exceeds 2^30 k-grams: "),
+        ngRaw.cast("string"))).cast("int"))
+      .otherwise(ngRaw)
     val keys = transform(sequence(lit(1), ng),
       i => Split.hashDraw32(col(textCol).substr(i, lit(k))) * POS_BOUND
         + (lit(POS_BOUND) - i))

@@ -105,6 +105,28 @@ class PcaSpec extends SparkSpec {
     for (i <- 0 until 5; j <- 0 until 5) assert(m((i, j)) === m((j, i)))
   }
 
+  test("moments capture: equivalent frames share ONE collected pass across views") {
+    Pca.clearCaches()
+    val df1 = syntheticEmb(40, 5).toDF("vec_id", "embedding")
+    Pca.covariance(df1, "embedding", 5)
+    assert(Pca.momentsCacheSize === 1)
+    // a DISTINCT Dataset object over the same data and operators lands on
+    // the same canonicalized key: fit reuses the covariance's capture
+    val df2 = syntheticEmb(40, 5).toDF("vec_id", "embedding")
+    val model = Pca.fit(df2, "embedding", 5)
+    assert(Pca.momentsCacheSize === 1,
+      "fit over an equivalent frame must reuse the moments capture")
+    // and the shared capture is consistent across views: Σλ = trace
+    val cov = Pca.covariance(df1, "embedding", 5, snapDp = None)
+      .as[(Int, Int, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    val trace = (0 until 5).map(i => cov((i, i))).sum
+    assert(math.abs(model.eigenvalues.sum - trace) < 1e-9)
+    // a different declared dim is a different capture, not a stale hit
+    Pca.covariance(df1, "embedding", 4)
+    assert(Pca.momentsCacheSize === 2)
+    Pca.clearCaches()
+  }
+
   test("whitened projection has unit variance per axis and zero cross-covariance") {
     val dim = 6
     val df = syntheticEmb(80, dim).toDF("vec_id", "embedding")

@@ -171,6 +171,28 @@ class PlantedCliqueSpec extends SparkSpec {
       set(Dedup.embeddingCosine(small, "vec_id", "embedding", 0.9)))
   }
 
+  test("embeddingCosine plan shapes: both modes window-free; capped uses aggregate stats") {
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 30L).map(i =>
+      (i, Seq.tabulate(64)(_ => rnd.nextFloat()))).toDF("vec_id", "embedding")
+    def plan(maxBucket: Int) = Dedup.embeddingCosine(df, "vec_id", "embedding",
+      threshold = 0.9, maxBucket = maxBucket)
+      .queryExecution.executedPlan.toString
+    val exact = plan(Int.MaxValue)
+    assert(!exact.contains("Window"),
+      "the historical pair-exact plan must stay window-free")
+    val capped = plan(8)
+    // capped mode is window-free too: group stats come from a
+    // partial-aggregable groupBy (the clique map-side combines, no
+    // per-partition buffering), and only over-cap groups join back
+    assert(!capped.contains("Window"),
+      s"capped mode must stay window-free (groupBy stats, not a window):\n$capped")
+    assert(capped.contains("HashAggregate") || capped.contains("ObjectHashAggregate"),
+      s"capped mode must compute group stats via an aggregate:\n$capped")
+    assert(!capped.contains("CartesianProduct") && !capped.contains("BroadcastNestedLoop"))
+    assert(!capped.contains("BatchEvalPython") && !capped.contains("ScalaUDF"))
+  }
+
   test("capped hamming with NO hot bucket equals pair-exact") {
     val rows = Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 0xF0L), (5L, 0xF1L))
     val df = rows.toDF("id", "sh")
