@@ -55,8 +55,11 @@ object BenchSkew {
     * (mirror pages embed identically). Narrow generation, no files.
     */
   def plantedEmbeddings(spark: SparkSession, nTail: Long, clique: Long): DataFrame = {
+    // hash-drawn tail components: a sin(a*id + b*i) lattice is near-
+    // periodic across ids and produced millions of incidental cos ≥ 0.9
+    // tail pairs, burying the clique signal under background volume
     val tailVec = transform(sequence(lit(0), lit(63)),
-      i => sin(col("id").cast("double") * 31.0 + i.cast("double") * 7.0).cast("float"))
+      i => sin(xxhash64(concat_ws("_", col("id"), i)).cast("double")).cast("float"))
     val cliqueVec = transform(sequence(lit(0), lit(63)),
       i => sin(i.cast("double") * 13.0 + 1.0).cast("float"))
     val tail = spark.range(0L, nTail, 1L, 32)
@@ -151,8 +154,11 @@ object BenchSkew {
     }
 
     if (mode == "embed" || mode == "all") {
+      // warm both plans so neither mode's first point pays codegen
       Dedup.embeddingCosine(plantedEmbeddings(spark, 1000, 100), "vec_id",
-        "embedding", threshold = 0.9, maxBucket = Int.MaxValue).count() // warm-up
+        "embedding", threshold = 0.9, maxBucket = Int.MaxValue).count()
+      Dedup.embeddingCosine(plantedEmbeddings(spark, 1000, 100), "vec_id",
+        "embedding", threshold = 0.9).count()
       // pair-exact on growing identical-vector cliques: the quadratic curve
       for (c <- Seq(1000L, 2000L, 4000L, 8000L)) {
         val emb = plantedEmbeddings(spark, 20000L, c)

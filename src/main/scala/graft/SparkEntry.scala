@@ -2012,8 +2012,9 @@ object SparkEntry {
     * unchanged 16-bit branch. Same integer sample formula as
     * [[qMultimodalAudio]], so the oracle re-derives rms/mean/peak in SQL
     * integer arithmetic; the garbage row rides the decode_ok=false
-    * ladder. With WAV/AIFF/AU real, `decodeStub` covers only
-    * out-of-JDK codecs (FLAC, MP3) — the honest seam.
+    * ladder. With WAV/AIFF/AU real (and FLAC through the in-repo
+    * codec), `decodeStub` covers only genuinely missing codecs (MP3,
+    * H.264, WebP) — the honest seam.
     */
   private def qAudioContainers(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
@@ -2035,25 +2036,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** FLAC decode through the in-repo fixed-predictor subset codec
+  /** FLAC decode through the in-repo codec
     * ([[graft.operators.FlacCodec]] — the JDK has no FLAC reader):
     * real Rice-coded compression round-tripped losslessly, so the WAV
     * family's closed-form rms/mean/peak oracle applies verbatim. Docs
     * 0/1/3 exercise the order-2 fixed-predictor path (doc 3 crosses a
     * frame boundary at blockSize 256), doc 2 the verbatim subframe;
-    * doc 4 is a magic-bytes impostor on the decode_ok=false ladder.
+    * doc 5 LPC subframes under MID/SIDE stereo decorrelation, doc 6
+    * mono LPC, doc 7 LEFT/SIDE with fixed predictors — the
+    * encoder-default profiles real FLAC files use; doc 4 is a
+    * magic-bytes impostor on the decode_ok=false ladder. Losslessness
+    * means one sample formula covers every profile.
     */
   private def qAudioFlac(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     implicit val sp: SparkSession = s
     import s.implicits._
-    val encoded = s.range(5).select(col("id").as("doc_id")).as[Long]
+    val encoded = s.range(8).select(col("id").as("doc_id")).as[Long]
       .map { i =>
         if (i == 4) (i, "fLaC but not actually a stream".getBytes("UTF-8"))
         else {
-          val strategy = if (i == 2) "verbatim" else "fixed2"
+          val strategy = i match {
+            case 2 => "verbatim"
+            case 5 | 6 => "lpc"
+            case _ => "fixed2"
+          }
+          val stereo = i match {
+            case 5 => "midside"
+            case 7 => "leftside"
+            case _ => "independent"
+          }
           (i, Multimodal.syntheticFlac(240 + 60 * i.toInt,
-            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, strategy))
+            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, strategy, stereo))
         }
       }.toDF("doc_id", "payload")
     val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
@@ -5121,7 +5135,9 @@ object SparkEntry {
     "q_audio_flac" ->
       """WITH p AS (SELECT * FROM (VALUES
              (0, 240, 8000, 1, 16), (1, 300, 16000, 2, 16),
-             (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16)) AS t(doc_id, n, rate, c, bits)),
+             (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16),
+             (5, 540, 16000, 2, 16), (6, 600, 8000, 1, 16),
+             (7, 660, 16000, 2, 16)) AS t(doc_id, n, rate, c, bits)),
          a AS (SELECT doc_id, n, rate, c, bits,
              list_sum(list_transform(range(0, n*c),
                k -> ((k//c)*37 + (k%c)*11) % 201 - 100)) AS s,

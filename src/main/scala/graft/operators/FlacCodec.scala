@@ -1,22 +1,25 @@
 package graft.operators
 
-/** Pure-JVM FLAC subset codec — retires one more stub from the media
-  * seam ([[Multimodal]] scaladoc): the JDK's `javax.sound.sampled` has
-  * no FLAC support, so this implements the container from the public
+/** Pure-JVM FLAC codec — retires one more stub from the media seam
+  * ([[Multimodal]] scaladoc): the JDK's `javax.sound.sampled` has no
+  * FLAC support, so this implements the container from the public
   * bitstream spec (RFC 9639): STREAMINFO parsing, frame headers with
-  * CRC-8, subframe types CONSTANT / VERBATIM / FIXED (orders 0–4) with
-  * Rice-coded residual partitions (both 4- and 5-bit parameter widths,
-  * escape partitions included), wasted-bits unpacking, and the frame
-  * CRC-16 — i.e. the full "fixed-predictor" profile that simple
-  * encoders emit. Out of the subset, honestly: LPC subframes and
-  * stereo decorrelation (left/right/mid-side) return None rather than
-  * guess — the documented `decode_ok=false` ladder, same as float PCM
-  * in the WAV path.
+  * CRC-8, subframe types CONSTANT / VERBATIM / FIXED (orders 0–4) /
+  * LPC (orders 1–32, any coefficient precision) with Rice-coded
+  * residual partitions (both 4- and 5-bit parameter widths, escape
+  * partitions included), stereo decorrelation (left/side, side/right,
+  * mid/side — the channel assignments encoder-default files actually
+  * use), wasted-bits unpacking, and the frame CRC-16. Remaining out of
+  * subset, honestly: variable-blocksize streams and reserved residual
+  * methods return None rather than guess — the documented
+  * `decode_ok=false` ladder, same as float PCM in the WAV path.
   *
   * Decoding is integer-exact by construction (FLAC is lossless integer
-  * prediction), so decoded samples equal encoder input bit-for-bit —
-  * FlacSpec asserts it and the `q_audio_flac` oracle replays the
-  * closed-form sample formula.
+  * prediction — the LPC accumulator is 64-bit, the side channel carries
+  * the parity bit), so decoded samples equal encoder input bit-for-bit
+  * — FlacSpec asserts it across every subframe type and stereo mode,
+  * and the `q_audio_flac` oracle replays the closed-form sample
+  * formula.
   */
 object FlacCodec {
 
@@ -125,8 +128,8 @@ object FlacCodec {
   // ------------------------------------------------------------- decode
 
   /** Decode a FLAC stream; None when the bytes are not FLAC or use a
-    * feature outside the fixed-predictor subset (LPC, stereo
-    * decorrelation) — the caller's decode_ok=false ladder.
+    * feature outside the subset (variable blocksize, reserved residual
+    * methods) — the caller's decode_ok=false ladder.
     */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     try decodeOrThrow(bytes) catch { case _: Exception => None }
@@ -210,9 +213,21 @@ object FlacCodec {
         case 7 => 32
         case _ => return None
       }
-      if (chAsgn >= 8) return None // stereo decorrelation: out of subset
-      val nCh = chAsgn + 1
+      // 0–7: independent channels; 8/9/10: stereo decorrelation — the
+      // SIDE channel carries one extra bit (it is a difference signal)
+      val (nCh, stereoMode) = chAsgn match {
+        case c if c <= 7 => (c + 1, 0)
+        case 8 => (2, 1) // left/side
+        case 9 => (2, 2) // side/right
+        case 10 => (2, 3) // mid/side
+        case _ => return None
+      }
       if (nCh != channels) return None
+      def isSide(ch: Int): Boolean = stereoMode match {
+        case 1 | 3 => ch == 1
+        case 2 => ch == 0
+        case _ => false
+      }
       val headerEnd = r.bytePos
       val wantCrc8 = r.readU(8).toInt
       if (crc8(bytes, frameStart, headerEnd) != wantCrc8) return None
@@ -225,7 +240,7 @@ object FlacCodec {
         val stype = r.readU(6).toInt
         var wasted = 0
         if (r.readBit() == 1) wasted = r.readUnary() + 1
-        val bps = frameBits - wasted
+        val bps = frameBits + (if (isSide(ch)) 1 else 0) - wasted
         val s = chans(ch)
         stype match {
           case 0 => // CONSTANT
@@ -250,13 +265,56 @@ object FlacCodec {
               })
               j += 1
             }
-          case _ => return None // LPC: out of subset
+          case t if t >= 32 => // LPC, order = t - 31, any order 1..32
+            val order = t - 31
+            if (order > blockSize) return None
+            var j = 0
+            while (j < order) { s(j) = r.readS(bps); j += 1 }
+            val precision = r.readU(4).toInt + 1
+            if (precision == 16) return None // 0b1111 is invalid per spec
+            val shift = r.readS(5)
+            if (shift < 0) return None // negative shift is spec-reserved
+            val coefs = new Array[Int](order)
+            j = 0
+            while (j < order) { coefs(j) = r.readS(precision); j += 1 }
+            readResidual(r, blockSize, order, s)
+            j = order
+            while (j < blockSize) {
+              // 64-bit accumulator: order ≤ 32 products of (≤32-bit
+              // sample × ≤15-bit coefficient) cannot overflow a Long,
+              // which is the exact-reconstruction arithmetic the spec
+              // prescribes
+              var acc = 0L
+              var k = 0
+              while (k < order) { acc += coefs(k).toLong * s(j - 1 - k); k += 1 }
+              s(j) += (acc >> shift).toInt
+              j += 1
+            }
+          case _ => return None // reserved subframe types
         }
         if (wasted > 0) {
           var j = 0
           while (j < blockSize) { s(j) = s(j) << wasted; j += 1 }
         }
         ch += 1
+      }
+      // undo stereo decorrelation (integer-exact: side = l − r carries
+      // the parity bit that reconstructs both channels losslessly)
+      if (stereoMode == 1) { // left/side: r = l − side
+        var j = 0
+        while (j < blockSize) { chans(1)(j) = chans(0)(j) - chans(1)(j); j += 1 }
+      } else if (stereoMode == 2) { // side/right: l = side + r
+        var j = 0
+        while (j < blockSize) { chans(0)(j) = chans(0)(j) + chans(1)(j); j += 1 }
+      } else if (stereoMode == 3) { // mid/side
+        var j = 0
+        while (j < blockSize) {
+          val side = chans(1)(j)
+          val mid2 = (chans(0)(j) << 1) | (side & 1)
+          chans(0)(j) = (mid2 + side) >> 1
+          chans(1)(j) = (mid2 - side) >> 1
+          j += 1
+        }
       }
       r.alignToByte()
       val frameEnd = r.bytePos
@@ -312,11 +370,17 @@ object FlacCodec {
 
   /** Fixture encoder: interleaved samples → a valid FLAC stream using
     * one subframe strategy per call — "verbatim", "constant" (requires
-    * per-channel-constant input), or "fixed2" (order-2 fixed predictor
-    * with Rice-coded residuals, the real compression path). Exists so
-    * FlacSpec and the `q_audio_flac` fixtures exercise a genuine
-    * encode→decode round trip with independent CRCs; not a tuned
-    * encoder.
+    * per-channel-constant input), "fixed2" (order-2 fixed predictor
+    * with Rice-coded residuals), or "lpc" (order-8 quantized
+    * Levinson–Durbin coefficients, the encoder-default path of real
+    * FLAC files; the float autocorrelation only picks WHICH integer
+    * coefficients to quantize — reconstruction is integer arithmetic,
+    * so the round trip stays bit-exact). `stereo` selects the channel
+    * assignment for 2-channel input: "independent" (the historical
+    * default), "leftside", "sideright", or "midside" — the
+    * decorrelation modes real encoders emit. Exists so FlacSpec and the
+    * `q_audio_flac` fixtures exercise genuine encode→decode round trips
+    * with independent CRCs; not a tuned encoder.
     */
   def encode(
       samples: Array[Int],
@@ -324,10 +388,13 @@ object FlacCodec {
       channels: Int,
       bits: Int,
       blockSize: Int = 4096,
-      strategy: String = "fixed2"): Array[Byte] = {
+      strategy: String = "fixed2",
+      stereo: String = "independent"): Array[Byte] = {
     require(channels >= 1 && channels <= 8, "1..8 channels")
     require(bits >= 4 && bits <= 24, "4..24 bits")
     require(samples.length % channels == 0, "interleave mismatch")
+    require(stereo == "independent" || channels == 2,
+      s"stereo mode $stereo needs exactly 2 channels")
     val nFrames = samples.length / channels
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
@@ -352,7 +419,7 @@ object FlacCodec {
     while (start < nFrames) {
       val bs = math.min(blockSize, nFrames - start)
       out.write(encodeFrame(samples, start, bs, sampleRate, channels, bits,
-        frameNo, strategy))
+        frameNo, strategy, stereo))
       start += bs
       frameNo += 1
     }
@@ -382,16 +449,157 @@ object FlacCodec {
     }
   }
 
+  /** One-partition Rice residual write, 4- or 5-bit parameter width
+    * chosen by the fitted parameter (the decoder handles both).
+    */
+  private def writeResidual(w: BitWriter, res: Array[Int]): Unit = {
+    val maxZig = res.foldLeft(0L)((m, v) => math.max(m, zigzagEncode(v)))
+    var param = 0
+    while (param < 30 && (maxZig >>> param) > 30) param += 1
+    val method = if (param > 14) 1 else 0
+    w.writeU(method, 2)
+    w.writeU(0, 4) // partition order 0
+    w.writeU(param, if (method == 0) 4 else 5)
+    var k = 0
+    while (k < res.length) {
+      val z = zigzagEncode(res(k))
+      w.writeUnary((z >>> param).toInt)
+      w.writeU(z & ((1L << param) - 1), param)
+      k += 1
+    }
+  }
+
+  /** Quantized Levinson–Durbin LPC fit: returns (coefs, shift). The
+    * double autocorrelation only selects WHICH integer coefficients to
+    * emit; reconstruction on both sides is pure integer arithmetic.
+    */
+  private[operators] def lpcFit(s: Array[Int], order: Int): (Array[Int], Int) = {
+    val n = s.length
+    // Welch-window the signal before autocorrelation: the UNWINDOWED
+    // boundary-truncated lag sums bias the Toeplitz system toward a
+    // washed-out predictor (measured mean |residual| 79 vs 1.8 on a
+    // 12000-amplitude sine) — windowing first is why the classic
+    // autocorrelation method works in real encoders
+    val wnd = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val t = (i - (n - 1) / 2.0) / ((n + 1) / 2.0)
+      wnd(i) = s(i) * (1.0 - t * t)
+      i += 1
+    }
+    val ac = new Array[Double](order + 1)
+    var k = 0
+    while (k <= order) {
+      var sum = 0.0
+      i = k
+      while (i < n) { sum += wnd(i) * wnd(i - k); i += 1 }
+      ac(k) = sum
+      k += 1
+    }
+    val lpc = new Array[Double](order)
+    if (ac(0) != 0.0) {
+      var err = ac(0)
+      var m = 0
+      while (m < order && err > 0.0) {
+        var acc = ac(m + 1)
+        var i = 0
+        while (i < m) { acc -= lpc(i) * ac(m - i); i += 1 }
+        val reflect = acc / err
+        var j = 0
+        val half = m / 2
+        while (j < half) {
+          val tmp = lpc(j)
+          lpc(j) = tmp - reflect * lpc(m - 1 - j)
+          lpc(m - 1 - j) -= reflect * tmp
+          j += 1
+        }
+        if (m % 2 == 1) lpc(half) -= reflect * lpc(half)
+        lpc(m) = reflect
+        err *= (1.0 - reflect * reflect)
+        m += 1
+      }
+    }
+    val shift = 12
+    val coefs = lpc.map { c =>
+      val q = math.round(c * (1 << shift)).toInt
+      math.max(-(1 << 14), math.min((1 << 14) - 1, q))
+    }
+    (coefs, shift)
+  }
+
+  /** One subframe with the chosen strategy at the channel's bit depth
+    * (the side channel of a decorrelated pair arrives with bps+1).
+    */
+  private def writeSubframe(w: BitWriter, s: Array[Int], bps: Int,
+      strategy: String): Unit = {
+    val bs = s.length
+    strategy match {
+      case "constant" =>
+        require(s.forall(_ == s(0)), "constant strategy needs constant input")
+        w.writeU(0, 1); w.writeU(0, 6); w.writeU(0, 1)
+        w.writeU(s(0).toLong & ((1L << bps) - 1), bps)
+      case "verbatim" =>
+        w.writeU(0, 1); w.writeU(1, 6); w.writeU(0, 1)
+        var k = 0
+        while (k < bs) { w.writeU(s(k).toLong & ((1L << bps) - 1), bps); k += 1 }
+      case "fixed2" =>
+        val order = math.min(2, bs - 1) max 0
+        w.writeU(0, 1); w.writeU(8 + order, 6); w.writeU(0, 1)
+        var k = 0
+        while (k < order) { w.writeU(s(k).toLong & ((1L << bps) - 1), bps); k += 1 }
+        val res = new Array[Int](bs - order)
+        k = order
+        while (k < bs) {
+          res(k - order) = order match {
+            case 0 => s(k)
+            case 1 => s(k) - s(k - 1)
+            case 2 => s(k) - 2 * s(k - 1) + s(k - 2)
+          }
+          k += 1
+        }
+        writeResidual(w, res)
+      case "lpc" =>
+        val order = math.min(8, bs - 1) max 1
+        val (coefs, shift) = lpcFit(s, order)
+        w.writeU(0, 1); w.writeU(32 + (order - 1), 6); w.writeU(0, 1)
+        var k = 0
+        while (k < order) { w.writeU(s(k).toLong & ((1L << bps) - 1), bps); k += 1 }
+        w.writeU(14, 4) // precision 15
+        w.writeU(shift, 5)
+        k = 0
+        while (k < order) { w.writeU(coefs(k).toLong & 0x7FFF, 15); k += 1 }
+        val res = new Array[Int](bs - order)
+        k = order
+        while (k < bs) {
+          var acc = 0L
+          var i = 0
+          while (i < order) { acc += coefs(i).toLong * s(k - 1 - i); i += 1 }
+          res(k - order) = s(k) - (acc >> shift).toInt
+          k += 1
+        }
+        writeResidual(w, res)
+      case other => throw new IllegalArgumentException(s"strategy $other")
+    }
+  }
+
   private def encodeFrame(
       samples: Array[Int], start: Int, bs: Int, sampleRate: Int,
-      channels: Int, bits: Int, frameNo: Long, strategy: String): Array[Byte] = {
+      channels: Int, bits: Int, frameNo: Long, strategy: String,
+      stereo: String): Array[Byte] = {
+    val chAsgn = stereo match {
+      case "independent" => channels - 1
+      case "leftside" => 8
+      case "sideright" => 9
+      case "midside" => 10
+      case other => throw new IllegalArgumentException(s"stereo $other")
+    }
     val w = new BitWriter
     w.writeU(0x3FFE, 14) // sync
     w.writeU(0, 1) // reserved
     w.writeU(0, 1) // fixed blocking
     w.writeU(7, 4) // block size: 16-bit at end
     w.writeU(0, 4) // sample rate: from STREAMINFO
-    w.writeU(channels - 1, 4) // independent channels
+    w.writeU(chAsgn, 4)
     val ssCode = bits match {
       case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6
       case _ => 0 // from STREAMINFO
@@ -402,51 +610,31 @@ object FlacCodec {
     w.writeU(bs - 1, 16)
     val headerBytes = w.toBytes // snapshot; the writer keeps accumulating
     w.writeU(crc8(headerBytes, 0, headerBytes.length), 8)
-    var ch = 0
-    while (ch < channels) {
+    // channel derivation: decorrelated modes carry the difference signal
+    // in a side channel one bit deeper (it spans twice the range)
+    def chan(c: Int): Array[Int] = {
       val s = new Array[Int](bs)
       var j = 0
-      while (j < bs) { s(j) = samples((start + j) * channels + ch); j += 1 }
-      strategy match {
-        case "constant" =>
-          require(s.forall(_ == s(0)), "constant strategy needs constant input")
-          w.writeU(0, 1); w.writeU(0, 6); w.writeU(0, 1)
-          w.writeU(s(0).toLong & ((1L << bits) - 1), bits)
-        case "verbatim" =>
-          w.writeU(0, 1); w.writeU(1, 6); w.writeU(0, 1)
-          var k = 0
-          while (k < bs) { w.writeU(s(k).toLong & ((1L << bits) - 1), bits); k += 1 }
-        case "fixed2" =>
-          val order = math.min(2, bs - 1) max 0
-          w.writeU(0, 1); w.writeU(8 + order, 6); w.writeU(0, 1)
-          var k = 0
-          while (k < order) { w.writeU(s(k).toLong & ((1L << bits) - 1), bits); k += 1 }
-          // residuals, one partition, fixed rice parameter fit to the data
-          val res = new Array[Int](bs - order)
-          k = order
-          while (k < bs) {
-            res(k - order) = order match {
-              case 0 => s(k)
-              case 1 => s(k) - s(k - 1)
-              case 2 => s(k) - 2 * s(k - 1) + s(k - 2)
-            }
-            k += 1
-          }
-          val maxZig = res.foldLeft(0L)((m, v) => math.max(m, zigzagEncode(v)))
-          var param = 0
-          while (param < 14 && (maxZig >>> param) > 30) param += 1
-          w.writeU(0, 2) // 4-bit rice method
-          w.writeU(0, 4) // partition order 0
-          w.writeU(param, 4)
-          k = 0
-          while (k < res.length) {
-            val z = zigzagEncode(res(k))
-            w.writeUnary((z >>> param).toInt)
-            w.writeU(z & ((1L << param) - 1), param)
-            k += 1
-          }
-        case other => throw new IllegalArgumentException(s"strategy $other")
-      }
+      while (j < bs) { s(j) = samples((start + j) * channels + c); j += 1 }
+      s
+    }
+    val (chans, bpss): (Array[Array[Int]], Array[Int]) = stereo match {
+      case "independent" =>
+        (Array.tabulate(channels)(chan), Array.fill(channels)(bits))
+      case _ =>
+        val l = chan(0); val r = chan(1)
+        val side = Array.tabulate(bs)(j => l(j) - r(j))
+        stereo match {
+          case "leftside" => (Array(l, side), Array(bits, bits + 1))
+          case "sideright" => (Array(side, r), Array(bits + 1, bits))
+          case "midside" =>
+            val mid = Array.tabulate(bs)(j => (l(j) + r(j)) >> 1)
+            (Array(mid, side), Array(bits, bits + 1))
+        }
+    }
+    var ch = 0
+    while (ch < chans.length) {
+      writeSubframe(w, chans(ch), bpss(ch), strategy)
       ch += 1
     }
     w.alignZero()

@@ -81,13 +81,14 @@ final case class VideoFrameFeatures(
   *
   * All three modalities decode with REAL codecs: images via
   * `javax.imageio` ([[Multimodal.decodeImages]]), audio via
-  * `javax.sound.sampled` plus the in-repo [[FlacCodec]] fixed-predictor
-  * FLAC subset ([[Multimodal.decodeAudio]]), video via a pure-Scala
+  * `javax.sound.sampled` plus the in-repo [[FlacCodec]] (fixed AND LPC
+  * predictors, stereo decorrelation — the encoder-default FLAC
+  * profiles; [[Multimodal.decodeAudio]]), video via a pure-Scala
   * AVI/RIFF container walk with raw-DIB exact decode and MJPEG through
   * the JDK JPEG reader ([[Multimodal.decodeVideoFrames]]). Only
   * [[Multimodal.decodeStub]] remains as the documented seam where a
-  * deployment would plug richer codecs (H.264, WebP, FLAC's LPC/stereo
-  * profiles) with the same partition-parallel signature.
+  * deployment would plug richer codecs (H.264, WebP, MP3) with the
+  * same partition-parallel signature.
   */
 object Multimodal {
 
@@ -268,9 +269,10 @@ object Multimodal {
           if (bytes == null) bad
           else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
               bytes(2) == 'a' && bytes(3) == 'C') {
-            // FLAC: the JDK has no reader — the in-repo fixed-predictor
-            // subset codec ([[FlacCodec]]) decodes it; LPC/stereo-
-            // decorrelated streams land on the decode_ok=false ladder
+            // FLAC: the JDK has no reader — the in-repo [[FlacCodec]]
+            // decodes it (fixed + LPC predictors, stereo decorrelation);
+            // variable-blocksize streams land on the decode_ok=false
+            // ladder
             FlacCodec.decode(bytes) match {
               case None => bad
               case Some(d) =>
@@ -490,7 +492,7 @@ object Multimodal {
     * the frame sequence natively (`getNumImages` + indexed `read`), so a
     * second genuine multi-frame container joins AVI behind the same
     * `VideoFrameFeatures` shape; [[decodeStub]] keeps shrinking to the
-    * codecs the JDK truly lacks (H.264, FLAC, WebP). Frames are the RAW
+    * codecs the repo truly lacks (H.264, WebP, MP3). Frames are the RAW
     * per-frame rasters (no disposal-method compositing — corpus feature
     * extraction wants each frame's own pixels, and the synthetic-fixture
     * oracle pins full-frame rasters anyway). Skipped frames are never
@@ -748,7 +750,7 @@ object Multimodal {
     */
   def syntheticFlac(
       nFrames: Int, sampleRate: Int, channels: Int,
-      strategy: String = "fixed2"): Array[Byte] = {
+      strategy: String = "fixed2", stereo: String = "independent"): Array[Byte] = {
     val samples = new Array[Int](nFrames * channels)
     var i = 0
     while (i < nFrames) {
@@ -760,7 +762,7 @@ object Multimodal {
       i += 1
     }
     FlacCodec.encode(samples, sampleRate, channels, bits = 16,
-      blockSize = 256, strategy = strategy)
+      blockSize = 256, strategy = strategy, stereo = stereo)
   }
 
   /** Deterministic synthetic image: red = x mod 256, green = y mod 256,

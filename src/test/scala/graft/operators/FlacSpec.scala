@@ -37,6 +37,59 @@ class FlacSpec extends SparkSpec {
     assert(FlacCodec.decode(bytes).get.samples.toSeq === const.toSeq)
   }
 
+  test("LPC subframes round-trip bit-for-bit (the encoder-default path)") {
+    // a sine-ish signal LPC models well, plus the lattice fixture, plus
+    // a noisy signal that stresses the Rice parameter fit
+    val sine = Array.tabulate(2000)(i => (math.sin(i * 0.07) * 12000).toInt)
+    val noisy = {
+      val rnd = new scala.util.Random(41)
+      Array.tabulate(1500)(_ => rnd.nextInt(60000) - 30000)
+    }
+    for ((s, name) <- Seq((sine, "sine"), (samples(1200, 1), "lattice"),
+        (noisy, "noisy"))) {
+      val bytes = FlacCodec.encode(s, 16000, 1, bits = 16,
+        blockSize = 256, strategy = "lpc")
+      val d = FlacCodec.decode(bytes)
+      assert(d.isDefined, s"lpc $name must decode")
+      assert(d.get.samples.toSeq === s.toSeq, s"lpc $name")
+    }
+    // and LPC actually predicts: smaller than verbatim on the sine
+    val lpc = FlacCodec.encode(sine, 16000, 1, 16, strategy = "lpc")
+    val verb = FlacCodec.encode(sine, 16000, 1, 16, strategy = "verbatim")
+    assert(lpc.length < verb.length,
+      s"lpc ${lpc.length} must beat verbatim ${verb.length} on a sine")
+  }
+
+  test("stereo decorrelation modes round-trip bit-for-bit, every subframe type") {
+    // correlated stereo (side signal small — what decorrelation is FOR)
+    val n = 900
+    val stereoS = Array.tabulate(n * 2) { k =>
+      val j = k / 2
+      val base = (math.sin(j * 0.05) * 9000).toInt
+      if (k % 2 == 0) base else base + (j % 7) - 3
+    }
+    for (mode <- Seq("leftside", "sideright", "midside");
+         strategy <- Seq("verbatim", "fixed2", "lpc")) {
+      val bytes = FlacCodec.encode(stereoS, 22050, 2, bits = 16,
+        blockSize = 256, strategy = strategy, stereo = mode)
+      val d = FlacCodec.decode(bytes)
+      assert(d.isDefined, s"$mode/$strategy must decode")
+      assert(d.get.channels === 2)
+      assert(d.get.samples.toSeq === stereoS.toSeq, s"$mode/$strategy")
+    }
+    // odd mid/side parities: l+r odd exercises the side parity bit
+    val odd = Array.tabulate(500 * 2)(k => if (k % 2 == 0) k / 2 else k / 2 + 1)
+    val ob = FlacCodec.encode(odd, 8000, 2, 16, blockSize = 128,
+      strategy = "fixed2", stereo = "midside")
+    assert(FlacCodec.decode(ob).get.samples.toSeq === odd.toSeq)
+    // and decorrelation pays: mid/side beats independent on correlated input
+    val ms = FlacCodec.encode(stereoS, 22050, 2, 16, strategy = "fixed2",
+      stereo = "midside")
+    val ind = FlacCodec.encode(stereoS, 22050, 2, 16, strategy = "fixed2")
+    assert(ms.length < ind.length,
+      s"mid/side ${ms.length} must beat independent ${ind.length}")
+  }
+
   test("fixed2 actually compresses the linear-ish ramp below verbatim size") {
     val s = samples(4000, 1)
     val fixed = FlacCodec.encode(s, 8000, 1, 16, strategy = "fixed2")
