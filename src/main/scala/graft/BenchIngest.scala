@@ -32,7 +32,7 @@ import graft.schema._
 object BenchIngest {
 
   private def ts(block: Long): Timestamp = new Timestamp(1600000000000L + block * 500L)
-  private def blockId(n: Long): String = f"00${n}%014x"
+  private[graft] def blockId(n: Long): String = f"00${n}%014x"
   private val accounts = Vector("alice", "bob", "carol", "dave")
 
   /** Distributed raw-trace generator: `txPerBlock` transfers per block,

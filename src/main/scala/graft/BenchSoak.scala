@@ -23,9 +23,21 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * plus per-segment history size/file counts, so an unbounded-state or
   * latency-creep defect has nowhere to hide.
   *
+  * Fork cadence rides every segment (S3/ST5/ST6): 20 blocks near the
+  * segment tip are retracted, half re-adopted (fork-of-a-fork) — the
+  * [[graft.state.Forks]] event model. Standing tombstones above LIB are
+  * carried; at each compaction, tombstones that have fallen below LIB
+  * (tip − 340) are PHYSICALLY applied ([[graft.sources.Layout
+  * .rewriteFiltered]] on the affected buckets only) and dropped
+  * ([[graft.state.Forks.pruneBelowLib]]) — so tombstone state is
+  * bounded by the reversible window by construction, and the report
+  * proves it per segment.
+  *
   * Correctness rides along: after the soak the history must hold exactly
   * the actions of every retained block, once each (receipts-merge 3:1,
-  * append idempotence, expiry boundary all checked by one count).
+  * append idempotence, expiry boundary all checked by one count), and
+  * the [[graft.state.Forks.liveView]] anti-join must hide exactly the
+  * standing forked blocks.
   *
   * Knobs: SPARK_GRAFT_SOAK_SEGMENTS (default 10),
   * SPARK_GRAFT_SOAK_BLOCKS (blocks per segment, default 5000).
@@ -80,6 +92,23 @@ object BenchSoak {
 
     val segReports = new scala.collection.mutable.ArrayBuffer[String]()
     var expireWatermark = 0L
+    // fork-event log (tiny — bounded by segments × fork rate) + the
+    // driver-side mirrors the final gates need
+    val forkEvents = new scala.collection.mutable.ArrayBuffer[(Long, String, Long, Boolean)]()
+    var forkSeq = 0L
+    var appliedForkBlocks = Set.empty[Long] // physically rewritten away
+    var standingForked = Set.empty[Long] // retracted, never re-adopted
+    import spark.implicits._
+    def eventsDf = forkEvents.toSeq.toDF("block_num", "block_id", "seq", "retracted")
+    // Forks.effectiveTombstones is block_id-keyed (its production shape);
+    // recover block_num for LIB arithmetic from the event log, and drop
+    // tombstones already physically applied by a past rewrite
+    def effectiveUnapplied = graft.state.Forks.effectiveTombstones(
+        eventsDf.select(col("block_id"), col("seq"), col("retracted")))
+      .join(eventsDf.select(col("block_id"), col("block_num")).distinct(),
+        Seq("block_id"))
+      .join(appliedForkBlocks.toSeq.toDF("block_num"),
+        Seq("block_num"), "left_anti")
     val t0 = System.nanoTime()
     for (seg <- 0 until segments) {
       val srcDir = s"$base/src$seg"
@@ -97,12 +126,49 @@ object BenchSoak {
         stream, outDir, s"$base/ckpt$seg", partitionSize = partitionSize)
       require(q.awaitTermination(1800000), s"segment $seg did not finish in 30m")
       val segWall = (System.nanoTime() - segT0) / 1e9
+      // fork cadence: 20 retractions near the tip, the even half
+      // re-adopted (fork-of-a-fork cancels the tombstone)
+      val tip = 1000L + (seg + 1) * blocksPerSeg - 1
+      val lib = tip - 340
+      val forked = ((tip - 59L) to (tip - 40L)).toSeq
+      forked.foreach { b =>
+        forkSeq += 1; forkEvents += ((b, BenchIngest.blockId(b), forkSeq, true))
+      }
+      forked.filter(_ % 2 == 0).foreach { b =>
+        forkSeq += 1; forkEvents += ((b, BenchIngest.blockId(b), forkSeq, false))
+      }
+      standingForked ++= forked.filter(_ % 2 != 0)
       // operational cadence between drain cycles
       val compacted =
         if (seg % 3 == 2)
           graft.sources.Layout.compact(outDir,
             targetFileBytes = 64L << 20, partitionCol = "block_bucket")
         else 0
+      // physical tombstone application at the same cadence: below-LIB
+      // forked rows are deleted from their (reversible-window-sized)
+      // buckets, and their tombstones drop — the pruneBelowLib contract
+      val appliedNow =
+        if (seg % 3 == 2) {
+          val toApply = effectiveUnapplied.filter(col("block_num") <= lib)
+            .select(col("block_num"), col("block_id"))
+            .as[(Long, String)].collect()
+          if (toApply.nonEmpty) {
+            graft.sources.Layout.rewriteFiltered(outDir,
+              toApply.map(_._1 / partitionSize).toSeq,
+              !col("block_id").isin(toApply.map(_._2).toSeq: _*))
+            appliedForkBlocks ++= toApply.map(_._1)
+          }
+          toApply.length
+        } else 0
+      val tombstonesCarried = effectiveUnapplied.count()
+      if (seg % 3 == 2) {
+        // ST6 invariant: immediately after application, pruning below
+        // LIB is a no-op — every below-LIB tombstone was just rewritten
+        // away, so pruning can never hide an unapplied one
+        val pruned = graft.state.Forks.pruneBelowLib(effectiveUnapplied, lib).count()
+        require(pruned == tombstonesCarried,
+          s"tombstones below LIB survived application: $pruned != $tombstonesCarried")
+      }
       val expired =
         if (seg == 6) {
           // retention: keep the most recent 4 segments' blocks
@@ -114,7 +180,8 @@ object BenchSoak {
       segReports += s"""{"seg":$seg,"wall_sec":${fmt(segWall)},""" +
         s""""blocks_per_sec":${fmt(blocksPerSeg / segWall)},""" +
         s""""files":$files,"mb":${fmt(bytes / 1048576.0)},""" +
-        s""""compacted_buckets":$compacted,"expired_buckets":$expired}"""
+        s""""compacted_buckets":$compacted,"expired_buckets":$expired,""" +
+        s""""lib":$lib,"forks_applied":$appliedNow,"tombstones":$tombstonesCarried}"""
     }
     val wall = (System.nanoTime() - t0) / 1e9
 
@@ -126,7 +193,10 @@ object BenchSoak {
     val bucketFloor = (expireWatermark / partitionSize) * partitionSize
     val firstKept = math.max(1000L, bucketFloor)
     val lastBlock = 1000L + segments * blocksPerSeg - 1
-    val expected = (lastBlock - firstKept + 1) * txPerBlock
+    // physically applied forked blocks in the retained range are gone
+    // from the raw history; standing-but-unapplied ones are still there
+    val appliedRetained = appliedForkBlocks.count(_ >= firstKept)
+    val expected = (lastBlock - firstKept + 1 - appliedRetained) * txPerBlock
     val got = history.count()
     val distinctGs = history.select(countDistinct(col("global_sequence"))).head().getLong(0)
     val minBlock = history.agg(min("block_num")).head().getLong(0)
@@ -134,6 +204,17 @@ object BenchSoak {
       s"history corrupt: rows=$got distinct=$distinctGs expected=$expected")
     require(minBlock == firstKept,
       s"expiry boundary wrong: minBlock=$minBlock bucketFloor=$bucketFloor")
+    // fork gate: the liveView anti-join must hide exactly the STANDING
+    // forked blocks — applied ones physically absent, unapplied ones
+    // tombstone-hidden, re-adopted ones fully visible
+    val liveGot = graft.state.Forks
+      .liveView(history, effectiveUnapplied.select(col("block_id")))
+      .count()
+    val standingRetained = standingForked.count(_ >= firstKept)
+    val expectedLive = (lastBlock - firstKept + 1 - standingRetained) * txPerBlock
+    require(liveGot == expectedLive,
+      s"liveView wrong: got=$liveGot expected=$expectedLive " +
+        s"(standing=$standingRetained applied=$appliedRetained)")
 
     val all = batchMs.toIndexedSeq
     def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
@@ -144,7 +225,9 @@ object BenchSoak {
         s""""batches":${all.size},"wall_sec":${fmt(wall)},""" +
         s""""batch_ms_mean_first50":${fmt(mean(head50))},"batch_ms_mean_last50":${fmt(mean(tail50))},""" +
         s""""batch_ms_max":${fmt(all.max)},"drift_ratio":${fmt(mean(tail50) / math.max(mean(head50), 1e-9))},""" +
-        s""""rows_retained":$got,"segments":[${segReports.mkString(",")}]}"""
+        s""""rows_retained":$got,"rows_live":$liveGot,""" +
+        s""""forks_applied_total":${appliedForkBlocks.size},""" +
+        s""""segments":[${segReports.mkString(",")}]}"""
     println(line)
     spark.stop()
   }

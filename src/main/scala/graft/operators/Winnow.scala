@@ -152,11 +152,24 @@ object Winnow {
     // the candidate set; fused single-pass kernel ([[graft.exprs
     // .GramKeys]], the WinnowKeys companion), position 1-based like
     // [[fingerprints]]
-    val grams = cand.filter(length(col(textCol)) >= k)
+    val gramsAll = cand.filter(length(col(textCol)) >= k)
       .select(col(idCol).as("__gid"),
         posexplode(graft.exprs.GramKeys(col(textCol), k)))
       .select(col("__gid"), (col("pos") + 1).cast("long").as("gpos"),
         col("col").as("gh"))
+    // occurrence pre-filter — a pure optimization, output-identical: a
+    // gram occurring ONCE across the whole candidate set can never form
+    // a matched row, and in a real corpus most grams are doc-unique, so
+    // dropping them shrinks the |pairs| × len expansion stream (the
+    // measured cost center at 100×: 1.8 s of candidates vs ~29 s of
+    // verify) to |pairs| × |shareable grams|. One count window on gh
+    // (occurrence count, not distinct-doc — a within-doc repeat slips
+    // through, which only keeps a useless-but-harmless gram)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val grams = gramsAll
+      .withColumn("__occ", count(lit(1)).over(wg))
+      .filter(col("__occ") >= 2)
+      .drop("__occ")
     // pair-bounded gram match: expand each candidate pair with side-a's
     // gram stream, then hash-join side-b on (doc, gram hash). Work is
     // bounded by |pairs| × doc length — the right bound when candidate

@@ -211,6 +211,55 @@ object Layout {
     fragmented.length
   }
 
+  /** Physical tombstone application — rewrite the NAMED partition
+    * buckets keeping only rows that satisfy `keep`; every other bucket's
+    * files are untouched (staged write + dynamic partition overwrite,
+    * the [[compact]] mechanics). This is the "next rewrite" the fork
+    * contract defers to ([[graft.state.Forks.pruneBelowLib]]): once a
+    * forked block falls below LIB, its rows are physically deleted here
+    * and its tombstone dropped, which is what keeps tombstone state
+    * bounded by the reversible window instead of growing with history.
+    * Cost is reversible-window sized — only the listed buckets are read
+    * and rewritten, never the history. Returns buckets rewritten.
+    */
+  def rewriteFiltered(
+      dir: String,
+      buckets: Seq[Long],
+      keep: org.apache.spark.sql.Column,
+      partitionCol: String = "block_bucket")(
+      implicit spark: SparkSession): Int = {
+    import org.apache.hadoop.fs.Path
+    if (buckets.isEmpty) return 0
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val present = buckets.distinct.filter(b =>
+      fs.exists(new Path(root, s"$partitionCol=$b")))
+    if (present.isEmpty) return 0
+    val staged = dir + "__rewrite"
+    spark.read.parquet(dir)
+      .filter(col(partitionCol).isin(present: _*))
+      .filter(keep)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(dir)
+    // a bucket whose every row was deleted writes no staged partition —
+    // dynamic overwrite would silently leave its old files alive
+    val stagedRoot = new Path(staged)
+    val survived =
+      if (fs.exists(stagedRoot))
+        fs.listStatus(stagedRoot).map(_.getPath.getName).toSet
+      else Set.empty[String]
+    present.foreach { b =>
+      if (!survived.contains(s"$partitionCol=$b"))
+        fs.delete(new Path(root, s"$partitionCol=$b"), true)
+    }
+    fs.delete(stagedRoot, true)
+    present.size
+  }
+
   /** History-table retention — the engine-side analogue of the
     * reference's index-lifecycle DELETE phase (per-block-range indices
     * aged out wholesale once they fall behind the retention watermark;
