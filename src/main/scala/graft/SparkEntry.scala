@@ -2100,6 +2100,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** WebP-lossless decode through the in-repo VP8L codec
+    * ([[graft.operators.Vp8lCodec]] — ImageIO has no WebP plugin):
+    * RFC 9649 bitstream (canonical prefix codes, transforms, LZ77,
+    * color cache) behind the same format-agnostic decode pass as
+    * PNG/BMP/TIFF. Even docs run the subtract-green transform; VP8L is
+    * lossless, so the closed-form pixel means hold exactly. Doc 8 is a
+    * RIFF-but-not-WebP impostor on the decode_ok=false ladder.
+    */
+  private def qMultimodalWebp(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(9).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i == 8) (i, "RIFF!!!!WEBPnot a vp8l stream".getBytes("UTF-8"))
+        else (i, Multimodal.syntheticWebp(16 + 8 * i.toInt, 16 + 4 * i.toInt,
+          subtractGreen = i % 2 == 0))
+      }.toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
+    Multimodal.decodeImages(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL video frame sampling end-to-end: three deterministic AVI
     * containers (actual RIFF bytes, raw 24-bit DIB frames) plus one
     * garbage payload flow through
@@ -3249,6 +3274,7 @@ object SparkEntry {
     "q_audio_containers" -> (qAudioContainers _),
     "q_audio_flac" -> (qAudioFlac _),
     "q_multimodal_tiff" -> (qMultimodalTiff _),
+    "q_multimodal_webp" -> (qMultimodalWebp _),
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_gif_frames" -> (qGifFrames _),
     "q_image_dhash" -> (qImageDhash _),
@@ -5159,6 +5185,24 @@ object SparkEntry {
          SELECT CAST(4 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
              CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
+         ORDER BY doc_id""",
+    // VP8L (WebP lossless) through the in-repo codec: lossless, so the
+    // same closed forms hold; channels = 4 (ARGB); doc 8 is the planted
+    // RIFF-but-not-WebP payload
+    "q_multimodal_webp" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS channels,
+           CAST((w - 1) / 2.0 AS DOUBLE) AS mean_r,
+           CAST((h - 1) / 2.0 AS DOUBLE) AS mean_g,
+           CAST(37.0 AS DOUBLE) AS mean_b, TRUE AS decode_ok
+         FROM (VALUES (0, 16, 16), (1, 24, 20), (2, 32, 24), (3, 40, 28),
+                      (4, 48, 32), (5, 56, 36), (6, 64, 40), (7, 72, 44))
+           AS t(doc_id, w, h)
+         UNION ALL
+         SELECT CAST(8 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+             CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), FALSE
          ORDER BY doc_id""",
     // TIFF is lossless true-color, so the q_multimodal_decode closed
     // forms hold; doc 8 is the planted undecodable payload

@@ -87,8 +87,9 @@ final case class VideoFrameFeatures(
   * AVI/RIFF container walk with raw-DIB exact decode and MJPEG through
   * the JDK JPEG reader ([[Multimodal.decodeVideoFrames]]). Only
   * [[Multimodal.decodeStub]] remains as the documented seam where a
-  * deployment would plug richer codecs (H.264, WebP, MP3) with the
-  * same partition-parallel signature.
+  * deployment would plug richer codecs (H.264, lossy VP8, MP3) with
+  * the same partition-parallel signature; WebP lossless is real via
+  * the in-repo [[Vp8lCodec]].
   */
 object Multimodal {
 
@@ -146,6 +147,30 @@ object Multimodal {
         // per-partition codec init: no temp-file cache, one scanline buffer
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
+          // WebP: ImageIO has no plugin — the in-repo VP8L codec decodes
+          // the lossless profile; lossy VP8/VP8X land on decode_ok=false
+          val isWebp = bytes != null && bytes.length >= 16 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+            bytes(10) == 'B' && bytes(11) == 'P'
+          if (isWebp) {
+            Vp8lCodec.decode(bytes) match {
+              case None =>
+                ImageFeatures(id, bytes.length.toLong, -1, -1, 0,
+                  0.0, 0.0, 0.0, decode_ok = false)
+              case Some(d) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var i = 0
+                while (i < d.argb.length) {
+                  val p = d.argb(i)
+                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                  i += 1
+                }
+                val n = d.argb.length.toDouble
+                ImageFeatures(id, bytes.length.toLong, d.width, d.height, 4,
+                  sr / n, sg / n, sb / n, decode_ok = true)
+            }
+          } else {
           // a null payload is as much data as an undecodable one
           val img =
             if (bytes == null) null
@@ -159,6 +184,7 @@ object Multimodal {
             ImageFeatures(id, bytes.length.toLong, img.getWidth, img.getHeight,
               img.getColorModel.getNumComponents, mr, mg, mb,
               decode_ok = true)
+          }
           }
         }
       }
@@ -492,7 +518,7 @@ object Multimodal {
     * the frame sequence natively (`getNumImages` + indexed `read`), so a
     * second genuine multi-frame container joins AVI behind the same
     * `VideoFrameFeatures` shape; [[decodeStub]] keeps shrinking to the
-    * codecs the repo truly lacks (H.264, WebP, MP3). Frames are the RAW
+    * codecs the repo truly lacks (H.264, lossy VP8, MP3). Frames are the RAW
     * per-frame rasters (no disposal-method compositing — corpus feature
     * extraction wants each frame's own pixels, and the synthetic-fixture
     * oracle pins full-frame rasters anyway). Skipped frames are never
@@ -763,6 +789,20 @@ object Multimodal {
     }
     FlacCodec.encode(samples, sampleRate, channels, bits = 16,
       blockSize = 256, strategy = strategy, stereo = stereo)
+  }
+
+  /** Deterministic WebP-lossless fixture through the in-repo
+    * [[Vp8lCodec]]: the [[syntheticImage]] pattern (r = x mod 256,
+    * g = y mod 256, b = 37). VP8L is lossless, so the closed-form means
+    * hold exactly, like PNG/BMP/TIFF; `subtractGreen` routes the stream
+    * through a real transform on the registered path.
+    */
+  def syntheticWebp(w: Int, h: Int, subtractGreen: Boolean = false): Array[Byte] = {
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (0xFF << 24) | ((x % 256) << 16) | ((y % 256) << 8) | 37
+    }
+    Vp8lCodec.encode(w, h, px, subtractGreen)
   }
 
   /** Deterministic synthetic image: red = x mod 256, green = y mod 256,
