@@ -913,6 +913,28 @@ object SparkEntry {
     Ann.bruteForceTopKQuantized(quantized, "vec_id", Ann.quantizeVec(q), 10)
   }
 
+  /** Product-quantization ANN ([[graft.operators.Ann.pqEncode]] /
+    * [[graft.operators.Ann.pqAdcTopK]]) — the standard 100 TB
+    * embedding-store scan (Jégou et al. 2011): 64 dims split into 8
+    * subspaces, each coded as the nearest of 16 seeded codebook entries
+    * (4-dp-rounded L2, ties to the larger index — the NearestCentroid
+    * rule), queries scored by asymmetric distance: 8 table lookups + 7
+    * adds per row, never touching a float vector. Codebooks are the
+    * subvectors of vecs 0–15, so the oracle rebuilds them from the
+    * table itself; every distance is IEEE-double with 4-dp snaps at the
+    * same points on both engines, and the ADC sum folds in ascending
+    * subspace order on both (array_agg ORDER BY s → list_sum).
+    */
+  private def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val cbs = Ann.pqSeedCodebooks(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val codes = Ann.pqEncode(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cbs)
+    Ann.pqAdcTopK(codes, "vec_id", q, cbs, 10)
+  }
+
   /** Johnson–Lindenstrauss random projection
     * ([[graft.operators.Ann.randomProject]]): 64 → 8 dims through a
     * salt-derived Rademacher matrix that exists only as codegen'd
@@ -3214,6 +3236,7 @@ object SparkEntry {
     "q_incremental_neardup_md5" -> (qIncrementalNearDupMd5 _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_ann_quantized" -> (qAnnQuantized _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_random_projection" -> (qRandomProjection _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -4067,6 +4090,35 @@ object SparkEntry {
          qn AS (SELECT sqrt(sum(qx * qx)) AS nq FROM qe)
          SELECT vec_id, round(dot / (na * nq), 4) AS cos
          FROM d, qn ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q_ann_pq" ->
+      """WITH base AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         seeds AS (SELECT id AS cid, v FROM base WHERE id < 16),
+         sp AS (SELECT unnest(range(8)) AS s),
+         dists AS (
+           SELECT b.id, sp.s, c.cid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (b.v[sp.s*8 + i] - c.v[sp.s*8 + i])
+                  * (b.v[sp.s*8 + i] - c.v[sp.s*8 + i]))), 4) AS d2
+           FROM base b, sp, seeds c
+           WHERE b.id <> 0),
+         enc AS (
+           SELECT id, s, (array_agg(cid ORDER BY d2 ASC, cid DESC))[1] AS code
+           FROM dists GROUP BY 1, 2),
+         qt AS (
+           SELECT sp.s, c.cid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.v[sp.s*8 + i] - c.v[sp.s*8 + i])
+                  * (q.v[sp.s*8 + i] - c.v[sp.s*8 + i]))), 4) AS qd
+           FROM (SELECT v FROM base WHERE id = 0) q, sp, seeds c),
+         scored AS (
+           SELECT e.id AS vec_id,
+             round(list_sum(array_agg(qt.qd ORDER BY qt.s)), 4) AS score
+           FROM enc e JOIN qt ON qt.s = e.s AND qt.cid = e.code
+           GROUP BY 1)
+         SELECT vec_id, score FROM scored
+         ORDER BY score ASC, vec_id ASC LIMIT 10""",
     "q_ann_quantized" ->
       """WITH e AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

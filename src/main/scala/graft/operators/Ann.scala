@@ -422,6 +422,101 @@ object Ann {
       .limit(k)
   }
 
+  /** Seeded product-quantization codebooks: `m` subspaces of `dim/m`
+    * dims, `k` centroids each, taken from the SUBVECTORS of the first
+    * `k` corpus vectors by id (the [[seedCentroids]] convention —
+    * deterministic, collect-bounded at k×dim doubles, and replayable by
+    * an external engine straight from the table). Production indexes
+    * refine these with per-subspace Lloyd iterations ([[lloydStep]]'s
+    * shape applied to `slice`d subvectors — PqSpec runs one); the
+    * seeded form is the oracled path.
+    */
+  def pqSeedCodebooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    val seeds = emb.orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>"))
+      .limit(k).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"need $k seed vectors, corpus has ${seeds.length}")
+    Array.tabulate(m)(s => seeds.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encode: one small code per subspace — the nearest codebook entry
+    * by 4-dp-ROUNDED squared L2 with ties to the LARGER index (the
+    * [[graft.exprs.NearestCentroid]] tie rule, so both engines pick the
+    * same entry even at a rounding boundary). The codebooks exist only
+    * as codegen'd literals: one narrow pass, zero shuffle, and the
+    * output row is m small ints — at 100 TB this is the 32× storage
+    * shrink (64 floats → 8 codes) that makes an embedding store
+    * scannable.
+    */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    require(m.toLong * k * sub <= 65536,
+      s"pqEncode builds m*k*sub literal terms (${m.toLong * k * sub}); " +
+        "past 65536 the expression tree defeats codegen")
+    val v = col(vecCol)
+    val codes = array((0 until m).map { s =>
+      val cands = array((0 until k).map { j =>
+        val d2 = (0 until sub).map { i =>
+          val diff = element_at(v, s * sub + i + 1).cast("double") -
+            lit(codebooks(s)(j)(i))
+          diff * diff
+        }.reduce(_ + _)
+        struct((-round(d2, 4)).as("nd"), lit(j).as("cid"))
+      }: _*)
+      array_max(cands).getField("cid")
+    }: _*)
+    emb.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query expands to
+    * m per-subspace lookup tables (driver arithmetic — m×k doubles, each
+    * 4-dp snapped), the scan scores each row as the SUM of m table
+    * lookups indexed by its codes, and top-k orders by (score, id). The
+    * hot loop never touches a float vector — m `element_at`s into
+    * literal arrays plus m−1 adds per row, the reason PQ is the
+    * standard 100 TB ANN scan.
+    */
+  def pqAdcTopK(
+      codes: DataFrame,
+      idCol: String,
+      query: Seq[Double],
+      codebooks: Array[Array[Array[Double]]],
+      topK: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(query.length == m * sub, "query width must equal m * subdim")
+    val tables = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { cent =>
+        val d2 = (0 until sub).map { i =>
+          val diff = query(s * sub + i) - cent(i)
+          diff * diff
+        }.sum
+        BigDecimal(d2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val score = (0 until m).map { s =>
+      element_at(array(tables(s).map(lit): _*), col("codes")(s) + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), round(score, 4).as("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** The deterministic Rademacher sign for random-projection cell
     * (c, i): +1 when the 32-bit md5 draw of "salt:c:i" (the literal
     * ':'-joined string, empty salt included) is even, −1 when odd —
