@@ -451,13 +451,31 @@ object Ann {
   /** PQ encode: one small code per subspace — the nearest codebook entry
     * by 4-dp-ROUNDED squared L2 with ties to the LARGER index (the
     * [[graft.exprs.NearestCentroid]] tie rule, so both engines pick the
-    * same entry even at a rounding boundary). The codebooks exist only
-    * as codegen'd literals: one narrow pass, zero shuffle, and the
-    * output row is m small ints — at 100 TB this is the 32× storage
-    * shrink (64 floats → 8 codes) that makes an embedding store
-    * scannable.
+    * same entry even at a rounding boundary). One fused native
+    * expression ([[graft.exprs.PqCodes]] — the codebooks ride as a
+    * reference object, not as ~3000 literal Catalyst nodes, which cost
+    * seconds of per-invocation planning in the unrolled form): one
+    * narrow pass, zero shuffle, and the output row is m small ints —
+    * at 100 TB this is the 32× storage shrink (64 floats → 8 codes)
+    * that makes an embedding store scannable. The unrolled form is kept
+    * as [[pqEncodeUnrolled]], the executable reference PqSpec proves
+    * the kernel bit-equal to.
     */
   def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    emb.select(col(idCol),
+      graft.exprs.PqCodes(col(vecCol), codebooks).as("codes"))
+
+  /** The literal-folded combinator form of [[pqEncode]] — the
+    * executable reference the fused [[graft.exprs.PqCodes]] kernel is
+    * proven bit-equal to (PqSpec), the `Sim.minHash` vs `MinHashSig`
+    * pattern. Not used by any registered query (its ~m·k·sub-node
+    * expression tree pays seconds of Catalyst planning per invocation).
+    */
+  private[graft] def pqEncodeUnrolled(
       emb: DataFrame,
       idCol: String,
       vecCol: String,

@@ -122,6 +122,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fused PqCodes kernel is bit-equal to the unrolled reference form") {
+    val fused = Ann.pqEncode(df, "vec_id", "embedding", cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    val unrolled = Ann.pqEncodeUnrolled(df, "vec_id", "embedding", cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fused === unrolled)
+    // and on random vectors, where rounding boundaries are actually near
+    val rnd = new scala.util.Random(97)
+    val rdf = (0L until 100L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 4 - 2))).toDF("vec_id", "embedding")
+    val f2 = Ann.pqEncode(rdf, "vec_id", "embedding", cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    val u2 = Ann.pqEncodeUnrolled(rdf, "vec_id", "embedding", cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(f2 === u2)
+  }
+
   test("ADC plan is narrow: no shuffle before the top-k sort, no UDF") {
     val q = clustered(1).head._2.map(_.toDouble)
     val codes = Ann.pqEncode(df, "vec_id", "embedding", cbs)
