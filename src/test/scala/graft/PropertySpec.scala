@@ -196,4 +196,35 @@ class PropertySpec extends AnyFunSuite {
       got == expect
     }, 30)
   }
+
+  test("VP8L round-trips arbitrary ARGB images, with and without subtract-green") {
+    import graft.operators.Vp8lCodec
+    val genImage = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 24)
+      sg <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h, Gen.choose(Int.MinValue, Int.MaxValue))
+    } yield (w, h, sg, px.toArray)
+    check(Prop.forAll(genImage) { case (w, h, sg, px) =>
+      Vp8lCodec.decode(Vp8lCodec.encode(w, h, px, sg))
+        .exists(d => d.width == w && d.height == h && d.argb.sameElements(px))
+    }, 30)
+  }
+
+  test("FLAC round-trips arbitrary 16-bit PCM across strategies and stereo modes") {
+    import graft.operators.FlacCodec
+    val genStream = for {
+      n <- Gen.choose(1, 700)
+      ch <- Gen.oneOf(1, 2)
+      strategy <- Gen.oneOf("verbatim", "fixed2", "lpc")
+      stereo <- if (ch == 2) Gen.oneOf("independent", "leftside", "sideright", "midside")
+                else Gen.const("independent")
+      blockSize <- Gen.oneOf(128, 192, 256)
+      samples <- Gen.listOfN(n * ch, Gen.choose(-32768, 32767))
+    } yield (samples.toArray, ch, strategy, stereo, blockSize)
+    check(Prop.forAll(genStream) { case (s, ch, strategy, stereo, bs) =>
+      FlacCodec.decode(FlacCodec.encode(s, 8000, ch, 16, bs, strategy, stereo))
+        .exists(_.samples.sameElements(s))
+    }, 30)
+  }
 }
