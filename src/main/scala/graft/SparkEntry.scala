@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sim, Text}
-import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Selection, Split, UnigramLm}
+import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Selection, Sketch, Split, UnigramLm}
 import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -764,6 +764,23 @@ object SparkEntry {
       .orderBy(col("df").desc, col("gram").asc)
       .limit(50)
 
+  /** Count-min-sketch heavy hitters ([[graft.operators.Sketch]]): a
+    * 4×16 sketch (width < vocabulary, so cells genuinely collide and
+    * the one-sided overcount is exercised) of the unigram document
+    * frequencies, every distinct token scored as the MIN of its 4
+    * cells, top-100 by estimate. The
+    * sketch's shuffle is ≤ depth·width rows per task — a constant of
+    * the geometry, not the corpus — which is the whole 100 TB story;
+    * the md5 bucket draws replay in SQL, so the oracle rebuilds the
+    * sketch cell-for-cell and the estimates match exactly (integers —
+    * no tolerance).
+    */
+  private def qHeavyHittersCms(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(explode(graft.exprs.Shingles(col("text"), 1)).as("tok"))
+    Sketch.heavyHitters(toks, "tok", depth = 4, width = 16, k = 100)
+  }
+
   /** MinHash signatures + LSH band keys (deterministic; pair extraction is
     * spec-tested on planted near-dups — the synthetic corpus has none).
     */
@@ -965,6 +982,25 @@ object SparkEntry {
     Ann.ivfTopK(assigned, "vec_id", "embedding", cents, q, 10, 2)
   }
 
+  /** IVF-PQ ANN ([[graft.operators.Ann.ivfPqTopK]]) — the composed
+    * billion-vector probe: 8 seeded IVF cells prune the corpus to the 2
+    * cells nearest the query, the survivors PQ-encode (8 subspaces × 16
+    * seeded entries — the [[qAnnPq]] codebooks), and ADC scores the
+    * codes. The oracle replays cell assignment with [[qAnnIvf]]'s CTEs
+    * (cosine DESC / cid DESC rn=1; probes cosine DESC / cid ASC) and
+    * the encode+score with [[qAnnPq]]'s (4-dp-snapped L2, ties to the
+    * larger entry, ADC folded in ascending subspace order).
+    */
+  private def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Ann.pqSeedCodebooks(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    // query = vector 0 = the first seeded centroid (seeding orders by id)
+    val q = cents.head._2
+    Ann.ivfPqTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      cents, cbs, q, 10, 2)
+  }
+
   /** Embedding-cosine near-dup pairs (Dedup.embeddingCosine): corpus ∪
     * deterministic scaled copies (cos ≈ 1 planted pairs — the synthetic
     * embeddings have no natural near-dups, max pairwise cos ≈ 0.51),
@@ -1155,6 +1191,39 @@ object SparkEntry {
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
+
+  /** Trained logistic-regression quality classifier
+    * ([[graft.operators.Classify.logisticTrain]]): 4 engineered features
+    * (scaled length, token count, punctuation ratio, mean word length —
+    * the [[Text.qualityScore]] vocabulary), label = the median-split
+    * length rule (token count ≥ 56 — so training must RECOVER a known
+    * generating rule from the features), 5 full-batch GD steps at
+    * η = 2 from w = 0, then the whole corpus scored. Every probability,
+    * gradient coordinate, and weight is 4-dp snapped, so the oracle
+    * UNROLLS the same five aggregates in SQL and reproduces the trained
+    * weights — and therefore the scores — exactly.
+    */
+  private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val t = trim(col("text"))
+    val n = length(t).cast("double")
+    val toks = Text.tokenCountSimple(col("text")).cast("double")
+    val punct = (length(t) -
+      length(regexp_replace(t, "[\\.,;:!?]", ""))).cast("double")
+    val feat = T.documents(s, d).select(
+      col("doc_id"),
+      when(toks >= 56.0, 1.0).otherwise(0.0).as("y"),
+      (n / 1000.0).as("x1"),
+      (toks / 100.0).as("x2"),
+      (punct / greatest(n, lit(1.0))).as("x3"),
+      (((n - toks + lit(1.0)) / greatest(toks, lit(1.0))) / 10.0).as("x4"))
+    val xs = Seq("x1", "x2", "x3", "x4")
+    val w = graft.operators.Classify.logisticTrain(feat, "y", xs,
+      iters = 5, eta = 2.0)
+    graft.operators.Classify.logisticScore(feat, "doc_id", xs, w)
+      .withColumn("pred", (col("prob") >= 0.5).cast("int"))
+      .filter(col("doc_id") < 300)
+      .orderBy(col("doc_id"))
+  }
 
   /** BPE-ish token estimate (chars/4 per word heuristic), aggregated. */
   private def qBpeEstimate(s: SparkSession, d: String): DataFrame =
@@ -3204,6 +3273,7 @@ object SparkEntry {
     "q_train_split" -> (qTrainSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_vocab_topk" -> (qVocabTopk _),
+    "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
@@ -3239,6 +3309,7 @@ object SparkEntry {
     "q_ann_pq" -> (qAnnPq _),
     "q_random_projection" -> (qRandomProjection _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_hot_bucket" -> (qEmbedHotBucket _),
     "q_sessionize" -> (qSessionize _),
@@ -3252,6 +3323,7 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_bpe_estimate" -> (qBpeEstimate _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -3648,6 +3720,27 @@ object SparkEntry {
              count(*) OVER (PARTITION BY lang) AS n
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""",
+    "q_heavy_hitters_cms" ->
+      """WITH tok AS (
+           SELECT unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+           FROM documents),
+         dd AS (SELECT unnest(range(4)) AS d),
+         cells AS (
+           SELECT d,
+             CAST('0x' || substring(md5('cms:' || d || ':' || tok), 1, 8)
+               AS BIGINT) % 16 AS b,
+             count(*) AS c
+           FROM tok, dd GROUP BY 1, 2),
+         probe AS (SELECT DISTINCT tok FROM tok),
+         est AS (
+           SELECT p.tok, min(c.c) AS est
+           FROM probe p
+           CROSS JOIN dd
+           JOIN cells c ON c.d = dd.d
+             AND c.b = CAST('0x' || substring(md5('cms:' || dd.d || ':' || p.tok),
+               1, 8) AS BIGINT) % 16
+           GROUP BY 1)
+         SELECT tok, est FROM est ORDER BY est DESC, tok ASC LIMIT 100""",
     "q_vocab_topk" ->
       """WITH t AS (
            SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS gram
@@ -4119,6 +4212,50 @@ object SparkEntry {
            GROUP BY 1)
          SELECT vec_id, score FROM scored
          ORDER BY score ASC, vec_id ASC LIMIT 10""",
+    "q_ann_ivfpq" ->
+      """WITH base AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c
+           FROM (SELECT * FROM base ORDER BY id LIMIT 8)),
+         q AS (SELECT v AS qv FROM base WHERE id = 0),
+         assign AS (
+           SELECT b.id, cid,
+             row_number() OVER (PARTITION BY b.id
+               ORDER BY list_cosine_similarity(b.v, c) DESC, cid DESC) AS rn
+           FROM base b CROSS JOIN cent WHERE b.id <> 0),
+         probes AS (
+           SELECT cid FROM cent, q
+           ORDER BY list_cosine_similarity(c, qv) DESC, cid ASC LIMIT 2),
+         cellv AS (
+           SELECT b.id, b.v FROM base b
+           JOIN assign a ON a.id = b.id AND a.rn = 1
+           WHERE a.cid IN (SELECT cid FROM probes)),
+         seeds AS (SELECT id AS scid, v FROM base WHERE id < 16),
+         sp AS (SELECT unnest(range(8)) AS s),
+         dists AS (
+           SELECT b.id, sp.s, c.scid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (b.v[sp.s*8 + i] - c.v[sp.s*8 + i])
+                  * (b.v[sp.s*8 + i] - c.v[sp.s*8 + i]))), 4) AS d2
+           FROM cellv b, sp, seeds c),
+         enc AS (
+           SELECT id, s, (array_agg(scid ORDER BY d2 ASC, scid DESC))[1] AS code
+           FROM dists GROUP BY 1, 2),
+         qt AS (
+           SELECT sp.s, c.scid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.qv[sp.s*8 + i] - c.v[sp.s*8 + i])
+                  * (q.qv[sp.s*8 + i] - c.v[sp.s*8 + i]))), 4) AS qd
+           FROM q, sp, seeds c),
+         scored AS (
+           SELECT e.id AS vec_id,
+             round(list_sum(array_agg(qt.qd ORDER BY qt.s)), 4) AS score
+           FROM enc e JOIN qt ON qt.s = e.s AND qt.scid = e.code
+           GROUP BY 1)
+         SELECT vec_id, score FROM scored
+         ORDER BY score ASC, vec_id ASC LIMIT 10""",
     "q_ann_quantized" ->
       """WITH e AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -4320,6 +4457,70 @@ object SparkEntry {
            / count(*) AS avg_tokens,
          CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_quality_classifier" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             CAST(length(trim(text)) AS DOUBLE) AS n,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+               AS DOUBLE) AS toks,
+             CAST(length(trim(text)) -
+               length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN toks >= 56.0 THEN 1.0 ELSE 0.0 END AS y,
+             n / 1000.0 AS x1,
+             toks / 100.0 AS x2,
+             punct / greatest(n, 1.0) AS x3,
+             ((n - toks + 1.0) / greatest(toks, 1.0)) / 10.0 AS x4
+           FROM raw),
+         w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3, 0.0 AS c4),
+         p1 AS (SELECT f.*, round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) AS p
+                FROM f, w0),
+         g1 AS (SELECT round(avg(p - y), 4) AS g0, round(avg((p - y)*x1), 4) AS g1,
+                  round(avg((p - y)*x2), 4) AS g2, round(avg((p - y)*x3), 4) AS g3,
+                  round(avg((p - y)*x4), 4) AS g4 FROM p1),
+         w1 AS (SELECT round(b - 2.0*g0, 4) AS b, round(c1 - 2.0*g1, 4) AS c1,
+                  round(c2 - 2.0*g2, 4) AS c2, round(c3 - 2.0*g3, 4) AS c3,
+                  round(c4 - 2.0*g4, 4) AS c4 FROM w0, g1),
+         p2 AS (SELECT f.*, round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) AS p
+                FROM f, w1),
+         g2 AS (SELECT round(avg(p - y), 4) AS g0, round(avg((p - y)*x1), 4) AS g1,
+                  round(avg((p - y)*x2), 4) AS g2, round(avg((p - y)*x3), 4) AS g3,
+                  round(avg((p - y)*x4), 4) AS g4 FROM p2),
+         w2 AS (SELECT round(b - 2.0*g0, 4) AS b, round(c1 - 2.0*g1, 4) AS c1,
+                  round(c2 - 2.0*g2, 4) AS c2, round(c3 - 2.0*g3, 4) AS c3,
+                  round(c4 - 2.0*g4, 4) AS c4 FROM w1, g2),
+         p3 AS (SELECT f.*, round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) AS p
+                FROM f, w2),
+         g3 AS (SELECT round(avg(p - y), 4) AS g0, round(avg((p - y)*x1), 4) AS g1,
+                  round(avg((p - y)*x2), 4) AS g2, round(avg((p - y)*x3), 4) AS g3,
+                  round(avg((p - y)*x4), 4) AS g4 FROM p3),
+         w3 AS (SELECT round(b - 2.0*g0, 4) AS b, round(c1 - 2.0*g1, 4) AS c1,
+                  round(c2 - 2.0*g2, 4) AS c2, round(c3 - 2.0*g3, 4) AS c3,
+                  round(c4 - 2.0*g4, 4) AS c4 FROM w2, g3),
+         p4 AS (SELECT f.*, round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) AS p
+                FROM f, w3),
+         g4 AS (SELECT round(avg(p - y), 4) AS g0, round(avg((p - y)*x1), 4) AS g1,
+                  round(avg((p - y)*x2), 4) AS g2, round(avg((p - y)*x3), 4) AS g3,
+                  round(avg((p - y)*x4), 4) AS g4 FROM p4),
+         w4 AS (SELECT round(b - 2.0*g0, 4) AS b, round(c1 - 2.0*g1, 4) AS c1,
+                  round(c2 - 2.0*g2, 4) AS c2, round(c3 - 2.0*g3, 4) AS c3,
+                  round(c4 - 2.0*g4, 4) AS c4 FROM w3, g4),
+         p5 AS (SELECT f.*, round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) AS p
+                FROM f, w4),
+         g5 AS (SELECT round(avg(p - y), 4) AS g0, round(avg((p - y)*x1), 4) AS g1,
+                  round(avg((p - y)*x2), 4) AS g2, round(avg((p - y)*x3), 4) AS g3,
+                  round(avg((p - y)*x4), 4) AS g4 FROM p5),
+         w5 AS (SELECT round(b - 2.0*g0, 4) AS b, round(c1 - 2.0*g1, 4) AS c1,
+                  round(c2 - 2.0*g2, 4) AS c2, round(c3 - 2.0*g3, 4) AS c3,
+                  round(c4 - 2.0*g4, 4) AS c4 FROM w4, g5)
+         SELECT doc_id,
+           round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) AS prob,
+           CAST(round(1/(1 + exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))), 4) >= 0.5
+             AS INT) AS pred
+         FROM f, w5 WHERE doc_id < 300 ORDER BY doc_id""",
     "q_quality_score" ->
       """WITH t AS (
            SELECT doc_id, trim(text) AS tt,

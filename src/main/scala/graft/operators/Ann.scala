@@ -535,6 +535,50 @@ object Ann {
       .limit(topK)
   }
 
+  /** IVF-PQ probe (Jégou et al. 2011 §IV): coarse-quantize the corpus
+    * into IVF cells, PQ-encode the rows of the `nProbe` cells nearest
+    * the query, score them by asymmetric distance, exact top-k on the
+    * scores. The composition of [[ivfAssign]] and [[pqAdcTopK]] — and
+    * the standard layout for billion-vector ANN: at 100 TB the codes
+    * are PRE-computed and stored partitioned by `centroid_id` (m bytes
+    * per vector — a 32× shrink of the store), so a probe is a
+    * partition-pruned scan of nProbe/nCells of the code table doing m
+    * table lookups + m−1 adds per row; neither the float vectors nor
+    * the unprobed cells are ever read. Here the whole path — assign →
+    * prune → encode → ADC — runs as one narrow jobless pipeline with a
+    * single [[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]]
+    * at the end (AnnSpec locks the shape); the per-row kernels are the
+    * native [[graft.exprs.NearestCentroid]] and [[graft.exprs.PqCodes]],
+    * both whole-stage-codegen'd.
+    *
+    * Probe-cell selection mirrors [[ivfTopK]] (driver arithmetic over
+    * k·dim doubles): nearest centroids by cosine, ties to the SMALLER
+    * id (stable sort); assignment ties to the LARGER id (the
+    * NearestCentroid rule) — both orders fixed so an external engine
+    * replays cell membership exactly.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      query: Seq[Double],
+      topK: Int,
+      nProbe: Int = 2): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    def cos(c: Seq[Double]): Double = {
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val d = c.zip(query).map { case (a, b) => a * b }.sum
+      if (cn == 0 || qn == 0) 0.0 else d / (cn * qn)
+    }
+    val probeIds = centroids.sortBy { case (_, c) => -cos(c) }.take(nProbe).map(_._1)
+    val probed = ivfAssign(emb, idCol, vecCol, centroids)
+      .filter(col("centroid_id").isin(probeIds: _*))
+    pqAdcTopK(pqEncode(probed, idCol, vecCol, codebooks), idCol,
+      query, codebooks, topK)
+  }
+
   /** The deterministic Rademacher sign for random-projection cell
     * (c, i): +1 when the 32-bit md5 draw of "salt:c:i" (the literal
     * ':'-joined string, empty salt included) is even, −1 when odd —

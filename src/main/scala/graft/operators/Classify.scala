@@ -68,6 +68,81 @@ object Classify {
     * tie-break (the cross-engine reproducibility convention — ln noise
     * must not flip near-tied classes between engines).
     */
+  /** The 4-dp decimal snap shared with the SQL oracle: both engines
+    * round the SAME double (every upstream value is 4-dp-snapped or an
+    * exact rational), so HALF_UP on the decimal repr agrees.
+    */
+  private def round4(d: Double): Double =
+    BigDecimal.valueOf(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** σ(w·x) with the cross-engine determinism contract: the linear term
+    * folds left in declared feature order (both engines left-associate
+    * `+`), and the sigmoid output is 4-dp snapped — `exp` is the one
+    * libm call in the model, and the snap absorbs its last-ulp
+    * cross-engine drift exactly as the LM/DSIR scorers do.
+    */
+  private def sigmoid4(
+      w: Seq[Double],
+      xCols: Seq[String]): org.apache.spark.sql.Column = {
+    val z = xCols.zipWithIndex.foldLeft(lit(w.head): org.apache.spark.sql.Column) {
+      case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+
+  /** Train a binary logistic-regression classifier by full-batch gradient
+    * descent — the trained-in-the-engine quality filter (the GPT-3/CCNet
+    * pattern: fit a small linear model on labeled seeds, score the whole
+    * corpus). Features are dense engineered columns (length bands,
+    * punctuation ratios — [[graft.functions.Text.qualityScore]]'s
+    * vocabulary), so training is `iters` distributed aggregates, each
+    * ONE pass producing |w| partial-summed gradients: shuffle volume per
+    * iteration is |w| doubles per task — a constant of the model, not
+    * the corpus. At 100 TB: cache the feature frame once, run the same
+    * loop; the driver holds only w.
+    *
+    * Reproducibility contract (what makes a TRAINED model oracle-able):
+    * w starts at 0 (first pass has σ ≡ 0.5 — no libm at all), each
+    * per-row probability is 4-dp snapped before it enters the gradient
+    * sum, each gradient coordinate is 4-dp snapped before the update,
+    * and each weight is 4-dp snapped after it — so an external engine
+    * unrolling the same `iters` aggregates reproduces w EXACTLY, and
+    * gradient-sum reorderings under Spark's partial aggregation stay
+    * under the snap. Returns w = (bias, w_1..w_k) in `xCols` order.
+    */
+  def logisticTrain(
+      feat: DataFrame,
+      yCol: String,
+      xCols: Seq[String],
+      iters: Int = 3,
+      eta: Double = 1.0): Seq[Double] = {
+    require(iters >= 1, "at least one gradient step")
+    require(xCols.nonEmpty, "at least one feature")
+    var w: Seq[Double] = Vector.fill(xCols.length + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val err = sigmoid4(w, xCols) - col(yCol)
+      val gradCols = (round(avg(err), 4).as("g0") +:
+        xCols.zipWithIndex.map { case (c, i) =>
+          round(avg(err * col(c)), 4).as(s"g${i + 1}")
+        })
+      val g = feat.agg(gradCols.head, gradCols.tail: _*).head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        round4(wj - eta * g.getDouble(j))
+      }
+    }
+    w
+  }
+
+  /** Score a corpus under trained weights: P(y=1|x), 4-dp snapped. */
+  def logisticScore(
+      feat: DataFrame,
+      idCol: String,
+      xCols: Seq[String],
+      w: Seq[Double]): DataFrame = {
+    require(w.length == xCols.length + 1, "one weight per feature plus bias")
+    feat.select(col(idCol), sigmoid4(w, xCols).as("prob"))
+  }
+
   def nbScore(
       docs: DataFrame,
       idCol: String,

@@ -139,6 +139,60 @@ class PqSpec extends SparkSpec {
     assert(f2 === u2)
   }
 
+  test("IVF-PQ probe equals PQ-ADC restricted to the probed cells") {
+    // composition contract: ivfPqTopK(corpus) ≡ pqAdcTopK(pqEncode(rows
+    // of the nProbe nearest cells)) — proven by building the right-hand
+    // side from the same centroid assignment
+    val cents = Ann.seedCentroids(df, "vec_id", "embedding", 4)
+    val q = clustered(8).last._2.map(_.toDouble) // a cluster-3 member
+    val composed = Ann.ivfPqTopK(df, "vec_id", "embedding", cents, cbs, q, 10, 2)
+      .as[(Long, Double)].collect().toSeq
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def cos(c: Seq[Double]): Double = {
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      if (cn == 0 || qn == 0) 0.0
+      else c.zip(q).map { case (a, b) => a * b }.sum / (cn * qn)
+    }
+    val probeIds = cents.sortBy { case (_, c) => -cos(c) }.take(2).map(_._1)
+    val manual = Ann.pqAdcTopK(
+      Ann.pqEncode(
+        Ann.ivfAssign(df, "vec_id", "embedding", cents)
+          .filter(col("centroid_id").isin(probeIds: _*)),
+        "vec_id", "embedding", cbs),
+      "vec_id", q, cbs, 10).as[(Long, Double)].collect().toSeq
+    assert(composed === manual)
+  }
+
+  test("IVF-PQ with one probe still retrieves the query's cluster") {
+    // centroids are the 4 anchors; every cluster member assigns to its
+    // own anchor by cosine, so the single probed cell CONTAINS the true
+    // neighbors — recall survives the coarse pruning on clustered data
+    val cents = Ann.seedCentroids(df, "vec_id", "embedding", 4)
+    val q = clustered(8).last._2.map(_.toDouble)
+    val hits = Ann.ivfPqTopK(df.filter(col("vec_id") =!= 7),
+      "vec_id", "embedding", cents, cbs, q, 10, 1)
+      .as[(Long, Double)].collect()
+    assert(hits.length === 10)
+    hits.foreach { case (id, _) =>
+      assert(id % 4 === 3, s"vec $id is not from the query's cluster")
+    }
+    assert(hits.map(_._2).max < 100.0)
+  }
+
+  test("IVF-PQ plan is one narrow pipeline: no shuffle, one top-k node") {
+    val cents = Ann.seedCentroids(df, "vec_id", "embedding", 4)
+    val q = clustered(1).head._2.map(_.toDouble)
+    val plan = Ann.ivfPqTopK(df, "vec_id", "embedding", cents, cbs, q, 10, 2)
+      .queryExecution.executedPlan.toString
+    // assign → prune → encode → ADC are all per-row: the ONLY wide-ish
+    // node is the final TakeOrderedAndProject (partial per partition,
+    // merged on the driver) — no Exchange anywhere
+    assert(!plan.contains("Exchange"), s"IVF-PQ probe must not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must run as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
   test("ADC plan is narrow: no shuffle before the top-k sort, no UDF") {
     val q = clustered(1).head._2.map(_.toDouble)
     val codes = Ann.pqEncode(df, "vec_id", "embedding", cbs)

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: the one-sided error contract (est ≥ true, with
+  * equality when nothing collides), cell-wise mergeability (the property
+  * that makes it a sketch and not a sample), and the plan shapes that
+  * carry the 100 TB claim — a partial-aggregated sketch build and a
+  * broadcast estimate join.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a skewed stream: token t_i appears i times — exact counts known
+  private lazy val stream = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i"))
+    .toDF("tok")
+  private val exact: Map[String, Long] = (1 to 40).map(i => s"t$i" -> i.toLong).toMap
+
+  test("estimate is one-sided: est >= exact for every key, even in a tiny sketch") {
+    // width 8 << 40 keys forces collisions in every row
+    val sketch = Sketch.countMin(stream, "tok", depth = 3, width = 8)
+    val est = Sketch.estimate(sketch, stream.distinct(), "tok", 3, 8)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t: est ${est(t)} under-counts $c")
+    }
+  }
+
+  test("with a wide sketch the estimates are exact (no collisions at 40 keys)") {
+    val sketch = Sketch.countMin(stream, "tok", depth = 4, width = 4096)
+    val est = Sketch.estimate(sketch, stream.distinct(), "tok", 4, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est === exact)
+  }
+
+  test("sketches merge cell-wise: sketch(A) + sketch(B) == sketch(A union B)") {
+    val a = stream.filter(col("tok") < "t3")
+    val b = stream.filter(col("tok") >= "t3")
+    val merged = Sketch.countMin(a, "tok", 3, 64)
+      .unionByName(Sketch.countMin(b, "tok", 3, 64))
+      .groupBy("d", "b").agg(sum("c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketch.countMin(stream, "tok", 3, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("heavy hitters: every true heavy key survives; order is est desc, key asc") {
+    val hh = Sketch.heavyHitters(stream, "tok", depth = 3, width = 8, k = 10)
+      .as[(String, Long)].collect()
+    assert(hh.length === 10)
+    // one-sided error can only PROMOTE light keys past true heavies at
+    // equal estimate — but the top-10 TRUE counts are 31..40, and any
+    // estimate of t31..t40 is >= its true count, so a key can displace
+    // one of them only by estimating above 31: possible for a light key,
+    // impossible for the heaviest. The heaviest key must be ranked first
+    // or tied-at-top.
+    assert(hh.head._2 >= 40L)
+    // monotone non-increasing estimates with asc key tiebreak
+    hh.sliding(2).foreach { case Array((ka, ea), (kb, eb)) =>
+      assert(ea > eb || (ea == eb && ka < kb))
+    }
+  }
+
+  test("sketch build partial-aggregates before the exchange (shuffle is sketch-sized)") {
+    val plan = Sketch.countMin(stream, "tok", 4, 512)
+      .queryExecution.executedPlan.toString
+    // partial_count below the shuffle → map tasks emit <= depth*width rows
+    assert(plan.contains("partial_count"),
+      s"sketch build must map-side combine:\n$plan")
+  }
+
+  test("estimate joins the sketch by broadcast — no probe-side pre-shuffle") {
+    val sketch = Sketch.countMin(stream, "tok", 4, 512)
+    val plan = Sketch.estimate(sketch, stream.distinct(), "tok", 4, 512)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"estimate must broadcast the sketch:\n$plan")
+  }
+
+  test("bucket draws replay from md5 in SQL (the oracle derivation)") {
+    // the exact arithmetic the DuckDB oracle uses, run through Spark SQL:
+    // CAST(conv(substring(md5('cms:d:tok'),1,8),16,10) AS BIGINT) % width
+    val sketch = Sketch.countMin(Seq("alpha").toDF("tok"), "tok", 2, 512)
+      .as[(Int, Long, Long)].collect()
+      .map { case (d, b, _) => d -> b }.toMap
+    val sqlB = (0 until 2).map { d =>
+      d -> spark.sql(
+        s"SELECT CAST(conv(substring(md5('cms:$d:alpha'), 1, 8), 16, 10) AS BIGINT) % 512"
+      ).head().getLong(0)
+    }.toMap
+    assert(sketch === sqlB)
+  }
+}
