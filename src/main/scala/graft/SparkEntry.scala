@@ -113,6 +113,20 @@ object SparkEntry {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** A5, oracled: [[graft.operators.Sketch.hllSketch]] — an md5-derived
+    * HyperLogLog (p = 6, 64 registers) of distinct users per event
+    * type. Where [[qApproxCardinality]]'s HLL++ sketch is engine-
+    * internal (no_oracle by necessity), every register here replays
+    * from `md5('hll:' || user_id)` in SQL, so the DuckDB oracle
+    * rebuilds the register file exactly and the estimate hash-matches.
+    */
+  private def qHllCardinality(s: SparkSession, d: String): DataFrame = {
+    val sk = Sketch.hllSketch(T.events(s, d), "event_type", "user_id", p = 6)
+    Sketch.hllEstimate(sk, "event_type", p = 6)
+      .select(col("event_type"), col("est").as("hll_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** A8+O6: terms group-by with sub-aggs, top-N by doc count. */
   private def qGroupTopN(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
@@ -3245,6 +3259,7 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_cardinality" -> (qCardinality _),
     "q_approx_cardinality" -> (qApproxCardinality _),
+    "q_hll_cardinality" -> (qHllCardinality _),
     "q_group_topn" -> (qGroupTopN _),
     "q_date_histogram" -> (qDateHistogram _),
     "q_seq_diff" -> (qSeqDiff _),
@@ -3467,6 +3482,34 @@ object SparkEntry {
     "q_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_hll_cardinality" ->
+      """WITH d AS (
+           SELECT event_type,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS draw
+           FROM events),
+         r AS (
+           SELECT event_type, draw >> 26 AS bucket,
+             CASE WHEN draw % 67108864 = 0 THEN 27
+                  ELSE 26 - CAST(floor(log2(draw % 67108864)) AS INT) END AS r
+           FROM d),
+         reg AS (SELECT event_type, bucket, max(r) AS mr FROM r GROUP BY 1, 2),
+         a AS (SELECT event_type,
+                 sum(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS s_present,
+                 count(*) AS c
+               FROM reg GROUP BY 1),
+         e AS (SELECT event_type,
+                 s_present + CAST(64 - c AS DOUBLE) AS sigma,
+                 CAST(64 - c AS DOUBLE) AS v
+               FROM a)
+         SELECT event_type,
+           round(CASE
+             WHEN 0.709 * 4096.0 / sigma <= 160.0 AND v > 0.0
+               THEN 64.0 * ln(64.0 / v)
+             WHEN 0.709 * 4096.0 / sigma > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 - (0.709 * 4096.0 / sigma) / 4294967296.0)
+             ELSE 0.709 * 4096.0 / sigma END, 4) AS hll_users
+         FROM e ORDER BY event_type""",
     "q_group_topn" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v,
          min(event_id) AS min_id, max(event_id) AS max_id

@@ -80,6 +80,75 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** HyperLogLog registers (Flajolet et al. 2007) per group: bucket =
+    * top `p` bits of the 32-bit md5 draw, register = max over the
+    * group's values of rank(low 32−p bits), where rank = leading zeros
+    * + 1 (a zero remainder ranks 32−p+1). Unlike the engine-internal
+    * `approx_count_distinct` (HLL++, sketch format not replayable
+    * outside Spark), every register here derives from the md5 draw —
+    * so an external SQL engine rebuilds the register file EXACTLY and
+    * the estimate is oracle-checkable.
+    *
+    * rank via `floor(log2(rem))`: rem < 2³² is an exact double and the
+    * nearest double to log2(rem) is > 5×10⁻⁸ from the ceiling integer
+    * (vs ulp ≈ 4×10⁻¹⁵), so the floor cannot straddle engines.
+    *
+    * Plan: per-row draw arithmetic, then a (group, bucket) max — the
+    * partial max collapses every task to ≤ groups·2ᵖ rows before the
+    * exchange, the same constant-size-shuffle contract as [[countMin]].
+    * Registers merge across corpora by bucket-wise MAX (union + the
+    * same groupBy), which is what makes HLL a sketch.
+    */
+  def hllSketch(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      p: Int,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision p=$p outside [4,16]")
+    val w = 32 - p
+    val draw = Split.hashDraw32(col(valueCol), s"$salt:")
+    val rem = draw % (1L << w)
+    val rank = when(rem === 0L, lit(w + 1))
+      .otherwise(lit(w) - floor(log2(rem)).cast("int"))
+    df.select(col(groupCol), shiftright(draw, w).as("bucket"), rank.as("r"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("r")).as("mr"))
+  }
+
+  /** The HLL estimate per group from a register file: raw = α·m²/Σ2^−Mⱼ
+    * (empty registers contribute 2⁰), linear counting below 2.5m with
+    * empties present, the 32-bit large-range correction above 2³²/30.
+    * Every Σ term is an exact binary fraction (1/(1<<M), never libm
+    * pow), so the sum is EXACT and order-free; only `ln` in the
+    * correction branches touches libm, absorbed by the 4-dp snap.
+    */
+  def hllEstimate(sketch: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // 2^−M as an exact literal table (1/(1<<M) is an exact double for
+    // M ≤ 32−p ≤ 28): never libm pow, and the Σ below is a sum of exact
+    // binary fractions — bit-identical under any accumulation order
+    val pow2neg = array((0 to 33 - p).map(i => lit(1.0 / (1L << i))): _*)
+    val agg = sketch.groupBy(col(groupCol)).agg(
+      sum(element_at(pow2neg, col("mr") + 1)).as("s_present"),
+      count(lit(1)).as("c"))
+    val sigma = col("s_present") + (lit(m.toLong) - col("c")).cast("double")
+    val v = (lit(m.toLong) - col("c")).cast("double") // registers still at 0
+    val raw = lit(alpha) * lit((m.toLong * m).toDouble) / sigma
+    val est = when(raw <= lit(2.5 * m) && v > 0.0,
+        lit(m.toDouble) * log(lit(m.toDouble) / v))
+      .when(raw > lit(4294967296.0 / 30.0),
+        lit(-4294967296.0) * log(lit(1.0) - raw / lit(4294967296.0)))
+      .otherwise(raw)
+    agg.select(col(groupCol), round(est, 4).as("est"))
+  }
+
   /** Heavy hitters by sketch estimate: distinct candidate keys scored
     * against the sketch, top `k` by (estimate DESC, key ASC). One-sided
     * error means every TRUE heavy hitter is present — the sketch can

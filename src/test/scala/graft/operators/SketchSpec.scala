@@ -80,6 +80,64 @@ class SketchSpec extends SparkSpec {
       s"estimate must broadcast the sketch:\n$plan")
   }
 
+  // ----------------------------------------------------------- HyperLogLog
+
+  private def hllOf(n: Int, p: Int = 6): Double = {
+    val df = (0 until n).map(i => ("g", s"user$i")).toDF("g", "v")
+    Sketch.hllEstimate(Sketch.hllSketch(df, "g", "v", p), "g", p)
+      .as[(String, Double)].head()._2
+  }
+
+  test("HLL estimate lands inside the m=64 error envelope at 5000 distinct keys") {
+    val est = hllOf(5000)
+    // std error 1.04/sqrt(64) ~ 13%; 3 sigma ~ 39%
+    assert(math.abs(est - 5000) / 5000.0 < 0.39, s"est $est too far from 5000")
+  }
+
+  test("HLL linear counting is near-exact at tiny cardinalities") {
+    val est = hllOf(10)
+    // with 64 registers and 10 keys the linear-counting branch estimates
+    // m*ln(m/V) — near-exact unless two keys collide into one register
+    assert(est >= 9.0 && est <= 12.0, s"linear-counting estimate $est not near 10")
+  }
+
+  test("HLL registers merge by bucket-wise max: merge(A,B) == sketch(A union B)") {
+    val a = (0 until 300).map(i => ("g", s"user$i")).toDF("g", "v")
+    val b = (150 until 500).map(i => ("g", s"user$i")).toDF("g", "v")
+    val merged = Sketch.hllSketch(a, "g", "v", 6)
+      .unionByName(Sketch.hllSketch(b, "g", "v", 6))
+      .groupBy("g", "bucket").agg(max("mr").as("mr"))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = Sketch.hllSketch(a.unionByName(b), "g", "v", 6)
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("HLL registers replay from md5 in SQL (the oracle derivation)") {
+    val df = Seq(("g", "alpha"), ("g", "beta")).toDF("g", "v")
+    val regs = Sketch.hllSketch(df, "g", "v", 6)
+      .as[(String, Long, Int)].collect().map { case (_, b, r) => (b, r) }.toSet
+    val sqlRegs = spark.sql(
+      """SELECT bucket, max(r) FROM (
+           SELECT shiftright(draw, 26) AS bucket,
+             CASE WHEN draw % 67108864 = 0 THEN 27
+                  ELSE 26 - CAST(floor(log2(draw % 67108864)) AS INT) END AS r
+           FROM (SELECT CAST(conv(substring(md5(concat('hll:', v)), 1, 8), 16, 10)
+                   AS BIGINT) AS draw
+                 FROM VALUES ('alpha'), ('beta') AS t(v)))
+         GROUP BY bucket""").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(regs === sqlRegs)
+  }
+
+  test("HLL sketch partial-aggregates the register max before the exchange") {
+    val df = (0 until 100).map(i => ("g", s"u$i")).toDF("g", "v")
+    val plan = Sketch.hllSketch(df, "g", "v", 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"register build must map-side combine:\n$plan")
+  }
+
   test("bucket draws replay from md5 in SQL (the oracle derivation)") {
     // the exact arithmetic the DuckDB oracle uses, run through Spark SQL:
     // CAST(conv(substring(md5('cms:d:tok'),1,8),16,10) AS BIGINT) % width
