@@ -127,6 +127,18 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch algebra ([[graft.operators.Sketch.hllOverlap]]): pairwise
+    * user-population overlap between event types by HLL
+    * inclusion–exclusion — union registers are the bucket-wise MAX of
+    * the two register files, so the answer comes from metadata-sized
+    * sketches with no corpus re-scan. Every register and estimate
+    * replays in SQL; the oracle rebuilds marginals, unions, and the
+    * overlap exactly.
+    */
+  private def qHllOverlap(s: SparkSession, d: String): DataFrame =
+    Sketch.hllOverlap(T.events(s, d), "event_type", "user_id", p = 6)
+      .orderBy(col("ga"), col("gb"))
+
   /** A8+O6: terms group-by with sub-aggs, top-N by doc count. */
   private def qGroupTopN(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
@@ -626,6 +638,64 @@ object SparkEntry {
     require(finished, "streaming dedup did not finish within 180s — " +
       "refusing to read a partial sink")
     s.read.parquet(out).orderBy(col("text_hash"))
+  }
+
+  /** Streaming windowed cardinality with BOUNDED state
+    * ([[graft.operators.Sketch.hllBucketRank]] +
+    * [[graft.streaming.Windows.tumbling]]): distinct users per 6-hour
+    * window per event type over an unbounded stream, where the
+    * streaming state is the HLL register file — ≤ windows·groups·2ᵖ
+    * rows, NEVER the distinct user set (the thing that makes exact
+    * streaming distinct-count state grow without bound at 100 TB).
+    * Batch and stream share one register derivation, so the DuckDB
+    * oracle replays the whole pipeline — windows, registers, estimates
+    * — from the events table: a hash-gated STREAMING sketch.
+    *
+    * Fixture mechanics: two time-split files (each micro-batch arrives
+    * strictly after the previous batch's watermark, so zero-lateness
+    * drops nothing), then a sentinel row far past the last real window
+    * to push the final watermark so every real window finalizes; the
+    * sentinel's own window ends past the final watermark and never
+    * emits.
+    */
+  private def qStreamCardinality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shll").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = T.events(s, d).select(col("ts"), col("event_type"), col("user_id"))
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    ev.filter(col("ts") < cut).coalesce(1).write.parquet(in)
+    ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+    val sentinelTs = java.sql.Timestamp.from(
+      ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+        .plusSeconds(40L * 86400))
+    s.range(1).select(
+        lit(sentinelTs).as("ts"),
+        lit("zz_sentinel").as("event_type"),
+        lit(-1L).as("user_id"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val (bucket, rank) = Sketch.hllBucketRank(col("user_id"), p = 6, salt = "hll")
+    val regs = graft.streaming.Windows.tumbling(
+      stream.select(col("ts"), col("event_type"),
+        bucket.as("bucket"), rank.as("r")),
+      "ts", "6 hours", "0 seconds",
+      Seq("event_type", "bucket"), Seq(max(col("r")).as("mr")))
+    val finished = regs.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start().awaitTermination(180000)
+    require(finished, "streaming HLL did not finish within 180s — " +
+      "refusing to read a partial sink")
+    Sketch.hllEstimate(
+      s.read.parquet(out)
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("bucket"), col("mr")),
+      Seq("ws", "event_type"), p = 6)
+      .withColumnRenamed("est", "est_users")
+      .orderBy(col("ws"), col("event_type"))
   }
 
   /** Incremental exact dedup, the daily-increment shape: batch =
@@ -3260,6 +3330,7 @@ object SparkEntry {
     "q_cardinality" -> (qCardinality _),
     "q_approx_cardinality" -> (qApproxCardinality _),
     "q_hll_cardinality" -> (qHllCardinality _),
+    "q_hll_overlap" -> (qHllOverlap _),
     "q_group_topn" -> (qGroupTopN _),
     "q_date_histogram" -> (qDateHistogram _),
     "q_seq_diff" -> (qSeqDiff _),
@@ -3307,6 +3378,7 @@ object SparkEntry {
     "q_pipeline_filter" -> (qPipelineFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_cardinality" -> (qStreamCardinality _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_corpus_report" -> (qCorpusReport _),
@@ -3482,6 +3554,86 @@ object SparkEntry {
     "q_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_stream_cardinality" ->
+      """WITH e AS (
+           SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS ws,
+             event_type,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS draw
+           FROM events),
+         r AS (
+           SELECT ws, event_type, draw >> 26 AS bucket,
+             CASE WHEN draw % 67108864 = 0 THEN 27
+                  ELSE 26 - CAST(floor(log2(draw % 67108864)) AS INT) END AS r
+           FROM e),
+         reg AS (SELECT ws, event_type, bucket, max(r) AS mr
+                 FROM r GROUP BY 1, 2, 3),
+         a AS (SELECT ws, event_type,
+                 sum(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS s_present,
+                 count(*) AS c
+               FROM reg GROUP BY 1, 2),
+         e2 AS (SELECT ws, event_type,
+                  s_present + CAST(64 - c AS DOUBLE) AS sigma,
+                  CAST(64 - c AS DOUBLE) AS v
+                FROM a)
+         SELECT ws, event_type, round(CASE
+             WHEN 0.709 * 4096.0 / sigma <= 160.0 AND v > 0.0
+               THEN 64.0 * ln(64.0 / v)
+             WHEN 0.709 * 4096.0 / sigma > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 - (0.709 * 4096.0 / sigma) / 4294967296.0)
+             ELSE 0.709 * 4096.0 / sigma END, 4) AS est_users
+         FROM e2 ORDER BY ws, event_type""",
+    "q_hll_overlap" ->
+      """WITH d AS (
+           SELECT event_type,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS draw
+           FROM events),
+         r AS (
+           SELECT event_type, draw >> 26 AS bucket,
+             CASE WHEN draw % 67108864 = 0 THEN 27
+                  ELSE 26 - CAST(floor(log2(draw % 67108864)) AS INT) END AS r
+           FROM d),
+         reg AS (SELECT event_type, bucket, max(r) AS mr FROM r GROUP BY 1, 2),
+         est1 AS (
+           SELECT event_type, round(CASE
+             WHEN 0.709 * 4096.0 / sigma <= 160.0 AND v > 0.0
+               THEN 64.0 * ln(64.0 / v)
+             WHEN 0.709 * 4096.0 / sigma > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 - (0.709 * 4096.0 / sigma) / 4294967296.0)
+             ELSE 0.709 * 4096.0 / sigma END, 4) AS est
+           FROM (SELECT event_type,
+                   s_present + CAST(64 - c AS DOUBLE) AS sigma,
+                   CAST(64 - c AS DOUBLE) AS v
+                 FROM (SELECT event_type,
+                         sum(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS s_present,
+                         count(*) AS c
+                       FROM reg GROUP BY 1))),
+         g AS (SELECT DISTINCT event_type FROM reg),
+         pairs AS (SELECT a.event_type AS ga, b.event_type AS gb
+                   FROM g a, g b WHERE a.event_type < b.event_type),
+         ureg AS (SELECT ga, gb, bucket, max(mr) AS mr
+                  FROM pairs JOIN reg ON reg.event_type = ga OR reg.event_type = gb
+                  GROUP BY 1, 2, 3),
+         uest AS (
+           SELECT ga, gb, round(CASE
+             WHEN 0.709 * 4096.0 / sigma <= 160.0 AND v > 0.0
+               THEN 64.0 * ln(64.0 / v)
+             WHEN 0.709 * 4096.0 / sigma > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 - (0.709 * 4096.0 / sigma) / 4294967296.0)
+             ELSE 0.709 * 4096.0 / sigma END, 4) AS est_union
+           FROM (SELECT ga, gb,
+                   s_present + CAST(64 - c AS DOUBLE) AS sigma,
+                   CAST(64 - c AS DOUBLE) AS v
+                 FROM (SELECT ga, gb,
+                         sum(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS s_present,
+                         count(*) AS c
+                       FROM ureg GROUP BY 1, 2)))
+         SELECT ga, gb, a.est AS est_a, b.est AS est_b, est_union,
+           round(a.est + b.est - est_union, 4) AS est_overlap
+         FROM uest JOIN est1 a ON a.event_type = uest.ga
+                   JOIN est1 b ON b.event_type = uest.gb
+         ORDER BY ga, gb""",
     "q_hll_cardinality" ->
       """WITH d AS (
            SELECT event_type,

@@ -99,19 +99,31 @@ object Sketch {
     * Registers merge across corpora by bucket-wise MAX (union + the
     * same groupBy), which is what makes HLL a sketch.
     */
+  /** The per-row HLL projection (bucket, rank) of a value column — the
+    * piece both the batch [[hllSketch]] and a streaming windowed
+    * register build ([[graft.streaming.Windows.tumbling]] grouped on
+    * (window, group, bucket) with `max(rank)`) share, so batch and
+    * stream registers are derivation-identical and merge freely.
+    */
+  private[graft] def hllBucketRank(
+      value: Column, p: Int, salt: String): (Column, Column) = {
+    require(p >= 4 && p <= 16, s"precision p=$p outside [4,16]")
+    val w = 32 - p
+    val draw = Split.hashDraw32(value, s"$salt:")
+    val rem = draw % (1L << w)
+    val rank = when(rem === 0L, lit(w + 1))
+      .otherwise(lit(w) - floor(log2(rem)).cast("int"))
+    (shiftright(draw, w), rank)
+  }
+
   def hllSketch(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       p: Int,
       salt: String = "hll"): DataFrame = {
-    require(p >= 4 && p <= 16, s"precision p=$p outside [4,16]")
-    val w = 32 - p
-    val draw = Split.hashDraw32(col(valueCol), s"$salt:")
-    val rem = draw % (1L << w)
-    val rank = when(rem === 0L, lit(w + 1))
-      .otherwise(lit(w) - floor(log2(rem)).cast("int"))
-    df.select(col(groupCol), shiftright(draw, w).as("bucket"), rank.as("r"))
+    val (bucket, rank) = hllBucketRank(col(valueCol), p, salt)
+    df.select(col(groupCol), bucket.as("bucket"), rank.as("r"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("r")).as("mr"))
   }
@@ -123,7 +135,13 @@ object Sketch {
     * pow), so the sum is EXACT and order-free; only `ln` in the
     * correction branches touches libm, absorbed by the 4-dp snap.
     */
-  def hllEstimate(sketch: DataFrame, groupCol: String, p: Int): DataFrame = {
+  def hllEstimate(sketch: DataFrame, groupCol: String, p: Int): DataFrame =
+    hllEstimate(sketch, Seq(groupCol), p)
+
+  /** Multi-column-keyed variant — the shape [[hllOverlap]]'s pair-keyed
+    * union register files need.
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     val m = 1 << p
     val alpha = p match {
       case 4 => 0.673
@@ -135,7 +153,7 @@ object Sketch {
     // M ≤ 32−p ≤ 28): never libm pow, and the Σ below is a sum of exact
     // binary fractions — bit-identical under any accumulation order
     val pow2neg = array((0 to 33 - p).map(i => lit(1.0 / (1L << i))): _*)
-    val agg = sketch.groupBy(col(groupCol)).agg(
+    val agg = sketch.groupBy(groupCols.map(col): _*).agg(
       sum(element_at(pow2neg, col("mr") + 1)).as("s_present"),
       count(lit(1)).as("c"))
     val sigma = col("s_present") + (lit(m.toLong) - col("c")).cast("double")
@@ -146,7 +164,50 @@ object Sketch {
       .when(raw > lit(4294967296.0 / 30.0),
         lit(-4294967296.0) * log(lit(1.0) - raw / lit(4294967296.0)))
       .otherwise(raw)
-    agg.select(col(groupCol), round(est, 4).as("est"))
+    agg.select(groupCols.map(col) :+ round(est, 4).as("est"): _*)
+  }
+
+  /** Pairwise population overlap via HLL inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the A∪B register file is
+    * the bucket-wise MAX of A's and B's — sketch ALGEBRA, the property
+    * that makes HLL more than a counter. At 100 TB this is the corpus-
+    * overlap question ("how many users/documents do sources share?")
+    * answered from metadata-sized register files with NO re-scan and no
+    * corpus-side join: the pair expansion below touches only
+    * groups²·2ᵖ register rows.
+    *
+    * Returns one row per unordered group pair (ga < gb): the two
+    * marginal estimates, the union estimate, and the overlap. All three
+    * estimates are 4-dp snapped before the final exact-decimal
+    * arithmetic, so the overlap replays in SQL.
+    */
+  def hllOverlap(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      p: Int,
+      salt: String = "hll"): DataFrame = {
+    val regs = hllSketch(df, groupCol, valueCol, p, salt)
+    val single = hllEstimate(regs, groupCol, p)
+    // every unordered pair's union registers: tag each register row with
+    // both pair members it belongs to, bucket-wise max per pair — the
+    // join is register-file-sized (groups·2^p), broadcast both ways
+    val gs = regs.select(col(groupCol)).distinct()
+    val pairs = gs.select(col(groupCol).as("ga"))
+      .crossJoin(broadcast(gs.select(col(groupCol).as("gb"))))
+      .filter(col("ga") < col("gb"))
+    val unionRegs = pairs
+      .join(broadcast(regs),
+        col(groupCol) === col("ga") || col(groupCol) === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("bucket"))
+      .agg(max(col("mr")).as("mr"))
+    val unionEst = hllEstimate(unionRegs, Seq("ga", "gb"), p)
+      .withColumnRenamed("est", "est_union")
+    unionEst
+      .join(broadcast(single.select(col(groupCol).as("ga"), col("est").as("est_a"))), "ga")
+      .join(broadcast(single.select(col(groupCol).as("gb"), col("est").as("est_b"))), "gb")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_overlap"))
   }
 
   /** Heavy hitters by sketch estimate: distinct candidate keys scored

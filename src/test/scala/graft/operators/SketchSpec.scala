@@ -130,6 +130,34 @@ class SketchSpec extends SparkSpec {
     assert(regs === sqlRegs)
   }
 
+  test("HLL overlap: identical populations give overlap == marginal == union exactly") {
+    val df = (0 until 400).flatMap(i => Seq(("a", s"u$i"), ("b", s"u$i")))
+      .toDF("g", "v")
+    val row = Sketch.hllOverlap(df, "g", "v", 6)
+      .as[(String, String, Double, Double, Double, Double)].head()
+    val (_, _, ea, eb, eu, ov) = row
+    // identical member sets → identical register files → every estimate
+    // is the same number, and inclusion–exclusion returns it exactly
+    assert(ea === eb && eb === eu && ov === ea)
+  }
+
+  test("HLL overlap: disjoint and half-overlapping populations estimate sanely") {
+    val a = (0 until 1000).map(i => ("a", s"u$i"))
+    val b = (1000 until 2000).map(i => ("b", s"u$i"))      // disjoint from a
+    val c = (500 until 1500).map(i => ("c", s"u$i"))       // half-overlaps a
+    val rows = Sketch.hllOverlap((a ++ b ++ c).toDF("g", "v"), "g", "v", 6)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    // m=64 → ~13% per-estimate error; inclusion–exclusion compounds it,
+    // so bounds are loose but directional: disjoint must estimate far
+    // below the true half-overlap's estimate
+    val dis = rows(("a", "b"))
+    val half = rows(("a", "c"))
+    assert(math.abs(dis) < 350, s"disjoint overlap $dis too far from 0")
+    assert(half > 200 && half < 900, s"half overlap $half not near 500")
+    assert(half > dis + 100, s"half ($half) must clearly exceed disjoint ($dis)")
+  }
+
   test("HLL sketch partial-aggregates the register max before the exchange") {
     val df = (0 until 100).map(i => ("g", s"u$i")).toDF("g", "v")
     val plan = Sketch.hllSketch(df, "g", "v", 6)

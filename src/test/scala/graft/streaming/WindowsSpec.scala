@@ -49,6 +49,50 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL registers equal the batch derivation; state is register-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val (bucket, rank) = graft.operators.Sketch.hllBucketRank($"user", 6, "hll")
+    val regs = Windows.tumbling(
+      input.toDF().toDF("ts", "g", "user")
+        .select($"ts", $"g", bucket.as("bucket"), rank.as("r")),
+      tsCol = "ts", width = "5 minutes", lateness = "0 seconds",
+      groupCols = Seq("g", "bucket"),
+      aggs = Seq(max($"r").as("mr")))
+    val q = regs.writeStream.outputMode("append")
+      .format("memory").queryName("hll_out")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // 200 distinct users into window [10:00, 10:05), one group
+      input.addData((0 until 200).map(i => (ts(0), "a", s"u$i")): _*)
+      q.processAllAvailable()
+      // sentinel past the window closes it
+      input.addData((ts(10), "zz", "s"))
+      q.processAllAvailable()
+      val got = spark.table("hll_out")
+        .filter($"g" === "a")
+        .select($"g", $"bucket", $"mr")
+      // identical to the BATCH register derivation over the same rows —
+      // the merge-freely contract between live and backfill sketches
+      val batch = graft.operators.Sketch.hllSketch(
+        (0 until 200).map(i => ("a", s"u$i")).toDF("g", "v"), "g", "v", 6)
+      assert(got.select("bucket", "mr").as[(Long, Int)].collect().toSet ===
+        batch.select("bucket", "mr").as[(Long, Int)].collect().toSet)
+      // and the state the stream carried is register-bounded: ≤ 2^6 rows
+      // for the group, NOT 200 user rows
+      assert(got.count() <= 64,
+        "streaming state must be the register file, not the distinct set")
+      val lastProgress = q.lastProgress
+      val stateRows = Option(lastProgress)
+        .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal)
+      stateRows.foreach(n => assert(n <= 2 * 64 + 2,
+        s"state rows $n exceed the register bound"))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS hll_out")
+    }
+  }
+
   test("sliding windows produce overlapping buckets") {
     // batch-frame check of the window shape (no stream needed)
     val df = Seq((ts(0), 1.0), (ts(3), 1.0)).toDF("ts", "value")
