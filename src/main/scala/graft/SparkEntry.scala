@@ -92,6 +92,26 @@ object SparkEntry {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** O-scale percentiles: the exact interpolated percentile over a
+    * DETERMINISTIC 25% md5 sample ([[graft.operators.Split
+    * .weightedSample]] at constant weight). The exact plan shuffles
+    * every value per group (corpus-proportional sort memory — the thing
+    * that breaks at 100 TB); the sampled plan shuffles a fixed fraction
+    * with error O(1/√(rate·n)) on any continuous quantile, and the
+    * md5-drawn sample replays in SQL, so even the SAMPLED estimate is
+    * hash-gated — unlike approx_percentile, whose GK sketch is
+    * engine-internal.
+    */
+  private def qPercentilesSampled(s: SparkSession, d: String): DataFrame =
+    Split.weightedSample(T.events(s, d), "event_id", lit(0.25), salt = "ps")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.50)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   /** A5: distinct cardinality per group (exact; the approx HLL variant is
     * qApproxCardinality, rows-only checked).
     */
@@ -3327,6 +3347,7 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q_extended_stats" -> (qExtendedStats _),
     "q_percentiles" -> (qPercentiles _),
+    "q_percentiles_sampled" -> (qPercentilesSampled _),
     "q_cardinality" -> (qCardinality _),
     "q_approx_cardinality" -> (qApproxCardinality _),
     "q_hll_cardinality" -> (qHllCardinality _),
@@ -3544,6 +3565,17 @@ object SparkEntry {
          round(sum(value), 2) / count(*) AS avg_v, round(sum(value), 2) AS sum_v,
          round(stddev_samp(value), 2) AS std_v, round(var_samp(value), 2) AS var_v
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_percentiles_sampled" ->
+      """WITH s AS (
+           SELECT event_type, value FROM events
+           WHERE CAST('0x' || substring(md5('ps' || CAST(event_id AS VARCHAR)),
+             1, 8) AS BIGINT) < 1073741824)
+         SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+         FROM s GROUP BY 1 ORDER BY 1""",
     "q_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.25), 4) AS p25,

@@ -317,4 +317,19 @@ class SplitSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("selectByBudget"))
   }
+
+  test("a constant-weight md5 sample preserves quantiles within sampling error") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    // 40k rows of a known uniform distribution: value = i / 40000
+    val df = (0 until 40000).map(i => (i.toLong, i / 40000.0)).toDF("id", "v")
+    val sampled = Split.weightedSample(df, "id", lit(0.25), salt = "ps")
+    val n = sampled.count()
+    // deterministic sample near the nominal rate
+    assert(math.abs(n - 10000) < 500, s"sample size $n far from 10000")
+    val p = sampled.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    // true median 0.5; sampling std at n~10k is ~0.005 for U(0,1)
+    assert(math.abs(p - 0.5) < 0.02, s"sampled median $p drifted")
+    // and the sample is bit-stable across evaluations
+    assert(Split.weightedSample(df, "id", lit(0.25), salt = "ps").count() === n)
+  }
 }
