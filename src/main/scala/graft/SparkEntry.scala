@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sim, Text}
-import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Selection, Sketch, Split, UnigramLm}
+import graft.operators.{Ann, Cluster, Decontam, Dedup, Gaps, Latest, AsOf, Pack, Rank, Selection, Sketch, Split, UnigramLm}
 import graft.query.{FilterCompiler => FC, MetaFilter, MetaFilters, Paging}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -835,6 +835,23 @@ object SparkEntry {
   private def qTfidfTopk(s: SparkSession, d: String): DataFrame =
     graft.operators.TfIdf.topTerms(T.documents(s, d), "doc_id", "text", 3)
       .orderBy(col("doc_id"), col("term"))
+
+  /** Okapi BM25 top-20 documents for a fixed 4-term query (k1=1.2,
+    * b=0.75, Lucene non-negative idf; 4-dp per-term component snap
+    * summed in integer ten-thousandths — order-free across engines).
+    */
+  private def qBm25TopK(s: SparkSession, d: String): DataFrame =
+    Rank.bm25TopK(T.documents(s, d), "doc_id", "text",
+        Seq("hash", "join", "vector", "stream"), 20)
+      .orderBy(col("doc_id"))
+
+  /** 10-iteration PageRank (damping 0.85) over the symmetric
+    * customer↔supplier trade graph. Integer 1e8-unit rank carrier —
+    * only scale-0 rounds and integer sums, bit-identical across engines.
+    */
+  private def qPageRank(s: SparkSession, d: String): DataFrame =
+    Rank.pageRank(Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 10)
+      .orderBy(col("node"))
 
   /** Batch k-NN join: 5 query vectors × corpus, top-5 neighbors each —
     * broadcast NLJ scoring + WindowGroupLimit per-query top-k.
@@ -3382,6 +3399,8 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_bm25_topk" -> (qBm25TopK _),
+    "q_pagerank" -> (qPageRank _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -4371,6 +4390,102 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
          ORDER BY doc_id, term""",
+    "q_bm25_topk" ->
+      """WITH dl AS (
+           SELECT doc_id, len(string_split(trim(text), ' ')) AS dl
+           FROM documents),
+         avgdl AS (SELECT round(avg(dl), 4) AS avgdl FROM dl),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('hash', 'join', 'vector', 'stream')
+           GROUP BY 1, 2),
+         df AS (
+           SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tok
+                 WHERE term IN ('hash', 'join', 'vector', 'stream'))
+           GROUP BY 1),
+         idf AS (
+           SELECT term, round(ln(1.0 + (n.n - df + 0.5) / (df + 0.5)), 4) AS idf
+           FROM df, n),
+         part AS (
+           SELECT tf.doc_id,
+             CAST(round(round(idf * (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl.avgdl)), 4)
+               * 10000) AS BIGINT) AS comp_i4
+           FROM tf JOIN idf USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id, avgdl),
+         scored AS (
+           SELECT doc_id, sum(comp_i4) / 10000.0 AS score
+           FROM part GROUP BY doc_id
+           ORDER BY score DESC, doc_id ASC LIMIT 20)
+         SELECT doc_id, score FROM scored ORDER BY doc_id""",
+    "q_pagerank" ->
+      """WITH eraw AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM eraw
+               UNION ALL SELECT b AS src, a AS dst FROM eraw),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         r0 AS (SELECT src AS node,
+                  CAST(round(100000000.0 / n.n) AS BIGINT) AS pr_e8
+                FROM deg, n),
+         r1 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r0 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r2 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r1 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r3 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r2 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r4 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r3 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r5 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r4 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r6 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r5 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r7 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r6 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r8 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r7 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r9 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r8 r ON ed.src = r.node, n GROUP BY ed.dst),
+         r10 AS (SELECT ed.dst AS node,
+                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
+                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
+                    AS BIGINT) AS pr_e8
+                FROM ed JOIN r9 r ON ed.src = r.node, n GROUP BY ed.dst)
+         SELECT node, pr_e8 FROM r10 ORDER BY node""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

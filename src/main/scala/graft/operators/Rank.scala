@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval and link analysis — the scoring passes of a
+  * corpus-search / graph-centrality pipeline (reference surface: the
+  * search-and-rank half of `get_actions`-style queries generalized to
+  * full-text relevance, plus entity-importance ranking over the
+  * account-interaction graph; cf. `/root/reference/src/api/routes/v2-history/
+  * get_actions/get_actions.ts` result ranking).
+  *
+  * Cross-engine reproducibility (the repo-wide convention): every
+  * transcendental (ln) is snapped to 4 dp at an identical point in both
+  * engines, and every float SUM whose addend order differs between
+  * engines is carried in integer ten-thousandths (`round(x·10⁴)` →
+  * BIGINT) so the aggregation is order-free and exact. Rankings order by
+  * the ROUNDED score with a deterministic id tie-break.
+  */
+object Rank {
+
+  /** Okapi BM25 top-k document retrieval for a fixed term query.
+    *
+    * `score(D,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))`
+    * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))` (Lucene's
+    * non-negative variant).
+    *
+    * Plan: one token-explode pass FILTERED to the query terms before the
+    * (doc, term) hash aggregate (selectivity reaches the shuffle — the
+    * tf side carries ≤ |q| rows per doc, not the whole posting list); df
+    * from a separate fused per-doc-distinct `Shingles(·,1)` pass (never
+    * a `tf.groupBy(term)` self-reference — Catalyst re-executes the
+    * uncached explode inside the broadcast build, the measured TfIdf
+    * trap); doc length from a scan-local `size(split(·))` (no shuffle);
+    * `avgdl` and `N` are two corpus scalars. Per-term partial scores are
+    * snapped to 4 dp and summed per doc in integer ten-thousandths
+    * (order-free), then the global top-k is a `TakeOrderedAndProject`
+    * (sort+limit — no single-partition window).
+    *
+    * 100 TB shape: tf/df aggregates shuffle only rows matching the query
+    * terms; df is a ≤|q|-row broadcast; the only full-corpus work is the
+    * scan itself. Top-k is per-partition-bounded by the sort-limit.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val terms = queryTerms.map(lit(_))
+    // per-doc length over ALL tokens (BM25 normalizes by full doc length,
+    // not just query-term hits) — computed scan-local, no explode
+    val dl = docs.select(
+      col(idCol).as("doc_id"),
+      size(Text.tokens(col(textCol))).as("dl"))
+    val avgdlRow = dl.agg(round(avg(col("dl")), 4)).head()
+    val avgdl = avgdlRow.getDouble(0)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // df from the fused per-doc-distinct unigram pass, filtered to the
+    // query terms at the scan — a ≤|q|-row result, broadcast into the join
+    val df = docs
+      .select(explode(graft.exprs.Shingles(col(textCol), 1)).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        round(log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)), 4))
+    val partial = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .withColumn("comp",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 4))
+      // integer ten-thousandths: per-doc sum over the ≤|q| term components
+      // is order-free and exact in both engines
+      .withColumn("comp_i4", round(col("comp") * 10000).cast("long"))
+    partial
+      .groupBy("doc_id")
+      .agg((sum(col("comp_i4")) / 10000.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Symmetric-edge PageRank by fixed-iteration power method.
+    *
+    * The graph is taken as an UNDIRECTED edge list (callers union each
+    * directed edge with its reverse): every node then has out-degree ≥ 1,
+    * so there is no dangling-mass redistribution step and
+    * `r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u)` is the whole update.
+    *
+    * Determinism across engines: the rank is carried as an INTEGER in
+    * hundred-millionths (`pr_e8`, 1e8 units — fine enough that a
+    * 10⁷-node graph's ranks keep ≥ 10 significant units) from init to
+    * output. Per-edge contributions `round(pr_e8/deg)` and the update
+    * `round(base·1e8 + d·Σ contrib)` use only SCALE-0 rounds of doubles:
+    * a double that is not exactly `x.5` has its shortest decimal
+    * representation on the same side of `x.5` (the boundary is binary-
+    * representable), so Spark's BigDecimal-string HALF_UP and DuckDB's
+    * numeric half-away-from-zero agree on EVERY double — unlike scale>0
+    * rounds, whose decimal boundaries need not be representable. The
+    * per-destination sum is integer, hence order-free; the integer
+    * fixpoint is the spec'd algorithm, not an approximation of a float
+    * one.
+    *
+    * Plan per iteration: ranks ⋈ degree-annotated edges on src (one
+    * shuffle, or zero when ranks are co-partitioned with edges on src) →
+    * hash aggregate on dst (the second shuffle). Lineage is truncated
+    * with `localCheckpoint` each round (the [[Cluster]] convention) so
+    * ten iterations stay ten plans, not one 10-deep reanalysis.
+    *
+    * 100 TB shape: state is one (node, rank) row per node; per iteration
+    * cost is one join + one aggregate over the edge list — the canonical
+    * Pregel-on-DataFrames shape. Skewed hubs fan INTO the aggregate as
+    * map-side partial sums (LongType sum combines), so a 10⁶-degree hub
+    * costs its edge count, never a single-reducer list.
+    */
+  def pageRank(
+      edges: DataFrame, // columns: src, dst (already symmetric)
+      iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    val nNodes = deg.count()
+    val baseE8 = (1.0 - damping) * 1.0e8 / nNodes
+    var ranks = deg.select(
+      col("src").as("node"),
+      round(lit(1.0e8 / nNodes)).cast("long").as("pr_e8"))
+    for (_ <- 1 to iterations) {
+      ranks = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(
+          col("dst"),
+          round(col("pr_e8") / col("deg")).cast("long").as("contrib_e8"))
+        .groupBy("dst")
+        .agg(sum(col("contrib_e8")).as("in_e8"))
+        .select(
+          col("dst").as("node"),
+          round(lit(baseE8) + lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Customer↔supplier interaction graph from orders ⋈ lineitem — the
+    * distinct bipartite trade edges, symmetrized for [[pageRank]].
+    * Supplier ids are offset by `supplierOffset` so the two key spaces
+    * cannot collide.
+    */
+  def tradeGraph(orders: DataFrame, lineitem: DataFrame, supplierOffset: Long): DataFrame = {
+    val e = orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .select(
+        col("o_custkey").as("a"),
+        (col("l_suppkey") + supplierOffset).as("b"))
+      .distinct()
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+}

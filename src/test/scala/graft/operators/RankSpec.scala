@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval + link analysis invariants — BM25 ordering against a
+  * hand-computable fixture, PageRank mass conservation / hub dominance /
+  * uniform-ring symmetry, and the integer-carrier determinism contract.
+  */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ BM25
+
+  private def docsDf = Seq(
+    (1L, "cat cat cat dog"),      // tf(cat)=3, short
+    (2L, "cat dog fish bird owl frog hen cow pig rat bat ant"), // tf(cat)=1, long
+    (3L, "dog dog dog dog"),      // no 'cat'
+    (4L, "cat cat dog fish")      // tf(cat)=2
+  ).toDF("doc_id", "text")
+
+  test("bm25: higher tf wins at comparable length; absent term scores zero rows") {
+    val res = Rank.bm25TopK(docsDf, "doc_id", "text", Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 3 has no 'cat' → no partial rows → absent from the result
+    assert(!res.map(_._1).contains(3L))
+    val byDoc = res.toMap
+    // tf 3 > tf 2 at shorter-or-equal length → strictly higher score
+    assert(byDoc(1L) > byDoc(4L))
+    // doc 2's single hit in a 12-token doc scores below doc 1's 3 hits
+    assert(byDoc(1L) > byDoc(2L))
+    // result is sorted by score desc before the limit — scores positive
+    assert(res.forall(_._2 > 0.0))
+  }
+
+  test("bm25: k caps the result and keeps the top scorers") {
+    val res = Rank.bm25TopK(docsDf, "doc_id", "text", Seq("cat", "dog"), 2)
+      .collect()
+    assert(res.length === 2)
+    val kept = res.map(_.getLong(0)).toSet
+    val all = Rank.bm25TopK(docsDf, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val top2 = all.sortBy(r => (-r._2, r._1)).take(2).map(_._1).toSet
+    assert(kept === top2)
+  }
+
+  test("bm25: length normalization — same tf, longer doc scores lower") {
+    val docs = Seq(
+      (1L, "term term pad"),
+      (2L, "term term pad pad pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val byDoc = Rank.bm25TopK(docs, "doc_id", "text", Seq("term"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(byDoc(1L) > byDoc(2L))
+  }
+
+  // -------------------------------------------------------------- PageRank
+
+  private def sym(pairs: Seq[(Long, Long)]) = {
+    val e = pairs.toDF("src", "dst")
+    e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("pagerank: rank mass is conserved to within the integer snap") {
+    // star: hub 0 — leaves 1..6
+    val ranks = Rank.pageRank(sym((1L to 6L).map(l => (0L, l))), 10)
+    val total = ranks.agg(sum($"pr_e8")).head().getLong(0)
+    // Σ pr = 1 in 1e8 units, up to one rounding unit per node per iteration
+    assert(math.abs(total - 100000000L) < 7 * 11)
+  }
+
+  test("pagerank: star hub dominates every leaf; leaves are symmetric") {
+    val ranks = Rank.pageRank(sym((1L to 6L).map(l => (0L, l))), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val leafRanks = (1L to 6L).map(ranks)
+    assert(leafRanks.toSet.size === 1) // identical by symmetry
+    assert(ranks(0L) > leafRanks.head * 3)
+  }
+
+  test("pagerank: uniform ring converges to the uniform distribution") {
+    val n = 8
+    val ring = sym((0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)))
+    val ranks = Rank.pageRank(ring, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranks.values.toSet.size === 1)
+    assert(math.abs(ranks(0L) - 100000000L / n) <= 1)
+  }
+
+  test("pagerank: deterministic across runs (integer carrier, no float sums)") {
+    val g = Rank.tradeGraph(
+      Seq((100L, 7L), (101L, 8L), (102L, 7L)).toDF("o_orderkey", "o_custkey"),
+      Seq((100L, 1L), (100L, 2L), (101L, 1L), (102L, 2L)).toDF("l_orderkey", "l_suppkey"),
+      1000L)
+    val a = Rank.pageRank(g, 10).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Rank.pageRank(g.repartition(7), 10).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("tradeGraph: symmetric, distinct, offset keyspaces disjoint") {
+    val g = Rank.tradeGraph(
+      Seq((100L, 7L), (101L, 7L)).toDF("o_orderkey", "o_custkey"),
+      Seq((100L, 1L), (100L, 1L), (101L, 2L)).toDF("l_orderkey", "l_suppkey"),
+      1000L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // duplicate (cust 7, supp 1) edge collapsed; both directions present
+    assert(g.length === 4)
+    assert(g.toSet === Set((7L, 1001L), (7L, 1002L), (1001L, 7L), (1002L, 7L)))
+  }
+}
