@@ -853,6 +853,47 @@ object SparkEntry {
     Rank.pageRank(Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 10)
       .orderBy(col("node"))
 
+  /** 10-iteration HITS over the DIRECTED customer→supplier trade edges
+    * (hubs = broad buyers, authorities = widely-bought-from suppliers);
+    * integer 1e8-unit carrier with L1 normalization each half-step.
+    */
+  private def qHits(s: SparkSession, d: String): DataFrame =
+    Rank.hits(Rank.tradeEdges(T.orders(s, d), T.lineitem(s, d), 1000000L), 10)
+      .orderBy(col("node"))
+
+  /** Ordered 4-stage funnel over events: each stage counts users whose
+    * stage event falls strictly after their earliest completion of the
+    * previous stage.
+    */
+  private def qFunnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Behavior.funnel(T.events(s, d), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("stage"))
+
+  /** Weekly cohort retention: distinct users active per (first-event
+    * cohort week, week offset) — exact integer second-arithmetic.
+    */
+  private def qRetentionCohorts(s: SparkSession, d: String): DataFrame =
+    graft.operators.Behavior.retention(T.events(s, d), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** Top-20 collocations by document-level PMI (df ≥ 100, pair df ≥ 50,
+    * 4-dp snap on the ln).
+    */
+  private def qPmiTopk(s: SparkSession, d: String): DataFrame =
+    graft.operators.Colloc.pmiTopK(T.documents(s, d), "doc_id", "text", 100L, 50L, 20)
+      .orderBy(col("term_a"), col("term_b"))
+
+  /** Per-node triangle count / degree / clustering coefficient over the
+    * k=3 cosine kNN graph of the embeddings table (union semantics,
+    * 4-dp-snapped ranking) — the mirror-clique-vs-hub signal of a
+    * near-dup graph.
+    */
+  private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.triangleStats(
+        graft.operators.Graph.knnGraph(T.embeddings(s, d), "vec_id", "embedding", 3))
+      .orderBy(col("node"))
+
   /** Batch k-NN join: 5 query vectors × corpus, top-5 neighbors each —
     * broadcast NLJ scoring + WindowGroupLimit per-query top-k.
     */
@@ -3401,6 +3442,11 @@ object SparkEntry {
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_bm25_topk" -> (qBm25TopK _),
     "q_pagerank" -> (qPageRank _),
+    "q_hits" -> (qHits _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
+    "q_pmi_topk" -> (qPmiTopk _),
+    "q_knn_triangles" -> (qKnnTriangles _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -3569,7 +3615,116 @@ object SparkEntry {
     "q_hyperion_blacklist" -> (qHypBlacklist _)
   )
 
+  /** Generated HITS oracle: `iters` mutual-reinforcement rounds as
+    * chained CTEs, mirroring [[graft.operators.Rank.hits]]'s integer
+    * 1e8-unit carrier op-for-op (integer sums, `raw / tot * 1e8`
+    * normalization, scale-0 rounds only).
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a${i}raw AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS raw
+           FROM eraw e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         a${i}tot AS MATERIALIZED (SELECT CAST(sum(raw) AS DOUBLE) AS tot FROM a${i}raw),
+         a$i AS MATERIALIZED (SELECT node, CAST(round(raw / t.tot * 100000000.0) AS BIGINT) AS a
+           FROM a${i}raw, a${i}tot t),
+         h${i}raw AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS raw
+           FROM eraw e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         h${i}tot AS MATERIALIZED (SELECT CAST(sum(raw) AS DOUBLE) AS tot FROM h${i}raw),
+         h$i AS MATERIALIZED (SELECT node, CAST(round(raw / t.tot * 100000000.0) AS BIGINT) AS h
+           FROM h${i}raw, h${i}tot t)"""
+    }.mkString(",\n         ")
+    s"""WITH eraw AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         nodes AS (SELECT src AS node FROM eraw UNION SELECT dst FROM eraw),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         h0 AS MATERIALIZED (SELECT node, CAST(round(100000000.0 / n.n) AS BIGINT) AS h
+           FROM nodes, n),
+         $steps
+         SELECT coalesce(h.node, a.node) AS node,
+           coalesce(h.h, 0) AS hub_e8, coalesce(a.a, 0) AS auth_e8
+         FROM h$iters h FULL OUTER JOIN a$iters a ON h.node = a.node
+         ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_hits" -> hitsOracleSql(10),
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+         SELECT 1 AS stage, 'signup' AS event_type, count(*) AS users FROM s1
+         UNION ALL SELECT 2, 'view', count(*) FROM s2
+         UNION ALL SELECT 3, 'click', count(*) FROM s3
+         UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+         ORDER BY stage""",
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY 1),
+         act AS (SELECT DISTINCT f.cohort_week,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+               / 604800 AS BIGINT) AS week_offset,
+             e.user_id
+           FROM events e JOIN f ON e.user_id = f.user_id)
+         SELECT cohort_week, week_offset, count(*) AS users
+         FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pmi_topk" ->
+      """WITH u AS (SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+             FROM documents)),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         df AS (SELECT term, count(*) AS df FROM u GROUP BY 1
+           HAVING count(*) >= 100),
+         q AS (SELECT u.doc_id, u.term FROM u JOIN df USING (term)),
+         p AS (SELECT q1.term AS term_a, q2.term AS term_b, count(*) AS df_ab
+           FROM q q1 JOIN q q2
+             ON q1.doc_id = q2.doc_id AND q1.term < q2.term
+           GROUP BY 1, 2 HAVING count(*) >= 50),
+         sc AS (SELECT term_a, term_b, df_ab,
+             round(ln(df_ab * n.n / (da.df * db.df)), 4) AS pmi
+           FROM p JOIN df da ON p.term_a = da.term
+           JOIN df db ON p.term_b = db.term, n),
+         top AS (SELECT * FROM sc
+           ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 20)
+         SELECT term_a, term_b, df_ab, pmi FROM top ORDER BY term_a, term_b""",
+    "q_knn_triangles" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(b.vec, a.vec), 4) AS cos
+           FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM s),
+         d AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 3),
+         e AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+             greatest(query_id, neighbor_id) AS b FROM d),
+         w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         t AS (SELECT x, y, z FROM w WHERE EXISTS (
+           SELECT 1 FROM e e3 WHERE e3.a = w.x AND e3.b = w.z)),
+         tn AS (SELECT node, count(*) AS triangles FROM (
+             SELECT x AS node FROM t
+             UNION ALL SELECT y FROM t
+             UNION ALL SELECT z FROM t)
+           GROUP BY 1),
+         deg AS (SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           GROUP BY 1)
+         SELECT deg.node, coalesce(tn.triangles, 0) AS triangles, deg.degree,
+           CASE WHEN deg.degree >= 2
+             THEN coalesce(tn.triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1))
+             ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tn ON deg.node = tn.node ORDER BY deg.node""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
@@ -4424,13 +4579,13 @@ object SparkEntry {
            ORDER BY score DESC, doc_id ASC LIMIT 20)
          SELECT doc_id, score FROM scored ORDER BY doc_id""",
     "q_pagerank" ->
-      """WITH eraw AS (
+      """WITH eraw AS MATERIALIZED (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         e AS (SELECT a AS src, b AS dst FROM eraw
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
                UNION ALL SELECT b AS src, a AS dst FROM eraw),
-         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+         deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
          r0 AS (SELECT src AS node,
                   CAST(round(100000000.0 / n.n) AS BIGINT) AS pr_e8

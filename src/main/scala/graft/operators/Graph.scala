@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-graph construction and triangle analytics — the graph-
+  * quality half of a dedup/clustering pipeline: a k-NN graph over the
+  * embedding column, then per-node triangle counts and local clustering
+  * coefficients (how clique-like each doc's neighborhood is — high
+  * coefficient = mirror-cluster, low = hub/bridge, the standard signal
+  * for telling near-dup cliques from topical hubs before collapsing).
+  */
+object Graph {
+
+  /** Undirected k-NN graph: an edge {a,b} exists iff b is among a's
+    * top-k cosine neighbors OR a is among b's (union semantics, the
+    * standard kNN-graph construction). Self-pairs are excluded BEFORE
+    * ranking; ranking is on the 4-dp-snapped cosine with an id
+    * tie-break (the [[Ann.knnJoin]] convention — sub-ulp float noise
+    * must not flip the selected set across engines). Returned as
+    * distinct (a, b) rows with a < b.
+    *
+    * Plan: the exact all-pairs scoring here is the oracle-able
+    * DIAGNOSTIC construction (broadcast of the query side — fine while
+    * one side fits the broadcast budget). At corpus scale the candidate
+    * generator swaps for the bucketed families ([[Ann.ivfTopK]] /
+    * [[Dedup.embeddingCosine]]'s hyperplane buckets) — the downstream
+    * edge/triangle algebra is identical either way, which is why the
+    * graph build is a separate composable step.
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = vecs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = vecs
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.exprs.CosineSim(col("__cv"), col("__qv")), 4).as("__cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    val directed = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    directed
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle count + degree + local clustering coefficient
+    * over an undirected edge set given as distinct (a, b), a < b.
+    *
+    * Triangles are enumerated once each by the ordered two-path join:
+    * e₁(a,b) ⋈ e₂(b,c) on the middle node gives every a<b<c wedge, and
+    * a semi-join against e(a,c) keeps the closed ones — the classic
+    * ordered-enumeration shape whose join fan-out is Σ_b deg⁺(b)², with
+    * the id-ordering playing the degree-orientation role of
+    * compact-forward counting. Each closed triangle then credits its
+    * three corners (one generated row each). The coefficient
+    * `2·t / (d·(d−1))` is emitted as a RAW deterministic division (both
+    * engines' IEEE doubles agree exactly; rounding a decimal-exact
+    * rational is the known cross-engine trap).
+    *
+    * 100 TB shape: two self-joins on node keys + hash aggregates — all
+    * co-partitionable on the edge endpoints; no per-node adjacency list
+    * ever materializes on one reducer.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges
+      .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"),
+        "left_semi")
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          col("triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)))
+      .select(col("node"), col("triangles"), col("degree"), col("clustering"))
+  }
+}

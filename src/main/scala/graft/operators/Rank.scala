@@ -148,19 +148,73 @@ object Rank {
     ranks
   }
 
-  /** Customer↔supplier interaction graph from orders ⋈ lineitem — the
-    * distinct bipartite trade edges, symmetrized for [[pageRank]].
-    * Supplier ids are offset by `supplierOffset` so the two key spaces
-    * cannot collide.
+  /** HITS hubs-and-authorities by fixed-iteration mutual reinforcement
+    * over a DIRECTED edge list: `a'(v) = Σ_{u→v} h(u)`,
+    * `h'(u) = Σ_{u→v} a(v)`, each half-step L1-normalized back to 1e8
+    * integer units. On the bipartite trade graph this separates "broad
+    * buyers" (hubs) from "widely-bought-from suppliers" (authorities) —
+    * the two sides PageRank's single score conflates.
+    *
+    * Determinism: the same integer-carrier contract as [[pageRank]] —
+    * scores live in 1e8 units, per-node sums are integer (order-free),
+    * and the L1 normalization `round(raw / tot · 1e8)` is a scale-0
+    * round of a deterministic double division. The normalization total
+    * is computed as a lazy 1-row aggregate cross-joined back (no
+    * per-iteration driver action); lineage truncates per iteration.
+    *
+    * 100 TB shape: per iteration, two edge-list joins + two hash
+    * aggregates + two scalar totals — the [[pageRank]] cost × 2, with
+    * score state one row per node.
     */
-  def tradeGraph(orders: DataFrame, lineitem: DataFrame, supplierOffset: Long): DataFrame = {
-    val e = orders
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).cast("double").as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(col("raw") / col("tot") * 1.0e8).cast("long").as(outCol))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("node"),
+      round(lit(1.0e8 / nNodes)).cast("long").as("h_e8"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = normalize(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h_e8")).as("raw")),
+        "a_e8")
+      hub = normalize(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("a_e8")).as("raw")),
+        "h_e8")
+    }
+    hub.join(auth, Seq("node"), "full_outer")
+      .na.fill(0L, Seq("h_e8", "a_e8"))
+      .select(col("node"), col("h_e8").as("hub_e8"), col("a_e8").as("auth_e8"))
+  }
+
+  /** Distinct DIRECTED customer→supplier trade edges from
+    * orders ⋈ lineitem; supplier ids offset by `supplierOffset` so the
+    * two key spaces cannot collide.
+    */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame, supplierOffset: Long): DataFrame =
+    orders
       .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
       .select(
-        col("o_custkey").as("a"),
-        (col("l_suppkey") + supplierOffset).as("b"))
+        col("o_custkey").as("src"),
+        (col("l_suppkey") + supplierOffset).as("dst"))
       .distinct()
-    e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+
+  /** Customer↔supplier interaction graph from orders ⋈ lineitem — the
+    * distinct bipartite trade edges, symmetrized for [[pageRank]].
+    */
+  def tradeGraph(orders: DataFrame, lineitem: DataFrame, supplierOffset: Long): DataFrame = {
+    val e = tradeEdges(orders, lineitem, supplierOffset)
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 }

@@ -96,6 +96,40 @@ class RankSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  // ------------------------------------------------------------------ HITS
+
+  test("hits: authority follows in-degree of hub mass; hub follows breadth") {
+    // customers 1,2,3 all buy from supplier 11; customer 1 also from 12
+    val e = Seq((1L, 11L), (2L, 11L), (3L, 11L), (1L, 12L)).toDF("src", "dst")
+    val res = Rank.hits(e, 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // supplier 11 (3 buyers) dominates supplier 12 (1 buyer)
+    assert(res(11L)._2 > res(12L)._2 * 2)
+    // customer 1 (2 links) is the top hub
+    assert(res(1L)._1 > res(2L)._1)
+    assert(res(2L)._1 === res(3L)._1) // symmetric customers tie exactly
+    // suppliers have no out-edges → zero hub; customers zero authority
+    assert(res(11L)._1 === 0L && res(1L)._2 === 0L)
+  }
+
+  test("hits: L1 mass of each side normalizes to 1e8 within rounding") {
+    val e = Seq((1L, 11L), (2L, 11L), (3L, 12L), (3L, 13L)).toDF("src", "dst")
+    val rows = Rank.hits(e, 10).collect().map(r => (r.getLong(1), r.getLong(2)))
+    val hubTot = rows.map(_._1).sum
+    val authTot = rows.map(_._2).sum
+    assert(math.abs(hubTot - 100000000L) <= rows.length)
+    assert(math.abs(authTot - 100000000L) <= rows.length)
+  }
+
+  test("hits: deterministic under repartition (integer carrier)") {
+    val e = Seq((1L, 11L), (2L, 11L), (3L, 12L), (1L, 13L), (2L, 13L)).toDF("src", "dst")
+    val a = Rank.hits(e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Rank.hits(e.repartition(5), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
   test("tradeGraph: symmetric, distinct, offset keyspaces disjoint") {
     val g = Rank.tradeGraph(
       Seq((100L, 7L), (101L, 7L)).toDF("o_orderkey", "o_custkey"),
