@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Purpose-built probe for the iterative graph operators: times
+  * [[graft.operators.Rank.pageRank]] / [[graft.operators.Rank.hits]] as
+  * a function of iteration count and prints the physical-plan exchange
+  * census for one iteration step — the artifact behind the fixed-cost
+  * adjudication in SCALING.md (is per-iteration cost data work or
+  * framework stages?).
+  */
+object BenchIter {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Rank
+
+    val g = Rank.tradeGraph(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 1000000L)
+      .localCheckpoint()
+    g.count() // warm
+
+    def time(label: String)(f: => Long): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[benchiter] $label%-28s ${runs.map(_._1).min}%8.2f s  (rows ${runs.head._2})")
+    }
+
+    for (it <- Seq(1, 2, 5, 10))
+      time(s"pageRank it=$it") { Rank.pageRank(g, it).count() }
+    val e = Rank.tradeEdges(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 1000000L)
+      .localCheckpoint()
+    e.count()
+    for (it <- Seq(1, 2, 5, 10))
+      time(s"hits it=$it") { Rank.hits(e, it).count() }
+
+    println("[benchiter] one-step pageRank plan:")
+    println(Rank.pageRank(g, 1).queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate"))
+      .mkString("\n"))
+    spark.stop()
+  }
+}

@@ -845,20 +845,23 @@ object SparkEntry {
         Seq("hash", "join", "vector", "stream"), 20)
       .orderBy(col("doc_id"))
 
-  /** 10-iteration PageRank (damping 0.85) over the symmetric
+  /** 6-iteration PageRank (damping 0.85) over the symmetric
     * customer↔supplier trade graph. Integer 1e8-unit rank carrier —
     * only scale-0 rounds and integer sums, bit-identical across engines.
+    * 6 registered iterations (the operator takes any count): per-
+    * iteration cost is edge-list-linear — the BenchIter decade artifact
+    * records the marginal cost, the registered demo stays suite-sane.
     */
   private def qPageRank(s: SparkSession, d: String): DataFrame =
-    Rank.pageRank(Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 10)
+    Rank.pageRank(Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6)
       .orderBy(col("node"))
 
-  /** 10-iteration HITS over the DIRECTED customer→supplier trade edges
+  /** 6-iteration HITS over the DIRECTED customer→supplier trade edges
     * (hubs = broad buyers, authorities = widely-bought-from suppliers);
     * integer 1e8-unit carrier with L1 normalization each half-step.
     */
   private def qHits(s: SparkSession, d: String): DataFrame =
-    Rank.hits(Rank.tradeEdges(T.orders(s, d), T.lineitem(s, d), 1000000L), 10)
+    Rank.hits(Rank.tradeEdges(T.orders(s, d), T.lineitem(s, d), 1000000L), 6)
       .orderBy(col("node"))
 
   /** Ordered 4-stage funnel over events: each stage counts users whose
@@ -884,14 +887,54 @@ object SparkEntry {
     graft.operators.Colloc.pmiTopK(T.documents(s, d), "doc_id", "text", 100L, 50L, 20)
       .orderBy(col("term_a"), col("term_b"))
 
+  /** ISO-BMFF (MP4) container walk over a deterministic 2-track fixture
+    * set: per-track codec/timescale/sample-table metadata extracted
+    * WITHOUT frame decode (H.264 bitstream decode stays behind the
+    * decodeStub seam); doc 6 is the planted non-BMFF payload.
+    */
+  private def qVideoMp4Meta(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Mp4Codec
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(7).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        if (i == 6) (i, "ftypnot really an mp4".getBytes("UTF-8"))
+        else {
+          val nV = 24 + 6 * i.toInt
+          val nA = 48 + 12 * i.toInt
+          (i, Mp4Codec.encode(Seq(
+            Mp4Codec.TrackSpec(1L, video = true, 600L, 100L,
+              (0 until nV).map(j => 100 + (j * 17) % 50), 6,
+              16 * (i.toInt + 1), 9 * (i.toInt + 1)),
+            Mp4Codec.TrackSpec(2L, video = false, 48000L, 1024L,
+              Seq.fill(nA)(64), 0, 0, 0))))
+        }
+      }.toDF("doc_id", "payload")
+    Mp4Codec.parseTracks(encoded).toDF()
+      .orderBy(col("doc_id"), col("track_id"))
+  }
+
+  /** Bounded-edit-distance near-dup pairs (prefix-24 blocking, length
+    * band, thresholded levenshtein ≤ 5) — the exact character-level
+    * member of the near-dup family.
+    */
+  private def qEditNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(T.documents(s, d), "doc_id", "text", 5, 24)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Per-node triangle count / degree / clustering coefficient over the
     * k=3 cosine kNN graph of the embeddings table (union semantics,
     * 4-dp-snapped ranking) — the mirror-clique-vs-hub signal of a
-    * near-dup graph.
+    * near-dup graph. The EXACT graph build is O(n²), so the registered
+    * query bounds the vertex set to `vec_id < 2000` (an explicit bound,
+    * not a silent cap) — the scale path swaps the candidate generator
+    * for the bucketed ANN families; the triangle algebra downstream is
+    * generator-agnostic (see Graph.knnGraph scaladoc).
     */
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
-        graft.operators.Graph.knnGraph(T.embeddings(s, d), "vec_id", "embedding", 3))
+        graft.operators.Graph.knnGraph(
+          T.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id", "embedding", 3))
       .orderBy(col("node"))
 
   /** Batch k-NN join: 5 query vectors × corpus, top-5 neighbors each —
@@ -3447,6 +3490,8 @@ object SparkEntry {
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_pmi_topk" -> (qPmiTopk _),
     "q_knn_triangles" -> (qKnnTriangles _),
+    "q_edit_neardup" -> (qEditNeardup _),
+    "q_video_mp4_meta" -> (qVideoMp4Meta _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -3648,7 +3693,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "q_hits" -> hitsOracleSql(10),
+    "q_hits" -> hitsOracleSql(6),
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
            WHERE event_type = 'signup' GROUP BY 1),
@@ -3695,9 +3740,48 @@ object SparkEntry {
          top AS (SELECT * FROM sc
            ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 20)
          SELECT term_a, term_b, df_ab, pmi FROM top ORDER BY term_a, term_b""",
+    // ISO-BMFF walk over the deterministic fixture: all-integer closed
+    // forms (sample-size sums, ceil-div keyframe counts) — exact, no
+    // floats anywhere; doc 6 is the planted non-BMFF payload
+    "q_video_mp4_meta" ->
+      """WITH p AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) AS t(i)),
+         v AS (SELECT i, 24 + 6*i AS n FROM p),
+         a AS (SELECT i, 48 + 12*i AS n FROM p)
+         SELECT CAST(i AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS track_id,
+           'vide' AS handler, 'avc1' AS codec,
+           CAST(600 AS BIGINT) AS timescale,
+           CAST(n*100 AS BIGINT) AS duration_ticks,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n + 5) // 6 AS BIGINT) AS n_keyframes,
+           CAST(16*(i+1) AS BIGINT) AS width, CAST(9*(i+1) AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, n), j -> 100 + (j*17)%50))
+             AS BIGINT) AS total_bytes,
+           TRUE AS decode_ok
+         FROM v
+         UNION ALL
+         SELECT CAST(i AS BIGINT), CAST(2 AS BIGINT), 'soun', 'mp4a',
+           CAST(48000 AS BIGINT), CAST(n*1024 AS BIGINT), CAST(n AS BIGINT),
+           CAST(n AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(n*64 AS BIGINT), TRUE
+         FROM a
+         UNION ALL
+         SELECT CAST(6 AS BIGINT), CAST(-1 AS BIGINT), '', '',
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), FALSE
+         ORDER BY doc_id, track_id""",
+    "q_edit_neardup" ->
+      """WITH d AS (SELECT doc_id, text, substring(text, 1, 24) AS p,
+             length(text) AS len FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS dist
+         FROM d a JOIN d b
+           ON a.p = b.p AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+         WHERE levenshtein(a.text, b.text) <= 5
+         ORDER BY id_a, id_b""",
     "q_knn_triangles" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
-           FROM embeddings),
+           FROM embeddings WHERE vec_id < 2000),
          s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(b.vec, a.vec), 4) AS cos
            FROM v a JOIN v b ON a.vec_id <> b.vec_id),
@@ -4619,28 +4703,8 @@ object SparkEntry {
                   CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
                     + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
                     AS BIGINT) AS pr_e8
-                FROM ed JOIN r5 r ON ed.src = r.node, n GROUP BY ed.dst),
-         r7 AS (SELECT ed.dst AS node,
-                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
-                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
-                    AS BIGINT) AS pr_e8
-                FROM ed JOIN r6 r ON ed.src = r.node, n GROUP BY ed.dst),
-         r8 AS (SELECT ed.dst AS node,
-                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
-                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
-                    AS BIGINT) AS pr_e8
-                FROM ed JOIN r7 r ON ed.src = r.node, n GROUP BY ed.dst),
-         r9 AS (SELECT ed.dst AS node,
-                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
-                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
-                    AS BIGINT) AS pr_e8
-                FROM ed JOIN r8 r ON ed.src = r.node, n GROUP BY ed.dst),
-         r10 AS (SELECT ed.dst AS node,
-                  CAST(round((1.0 - 0.85) * 100000000.0 / min(n.n)
-                    + 0.85 * sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)))
-                    AS BIGINT) AS pr_e8
-                FROM ed JOIN r9 r ON ed.src = r.node, n GROUP BY ed.dst)
-         SELECT node, pr_e8 FROM r10 ORDER BY node""",
+                FROM ed JOIN r5 r ON ed.src = r.node, n GROUP BY ed.dst)
+         SELECT node, pr_e8 FROM r6 ORDER BY node""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

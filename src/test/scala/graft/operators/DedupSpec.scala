@@ -490,4 +490,31 @@ class AnnSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     both.foreach { case (ci, cd) => assert(math.abs(ci - cd) < 1e-12) }
   }
+
+  // ------------------------------------------------- edit-distance near-dup
+
+  test("editDistancePairs: finds within-band pairs, honors maxDist and blocking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),  // dist 3, same prefix
+      (3L, "the quick brown fox leaps over sleepy dogs!!"), // > maxDist from 1
+      (4L, "a completely different opening sentence here")  // different prefix
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", 3, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 3)))
+  }
+
+  test("editDistancePairs: length band prunes before levenshtein; maxBucket drops hot prefixes") {
+    import spark.implicits._
+    val base = "shared prefix here "
+    val hot = (1L to 20L).map(i => (i, base + ("x" * i.toInt)))
+    val docs = (hot :+ ((100L, "unique opening text a")) :+ ((101L, "unique opening text b"))).toDF("doc_id", "text")
+    // cap 10 drops the 20-doc hot prefix bucket entirely; the pair in the
+    // small bucket survives
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", 2, 12, maxBucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((100L, 101L)))
+  }
 }
