@@ -864,6 +864,17 @@ object SparkEntry {
     Rank.hits(Rank.tradeEdges(T.orders(s, d), T.lineitem(s, d), 1000000L), 6)
       .orderBy(col("node"))
 
+  /** 6-iteration personalized PageRank from the 5 lowest-keyed
+    * customers over the symmetric trade graph — importance relative to
+    * a seed set; integer carrier, bit-identical across engines.
+    */
+  private def qPersonalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val g = Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L)
+    val sources = g.select(col("src").as("node")).filter(col("node") < 5).distinct()
+    Rank.personalizedPageRank(g, sources, 6)
+      .orderBy(col("node"))
+  }
+
   /** Ordered 4-stage funnel over events: each stage counts users whose
     * stage event falls strictly after their earliest completion of the
     * previous stage.
@@ -912,6 +923,27 @@ object SparkEntry {
       }.toDF("doc_id", "payload")
     Mp4Codec.parseTracks(encoded).toDF()
       .orderBy(col("doc_id"), col("track_id"))
+  }
+
+  /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
+    * of the video track resolved to absolute byte ranges from stbl
+    * alone — the ranged-read list of a frame-sampling pipeline, no
+    * frame decode anywhere.
+    */
+  private def qVideoSamplePlan(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Mp4Codec
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(6).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        val nV = 24 + 6 * i.toInt
+        (i, Mp4Codec.encode(Seq(
+          Mp4Codec.TrackSpec(1L, video = true, 600L, 100L,
+            (0 until nV).map(j => 100 + (j * 17) % 50), 6,
+            16 * (i.toInt + 1), 9 * (i.toInt + 1)))))
+      }.toDF("doc_id", "payload")
+    Mp4Codec.samplePlans(encoded, 1L, 2).toDF()
+      .orderBy(col("doc_id"), col("sample_idx"))
   }
 
   /** Bounded-edit-distance near-dup pairs (prefix-24 blocking, length
@@ -3486,6 +3518,8 @@ object SparkEntry {
     "q_bm25_topk" -> (qBm25TopK _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
+    "q_ppr" -> (qPersonalizedPagerank _),
+    "q_video_sample_plan" -> (qVideoSamplePlan _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_pmi_topk" -> (qPmiTopk _),
@@ -3692,8 +3726,55 @@ object SparkEntry {
          ORDER BY node"""
   }
 
+  /** Generated personalized-PageRank oracle mirroring
+    * [[graft.operators.Rank.personalizedPageRank]] op-for-op. */
+  private def pprOracleSql(iters: Int): String = {
+    val step = (i: Int) =>
+      s"""r$i AS MATERIALIZED (SELECT agg.node,
+           CAST(round(CASE WHEN s.node IS NOT NULL
+               THEN (1.0 - 0.85) * 100000000.0 / (SELECT ns FROM nsrc)
+               ELSE 0.0 END
+             + 0.85 * agg.in_e8) AS BIGINT) AS pr_e8
+           FROM (SELECT ed.dst AS node,
+                   sum(CAST(round(r.pr_e8 / ed.deg) AS BIGINT)) AS in_e8
+                 FROM ed JOIN r${i - 1} r ON ed.src = r.node
+                 GROUP BY ed.dst) agg
+           LEFT JOIN src s ON agg.node = s.node)"""
+    s"""WITH eraw AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+               UNION ALL SELECT b AS src, a AS dst FROM eraw),
+         deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg
+           FROM e JOIN deg USING (src)),
+         src AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src < 5),
+         nsrc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM src),
+         r0 AS MATERIALIZED (SELECT d.src AS node,
+           CASE WHEN s.node IS NOT NULL
+             THEN CAST(round(100000000.0 / (SELECT ns FROM nsrc)) AS BIGINT)
+             ELSE 0 END AS pr_e8
+           FROM deg d LEFT JOIN src s ON d.src = s.node),
+         ${(1 to iters).map(step).mkString(",\n         ")}
+         SELECT node, pr_e8 FROM r$iters ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_hits" -> hitsOracleSql(6),
+    "q_ppr" -> pprOracleSql(6),
+    // sample-plan closed form: video track data starts at
+    // |ftyp| + mdat header = 24 + 8 = 32; keyframes are samples
+    // 0, 6, 12, … and the plan keeps every 2nd → step 12; offsets are
+    // prefix sums of the deterministic sample sizes
+    "q_video_sample_plan" ->
+      """WITH p AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) AS t(i)),
+         v AS (SELECT i, 24 + 6*i AS n FROM p),
+         k AS (SELECT i, unnest(range(0, n, 12)) AS j FROM v)
+         SELECT CAST(i AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS sample_idx,
+           CAST(32 + coalesce(list_sum(list_transform(range(0, j),
+             m -> 100 + (m*17)%50)), 0) AS BIGINT) AS byte_offset,
+           CAST(100 + (j*17)%50 AS BIGINT) AS byte_size
+         FROM k ORDER BY doc_id, sample_idx""",
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
            WHERE event_type = 'signup' GROUP BY 1),

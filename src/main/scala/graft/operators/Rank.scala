@@ -138,8 +138,13 @@ object Rank {
       col("src").as("node"),
       round(lit(1.0e8 / nNodes)).cast("long").as("pr_e8"))
     for (_ <- 1 to iterations) {
+      // shuffle-hash hint on the rank side: an SMJ here re-SORTS the
+      // edge list every iteration (ReuseExchange dedupes the exchange,
+      // not the sort above it — measured the dominant cost at 100×);
+      // SHJ builds a per-partition map of the node-sized rank state
+      // instead, which is exactly the side that fits
       ranks = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), edgesDeg("src") === ranks("node"))
         .select(
           col("dst"),
           round(col("pr_e8") / col("deg")).cast("long").as("contrib_e8"))
@@ -148,6 +153,52 @@ object Rank {
         .select(
           col("dst").as("node"),
           round(lit(baseE8) + lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: teleport mass returns to a SOURCE SET
+    * instead of the uniform vector — "importance relative to these
+    * accounts", the standard related-entity primitive. Same integer
+    * 1e8-unit carrier and scale-0-round contract as [[pageRank]]; the
+    * base term is source-gated via a broadcast membership join, so the
+    * per-iteration plan is [[pageRank]]'s plus one broadcast hash join.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, // columns: src, dst (already symmetric)
+      sources: DataFrame, // column: node
+      iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint()
+    val srcSet = sources.select(col("node")).distinct().localCheckpoint()
+    val nSources = srcSet.count()
+    require(nSources > 0, "personalizedPageRank needs a non-empty source set")
+    val baseE8 = (1.0 - damping) * 1.0e8 / nSources
+    val marked = broadcast(srcSet.withColumn("__s", lit(1)))
+    var ranks = deg.select(col("src").as("node"))
+      .join(marked, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, round(lit(1.0e8 / nSources)).cast("long"))
+          .otherwise(lit(0L)).as("pr_e8"))
+    for (_ <- 1 to iterations) {
+      // same SHJ rationale as [[pageRank]]: the rank state is the small
+      // node-sized side; SMJ would re-sort the edge list per iteration
+      ranks = edgesDeg
+        .join(ranks.hint("shuffle_hash"), edgesDeg("src") === ranks("node"))
+        .select(
+          col("dst"),
+          round(col("pr_e8") / col("deg")).cast("long").as("contrib_e8"))
+        .groupBy("dst")
+        .agg(sum(col("contrib_e8")).as("in_e8"))
+        .select(col("dst").as("node"), col("in_e8"))
+        .join(marked, Seq("node"), "left")
+        .select(
+          col("node"),
+          round(
+            when(col("__s").isNotNull, lit(baseE8)).otherwise(lit(0.0)) +
+              lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
     }
     ranks
   }
@@ -196,6 +247,9 @@ object Rank {
       round(lit(1.0e8 / nNodes)).cast("long").as("h_e8"))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // no shuffle-hash hint here: unlike pageRank, the hint measured
+      // 61 → 90 s at 100× for HITS (the lazy-checkpointed normalize
+      // state interacts badly with the SHJ build); the SMJ default wins
       auth = normalize(
         e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum(col("h_e8")).as("raw")),

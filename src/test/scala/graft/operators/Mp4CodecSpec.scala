@@ -70,6 +70,24 @@ class Mp4CodecSpec extends SparkSpec {
     Mp4Codec.parse(mangled) // may be Some or None — just must not throw
   }
 
+  test("samplePlans: Spark rows equal the local keyframePlan per doc") {
+    import spark.implicits._
+    val payloads = Seq(
+      0L -> Mp4Codec.encode(Seq(video, audio)),
+      1L -> Mp4Codec.encode(Seq(video.copy(sampleSizes =
+        (0 until 18).map(j => 90 + j)))),
+      2L -> "ftypnot an mp4".getBytes("UTF-8")) // emits nothing
+    val df = payloads.toDF("doc_id", "payload").repartition(3)
+    val got = Mp4Codec.samplePlans(df, 1L, 2).collect()
+      .map(p => (p.doc_id, p.sample_idx, p.byte_offset, p.byte_size)).sorted
+    val want = payloads.flatMap { case (id, bytes) =>
+      Mp4Codec.keyframePlan(bytes, 1L, 2).map { case (j, off, sz) =>
+        (id, j, off, sz)
+      }
+    }.sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("64-bit largesize box header is honored") {
     val inner = Mp4Codec.encode(Seq(video))
     // wrap the whole file in a largesize 'skip' box, then append nothing:

@@ -130,6 +130,43 @@ class RankSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  // ------------------------------------------------- personalized PageRank
+
+  test("ppr: with ALL nodes as sources it equals pageRank bit-for-bit") {
+    val g = Seq((1L, 11L), (11L, 1L), (2L, 11L), (11L, 2L), (2L, 12L),
+      (12L, 2L)).toDF("src", "dst")
+    val all = g.select(col("src").as("node")).distinct()
+    val a = Rank.personalizedPageRank(g, all, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Rank.pageRank(g, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("ppr: mass localizes — an unreached component decays to zero") {
+    // two disjoint symmetric pairs; source set touches only {1,11}
+    val g = Seq((1L, 11L), (11L, 1L), (2L, 12L), (12L, 2L))
+      .toDF("src", "dst")
+    val res = Rank.personalizedPageRank(
+        g, Seq(1L).toDF("node"), 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nodes 2/12 get no teleport and no inbound path from the source
+    assert(res(2L) === 0L && res(12L) === 0L)
+    // the source component keeps essentially all the mass
+    assert(res(1L) + res(11L) > 99000000L)
+  }
+
+  test("ppr: deterministic under repartition (integer carrier)") {
+    val g = Seq((1L, 11L), (11L, 1L), (2L, 11L), (11L, 2L), (3L, 12L),
+      (12L, 3L)).toDF("src", "dst")
+    val src = Seq(1L, 3L).toDF("node")
+    val a = Rank.personalizedPageRank(g, src, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Rank.personalizedPageRank(g.repartition(7), src.repartition(3), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
   test("tradeGraph: symmetric, distinct, offset keyspaces disjoint") {
     val g = Rank.tradeGraph(
       Seq((100L, 7L), (101L, 7L)).toDF("o_orderkey", "o_custkey"),
