@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Ranked retrieval and link analysis — the scoring passes of a
   * corpus-search / graph-centrality pipeline (reference surface: the
@@ -111,9 +112,17 @@ object Rank {
     *
     * Plan per iteration: ranks ⋈ degree-annotated edges on src (one
     * shuffle, or zero when ranks are co-partitioned with edges on src) →
-    * hash aggregate on dst (the second shuffle). Lineage is truncated
-    * with `localCheckpoint` each round (the [[Cluster]] convention) so
-    * ten iterations stay ten plans, not one 10-deep reanalysis.
+    * hash aggregate on dst (the second shuffle).
+    *
+    * Cache discipline: the degree-annotated edge list is `persist`ed
+    * ONCE (without it the upstream graph build — a parquet join +
+    * distinct for the trade graph — re-executes per consumer, measured
+    * +5.5 s at sf0.1) and RELEASED before returning; the returned rank
+    * state is an eager node-sized `localCheckpoint`, so its lineage is
+    * truncated and cannot reach the released cache. A localCheckpoint
+    * on the edge list instead would pin edge-scale blocks for the JVM's
+    * lifetime (no unpersist API) — four graph-query invocations in one
+    * 16 GB session OOM'd exactly that way at 100× data.
     *
     * 100 TB shape: state is one (node, rank) row per node; per iteration
     * cost is one join + one aggregate over the edge list — the canonical
@@ -125,17 +134,15 @@ object Rank {
       edges: DataFrame, // columns: src, dst (already symmetric)
       iterations: Int,
       damping: Double = 0.85): DataFrame = {
-    // materialize the edge list ONCE: deg, the degree join, the node
-    // count, and the rank init all derive from it — without this the
-    // upstream graph build (a parquet join + distinct for the trade
-    // graph) re-executes per consumer (~3×, measured +5.5 s at sf0.1)
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(deg, "src").localCheckpoint()
-    val nNodes = deg.count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count() // one action materializes both caches
     val baseE8 = (1.0 - damping) * 1.0e8 / nNodes
-    var ranks = deg.select(
-      col("src").as("node"),
+    var ranks = nodes.select(
+      col("node"),
       round(lit(1.0e8 / nNodes)).cast("long").as("pr_e8"))
     for (_ <- 1 to iterations) {
       // shuffle-hash hint on the rank side: an SMJ here re-SORTS the
@@ -154,7 +161,12 @@ object Rank {
           col("dst").as("node"),
           round(lit(baseE8) + lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
     }
-    ranks
+    // eager node-sized snapshot truncates the lineage, so the edge-scale
+    // caches can be released without a recompute hazard
+    val out = ranks.localCheckpoint()
+    edgesDeg.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Personalized PageRank: teleport mass returns to a SOURCE SET
@@ -169,15 +181,19 @@ object Rank {
       sources: DataFrame, // column: node
       iterations: Int,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(deg, "src").localCheckpoint()
-    val srcSet = sources.select(col("node")).distinct().localCheckpoint()
+    // same persist-and-release cache discipline as [[pageRank]]
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = sources.select(col("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nSources = srcSet.count()
     require(nSources > 0, "personalizedPageRank needs a non-empty source set")
     val baseE8 = (1.0 - damping) * 1.0e8 / nSources
     val marked = broadcast(srcSet.withColumn("__s", lit(1)))
-    var ranks = deg.select(col("src").as("node"))
+    var ranks = nodes
       .join(marked, Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, round(lit(1.0e8 / nSources)).cast("long"))
@@ -200,7 +216,11 @@ object Rank {
             when(col("__s").isNotNull, lit(baseE8)).otherwise(lit(0.0)) +
               lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
     }
-    ranks
+    val out = ranks.localCheckpoint()
+    edgesDeg.unpersist()
+    nodes.unpersist()
+    srcSet.unpersist()
+    out
   }
 
   /** HITS hubs-and-authorities by fixed-iteration mutual reinforcement
@@ -222,11 +242,16 @@ object Rank {
     * score state one row per node.
     */
   def hits(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // same persist-and-release cache discipline as [[pageRank]]; the
+    // lazy NODE-sized normalize checkpoints below are the only blocks
+    // that outlive the call, and the final eager checkpoint truncates
+    // the returned lineage so releasing the edge cache is safe
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = nodes.count()
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
       // the 1-row total is a lazy aggregate cross-joined back — its
@@ -259,9 +284,13 @@ object Rank {
           .groupBy(col("src").as("node")).agg(sum(col("a_e8")).as("raw")),
         "h_e8")
     }
-    hub.join(auth, Seq("node"), "full_outer")
+    val out = hub.join(auth, Seq("node"), "full_outer")
       .na.fill(0L, Seq("h_e8", "a_e8"))
       .select(col("node"), col("h_e8").as("hub_e8"), col("a_e8").as("auth_e8"))
+      .localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Distinct DIRECTED customer→supplier trade edges from
