@@ -33,6 +33,14 @@ object Graph {
     val q = vecs.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = vecs
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      // spread the O(m·|q|) scoring explicitly: the stream side otherwise
+      // inherits the FILE layout's split count — a small oracle-bounded
+      // subset arrives as one split and the quadratic work runs on one
+      // core (measured 6.7 s vs 1.7 s for identical work at 1× vs 10×).
+      // Hash on the id so the spread is deterministic; the top-k window
+      // re-shuffles by query_id either way, so this adds no extra
+      // exchange to the plan's floor
+      .repartition(col("neighbor_id"))
       .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
