@@ -970,6 +970,16 @@ object SparkEntry {
     * for the bucketed ANN families; the triangle algebra downstream is
     * generator-agnostic (see Graph.knnGraph scaladoc).
     */
+  /** HyperBall neighborhood function over the trade graph: per-node
+    * k-ball size estimates for k = 0..3 from propagated md5-HLL
+    * register files (p = 6) — effective-diameter-class analytics with
+    * node-sized state, fully register-replayable in the oracle.
+    */
+  private def qHyperball(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hyperBall(
+        Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6, 3)
+      .orderBy(col("node"), col("k"))
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -3531,6 +3541,7 @@ object SparkEntry {
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_pmi_topk" -> (qPmiTopk _),
     "q_knn_triangles" -> (qKnnTriangles _),
+    "q_hyperball" -> (qHyperball _),
     "q_edit_neardup" -> (qEditNeardup _),
     "q_video_mp4_meta" -> (qVideoMp4Meta _),
     "q_knn_join" -> (qKnnJoin _),
@@ -3733,6 +3744,53 @@ object SparkEntry {
          ORDER BY node"""
   }
 
+  /** Generated HyperBall oracle mirroring [[graft.operators.Graph
+    * .hyperBall]] register-for-register: iterated bucket-wise-max CTEs
+    * over the trade graph, then the proven q_hll_cardinality estimator
+    * per (node, k). p = 6 ⇒ w = 26, m = 64, α = 0.709. */
+  private def hyperballOracleSql(maxK: Int): String = {
+    val step = (k: Int) =>
+      s"""r$k AS MATERIALIZED (SELECT node, bucket, max(mr) AS mr FROM (
+             SELECT e.dst AS node, r.bucket, r.mr
+             FROM e JOIN r${k - 1} r ON e.src = r.node
+             UNION ALL SELECT node, bucket, mr FROM r${k - 1})
+           GROUP BY 1, 2)"""
+    val est = (k: Int) =>
+      s"""SELECT node, CAST($k AS INT) AS k,
+           round(CASE
+             WHEN 0.709 * 4096.0 / (s_present + CAST(64 - c AS DOUBLE)) <= 160.0
+                  AND 64 - c > 0
+               THEN 64.0 * ln(64.0 / CAST(64 - c AS DOUBLE))
+             WHEN 0.709 * 4096.0 / (s_present + CAST(64 - c AS DOUBLE))
+                  > 4294967296.0 / 30.0
+               THEN -4294967296.0 * ln(1.0 -
+                 (0.709 * 4096.0 / (s_present + CAST(64 - c AS DOUBLE)))
+                   / 4294967296.0)
+             ELSE 0.709 * 4096.0 / (s_present + CAST(64 - c AS DOUBLE))
+           END, 4) AS est
+         FROM (SELECT node,
+                 sum(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS s_present,
+                 count(*) AS c
+               FROM r$k GROUP BY 1)"""
+    s"""WITH eraw AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+               UNION ALL SELECT b AS src, a AS dst FROM eraw),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         r0 AS MATERIALIZED (
+           SELECT node, draw >> 26 AS bucket,
+             CASE WHEN draw % 67108864 = 0 THEN 27
+                  ELSE 26 - CAST(floor(log2(draw % 67108864)) AS INT) END AS mr
+           FROM (SELECT node,
+                   CAST('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 1, 8)
+                     AS BIGINT) AS draw
+                 FROM nodes)),
+         ${(1 to maxK).map(step).mkString(",\n         ")}
+         ${(0 to maxK).map(est).mkString("\n         UNION ALL\n         ")}
+         ORDER BY node, k"""
+  }
+
   /** Generated personalized-PageRank oracle mirroring
     * [[graft.operators.Rank.personalizedPageRank]] op-for-op. */
   private def pprOracleSql(iters: Int): String = {
@@ -3769,6 +3827,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_hits" -> hitsOracleSql(6),
     "q_ppr" -> pprOracleSql(6),
+    "q_hyperball" -> hyperballOracleSql(3),
     // sample-plan closed form: video track data starts at
     // |ftyp| + mdat header = 24 + 8 = 32; keyframes are samples
     // 0, 6, 12, … and the plan keeps every 2nd → step 12; offsets are

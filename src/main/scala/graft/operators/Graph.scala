@@ -98,4 +98,85 @@ object Graph {
           .otherwise(lit(0.0)))
       .select(col("node"), col("triangles"), col("degree"), col("clustering"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013): the per-node neighborhood function
+    * N(v, k) = |{u : dist(u, v) ≤ k}| estimated for every k ≤ `maxK` in
+    * one pass family — WITHOUT ever materializing a reachability set.
+    * Each node carries an HLL register file seeded from its own id; one
+    * round of bucket-wise MAX over the in-neighborhood unions every
+    * neighbor's ball into the node's (HLL union IS register max), so
+    * after k rounds the registers describe the k-ball and the standard
+    * estimator reads out its size. This is THE web-graph primitive for
+    * effective-diameter / centrality profiles at sizes where exact BFS
+    * per node is unthinkable.
+    *
+    * Determinism & oracle: registers derive from the engine's md5 draw
+    * ([[Sketch.hllBucketRank]] — the same derivation the hash-green
+    * `q_hll_cardinality` oracle replays in SQL), propagation is integer
+    * MAX (order-free), and the estimate is [[Sketch.hllEstimate]]'s
+    * exact-binary-fraction sum with a 4-dp snap — every stage replays
+    * bit-identically in an external SQL engine as iterated CTEs.
+    *
+    * 100 TB shape: state is one m-register array per node (m = 2ᵖ ints
+    * — node-sized, NOT ball-sized; that is the whole point). Per round:
+    * one edge ⋈ state join (shuffle-hash on the node-sized state, the
+    * [[Rank.pageRank]] pattern) + one hash aggregate whose map-side
+    * combine folds the per-position maxes before the exchange, so the
+    * exchange carries ≤ nodes·m ints however large the edge list. The
+    * DENSE array carrier keeps the join fan-out at |E| rows (a sparse
+    * (node,bucket,mr) carrier would fan out |E|·registers rows).
+    * Cache discipline is [[Rank.pageRank]]'s persist-and-release.
+    *
+    * @param edges symmetric (src, dst) edge list
+    * @param p     HLL precision (m = 2ᵖ registers; p=6 matches the
+    *              engine's oracled HLL family)
+    * @param maxK  largest ball radius to emit (k = 0..maxK rows)
+    */
+  def hyperBall(
+      edges: DataFrame,
+      p: Int,
+      maxK: Int,
+      salt: String = "hb"): DataFrame = {
+    require(maxK >= 0 && maxK <= 16, s"maxK=$maxK outside [0,16]")
+    val m = 1 << p
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symmetric edge list ⇒ every node appears as a src
+    val nodes = e.select(col("src").as("node")).distinct()
+    val (bucket, rank) = Sketch.hllBucketRank(col("node"), p, salt)
+    // dense m-register array with the node's own rank at its bucket
+    val init = nodes.select(col("node"), bucket.as("__b"), rank.as("__r"))
+      .select(col("node"), array((0 until m).map(i =>
+        when(col("__b") === i, col("__r")).otherwise(lit(0))): _*).as("regs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def estimateAt(regs: DataFrame, k: Int): DataFrame =
+      Sketch.hllEstimate(
+        regs.select(col("node"), lit(k).as("k"),
+          explode(filter(col("regs"), x => x > lit(0))).as("mr")),
+        Seq("node", "k"), p)
+    val cached = scala.collection.mutable.Buffer(e, init)
+    var regs = init
+    var out = estimateAt(regs, 0)
+    for (k <- 1 to maxK) {
+      val prop = e
+        .join(regs.hint("shuffle_hash"), e("src") === regs("node"))
+        .select(col("dst").as("node"), col("regs"))
+      val maxes = (0 until m).map(i =>
+        max(element_at(col("regs"), i + 1)).as(s"__m$i"))
+      val merged = prop.union(regs.select(col("node"), col("regs")))
+        .groupBy("node")
+        .agg(maxes.head, maxes.tail: _*)
+        .select(col("node"), array((0 until m).map(i =>
+          col(s"__m$i")): _*).as("regs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += merged
+      regs = merged
+      out = out.unionAll(estimateAt(regs, k))
+    }
+    // eager node-sized snapshot, then release every cache (the
+    // [[Rank.pageRank]] contract: no invocation-lifetime pins)
+    val result = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    result
+  }
 }

@@ -71,4 +71,50 @@ class GraphSpec extends SparkSpec {
     // the three identical vectors form a triangle
     assert(st(1L) >= 1L && st(2L) >= 1L && st(3L) >= 1L)
   }
+
+  // ------------------------------------------------------------ hyperBall
+
+  private def sym(pairs: (Long, Long)*) =
+    pairs.flatMap(p => Seq(p, p.swap)).toDF("src", "dst")
+
+  test("hyperBall: k=0 is the single-element estimate, per-node monotone in k") {
+    // path 1-2-3-4-5
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val est = Graph.hyperBall(g, 6, 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    // every node's k=0 ball is exactly {itself}: same single-register
+    // estimate shape, strictly positive and ≈ 1
+    for (n <- 1L to 5L) assert(est((n, 0)) > 0.5 && est((n, 0)) < 1.5)
+    // balls only grow
+    for (n <- 1L to 5L; k <- 0 to 2)
+      assert(est((n, k)) <= est((n, k + 1)) + 1e-9)
+    // the middle of the path reaches everything at k=2
+    assert(est((3L, 2)) === est((3L, 3)))
+  }
+
+  test("hyperBall: saturation — a triangle's k=1 equals k=2 bit-for-bit") {
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L))
+    val byK = Graph.hyperBall(g, 6, 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (n <- 1L to 3L) assert(byK((n, 1)) === byK((n, 2)))
+  }
+
+  test("hyperBall: estimate lands near the exact ball size on a 40-clique") {
+    val pairs = for (a <- 1L to 40L; b <- (a + 1) to 40L) yield (a, b)
+    val g = sym(pairs: _*)
+    val e1 = Graph.hyperBall(g, 6, 1).filter(col("k") === 1).collect()
+      .map(_.getDouble(2))
+    // m=64 ⇒ σ ≈ 13%; all 40 nodes see the same full-clique registers
+    assert(e1.distinct.length === 1)
+    assert(math.abs(e1.head - 40.0) < 12.0)
+  }
+
+  test("hyperBall: deterministic under repartition") {
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+    val a = Graph.hyperBall(g, 6, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    val b = Graph.hyperBall(g.repartition(7), 6, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(a.sameElements(b))
+  }
 }
