@@ -980,6 +980,16 @@ object SparkEntry {
         Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6, 3)
       .orderBy(col("node"), col("k"))
 
+  /** Harmonic centrality over the trade graph: the 1/distance-weighted
+    * reach score read out of the SAME register propagation as
+    * [[qHyperball]] — one HyperBall pass, a second analytic view.
+    */
+  private def qHarmonicCentrality(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.harmonicCentrality(
+        graft.operators.Graph.hyperBall(
+          Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6, 3), 3)
+      .orderBy(col("node"))
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -3542,6 +3552,7 @@ object SparkEntry {
     "q_pmi_topk" -> (qPmiTopk _),
     "q_knn_triangles" -> (qKnnTriangles _),
     "q_hyperball" -> (qHyperball _),
+    "q_harmonic_centrality" -> (qHarmonicCentrality _),
     "q_edit_neardup" -> (qEditNeardup _),
     "q_video_mp4_meta" -> (qVideoMp4Meta _),
     "q_knn_join" -> (qKnnJoin _),
@@ -3744,11 +3755,11 @@ object SparkEntry {
          ORDER BY node"""
   }
 
-  /** Generated HyperBall oracle mirroring [[graft.operators.Graph
-    * .hyperBall]] register-for-register: iterated bucket-wise-max CTEs
-    * over the trade graph, then the proven q_hll_cardinality estimator
-    * per (node, k). p = 6 ⇒ w = 26, m = 64, α = 0.709. */
-  private def hyperballOracleSql(maxK: Int): String = {
+  /** Shared WITH-clause items for the HyperBall oracle family: the
+    * trade graph, md5-HLL register seeds (p = 6 ⇒ w = 26, m = 64,
+    * α = 0.709), `maxK` bucket-wise-max propagation rounds, and one
+    * estimate CTE per k (the proven q_hll_cardinality estimator). */
+  private def hyperballCtes(maxK: Int): String = {
     val step = (k: Int) =>
       s"""r$k AS MATERIALIZED (SELECT node, bucket, max(mr) AS mr FROM (
              SELECT e.dst AS node, r.bucket, r.mr
@@ -3756,7 +3767,7 @@ object SparkEntry {
              UNION ALL SELECT node, bucket, mr FROM r${k - 1})
            GROUP BY 1, 2)"""
     val est = (k: Int) =>
-      s"""SELECT node, CAST($k AS INT) AS k,
+      s"""est$k AS MATERIALIZED (SELECT node,
            round(CASE
              WHEN 0.709 * 4096.0 / (s_present + CAST(64 - c AS DOUBLE)) <= 160.0
                   AND 64 - c > 0
@@ -3771,8 +3782,8 @@ object SparkEntry {
          FROM (SELECT node,
                  sum(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS s_present,
                  count(*) AS c
-               FROM r$k GROUP BY 1)"""
-    s"""WITH eraw AS MATERIALIZED (
+               FROM r$k GROUP BY 1))"""
+    s"""eraw AS MATERIALIZED (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
@@ -3786,9 +3797,35 @@ object SparkEntry {
                    CAST('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 1, 8)
                      AS BIGINT) AS draw
                  FROM nodes)),
-         ${(1 to maxK).map(step).mkString(",\n         ")}
-         ${(0 to maxK).map(est).mkString("\n         UNION ALL\n         ")}
+         ${(1 to maxK).map(step).mkString(",\n         ")},
+         ${(0 to maxK).map(est).mkString(",\n         ")}"""
+  }
+
+  /** Generated HyperBall oracle mirroring [[graft.operators.Graph
+    * .hyperBall]] register-for-register. */
+  private def hyperballOracleSql(maxK: Int): String = {
+    val arms = (0 to maxK).map(k =>
+      s"SELECT node, CAST($k AS INT) AS k, est FROM est$k")
+    s"""WITH ${hyperballCtes(maxK)}
+         ${arms.mkString("\n         UNION ALL\n         ")}
          ORDER BY node, k"""
+  }
+
+  /** Generated harmonic-centrality oracle mirroring
+    * [[graft.operators.Graph.harmonicCentrality]]: exact integer
+    * ten-thousandth deltas, lcm-weighted integer sum, one terminal raw
+    * division. lcm(1..3) = 6. */
+  private def harmonicOracleSql(maxK: Int): String = {
+    require(maxK == 3, "oracle generator written for the registered maxK=3")
+    s"""WITH ${hyperballCtes(maxK)}
+         SELECT est0.node,
+           (6 * CAST(round((est1.est - est0.est) * 10000) AS BIGINT)
+            + 3 * CAST(round((est2.est - est1.est) * 10000) AS BIGINT)
+            + 2 * CAST(round((est3.est - est2.est) * 10000) AS BIGINT))
+             / 60000.0 AS harmonic
+         FROM est0
+         JOIN est1 USING (node) JOIN est2 USING (node) JOIN est3 USING (node)
+         ORDER BY node"""
   }
 
   /** Generated personalized-PageRank oracle mirroring
@@ -3828,6 +3865,7 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql(6),
     "q_ppr" -> pprOracleSql(6),
     "q_hyperball" -> hyperballOracleSql(3),
+    "q_harmonic_centrality" -> harmonicOracleSql(3),
     // sample-plan closed form: video track data starts at
     // |ftyp| + mdat header = 24 + 8 = 32; keyframes are samples
     // 0, 6, 12, … and the plan keeps every 2nd → step 12; offsets are

@@ -179,4 +179,32 @@ object Graph {
     cached.foreach(_.unpersist())
     result
   }
+
+  /** Harmonic centrality from a [[hyperBall]] neighborhood function:
+    * `H(v) = Σ_{k≥1} (N(v,k) − N(v,k−1)) / k` — each newly reached node
+    * credited at 1/distance, the standard centrality that stays finite
+    * on disconnected graphs (closeness does not). Reads the (node, k,
+    * est) frame, so one register propagation serves both views (the
+    * PCA-family lesson: shared capture, separate readouts).
+    *
+    * Determinism: the 4-dp ball estimates are lifted to exact integer
+    * ten-thousandths, the 1/k weights to an exact common-denominator
+    * integer sum (lcm(1..maxK)), and ONE terminal raw double division
+    * is emitted — both engines' IEEE doubles agree exactly, the
+    * [[triangleStats]] convention.
+    */
+  def harmonicCentrality(nf: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 1, s"maxK=$maxK must be ≥ 1")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = (1 to maxK).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val pivots = (0 to maxK).map(k =>
+      max(when(col("k") === k, col("est"))).as(s"__e$k"))
+    val num = (1 to maxK).map(k =>
+      lit(l / k) *
+        round((col(s"__e$k") - col(s"__e${k - 1}")) * 10000).cast("long"))
+      .reduce(_ + _)
+    nf.groupBy("node")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("node"), (num / lit(l * 10000.0)).as("harmonic"))
+  }
 }

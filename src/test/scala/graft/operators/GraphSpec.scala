@@ -109,6 +109,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(e1.head - 40.0) < 12.0)
   }
 
+  test("harmonicCentrality: exact arithmetic on a hand-built nf frame") {
+    // N(0)=1, N(1)=3, N(2)=6, N(3)=6 → H = 2/1 + 3/2 + 0/3 = 3.5
+    val nf = Seq((7L, 0, 1.0), (7L, 1, 3.0), (7L, 2, 6.0), (7L, 3, 6.0))
+      .toDF("node", "k", "est")
+    val h = Graph.harmonicCentrality(nf, 3).head()
+    assert(h.getLong(0) === 7L && h.getDouble(1) === 3.5)
+  }
+
+  test("harmonicCentrality: the path center scores highest") {
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val h = Graph.harmonicCentrality(Graph.hyperBall(g, 6, 3), 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(3L) >= h(2L) && h(3L) >= h(4L))
+    assert(h(3L) > h(1L) && h(3L) > h(5L))
+    // symmetric positions agree exactly (identical ball estimates up to
+    // the register draws — NOT guaranteed equal, so compare loosely)
+    assert(math.abs(h(2L) - h(4L)) < 1.5)
+  }
+
   test("hyperBall: deterministic under repartition") {
     val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
     val a = Graph.hyperBall(g, 6, 2).collect()
