@@ -990,6 +990,15 @@ object SparkEntry {
           Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6, 3), 3)
       .orderBy(col("node"))
 
+  /** Effective-diameter profile of the trade graph: per-radius total
+    * ball mass, mean ball size, and the exact-integer 90%-reach flag,
+    * from the same HyperBall register propagation.
+    */
+  private def qEffectiveDiameter(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.neighborhoodProfile(
+        graft.operators.Graph.hyperBall(
+          Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6, 3), 3)
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -3553,6 +3562,7 @@ object SparkEntry {
     "q_knn_triangles" -> (qKnnTriangles _),
     "q_hyperball" -> (qHyperball _),
     "q_harmonic_centrality" -> (qHarmonicCentrality _),
+    "q_effective_diameter" -> (qEffectiveDiameter _),
     "q_edit_neardup" -> (qEditNeardup _),
     "q_video_mp4_meta" -> (qVideoMp4Meta _),
     "q_knn_join" -> (qKnnJoin _),
@@ -3866,6 +3876,18 @@ object SparkEntry {
     "q_ppr" -> pprOracleSql(6),
     "q_hyperball" -> hyperballOracleSql(3),
     "q_harmonic_centrality" -> harmonicOracleSql(3),
+    "q_effective_diameter" -> {
+      val arms = (0 to 3).map(k =>
+        s"SELECT CAST($k AS INT) AS k, count(*) AS nodes, " +
+          s"CAST(sum(CAST(round(est * 10000) AS BIGINT)) AS BIGINT) AS ball_e4 FROM est$k")
+      s"""WITH ${hyperballCtes(3)},
+         perk AS (${arms.mkString("\n         UNION ALL\n         ")}),
+         tot AS (SELECT ball_e4 AS total_e4 FROM perk WHERE k = 3)
+         SELECT k, nodes, ball_e4,
+           ball_e4 / (nodes * 10000.0) AS mean_ball,
+           ball_e4 * 10 >= total_e4 * 9 AS reaches90
+         FROM perk, tot ORDER BY k"""
+    },
     // sample-plan closed form: video track data starts at
     // |ftyp| + mdat header = 24 + 8 = 32; keyframes are samples
     // 0, 6, 12, … and the plan keeps every 2nd → step 12; offsets are

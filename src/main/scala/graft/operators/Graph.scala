@@ -207,4 +207,31 @@ object Graph {
       .agg(pivots.head, pivots.tail: _*)
       .select(col("node"), (num / lit(l * 10000.0)).as("harmonic"))
   }
+
+  /** Global neighborhood profile from a [[hyperBall]] nf frame — the
+    * effective-diameter readout the algorithm exists for: per k, the
+    * total ball mass Σᵥ N(v,k), the mean ball size, and whether radius
+    * k already reaches ≥ 90% of the radius-`maxK` mass (the smallest
+    * flagged k is the standard "effective diameter at 0.9").
+    *
+    * Determinism: ball estimates enter as exact integer
+    * ten-thousandths, the per-k totals are integer sums (order-free),
+    * and the 90% test is the exact integer inequality
+    * `10·Σₖ ≥ 9·Σ_maxK` — no float comparison anywhere; the one double
+    * emitted (mean) is a terminal raw division.
+    */
+  def neighborhoodProfile(nf: DataFrame, maxK: Int): DataFrame = {
+    val perK = nf
+      .select(col("k"), round(col("est") * 10000).cast("long").as("e4"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("nodes"), sum(col("e4")).as("ball_e4"))
+    val total = perK.filter(col("k") === maxK)
+      .select(col("ball_e4").as("__total_e4"))
+    perK.crossJoin(broadcast(total))
+      .select(
+        col("k"), col("nodes"), col("ball_e4"),
+        (col("ball_e4") / (col("nodes") * 10000.0)).as("mean_ball"),
+        (col("ball_e4") * 10 >= col("__total_e4") * 9).as("reaches90"))
+      .orderBy(col("k"))
+  }
 }

@@ -128,6 +128,19 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(h(2L) - h(4L)) < 1.5)
   }
 
+  test("neighborhoodProfile: exact totals and the 90% flag on a hand frame") {
+    // two nodes; totals per k: 2e4, 8e4, 10e4 → k=1 has 8/10 < 9/10,
+    // k=2 reaches exactly; k=0 does not
+    val nf = Seq((1L, 0, 1.0), (1L, 1, 5.0), (1L, 2, 6.0),
+      (2L, 0, 1.0), (2L, 1, 3.0), (2L, 2, 4.0)).toDF("node", "k", "est")
+    val rows = Graph.neighborhoodProfile(nf, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      (0, 2L, 20000L, 1.0, false),
+      (1, 2L, 80000L, 4.0, false),
+      (2, 2L, 100000L, 5.0, true)))
+  }
+
   test("hyperBall: deterministic under repartition") {
     val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
     val a = Graph.hyperBall(g, 6, 2).collect()
