@@ -999,6 +999,36 @@ object SparkEntry {
         graft.operators.Graph.hyperBall(
           Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6, 3), 3)
 
+  /** Corrupt-tolerant JSONL ingest report: documents serialized to
+    * JSONL with every (doc_id % 7 == 3) line truncated by 5 bytes —
+    * provably unparseable, since the cut always lands inside the
+    * trailing `"n_chars":<digits>}` — then parsed back PERMISSIVE and
+    * aggregated per source with corrupt lines quarantined under
+    * '(corrupt)'. The oracle is closed-form on the base table: the
+    * corrupt set is exactly the planted id class, so no cross-engine
+    * JSON equivalence is needed.
+    */
+  private def qJsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val lines = T.documents(s, d)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))).as("line0"), col("doc_id").as("__id"))
+      .select(when(col("__id") % 7 === 3,
+        expr("substring(line0, 1, length(line0) - 5)"))
+        .otherwise(col("line0")).as("line"))
+    val parsed = graft.operators.RawIngest.jsonl(
+      lines, "line", "doc_id LONG, lang STRING, source STRING, n_chars LONG")
+    parsed
+      .groupBy(when(col("is_corrupt"), lit("(corrupt)"))
+        .otherwise(coalesce(col("rec.source"), lit("(null)"))).as("source"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("rec.doc_id")).as("n_parsed"),
+        coalesce(sum(col("rec.n_chars")), lit(0L)).as("sum_chars"),
+        min(col("rec.doc_id")).as("min_doc"),
+        max(col("rec.doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -3563,6 +3593,7 @@ object SparkEntry {
     "q_hyperball" -> (qHyperball _),
     "q_harmonic_centrality" -> (qHarmonicCentrality _),
     "q_effective_diameter" -> (qEffectiveDiameter _),
+    "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_edit_neardup" -> (qEditNeardup _),
     "q_video_mp4_meta" -> (qVideoMp4Meta _),
     "q_knn_join" -> (qKnnJoin _),
@@ -3876,6 +3907,16 @@ object SparkEntry {
     "q_ppr" -> pprOracleSql(6),
     "q_hyperball" -> hyperballOracleSql(3),
     "q_harmonic_centrality" -> harmonicOracleSql(3),
+    "q_jsonl_ingest" ->
+      """SELECT CASE WHEN doc_id % 7 = 3 THEN '(corrupt)'
+                     ELSE coalesce(source, '(null)') END AS source,
+           count(*) AS n_lines,
+           count(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS n_parsed,
+           coalesce(CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars END)
+             AS BIGINT), 0) AS sum_chars,
+           min(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS min_doc,
+           max(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS max_doc
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q_effective_diameter" -> {
       val arms = (0 to 3).map(k =>
         s"SELECT CAST($k AS INT) AS k, count(*) AS nodes, " +
