@@ -676,16 +676,21 @@ object SparkEntry {
     * drops nothing), then a sentinel row far past the last real window
     * to push the final watermark so every real window finalizes; the
     * sentinel's own window ends past the final watermark and never
-    * emits.
+    * emits. The file source orders by MODTIME, so the three chunks get
+    * explicitly pinned strictly-increasing times (the
+    * [[qHypStateRoundtrip]] pattern) — a 1-second-granularity
+    * filesystem tie could otherwise process the sentinel first,
+    * advancing the watermark past every real event.
     */
   private def qStreamCardinality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_shll").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = T.events(s, d).select(col("ts"), col("event_type"), col("user_id"))
     val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-    ev.filter(col("ts") < cut).coalesce(1).write.parquet(in)
-    ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+    ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$tmp/c0")
+    ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$tmp/c1")
     val sentinelTs = java.sql.Timestamp.from(
       ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
         .plusSeconds(40L * 86400))
@@ -693,7 +698,19 @@ object SparkEntry {
         lit(sentinelTs).as("ts"),
         lit("zz_sentinel").as("event_type"),
         lit(-1L).as("user_id"))
-      .coalesce(1).write.mode("append").parquet(in)
+      .coalesce(1).write.parquet(s"$tmp/c2")
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(in))
+    Seq("c0" -> 1000000L, "c1" -> 2000000L, "c2" -> 3000000L).foreach {
+      case (c, t) =>
+        fs.listStatus(new Path(s"$tmp/$c"))
+          .filter(_.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (f, i) =>
+            val dst = new Path(in, s"$c-$i.parquet")
+            fs.rename(f.getPath, dst)
+            fs.setTimes(dst, t, -1)
+          }
+    }
     val schema = s.read.parquet(in).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)

@@ -56,8 +56,14 @@ object Pca {
     * logical plan: two frames reading the same source through the same
     * operators share the entry even though they are distinct Dataset
     * objects. The capture assumes the source is immutable for the
-    * session (true of an analytics snapshot); call [[clearCaches]] after
-    * mutating a source in place.
+    * session (true of an analytics snapshot); the in-place mutation
+    * paths ([[graft.sources.Layout.compact]] / `rewriteFiltered` /
+    * `expire`) fire [[graft.Caches.invalidateAll]], which clears these
+    * via the hook registered below — call [[clearCaches]] yourself only
+    * after mutating a source through some OTHER channel. Entry count is
+    * bounded at [[MaxCachedPlans]] (each entry ≤ d(d+1)/2 + d doubles);
+    * on overflow the whole map clears — a full re-pay beats unbounded
+    * driver growth across many-dataset sessions.
     */
   private val momentsCache = new java.util.concurrent.ConcurrentHashMap[
     PlanKey, Map[(Int, Int), Double]]()
@@ -65,8 +71,10 @@ object Pca {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String, Int, Boolean)] =
     java.util.concurrent.ConcurrentHashMap.newKeySet()
+  private val MaxCachedPlans = 64
+  graft.Caches.register(() => clearCaches())
 
-  private[graft] def clearCaches(): Unit = {
+  def clearCaches(): Unit = {
     momentsCache.clear(); cleanCache.clear()
   }
   private[graft] def momentsCacheSize: Int = momentsCache.size
@@ -74,6 +82,8 @@ object Pca {
   private def collectedMoments(
       emb: DataFrame, vecCol: String, dim: Int): Map[(Int, Int), Double] = {
     val key = (emb.queryExecution.analyzed.canonicalized, vecCol, dim)
+    if (momentsCache.size >= MaxCachedPlans && !momentsCache.containsKey(key))
+      clearCaches()
     momentsCache.computeIfAbsent(key, _ =>
       moments(emb, vecCol, dim).collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
@@ -207,6 +217,7 @@ object Pca {
     // is never cached, it throws
     val key = (emb.queryExecution.analyzed.canonicalized, vecCol, dim, exactWidth)
     if (cleanCache.contains(key)) return
+    if (cleanCache.size >= MaxCachedPlans) cleanCache.clear()
     val v = col(vecCol)
     val widthBad = if (exactWidth) size(v) =!= dim else size(v) < dim
     val bad = emb

@@ -208,6 +208,7 @@ object Layout {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(stateDir)
     fs.delete(new Path(staged), true)
+    graft.Caches.invalidateAll()
     fragmented.length
   }
 
@@ -221,6 +222,17 @@ object Layout {
     * bounded by the reversible window instead of growing with history.
     * Cost is reversible-window sized — only the listed buckets are read
     * and rewritten, never the history. Returns buckets rewritten.
+    *
+    * NOT crash-atomic: there is a window between the dynamic partition
+    * overwrite (surviving rows land) and the manual delete of
+    * fully-emptied buckets in which a crash leaves an emptied bucket's
+    * OLD files alive — deleted rows resurrected. The operation is
+    * idempotent-retry safe (re-running with the same `keep` converges:
+    * survivors rewrite to themselves, the emptied bucket is deleted on
+    * the retry), so callers MUST NOT drop the tombstones that produced
+    * `keep` until a run completes without error —
+    * [[graft.state.Forks.pruneBelowLib]] honors this by keeping
+    * tombstones until the rewrite returns.
     */
   def rewriteFiltered(
       dir: String,
@@ -237,26 +249,37 @@ object Layout {
       fs.exists(new Path(root, s"$partitionCol=$b")))
     if (present.isEmpty) return 0
     val staged = dir + "__rewrite"
-    spark.read.parquet(dir)
-      .filter(col(partitionCol).isin(present: _*))
-      .filter(keep)
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged)
-    spark.read.parquet(staged)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol).parquet(dir)
-    // a bucket whose every row was deleted writes no staged partition —
-    // dynamic overwrite would silently leave its old files alive
     val stagedRoot = new Path(staged)
-    val survived =
-      if (fs.exists(stagedRoot))
-        fs.listStatus(stagedRoot).map(_.getPath.getName).toSet
-      else Set.empty[String]
-    present.foreach { b =>
-      if (!survived.contains(s"$partitionCol=$b"))
-        fs.delete(new Path(root, s"$partitionCol=$b"), true)
+    // capture the schema BEFORE staging: when `keep` eliminates every row
+    // of every targeted bucket the staged root holds no data files and
+    // schema inference on it would throw
+    val srcSchema = spark.read.parquet(dir).schema
+    try {
+      spark.read.parquet(dir)
+        .filter(col(partitionCol).isin(present: _*))
+        .filter(keep)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staged)
+      // a bucket whose every row was deleted writes no staged partition —
+      // dynamic overwrite would silently leave its old files alive, so
+      // list survivors from the filesystem and delete the rest directly
+      val survived =
+        if (fs.exists(stagedRoot))
+          fs.listStatus(stagedRoot).map(_.getPath.getName)
+            .filter(_.startsWith(partitionCol + "=")).toSet
+        else Set.empty[String]
+      if (survived.nonEmpty)
+        spark.read.schema(srcSchema).parquet(staged)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(dir)
+      present.foreach { b =>
+        if (!survived.contains(s"$partitionCol=$b"))
+          fs.delete(new Path(root, s"$partitionCol=$b"), true)
+      }
+    } finally {
+      fs.delete(stagedRoot, true)
     }
-    fs.delete(stagedRoot, true)
+    graft.Caches.invalidateAll()
     present.size
   }
 
@@ -298,6 +321,7 @@ object Layout {
           (v.toLong + 1) * partitionSize <= keepBlocksAbove
       }
     doomed.foreach(s => fs.delete(s.getPath, true))
+    if (doomed.nonEmpty) graft.Caches.invalidateAll()
     doomed.length
   }
 }

@@ -127,6 +127,42 @@ class PcaSpec extends SparkSpec {
     Pca.clearCaches()
   }
 
+  test("moments capture: in-place Layout mutation invalidates; stale cov never served") {
+    Pca.clearCaches()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_inv").toString + "/emb"
+    syntheticEmb(40, 4).toDF("vec_id", "embedding")
+      .withColumn("block_bucket", (col("vec_id") % 2).cast("long"))
+      .repartition(4).write.partitionBy("block_bucket").parquet(dir)
+    val read = () => spark.read.parquet(dir)
+    val before = Pca.covariance(read(), "embedding", 4, snapDp = None)
+      .as[(Int, Int, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    assert(Pca.momentsCacheSize === 1)
+    // physically delete half the corpus under the SAME logical plan
+    graft.sources.Layout.rewriteFiltered(dir, Seq(0L, 1L),
+      col("vec_id") < 20)(spark)
+    assert(Pca.momentsCacheSize === 0,
+      "Layout mutation must clear the plan-keyed capture")
+    val after = Pca.covariance(read(), "embedding", 4, snapDp = None)
+      .as[(Int, Int, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    assert(before !== after, "covariance must be recomputed from surviving rows")
+    Pca.clearCaches()
+  }
+
+  test("moments capture is bounded: overflow clears rather than grows") {
+    Pca.clearCaches()
+    // 66 distinct canonical plans (row-count varies the LocalRelation):
+    // crossing the 64-entry bound must CLEAR, never exceed
+    var peak = 0
+    for (n <- 1 to 66) {
+      Pca.covariance(syntheticEmb(5 + n, 2).toDF("vec_id", "embedding"),
+        "embedding", 2)
+      peak = math.max(peak, Pca.momentsCacheSize)
+    }
+    assert(peak === 64, s"cache must fill exactly to its bound, saw $peak")
+    assert(Pca.momentsCacheSize === 2, "overflow clears then re-fills")
+    Pca.clearCaches()
+  }
+
   test("whitened projection has unit variance per axis and zero cross-covariance") {
     val dim = 6
     val df = syntheticEmb(80, dim).toDF("vec_id", "embedding")

@@ -186,6 +186,64 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 100L)
   }
 
+  test("rewriteFiltered: targeted buckets keep only surviving rows, others untouched") {
+    val dir = tmp("rw")
+    val hist = (0L until 4000L).map(i => (i, i, s"p$i"))
+      .toDF("global_sequence", "block_num", "payload")
+      .withColumn("block_bucket", (col("block_num") / 1000L).cast("long"))
+    hist.repartition(8).write.partitionBy("block_bucket").parquet(dir)
+    // drop odd block_nums from buckets 1 and 2 only
+    val n = Layout.rewriteFiltered(dir, Seq(1L, 2L), col("block_num") % 2 === 0)
+    assert(n === 2)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("block_bucket").isin(1L, 2L))
+      .filter(col("block_num") % 2 === 1).count() === 0L)
+    assert(after.filter(col("block_bucket") === 0L).count() === 1000L,
+      "untargeted bucket must keep every row")
+    assert(after.count() === 1000L + 1000L + 1000L)
+    // missing buckets are skipped, not crashed on
+    assert(Layout.rewriteFiltered(dir, Seq(99L), lit(true)) === 0)
+  }
+
+  test("rewriteFiltered survives keep eliminating EVERY row of all targeted buckets") {
+    val dir = tmp("rwempty")
+    val hist = (0L until 3000L).map(i => (i, i, s"p$i"))
+      .toDF("global_sequence", "block_num", "payload")
+      .withColumn("block_bucket", (col("block_num") / 1000L).cast("long"))
+    hist.repartition(4).write.partitionBy("block_bucket").parquet(dir)
+    // keep=false on buckets 0 and 2: the staged write holds ZERO data
+    // files — this used to throw on staged schema inference before the
+    // fully-emptied-bucket delete path ever ran (round-11 ADVICE)
+    val n = Layout.rewriteFiltered(dir, Seq(0L, 2L), lit(false))
+    assert(n === 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "block_bucket=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "block_bucket=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__rewrite")),
+      "staged dir must be cleaned up")
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 1000L)
+    assert(after.filter(col("block_bucket") === 1L).count() === 1000L)
+    // idempotent retry converges (the documented crash-recovery contract)
+    assert(Layout.rewriteFiltered(dir, Seq(0L, 2L), lit(false)) === 0)
+  }
+
+  test("rewriteFiltered: a fully-emptied bucket alongside a partial survivor") {
+    val dir = tmp("rwmixed")
+    val hist = (0L until 2000L).map(i => (i, i, s"p$i"))
+      .toDF("global_sequence", "block_num", "payload")
+      .withColumn("block_bucket", (col("block_num") / 1000L).cast("long"))
+    hist.repartition(4).write.partitionBy("block_bucket").parquet(dir)
+    // bucket 0 fully emptied, bucket 1 keeps evens
+    val n = Layout.rewriteFiltered(dir, Seq(0L, 1L),
+      col("block_num") >= 1000L && col("block_num") % 2 === 0)
+    assert(n === 2)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("block_bucket") === 0L).count() === 0L)
+    assert(after.filter(col("block_bucket") === 1L).count() === 500L)
+  }
+
   test("compact handles string-valued partitions (lang=en) without crashing") {
     val dir = tmp("strpart")
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de", s"t$i"))
