@@ -862,6 +862,23 @@ object SparkEntry {
         Seq("hash", "join", "vector", "stream"), 20)
       .orderBy(col("doc_id"))
 
+  /** Multi-query BM25 ([[graft.operators.Rank.bm25TopKMulti]]): three
+    * queries scored in ONE corpus pass — broadcast term semi-join, lazy
+    * 1-row corpus scalars, per-query windowed top-20. One term
+    * (`zzz_absent`) matches nothing, proving absent terms contribute
+    * zero rather than breaking the join chain.
+    */
+  private def qBm25Multi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      ("qa", "hash"), ("qa", "join"), ("qa", "vector"), ("qa", "stream"),
+      ("qb", "join"), ("qb", "filter"), ("qb", "sort"),
+      ("qc", "vector"), ("qc", "merge"), ("qc", "scan"), ("qc", "query"),
+      ("qc", "zzz_absent")).toDF("query_id", "term")
+    Rank.bm25TopKMulti(T.documents(s, d), "doc_id", "text", qs, 20)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** 6-iteration PageRank (damping 0.85) over the symmetric
     * customer↔supplier trade graph. Integer 1e8-unit rank carrier —
     * only scale-0 rounds and integer sums, bit-identical across engines.
@@ -2456,20 +2473,23 @@ object SparkEntry {
     * doc 5 LPC subframes under MID/SIDE stereo decorrelation, doc 6
     * mono LPC, doc 7 LEFT/SIDE with fixed predictors — the
     * encoder-default profiles real FLAC files use; doc 4 is a
-    * magic-bytes impostor on the decode_ok=false ladder. Losslessness
-    * means one sample formula covers every profile.
+    * magic-bytes impostor on the decode_ok=false ladder; doc 8 is a
+    * VARIABLE-BLOCKSIZE mono LPC stream (blocking-strategy bit set,
+    * sample-number frame addressing, an uneven 192/256/64/208
+    * schedule) — the last decode branch RFC 9639 defines.
+    * Losslessness means one sample formula covers every profile.
     */
   private def qAudioFlac(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     implicit val sp: SparkSession = s
     import s.implicits._
-    val encoded = s.range(8).select(col("id").as("doc_id")).as[Long]
+    val encoded = s.range(9).select(col("id").as("doc_id")).as[Long]
       .map { i =>
         if (i == 4) (i, "fLaC but not actually a stream".getBytes("UTF-8"))
         else {
           val strategy = i match {
             case 2 => "verbatim"
-            case 5 | 6 => "lpc"
+            case 5 | 6 | 8 => "lpc"
             case _ => "fixed2"
           }
           val stereo = i match {
@@ -2477,8 +2497,12 @@ object SparkEntry {
             case 7 => "leftside"
             case _ => "independent"
           }
+          val schedule =
+            if (i == 8) Seq(192, 256, 64, 208) // sums to 720 = 240 + 60·8
+            else Nil
           (i, Multimodal.syntheticFlac(240 + 60 * i.toInt,
-            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, strategy, stereo))
+            if (i % 2 == 0) 8000 else 16000, (i % 2 + 1).toInt, strategy,
+            stereo, schedule))
         }
       }.toDF("doc_id", "payload")
     val media = Multimodal.toMediaTable(encoded, "doc_id", "payload")
@@ -3599,6 +3623,7 @@ object SparkEntry {
     "q_heavy_hitters_cms" -> (qHeavyHittersCms _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_bm25_topk" -> (qBm25TopK _),
+    "q_bm25_multi" -> (qBm25Multi _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
     "q_ppr" -> (qPersonalizedPagerank _),
@@ -4927,6 +4952,49 @@ object SparkEntry {
            FROM part GROUP BY doc_id
            ORDER BY score DESC, doc_id ASC LIMIT 20)
          SELECT doc_id, score FROM scored ORDER BY doc_id""",
+    "q_bm25_multi" ->
+      """WITH queries(query_id, term) AS (
+           VALUES ('qa','hash'),('qa','join'),('qa','vector'),('qa','stream'),
+                  ('qb','join'),('qb','filter'),('qb','sort'),
+                  ('qc','vector'),('qc','merge'),('qc','scan'),('qc','query'),
+                  ('qc','zzz_absent')),
+         dl AS (
+           SELECT doc_id, len(string_split(trim(text), ' ')) AS dl
+           FROM documents),
+         avgdl AS (SELECT round(avg(dl), 4) AS avgdl FROM dl),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN (SELECT term FROM queries)
+           GROUP BY 1, 2),
+         df AS (
+           SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tok
+                 WHERE term IN (SELECT term FROM queries))
+           GROUP BY 1),
+         idf AS (
+           SELECT term, round(ln(1.0 + (n.n - df + 0.5) / (df + 0.5)), 4) AS idf
+           FROM df, n),
+         part AS (
+           SELECT tf.doc_id, tf.term,
+             CAST(round(round(idf * (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl.avgdl)), 4)
+               * 10000) AS BIGINT) AS comp_i4
+           FROM tf JOIN idf USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id, avgdl),
+         scored AS (
+           SELECT q.query_id, p.doc_id, sum(p.comp_i4) / 10000.0 AS score
+           FROM part p JOIN queries q USING (term)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rn
+           FROM scored)
+         SELECT query_id, doc_id, score FROM ranked WHERE rn <= 20
+         ORDER BY query_id, doc_id""",
     "q_pagerank" ->
       """WITH eraw AS MATERIALIZED (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
@@ -6242,7 +6310,8 @@ object SparkEntry {
              (0, 240, 8000, 1, 16), (1, 300, 16000, 2, 16),
              (2, 360, 8000, 1, 16), (3, 420, 16000, 2, 16),
              (5, 540, 16000, 2, 16), (6, 600, 8000, 1, 16),
-             (7, 660, 16000, 2, 16)) AS t(doc_id, n, rate, c, bits)),
+             (7, 660, 16000, 2, 16),
+             (8, 720, 8000, 1, 16)) AS t(doc_id, n, rate, c, bits)),
          a AS (SELECT doc_id, n, rate, c, bits,
              list_sum(list_transform(range(0, n*c),
                k -> ((k//c)*37 + (k%c)*11) % 201 - 100)) AS s,

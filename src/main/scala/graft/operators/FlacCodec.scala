@@ -10,9 +10,10 @@ package graft.operators
   * partitions included), stereo decorrelation (left/side, side/right,
   * mid/side — the channel assignments encoder-default files actually
   * use), wasted-bits unpacking, and the frame CRC-16. Remaining out of
-  * subset, honestly: variable-blocksize streams and reserved residual
-  * methods return None rather than guess — the documented
-  * `decode_ok=false` ladder, same as float PCM in the WAV path.
+  * subset, honestly: reserved residual methods return None rather than
+  * guess — the documented `decode_ok=false` ladder, same as float PCM
+  * in the WAV path. Variable-blocksize streams decode since round 12
+  * (per-frame size from the header, sample-number validation).
   *
   * Decoding is integer-exact by construction (FLAC is lossless integer
   * prediction — the LPC accumulator is 64-bit, the side channel carries
@@ -127,9 +128,9 @@ object FlacCodec {
 
   // ------------------------------------------------------------- decode
 
-  /** Decode a FLAC stream; None when the bytes are not FLAC or use a
-    * feature outside the subset (variable blocksize, reserved residual
-    * methods) — the caller's decode_ok=false ladder.
+  /** Decode a FLAC stream (fixed OR variable blocksize); None when the
+    * bytes are not FLAC or use a feature outside the subset (reserved
+    * residual methods) — the caller's decode_ok=false ladder.
     */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     try decodeOrThrow(bytes) catch { case _: Exception => None }
@@ -170,24 +171,38 @@ object FlacCodec {
     if (totalSamples * channels > (1L << 28)) return None // per-file sanity bound
     val out = new Array[Int]((totalSamples * channels).toInt)
     var written = 0L
+    var frameIndex = 0L
+    var streamVariable = -1 // blocking strategy of frame 0; spec forbids mixing
     while (written < totalSamples) {
       val frameStart = r.bytePos
       if (r.readU(14) != 0x3FFE) return None // sync
       r.readBit() // reserved
-      r.readBit() // blocking strategy
+      val variable = r.readBit() // blocking strategy: 1 = variable blocksize
+      if (streamVariable < 0) streamVariable = variable
+      else if (streamVariable != variable) return None // mixed strategies
       val bsCode = r.readU(4).toInt
       val srCode = r.readU(4).toInt
       val chAsgn = r.readU(4).toInt
       val ssCode = r.readU(3).toInt
       r.readBit() // reserved
-      // UTF-8-style coded frame/sample number
+      // UTF-8-style coded number: the FRAME index under fixed blocking,
+      // the frame's first SAMPLE number under variable — decoded and
+      // VALIDATED against the running position (a mismatch means a
+      // skipped/duplicated frame the sample copy below would hide)
       val lead = r.readU(8).toInt
       var extra = 0
       var mask = 0x80
       while ((lead & mask) != 0) { extra += 1; mask >>= 1 }
       if (extra == 1 || extra >= 8) return None // 10xxxxxx and 0xFF invalid; 0xFE (36-bit) fine
+      var codedNo = if (extra == 0) lead.toLong else (lead & (0x7F >> extra)).toLong
       var i = 0
-      while (i < math.max(0, extra - 1)) { r.readU(8); i += 1 }
+      while (i < math.max(0, extra - 1)) {
+        val c = r.readU(8).toInt
+        if ((c & 0xC0) != 0x80) return None // continuation must be 10xxxxxx
+        codedNo = (codedNo << 6) | (c & 0x3F)
+        i += 1
+      }
+      if (codedNo != (if (variable == 1) written else frameIndex)) return None
       val blockSize = bsCode match {
         case 1 => 192
         case c if c >= 2 && c <= 5 => 576 << (c - 2)
@@ -330,6 +345,7 @@ object FlacCodec {
         j += 1
       }
       written += blockSize
+      frameIndex += 1
     }
     Some(Decoded(sampleRate, channels, bits, out))
   }
@@ -381,6 +397,13 @@ object FlacCodec {
     * decorrelation modes real encoders emit. Exists so FlacSpec and the
     * `q_audio_flac` fixtures exercise genuine encode→decode round trips
     * with independent CRCs; not a tuned encoder.
+    *
+    * A non-empty `blockSizes` schedule switches the stream to VARIABLE
+    * blocksize (RFC 9639 §9.1.1: blocking-strategy bit set, the coded
+    * number carries the frame's first SAMPLE number, STREAMINFO min/max
+    * describe the schedule) — the blocking real encoders emit around
+    * section boundaries; `blockSize` is ignored in that case and the
+    * schedule must sum to the sample count per channel.
     */
   def encode(
       samples: Array[Int],
@@ -389,13 +412,21 @@ object FlacCodec {
       bits: Int,
       blockSize: Int = 4096,
       strategy: String = "fixed2",
-      stereo: String = "independent"): Array[Byte] = {
+      stereo: String = "independent",
+      blockSizes: Seq[Int] = Nil): Array[Byte] = {
     require(channels >= 1 && channels <= 8, "1..8 channels")
     require(bits >= 4 && bits <= 24, "4..24 bits")
     require(samples.length % channels == 0, "interleave mismatch")
     require(stereo == "independent" || channels == 2,
       s"stereo mode $stereo needs exactly 2 channels")
     val nFrames = samples.length / channels
+    val variable = blockSizes.nonEmpty
+    if (variable) {
+      require(blockSizes.forall(b => b >= 1 && b <= 65536),
+        "variable block sizes must be in 1..65536")
+      require(blockSizes.map(_.toLong).sum == nFrames,
+        s"schedule ${blockSizes.sum} != $nFrames samples/channel")
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
@@ -404,9 +435,19 @@ object FlacCodec {
     // 9639 §8.2, where min EXCLUDES a short last block): a stream
     // shorter than one nominal block has min = max = nFrames; otherwise
     // every non-last frame is nominal, so min = max = blockSize — never
-    // the nominal size for a stream that emits no block that long
-    val emitted = math.min(blockSize, math.max(nFrames, 1))
-    si.writeU(emitted, 16); si.writeU(emitted, 16)
+    // the nominal size for a stream that emits no block that long. For
+    // a variable schedule, min is over the non-last frames (same
+    // exclusion) and max over all; min ≠ max is what MARKS the stream
+    // variable-blocksize at the container level.
+    val (minB, maxB) =
+      if (variable) {
+        val body = if (blockSizes.length > 1) blockSizes.init else blockSizes
+        (body.min, blockSizes.max)
+      } else {
+        val emitted = math.min(blockSize, math.max(nFrames, 1))
+        (emitted, emitted)
+      }
+    si.writeU(minB, 16); si.writeU(maxB, 16)
     si.writeU(0, 24); si.writeU(0, 24)
     si.writeU(sampleRate, 20)
     si.writeU(channels - 1, 3)
@@ -416,10 +457,15 @@ object FlacCodec {
     out.write(si.toBytes)
     var start = 0
     var frameNo = 0L
+    val schedule = if (variable) blockSizes.iterator else Iterator.empty
     while (start < nFrames) {
-      val bs = math.min(blockSize, nFrames - start)
+      val bs =
+        if (variable) schedule.next()
+        else math.min(blockSize, nFrames - start)
+      // variable frames are numbered by first sample, fixed by index
+      val codedNo = if (variable) start.toLong else frameNo
       out.write(encodeFrame(samples, start, bs, sampleRate, channels, bits,
-        frameNo, strategy, stereo))
+        codedNo, strategy, stereo, variable))
       start += bs
       frameNo += 1
     }
@@ -584,8 +630,8 @@ object FlacCodec {
 
   private def encodeFrame(
       samples: Array[Int], start: Int, bs: Int, sampleRate: Int,
-      channels: Int, bits: Int, frameNo: Long, strategy: String,
-      stereo: String): Array[Byte] = {
+      channels: Int, bits: Int, codedNo: Long, strategy: String,
+      stereo: String, variable: Boolean = false): Array[Byte] = {
     val chAsgn = stereo match {
       case "independent" => channels - 1
       case "leftside" => 8
@@ -596,7 +642,7 @@ object FlacCodec {
     val w = new BitWriter
     w.writeU(0x3FFE, 14) // sync
     w.writeU(0, 1) // reserved
-    w.writeU(0, 1) // fixed blocking
+    w.writeU(if (variable) 1 else 0, 1) // blocking strategy
     w.writeU(7, 4) // block size: 16-bit at end
     w.writeU(0, 4) // sample rate: from STREAMINFO
     w.writeU(chAsgn, 4)
@@ -606,7 +652,7 @@ object FlacCodec {
     }
     w.writeU(ssCode, 3)
     w.writeU(0, 1) // reserved
-    writeCodedNumber(w, frameNo)
+    writeCodedNumber(w, codedNo)
     w.writeU(bs - 1, 16)
     val headerBytes = w.toBytes // snapshot; the writer keeps accumulating
     w.writeU(crc8(headerBytes, 0, headerBytes.length), 8)

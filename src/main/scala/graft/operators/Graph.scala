@@ -138,6 +138,22 @@ object Graph {
       maxK: Int,
       salt: String = "hb"): DataFrame = {
     require(maxK >= 0 && maxK <= 16, s"maxK=$maxK outside [0,16]")
+    // The (node, k, est) result is node-sized and already returned as an
+    // eager localCheckpoint, so it is exactly what [[Capture.pinned]]
+    // holds: the three registered readouts (ball profile, harmonic
+    // centrality, effective diameter) share ONE register propagation
+    // per session instead of paying it each — and pin one checkpoint
+    // instead of three.
+    val key = ("hyperBall",
+      edges.queryExecution.analyzed.canonicalized, p, maxK, salt)
+    Capture.pinned(key)(hyperBallUncached(edges, p, maxK, salt))
+  }
+
+  private def hyperBallUncached(
+      edges: DataFrame,
+      p: Int,
+      maxK: Int,
+      salt: String): DataFrame = {
     val m = 1 << p
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

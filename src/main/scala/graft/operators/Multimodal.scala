@@ -776,7 +776,8 @@ object Multimodal {
     */
   def syntheticFlac(
       nFrames: Int, sampleRate: Int, channels: Int,
-      strategy: String = "fixed2", stereo: String = "independent"): Array[Byte] = {
+      strategy: String = "fixed2", stereo: String = "independent",
+      blockSizes: Seq[Int] = Nil): Array[Byte] = {
     val samples = new Array[Int](nFrames * channels)
     var i = 0
     while (i < nFrames) {
@@ -788,7 +789,8 @@ object Multimodal {
       i += 1
     }
     FlacCodec.encode(samples, sampleRate, channels, bits = 16,
-      blockSize = 256, strategy = strategy, stereo = stereo)
+      blockSize = 256, strategy = strategy, stereo = stereo,
+      blockSizes = blockSizes)
   }
 
   /** Deterministic WebP-lossless fixture through the in-repo

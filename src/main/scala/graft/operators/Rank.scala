@@ -89,6 +89,86 @@ object Rank {
       .limit(k)
   }
 
+  /** Okapi BM25 top-k retrieval for a QUERY TABLE — the deployment
+    * shape of [[bm25TopK]]: one corpus pass scores every query at once.
+    * `queries` carries (query_id, term) rows; output is the per-query
+    * top-k (query_id, doc_id, score).
+    *
+    * What changes vs the single-query form, per the deployment contract:
+    * the term filter is a BROADCAST SEMI-JOIN against the distinct term
+    * set (an `isInCollection` literal list can't hold a query table),
+    * and the two corpus scalars (N, avgdl) are ONE lazy 1-row aggregate
+    * cross-joined back (the HITS normalize pattern) — the whole plan is
+    * a single job with ZERO driver actions, so it composes lazily like
+    * any other operator.
+    *
+    * Plan: (doc, term) components are computed ONCE — shared by every
+    * query containing the term — then fanned out to queries by a
+    * broadcast join on the query table and summed per (query_id, doc)
+    * in integer ten-thousandths. The per-query top-k is a row_number
+    * window PARTITIONED BY query_id (the multi-query generalization of
+    * the global TakeOrderedAndProject: per-partition bounded sort, no
+    * single-partition collapse; ties break on doc_id).
+    *
+    * 100 TB shape: the only full-corpus work is the token scan; tf/df
+    * shuffles carry only rows matching SOME query's terms; the query
+    * table and df are broadcast-sized (queries × terms); the window
+    * sorts each query's matched docs, never the corpus.
+    */
+  def bm25TopKMulti(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // columns: query_id, term
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val termSet = q.select("term").distinct()
+    val dl = docs.select(
+      col(idCol).as("doc_id"),
+      size(Text.tokens(col(textCol))).as("dl"))
+    // N and avgdl in one lazy 1-row aggregate — no driver action; the
+    // aggregate subtree ends in a shuffle both consumers reuse
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      round(avg(col("dl")), 4).as("__avgdl"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(graft.exprs.Shingles(col(textCol), 1)).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)), 4))
+      .select(col("term"), col("idf"))
+    val partial = tf
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("comp",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))), 4))
+      .withColumn("comp_i4", round(col("comp") * 10000).cast("long"))
+    val perQuery = partial
+      .join(broadcast(q), "term")
+      .groupBy("query_id", "doc_id")
+      .agg((sum(col("comp_i4")) / 10000.0).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQuery
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"))
+  }
+
   /** Symmetric-edge PageRank by fixed-iteration power method.
     *
     * The graph is taken as an UNDIRECTED edge list (callers union each
@@ -307,9 +387,22 @@ object Rank {
 
   /** Customer↔supplier interaction graph from orders ⋈ lineitem — the
     * distinct bipartite trade edges, symmetrized for [[pageRank]].
+    *
+    * The DIRECTED edge list is a session-scoped [[Capture.persisted]]
+    * entry keyed on the canonicalized input plans: all six graph
+    * queries (PageRank/PPR/HITS + the HyperBall family) start from this
+    * identical orders ⋈ lineitem ⋈ distinct build, so the suite pays
+    * its two shuffles once instead of six times. MEMORY_AND_DISK with
+    * the registry's explicit release/invalidation contract — never a
+    * lifetime pin (the round-11 OOM lesson).
     */
   def tradeGraph(orders: DataFrame, lineitem: DataFrame, supplierOffset: Long): DataFrame = {
-    val e = tradeEdges(orders, lineitem, supplierOffset)
+    val key = ("tradeEdges",
+      orders.queryExecution.analyzed.canonicalized,
+      lineitem.queryExecution.analyzed.canonicalized,
+      supplierOffset)
+    val e = Capture.persisted(key)(
+      tradeEdges(orders, lineitem, supplierOffset))
     e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 }

@@ -105,6 +105,63 @@ class FlacSpec extends SparkSpec {
     assert(d.samples.toSeq === s.toSeq)
   }
 
+  test("variable-blocksize streams round-trip bit-for-bit (uneven schedule)") {
+    for ((strategy, ch, stereo) <- Seq(
+        ("fixed2", 1, "independent"),
+        ("lpc", 1, "independent"),
+        ("lpc", 2, "midside"),
+        ("verbatim", 2, "leftside"))) {
+      val n = 720
+      val s = samples(n, ch)
+      val bytes = FlacCodec.encode(s, 8000, ch, bits = 16,
+        strategy = strategy, stereo = stereo,
+        blockSizes = Seq(192, 256, 64, 208))
+      // container-level marker: STREAMINFO min != max blocksize
+      val minB = ((bytes(8) & 0xff) << 8) | (bytes(9) & 0xff)
+      val maxB = ((bytes(10) & 0xff) << 8) | (bytes(11) & 0xff)
+      assert(minB === 64 && maxB === 256, s"min=$minB max=$maxB")
+      val d = FlacCodec.decode(bytes)
+      assert(d.isDefined, s"variable $strategy/$stereo must decode")
+      assert(d.get.samples.toSeq === s.toSeq, s"variable $strategy/$stereo")
+    }
+    // single-frame schedule and a short tail frame both round-trip
+    val s1 = samples(100, 1)
+    assert(FlacCodec.decode(FlacCodec.encode(s1, 8000, 1, 16,
+      blockSizes = Seq(100))).get.samples.toSeq === s1.toSeq)
+    val s2 = samples(300, 1)
+    assert(FlacCodec.decode(FlacCodec.encode(s2, 8000, 1, 16,
+      blockSizes = Seq(256, 44))).get.samples.toSeq === s2.toSeq)
+    // a schedule that does not cover the sample count fails loudly
+    intercept[IllegalArgumentException] {
+      FlacCodec.encode(s2, 8000, 1, 16, blockSizes = Seq(256))
+    }
+  }
+
+  test("coded-number validation: a frame with the wrong sample number is rejected") {
+    // encode a 2-frame variable stream, then corrupt the second frame's
+    // coded sample number; CRC-8 is recomputed so only the VALIDATION
+    // can catch the skip — guards against silent frame mis-ordering
+    val s = samples(320, 1)
+    val bytes = FlacCodec.encode(s, 8000, 1, 16, blockSizes = Seq(256, 64))
+    assert(FlacCodec.decode(bytes).isDefined)
+    // the second frame's header is fully deterministic: FF F9 (sync +
+    // variable) 70 (bsCode 7, sr from STREAMINFO) 08 (mono, 16-bit)
+    // C4 80 (sample number 256) 00 3F (block size 64 − 1)
+    val want = Array(0xFF, 0xF9, 0x70, 0x08, 0xC4, 0x80, 0x00, 0x3F)
+      .map(_.toByte)
+    val second = bytes.indices.find(i =>
+      i + want.length <= bytes.length &&
+        want.indices.forall(j => bytes(i + j) == want(j))).get
+    // rewrite the coded sample number 256 → 192 (0xC3 0x80) and FIX the
+    // header CRC-8 (4 fixed + 2 coded + 2 blocksize bytes = 8) so only
+    // the sample-number validation can catch the skip
+    val bad = bytes.clone()
+    bad(second + 4) = 0xC3.toByte
+    bad(second + 8) = FlacCodec.crc8(bad, second, second + 8).toByte
+    assert(FlacCodec.decode(bad).isEmpty,
+      "a sample-number skip must be rejected, not silently re-seated")
+  }
+
   test("a flipped bit fails a CRC and decodes to None, never to wrong samples") {
     val s = samples(600, 1)
     val bytes = FlacCodec.encode(s, 8000, 1, 16, blockSize = 256)

@@ -54,6 +54,50 @@ class RankSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(2L))
   }
 
+  test("bm25 multi: each query's slice equals the single-query run bit-for-bit") {
+    val qs = Seq(
+      ("q1", "cat"),
+      ("q2", "cat"), ("q2", "dog"),
+      ("q3", "zzz_absent")).toDF("query_id", "term")
+    val multi = Rank.bm25TopKMulti(docsDf, "doc_id", "text", qs, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def single(terms: Seq[String]) =
+      Rank.bm25TopK(docsDf, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(multi.filter(_._1 == "q1").map(t => (t._2, t._3)).toSet ===
+      single(Seq("cat")))
+    assert(multi.filter(_._1 == "q2").map(t => (t._2, t._3)).toSet ===
+      single(Seq("cat", "dog")))
+    // a query of only absent terms yields zero rows, not a crash
+    assert(!multi.exists(_._1 == "q3"))
+  }
+
+  test("bm25 multi: k caps PER QUERY; duplicate query terms don't double-count") {
+    val qs = Seq(
+      ("a", "cat"), ("a", "dog"), ("a", "cat"), // dup term row
+      ("b", "dog")).toDF("query_id", "term")
+    val res = Rank.bm25TopKMulti(docsDf, "doc_id", "text", qs, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(res.count(_._1 == "a") === 2)
+    assert(res.count(_._1 == "b") === 2)
+    // dedup contract: scores match the distinct-term single-query run
+    val single = Rank.bm25TopK(docsDf, "doc_id", "text", Seq("cat", "dog"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(res.filter(_._1 == "a").map(t => (t._2, t._3)).toSet === single)
+  }
+
+  test("bm25 multi: lazy plan — no driver action at construction") {
+    val qs = Seq(("q", "cat")).toDF("query_id", "term")
+    // construction must not run jobs (the single-query form takes two
+    // driver actions for N/avgdl; the multi form is the lazy deployment
+    // shape) — building the frame against an empty-but-valid corpus and
+    // never acting on it should not throw
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val planned = Rank.bm25TopKMulti(empty, "doc_id", "text", qs, 5)
+    assert(planned.columns.toSeq === Seq("query_id", "doc_id", "score"))
+    assert(planned.count() === 0L)
+  }
+
   // -------------------------------------------------------------- PageRank
 
   private def sym(pairs: Seq[(Long, Long)]) = {
