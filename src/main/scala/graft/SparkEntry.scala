@@ -966,6 +966,38 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("track_id"))
   }
 
+  /** MP3 container/frame walk ([[graft.operators.Mp3Codec]] — the
+    * [[qVideoMp4Meta]] pattern for audio): frame count, EXACT sample
+    * count, integer duration, bitrate profile and VBR flag, Xing tag,
+    * ID3v2/v1 bounds — all from headers, zero audio decode, bytes-
+    * linear and scan-local. Fixtures cover MPEG-1 L1/L2/L3, MPEG-2 and
+    * 2.5 L3, CBR and VBR-with-Xing, padding-bit frames (every third),
+    * ID3 tags fore and aft, and a garbage payload on the
+    * decode_ok=false ladder. All-integer output ⇒ closed-form oracle.
+    */
+  private def qAudioMp3Meta(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Mp3Codec
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(8).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        i match {
+          case 0L => (i, Mp3Codec.fixture("1", 3, 44100, 2, Seq.fill(30)(128)))
+          case 1L => (i, Mp3Codec.fixture("1", 3, 44100, 2,
+            (0 until 40).map(j => Seq(96, 128, 160, 192)(j % 4)),
+            xingFrames = 40L))
+          case 2L => (i, Mp3Codec.fixture("2", 3, 22050, 1, Seq.fill(25)(64)))
+          case 3L => (i, Mp3Codec.fixture("2.5", 3, 8000, 1, Seq.fill(20)(32)))
+          case 4L => (i, Mp3Codec.fixture("1", 2, 48000, 2, Seq.fill(15)(192)))
+          case 5L => (i, Mp3Codec.fixture("1", 1, 32000, 2, Seq.fill(12)(256)))
+          case 6L => (i, Mp3Codec.fixture("1", 3, 44100, 1, Seq.fill(10)(112),
+            id3v2Size = 500, id3v1 = true))
+          case _ => (i, "not an mpeg audio stream".getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "payload")
+    Mp3Codec.parseMeta(encoded).toDF().orderBy(col("doc_id"))
+  }
+
   /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
     * of the video track resolved to absolute byte ranges from stbl
     * alone — the ranged-read list of a frame-sampling pipeline, no
@@ -1068,6 +1100,30 @@ object SparkEntry {
         graft.operators.Graph.knnGraph(
           T.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id", "embedding", 3))
       .orderBy(col("node"))
+
+  /** Scale-path kNN graph ([[graft.operators.Graph.knnGraphBucketed]]):
+    * the SAME triangle readout as [[qKnnTriangles]], but the graph is
+    * built over the FULL embeddings table with the IVF-bucketed
+    * candidate generator — C = ⌈2√N⌉ cells (first-C corpus vectors as
+    * centroids, SQL-replayable), 2-probe multi-assignment, cell-local
+    * scoring. This is the registered 100 TB input path the exact
+    * build's `vec_id < 2000` diagnostic bound defers to: O(N^1.5) work
+    * with NO corpus-sized broadcast, sub-quadratic at every decade
+    * (BENCH_r12 knn curve).
+    */
+  private def qKnnTrianglesBucketed(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    // one metadata action sizes the cell count to the corpus: C = ⌈2√N⌉
+    // balances N·C assignment sims against 4N²/C pair scoring
+    val c = math.ceil(2.0 * math.sqrt(emb.count().toDouble)).toInt
+    val cw = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val cent = emb.orderBy(col("vec_id")).limit(c)
+      .select((row_number().over(cw) - 1).as("cid"), col("embedding").as("cvec"))
+    graft.operators.Graph.triangleStats(
+        graft.operators.Graph.knnGraphBucketed(
+          emb, "vec_id", "embedding", 3, cent, nProbe = 2))
+      .orderBy(col("node"))
+  }
 
   /** Batch k-NN join: 5 query vectors × corpus, top-5 neighbors each —
     * broadcast NLJ scoring + WindowGroupLimit per-query top-k.
@@ -3632,12 +3688,14 @@ object SparkEntry {
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_pmi_topk" -> (qPmiTopk _),
     "q_knn_triangles" -> (qKnnTriangles _),
+    "q_knn_triangles_bucketed" -> (qKnnTrianglesBucketed _),
     "q_hyperball" -> (qHyperball _),
     "q_harmonic_centrality" -> (qHarmonicCentrality _),
     "q_effective_diameter" -> (qEffectiveDiameter _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_edit_neardup" -> (qEditNeardup _),
     "q_video_mp4_meta" -> (qVideoMp4Meta _),
+    "q_audio_mp3_meta" -> (qAudioMp3Meta _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -4080,6 +4138,52 @@ object SparkEntry {
                ORDER BY cos DESC, neighbor_id ASC) AS rn
            FROM s),
          d AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 3),
+         e AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+             greatest(query_id, neighbor_id) AS b FROM d),
+         w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         t AS (SELECT x, y, z FROM w WHERE EXISTS (
+           SELECT 1 FROM e e3 WHERE e3.a = w.x AND e3.b = w.z)),
+         tn AS (SELECT node, count(*) AS triangles FROM (
+             SELECT x AS node FROM t
+             UNION ALL SELECT y FROM t
+             UNION ALL SELECT z FROM t)
+           GROUP BY 1),
+         deg AS (SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           GROUP BY 1)
+         SELECT deg.node, coalesce(tn.triangles, 0) AS triangles, deg.degree,
+           CASE WHEN deg.degree >= 2
+             THEN coalesce(tn.triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1))
+             ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tn ON deg.node = tn.node ORDER BY deg.node""",
+    "q_knn_triangles_bucketed" ->
+      """WITH nv AS (
+           SELECT CAST(ceil(2 * sqrt(count(*))) AS BIGINT) AS c FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS cvec
+           FROM (SELECT * FROM embeddings ORDER BY vec_id
+                 LIMIT (SELECT c FROM nv))),
+         corpus AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         assign AS (
+           SELECT id, v, cid,
+             row_number() OVER (PARTITION BY id
+               ORDER BY list_cosine_similarity(v, cvec) DESC, cid DESC) AS rn
+           FROM corpus CROSS JOIN cent),
+         cells AS (SELECT id, v, cid AS cell FROM assign WHERE rn <= 2),
+         scored AS (
+           SELECT DISTINCT l.id AS query_id, r.id AS neighbor_id,
+             round(list_cosine_similarity(r.v, l.v), 4) AS cos
+           FROM cells l JOIN cells r ON l.cell = r.cell AND l.id <> r.id),
+         rk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored),
+         d AS (SELECT query_id, neighbor_id FROM rk WHERE rn <= 3),
          e AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
              greatest(query_id, neighbor_id) AS b FROM d),
          w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -6333,6 +6437,41 @@ object SparkEntry {
          SELECT CAST(4 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
              CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
              CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS INTEGER), FALSE
+         ORDER BY doc_id""",
+    // MP3 frame walk: all-integer closed form from the fixture params
+    // (n_frames × samples-per-frame, integer-division duration); doc 7
+    // is the planted non-MPEG payload
+    "q_audio_mp3_meta" ->
+      """WITH p AS (SELECT * FROM (VALUES
+             (0, '1',   3, 44100, 2, 30, 1152, 128, 128, -1, 0,   FALSE),
+             (1, '1',   3, 44100, 2, 40, 1152,  96, 192, 40, 0,   FALSE),
+             (2, '2',   3, 22050, 1, 25,  576,  64,  64, -1, 0,   FALSE),
+             (3, '2.5', 3,  8000, 1, 20,  576,  32,  32, -1, 0,   FALSE),
+             (4, '1',   2, 48000, 2, 15, 1152, 192, 192, -1, 0,   FALSE),
+             (5, '1',   1, 32000, 2, 12,  384, 256, 256, -1, 0,   FALSE),
+             (6, '1',   3, 44100, 1, 10, 1152, 112, 112, -1, 510, TRUE))
+           AS t(doc_id, version, layer, rate, ch, n, spf, brmin, brmax,
+                xing, id3v2, id3v1))
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, version,
+             CAST(layer AS INTEGER) AS layer,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST(ch AS INTEGER) AS channels,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(n * spf AS BIGINT) AS total_samples,
+             CAST((n * spf * 1000) // rate AS BIGINT) AS duration_ms,
+             CAST(brmin AS INTEGER) AS bitrate_min_kbps,
+             CAST(brmax AS INTEGER) AS bitrate_max_kbps,
+             brmin <> brmax AS is_vbr,
+             CAST(xing AS BIGINT) AS xing_frames,
+             CAST(id3v2 AS BIGINT) AS id3v2_bytes,
+             id3v1 AS has_id3v1, TRUE AS decode_ok
+           FROM p
+         UNION ALL
+         SELECT CAST(7 AS BIGINT), '', CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), FALSE, CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), FALSE, FALSE
          ORDER BY doc_id""",
     // VP8L (WebP lossless) through the in-repo codec: lossless, so the
     // same closed forms hold; channels = 4 (ARGB); doc 8 is the planted

@@ -57,6 +57,71 @@ object Graph {
       .distinct()
   }
 
+  /** Scale-path k-NN graph: the BUCKETED candidate generator feeding
+    * the same top-k ranking and edge algebra as [[knnGraph]] — the swap
+    * that scaladoc has always named, now a first-class construction.
+    * Vectors are multi-assigned to their `nProbe` nearest IVF cells
+    * (raw-sim ordering with ties to the LARGER cid — the
+    * [[graft.exprs.NearestCentroid]] convention, so the assignment
+    * replays in SQL as `row_number() ... ORDER BY sim DESC, cid DESC ≤
+    * nProbe`); candidate pairs are vectors sharing ≥ 1 cell, scored
+    * once (dups from multi-probe collapse in a distinct on the scored
+    * pair), ranked per query exactly as [[knnGraph]] ranks. Multi-probe
+    * is what recovers cross-boundary neighbors a single-cell partition
+    * would miss; recall < 1 only for a pair whose cells are fully
+    * disjoint at nProbe probes — the standard IVF trade.
+    *
+    * 100 TB shape: scoring is CELL-LOCAL — the self-join shuffles on
+    * `cell`, so pair work is Σ|cell|² ≈ 4N²/C instead of N², and no
+    * side is broadcast except the CENTROID TABLE (the exact
+    * [[knnGraph]] needs the whole corpus under the broadcast budget;
+    * this needs only C·dim doubles). Centroids arrive as a FRAME, not
+    * literals — at production C a literal centroid tree is the measured
+    * ~5 s-planning trap ([[graft.exprs.PqCodes]] lesson) — and C should
+    * grow ~2√N so assignment (N·C sims) and pair scoring (4N²/C)
+    * balance, making the whole build O(N^1.5): sub-quadratic where the
+    * exact build is input-bounded. Cell balance is the usual IVF caveat
+    * (Lloyd-refine via [[Ann.lloydStep]] against skewed corpora).
+    */
+  def knnGraphBucketed(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame, // columns: cid (int), cvec (vector)
+      nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    val sims = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .select(col("id"), col("v"), col("cid"),
+        graft.exprs.CosineSim(col("v"), col("cvec")).as("__sim"))
+    // nProbe nearest cells per vector: raw-sim ordering, ties to the
+    // LARGER cid (the [[graft.exprs.NearestCentroid]] convention) —
+    // replays in SQL as row_number() ... ORDER BY sim DESC, cid DESC
+    val aw = Window.partitionBy("id")
+      .orderBy(col("__sim").desc, col("cid").desc)
+    val assigned = sims
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+    val scored = assigned.as("l")
+      .join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"),
+        round(graft.exprs.CosineSim(col("r.v"), col("l.v")), 4).as("__cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct()
+  }
+
   /** Per-node triangle count + degree + local clustering coefficient
     * over an undirected edge set given as distinct (a, b), a < b.
     *

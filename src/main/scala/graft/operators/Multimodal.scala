@@ -87,9 +87,12 @@ final case class VideoFrameFeatures(
   * AVI/RIFF container walk with raw-DIB exact decode and MJPEG through
   * the JDK JPEG reader ([[Multimodal.decodeVideoFrames]]). Only
   * [[Multimodal.decodeStub]] remains as the documented seam where a
-  * deployment would plug richer codecs (H.264, lossy VP8, MP3) with
-  * the same partition-parallel signature; WebP lossless is real via
-  * the in-repo [[Vp8lCodec]].
+  * deployment would plug richer codecs (H.264, lossy VP8, MP3
+  * sample decode) with the same partition-parallel signature; WebP
+  * lossless is real via the in-repo [[Vp8lCodec]], and the MP3 / MP4
+  * CONTAINER level (frame walks, durations, bitrate profiles, sample
+  * tables, keyframe byte ranges) is real via [[Mp3Codec]] /
+  * [[Mp4Codec]] — the seam covers bitstream sample decode only.
   */
 object Multimodal {
 

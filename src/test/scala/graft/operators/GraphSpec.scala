@@ -72,6 +72,45 @@ class GraphSpec extends SparkSpec {
     assert(st(1L) >= 1L && st(2L) >= 1L && st(3L) >= 1L)
   }
 
+  test("knnGraphBucketed: C=1 single cell IS the exact build, edge-for-edge") {
+    // with one cell every pair is a candidate, so the bucketed ranking
+    // degenerates to knnGraph's all-pairs ranking exactly — the
+    // equivalence that makes the bucketed form a drop-in scale path
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cent = vecs.filter($"vec_id" === 0L)
+      .select(lit(0).as("cid"), $"embedding".as("cvec"))
+    val exact = Graph.knnGraph(vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Graph.knnGraphBucketed(
+        vecs, "vec_id", "embedding", 3, cent, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === exact)
+  }
+
+  test("knnGraphBucketed: edges only between cell-mates; multi-probe bridges cells") {
+    // two tight clusters on orthogonal axes + their two centroids: with
+    // nProbe=1 no cross-cluster pair is ever a candidate
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)),
+      (11L, Array(0.0f, 1.0f)), (12L, Array(0.01f, 0.99f)), (13L, Array(0.02f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val g1 = Graph.knnGraphBucketed(vecs, "vec_id", "embedding", 2, cent, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g1.forall(p => (p._1 < 10L) == (p._2 < 10L)),
+      s"nProbe=1 must keep edges cell-local, got $g1")
+    assert(g1.size === 6, "each 3-clique closes at k=2")
+    // nProbe=2 assigns every vector to BOTH cells — cross-cluster pairs
+    // become candidates, but top-k still prefers the near neighbors
+    val g2 = Graph.knnGraphBucketed(vecs, "vec_id", "embedding", 2, cent, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g2.intersect(g1) === g1, "widening probes never loses an edge here")
+    assert(g2.forall(p => p._1 < p._2))
+  }
+
   // ------------------------------------------------------------ hyperBall
 
   private def sym(pairs: (Long, Long)*) =
