@@ -998,6 +998,74 @@ object SparkEntry {
     Mp3Codec.parseMeta(encoded).toDF().orderBy(col("doc_id"))
   }
 
+  /** Ogg container walk ([[graft.operators.OggCodec]] — RFC 3533 page
+    * grammar + Vorbis-I / RFC 7845 Opus ID headers): codec identity,
+    * channels, rates, EXACT granule-position durations (Opus on the
+    * 48 kHz clock minus pre-skip), page accounting — zero audio
+    * decode, scan-local. Fixtures cover Vorbis and Opus, a −1
+    * no-packet-ends granule page, pre-skip arithmetic, and a garbage
+    * payload on the decode_ok=false ladder. All-integer ⇒ closed-form
+    * oracle.
+    */
+  private def qAudioOggMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.OggCodec
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val encoded = s.range(6).select(col("id").as("doc_id")).as[Long]
+      .map { i =>
+        i match {
+          case 0L => (i, OggCodec.fixture("vorbis", 2, 44100, 0, 10, 441000L))
+          case 1L => (i, OggCodec.fixture("vorbis", 1, 8000, 0, 4, 12345L))
+          case 2L => (i, OggCodec.fixture("opus", 2, 48000, 312, 6, 96312L))
+          case 3L => (i, OggCodec.fixture("opus", 1, 24000, 0, 3, 1440L))
+          case 4L => (i, OggCodec.fixture("vorbis", 2, 32000, 0, 5, 100000L,
+            plantNoGranule = true))
+          case _ => (i, "OggS but not a page stream".getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "payload")
+    OggCodec.parseMeta(encoded).toDF().orderBy(col("doc_id"))
+  }
+
+  /** WARC ingestion front door ([[graft.operators.Warc]]): documents
+    * serialized as CommonCrawl-shaped `.warc.gz` chunks (one record per
+    * gzip member — REAL deflate through the JDK, CRC/ISIZE-verified),
+    * with the FIRST member of every chunk ≡ 3 (mod 5) truncated
+    * mid-member; the walk quarantines exactly that record and
+    * RESYNCHRONIZES at the next valid member, so the per-source report
+    * loses only the planted records. The corrupt set is closed-form
+    * (min doc_id of each corrupted chunk), so the oracle replays the
+    * whole pipeline from the base table.
+    */
+  private def qWarcIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Warc
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(40)).as("chunk"))
+      .as[(Long, String, Long)]
+    val chunks = docs.groupByKey(_._3)
+      .mapGroups { (chunk, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text, _) =>
+          (s"urn:doc:$id", "response", text.getBytes("UTF-8"))
+        }
+        val corrupt: Set[Int] = if (chunk % 5 == 3) Set(0) else Set.empty[Int]
+        (chunk, Warc.fixtureGz(recs, corrupt))
+      }.toDF("doc_id", "payload")
+    Warc.parseRecords(chunks).toDF()
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("corrupt"), 0L).otherwise(1L)).as("n_ok"),
+        sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("corrupt"), 0L).otherwise(col("content_length"))).as("sum_bytes"),
+        min(when(!col("corrupt"),
+          expr("CAST(substring(target_uri, 9) AS BIGINT)"))).as("min_doc"),
+        max(when(!col("corrupt"),
+          expr("CAST(substring(target_uri, 9) AS BIGINT)"))).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
     * of the video track resolved to absolute byte ranges from stbl
     * alone — the ranged-read list of a frame-sampling pipeline, no
@@ -3696,6 +3764,8 @@ object SparkEntry {
     "q_edit_neardup" -> (qEditNeardup _),
     "q_video_mp4_meta" -> (qVideoMp4Meta _),
     "q_audio_mp3_meta" -> (qAudioMp3Meta _),
+    "q_audio_ogg_meta" -> (qAudioOggMeta _),
+    "q_warc_ingest" -> (qWarcIngest _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6472,6 +6542,54 @@ object SparkEntry {
              CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS INTEGER),
              CAST(-1 AS INTEGER), FALSE, CAST(-1 AS BIGINT),
              CAST(-1 AS BIGINT), FALSE, FALSE
+         ORDER BY doc_id""",
+    // WARC ingest: the corrupt set is exactly the min doc_id of every
+    // chunk ≡ 3 (mod 5) (record 0 of the doc_id-sorted chunk — the
+    // truncated member), so the whole gzip+WARC pipeline replays from
+    // the base table; ASCII text ⇒ strlen = content bytes
+    "q_warc_ingest" ->
+      """WITH d AS (
+           SELECT doc_id, strlen(text) AS len, doc_id % 40 AS chunk,
+                  'src' || CAST(doc_id % 20 AS VARCHAR) AS source
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS bad_doc FROM d
+               WHERE chunk % 5 = 3 GROUP BY 1),
+         m AS (SELECT d.*,
+                 (c.bad_doc IS NOT NULL AND d.doc_id = c.bad_doc) AS corrupt
+               FROM d LEFT JOIN c ON d.chunk = c.chunk)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT) AS sum_bytes,
+           min(CASE WHEN corrupt THEN NULL ELSE doc_id END) AS min_doc,
+           max(CASE WHEN corrupt THEN NULL ELSE doc_id END) AS max_doc
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // Ogg page walk: all-integer closed form (n_pages = data pages +
+    // BOS; Vorbis duration on the audio clock, Opus on the 48 kHz
+    // granule clock minus pre-skip); doc 5 is the planted non-Ogg payload
+    "q_audio_ogg_meta" ->
+      """WITH p AS (SELECT * FROM (VALUES
+             (0, 'vorbis', 2, 44100,   0, 11, 441000, 441000, 44100),
+             (1, 'vorbis', 1,  8000,   0,  5,  12345,  12345,  8000),
+             (2, 'opus',   2, 48000, 312,  7,  96312,  96000, 48000),
+             (3, 'opus',   1, 24000,   0,  4,   1440,   1440, 48000),
+             (4, 'vorbis', 2, 32000,   0,  6, 100000, 100000, 32000))
+           AS t(doc_id, codec, ch, rate, skip, pages, gran, samples, clock))
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, codec,
+             CAST(ch AS INTEGER) AS channels,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST(skip AS INTEGER) AS pre_skip,
+             CAST(pages AS BIGINT) AS n_pages,
+             CAST(gran AS BIGINT) AS last_granule,
+             CAST(samples AS BIGINT) AS total_samples,
+             CAST((samples * 1000) // clock AS BIGINT) AS duration_ms,
+             TRUE AS decode_ok
+           FROM p
+         UNION ALL
+         SELECT CAST(5 AS BIGINT), '', CAST(-1 AS INTEGER),
+             CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
          ORDER BY doc_id""",
     // VP8L (WebP lossless) through the in-repo codec: lossless, so the
     // same closed forms hold; channels = 4 (ARGB); doc 8 is the planted
