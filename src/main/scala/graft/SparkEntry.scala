@@ -1066,6 +1066,47 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** URL hygiene ([[graft.operators.UrlOps]]): six deterministic URL
+    * shapes per doc — uppercase scheme/host, default and non-default
+    * ports, `www.` and trailing-dot hosts, fragments, empty paths,
+    * two-level public suffixes, and an invalid (quarantined) shape —
+    * canonicalized, deduped on the canonical key, and aggregated per
+    * REGISTERED domain. The oracle is the ANALYTIC canonical form per
+    * shape (closed-form from doc_id), so hash equality proves every
+    * canonicalization rule, not just self-consistency. All string
+    * `functions._` — whole-stage codegen, no UDF.
+    */
+  private def qUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.UrlOps
+    val g = pmod(col("doc_id"), lit(7))
+    val m = pmod(col("doc_id"), lit(6))
+    val url =
+      when(m === 0, concat(lit("https://WWW.Site"), g, lit(".CO.UK:443/a/"),
+        col("doc_id"), lit("?q=1#frag")))
+      .when(m === 1, concat(lit("HTTP://Site"), g, lit(".com:8080/b/"),
+        col("doc_id")))
+      .when(m === 2, concat(lit("http://www.Site"), g, lit(".COM./c/"),
+        pmod(col("doc_id"), lit(100))))
+      .when(m === 3, when(pmod(col("doc_id"), lit(12)) === 3,
+          concat(lit("https://Site"), g, lit(".org")))
+        .otherwise(concat(lit("https://site"), g, lit(".ORG./"))))
+      .when(m === 4, concat(lit("not a url "), col("doc_id")))
+      .otherwise(concat(lit("https://sub.Site"), g, lit(".com.au/d/"),
+        col("doc_id"), lit("?x=2")))
+    val urls = T.documents(s, d).select(col("doc_id"), url.as("url"))
+    UrlOps.dedupByCanonicalUrl(urls, "doc_id", "url")
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:?]+)", 1))
+      .withColumn("registered_domain", UrlOps.registeredDomain(col("host")))
+      .groupBy("registered_domain")
+      .agg(
+        count(lit(1)).as("n_canonical"),
+        sum(col("n_dups")).as("n_rows"),
+        max(col("n_dups")).as("max_dups"),
+        min(col("keeper_id")).as("first_doc"))
+      .orderBy(col("registered_domain"))
+  }
+
   /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
     * of the video track resolved to absolute byte ranges from stbl
     * alone — the ranged-read list of a frame-sampling pipeline, no
@@ -3766,6 +3807,7 @@ object SparkEntry {
     "q_audio_mp3_meta" -> (qAudioMp3Meta _),
     "q_audio_ogg_meta" -> (qAudioOggMeta _),
     "q_warc_ingest" -> (qWarcIngest _),
+    "q_url_canonical" -> (qUrlCanonical _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6543,6 +6585,40 @@ object SparkEntry {
              CAST(-1 AS INTEGER), FALSE, CAST(-1 AS BIGINT),
              CAST(-1 AS BIGINT), FALSE, FALSE
          ORDER BY doc_id""",
+    // URL canonicalization: the oracle writes the ANALYTIC canonical
+    // form per synthesized shape — hash equality proves the rules
+    // (case, www., trailing dot, default ports, fragment, empty path,
+    // two-level suffixes), not just self-consistency
+    "q_url_canonical" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 7 AS g, doc_id % 6 AS m FROM documents),
+         canon AS (
+           SELECT doc_id,
+             CASE m
+               WHEN 0 THEN 'https://site' || g || '.co.uk/a/' || doc_id || '?q=1'
+               WHEN 1 THEN 'http://site' || g || '.com:8080/b/' || doc_id
+               WHEN 2 THEN 'http://site' || g || '.com/c/' || (doc_id % 100)
+               WHEN 3 THEN 'https://site' || g || '.org/'
+               WHEN 5 THEN 'https://sub.site' || g || '.com.au/d/' || doc_id || '?x=2'
+             END AS canonical_url,
+             CASE m
+               WHEN 0 THEN 'site' || g || '.co.uk'
+               WHEN 1 THEN 'site' || g || '.com'
+               WHEN 2 THEN 'site' || g || '.com'
+               WHEN 3 THEN 'site' || g || '.org'
+               WHEN 5 THEN 'site' || g || '.com.au'
+             END AS registered_domain
+           FROM d WHERE m <> 4),
+         ded AS (
+           SELECT registered_domain, canonical_url,
+             min(doc_id) AS keeper_id, count(*) AS n_dups
+           FROM canon GROUP BY 1, 2)
+         SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_canonical,
+           CAST(sum(n_dups) AS BIGINT) AS n_rows,
+           CAST(max(n_dups) AS BIGINT) AS max_dups,
+           min(keeper_id) AS first_doc
+         FROM ded GROUP BY 1 ORDER BY 1""",
     // WARC ingest: the corrupt set is exactly the min doc_id of every
     // chunk ≡ 3 (mod 5) (record 0 of the doc_id-sorted chunk — the
     // truncated member), so the whole gzip+WARC pipeline replays from
