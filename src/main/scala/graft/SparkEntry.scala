@@ -1107,6 +1107,42 @@ object SparkEntry {
       .orderBy(col("registered_domain"))
   }
 
+  /** HTML → text extraction ([[graft.operators.HtmlExtract]]): every
+    * document wrapped in a deterministic page template (title with an
+    * entity, style + script blocks with embedded `<` and quoted tags,
+    * a comment, nav boilerplate, entity-laden paragraphs, an anchor),
+    * then extracted back. The oracle writes the ANALYTIC expected text
+    * — nav line + the ORIGINAL text + decoded entity line + anchor
+    * text — so hash equality proves script/style/comment removal,
+    * block-newline structure, tag stripping, entity decode, and
+    * whitespace canonicalization against ground truth.
+    */
+  private def qHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.HtmlExtract
+    val html = concat(
+      lit("<html><head><title> Doc "), col("doc_id"),
+      lit(" &amp; friends </title>\n"),
+      lit("<style>p { color: #f00; }</style>\n"),
+      lit("<script>if (1 < 2) { var x = \"<p>hi</p>\"; }</script></head>\n"),
+      lit("<body>\n<!-- navigation -->\n<div class=\"nav\">Home | About</div>\n"),
+      lit("<p>"), col("text"), lit("</p>\n"),
+      lit("<p>x &amp; y &lt; z&nbsp;&nbsp;ok</p>\n"),
+      lit("<a href=\"https://example.com/d/"), col("doc_id"),
+      lit("\">read doc "), col("doc_id"), lit("</a>\n</body></html>"))
+    T.documents(s, d)
+      .select(col("doc_id"), html.as("html"), col("text"))
+      .select(
+        col("doc_id"),
+        HtmlExtract.title(col("html")).as("title"),
+        HtmlExtract.text(col("html")).as("text_out"),
+        size(HtmlExtract.links(col("html"))).as("n_links"),
+        element_at(HtmlExtract.links(col("html")), 1).as("first_link"),
+        (HtmlExtract.text(col("html")) ===
+          concat(lit("Home | About\n"), col("text"),
+            lit("\nx & y < z ok\nread doc "), col("doc_id"))).as("exact"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
     * of the video track resolved to absolute byte ranges from stbl
     * alone — the ranged-read list of a frame-sampling pipeline, no
@@ -3808,6 +3844,7 @@ object SparkEntry {
     "q_audio_ogg_meta" -> (qAudioOggMeta _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_url_canonical" -> (qUrlCanonical _),
+    "q_html_extract" -> (qHtmlExtract _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6585,6 +6622,18 @@ object SparkEntry {
              CAST(-1 AS INTEGER), FALSE, CAST(-1 AS BIGINT),
              CAST(-1 AS BIGINT), FALSE, FALSE
          ORDER BY doc_id""",
+    // HTML extraction: the oracle writes the ANALYTIC expected text
+    // (nav + original text + decoded entity line + anchor text) —
+    // hash equality proves the whole chain against ground truth
+    "q_html_extract" ->
+      """SELECT doc_id,
+           'Doc ' || doc_id || ' & friends' AS title,
+           'Home | About' || chr(10) || text || chr(10) ||
+             'x & y < z ok' || chr(10) || 'read doc ' || doc_id AS text_out,
+           CAST(1 AS INTEGER) AS n_links,
+           'https://example.com/d/' || doc_id AS first_link,
+           TRUE AS exact
+         FROM documents ORDER BY doc_id""",
     // URL canonicalization: the oracle writes the ANALYTIC canonical
     // form per synthesized shape — hash equality proves the rules
     // (case, www., trailing dot, default ports, fragment, empty path,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the step between a WARC response walk
+  * ([[Warc]]) and every text operator in the pipeline (dedup, quality,
+  * LM scoring all assume prose, not markup). The classic extraction
+  * chain, built ENTIRELY from codegen'd `regexp_replace`/
+  * `regexp_extract` column functions (no UDF, no parser object per
+  * row — at 100 TB this is a scan-local projection):
+  *
+  *  1. drop comments, then `<script>`/`<style>` blocks (non-greedy,
+  *     DOTALL — embedded `<` and quotes inside script bodies do not
+  *     confuse tag stripping because the whole block dies first);
+  *  2. drop the `<head>` (after pulling [[title]] from it);
+  *  3. BLOCK-level tags become newlines (the structure signal quality
+  *     scorers use: line counts, line lengths); remaining tags vanish;
+  *  4. the named entities that dominate real corpora decode
+  *     (`&amp; &lt; &gt; &quot; &#39; &nbsp;` — `&amp;` LAST so
+  *     `&amp;lt;` does not double-decode);
+  *  5. whitespace canonicalizes: runs of spaces/tabs collapse, space
+  *     around newlines trims, newline runs collapse, edges trim.
+  *
+  * Honest subset: no numeric character references beyond `&#39;`
+  * (computed code points need a real parser — a deployment plugs one
+  * at the [[Multimodal.decodeStub]]-style seam), no CDATA, no
+  * conditional comments. The chain is deterministic and replays in
+  * any RE2/PCRE engine, which is what the analytic `q_html_extract`
+  * oracle exploits.
+  */
+object HtmlExtract {
+
+  private val BlockTags =
+    "p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|td|th|section|article|header|footer|blockquote|pre|body"
+
+  /** Page title: first `<title>` content, entity-decoded, whitespace
+    * collapsed; "" when absent.
+    */
+  def title(html: Column): Column =
+    trim(squeeze(entities(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))))
+
+  /** All `href` targets of anchor tags, in document order. */
+  def links(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))
+
+  /** The extraction chain of the object contract. */
+  def text(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noHead = regexp_replace(noStyle, "(?is)<head[^>]*>.*?</head>", "")
+    val blocks = regexp_replace(noHead, s"(?i)</?($BlockTags)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    squeeze(entities(noTags))
+  }
+
+  private def entities(c: Column): Column = {
+    val e1 = regexp_replace(c, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    regexp_replace(e5, "&amp;", "&") // last — see object scaladoc
+  }
+
+  private def squeeze(c: Column): Column = {
+    val s1 = regexp_replace(c, "[ \\t]{2,}", " ")
+    val s2 = regexp_replace(s1, "[ \\t]*\\n[ \\t]*", "\n")
+    val s3 = regexp_replace(s2, "\\n{2,}", "\n")
+    regexp_replace(s3, "^\\n+|\\n+$", "")
+  }
+}
