@@ -1143,6 +1143,64 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bucketized point-in-interval join
+    * ([[graft.operators.IntervalJoin.pointInInterval]]): events matched
+    * into derived maintenance-window intervals (6-hour slots, offset
+    * starts, varying lengths — all closed-form from the slot id) via
+    * the bucket-equi-join + exact-recheck shape, NEVER a
+    * BroadcastNestedLoopJoin. The oracle is the plain BETWEEN theta
+    * join in DuckDB — hash equality proves the bucketized plan is
+    * result-identical to the naive predicate.
+    */
+  private def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("sec"))
+    val iv = ev.select(floor(col("sec") / 21600).cast("long").as("slot"))
+      .distinct()
+      .filter(pmod(col("slot"), lit(3)) =!= 0)
+      .withColumn("s_sec",
+        col("slot") * 21600 + pmod(col("slot"), lit(7)) * 600)
+      .withColumn("e_sec",
+        col("s_sec") + 3000 + pmod(col("slot"), lit(5)) * 900)
+    IntervalJoin.pointInInterval(ev, "sec", iv, "s_sec", "e_sec", 3600L)
+      .groupBy("slot")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("slot"))
+  }
+
+  /** Interval-overlap join
+    * ([[graft.operators.IntervalJoin.intervalOverlap]]): the derived
+    * maintenance windows against a second derived session-window set;
+    * each overlapping pair emitted exactly once via the
+    * canonical-bucket rule (no distinct), with the exact integer
+    * overlap length. Oracle = the naive overlap theta join.
+    */
+  private def qIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val slots = T.events(s, d)
+      .select(floor(col("ts").cast("long") / 21600).cast("long").as("slot"))
+      .distinct()
+    val a = slots.filter(pmod(col("slot"), lit(3)) =!= 0)
+      .withColumn("s_sec",
+        col("slot") * 21600 + pmod(col("slot"), lit(7)) * 600)
+      .withColumn("e_sec",
+        col("s_sec") + 3000 + pmod(col("slot"), lit(5)) * 900)
+    val b = slots.filter(pmod(col("slot"), lit(2)) === 1)
+      .select(col("slot").as("b_slot"),
+        (col("slot") * 21600 + 1800).as("bs"))
+      .withColumn("be", col("bs") + 7200)
+    IntervalJoin.intervalOverlap(a, "s_sec", "e_sec", b, "bs", "be", 3600L)
+      .select(col("slot").as("a_slot"), col("b_slot"),
+        (least(col("e_sec"), col("be")) -
+          greatest(col("s_sec"), col("bs")) + 1).as("overlap_sec"))
+      .orderBy(col("a_slot"), col("b_slot"))
+  }
+
   /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
     * of the video track resolved to absolute byte ranges from stbl
     * alone — the ranged-read list of a frame-sampling pipeline, no
@@ -3845,6 +3903,8 @@ object SparkEntry {
     "q_warc_ingest" -> (qWarcIngest _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6622,6 +6682,41 @@ object SparkEntry {
              CAST(-1 AS INTEGER), FALSE, CAST(-1 AS BIGINT),
              CAST(-1 AS BIGINT), FALSE, FALSE
          ORDER BY doc_id""",
+    // Interval joins: the oracle is the NAIVE theta join — hash
+    // equality proves the bucketized equi-join + recheck plan is
+    // result-identical to the predicate it replaces
+    "q_interval_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         iv AS (
+           SELECT slot, slot * 21600 + (slot % 7) * 600 AS s_sec,
+                  slot * 21600 + (slot % 7) * 600 + 3000 + (slot % 5) * 900 AS e_sec
+           FROM (SELECT DISTINCT CAST(floor(sec / 21600) AS BIGINT) AS slot
+                 FROM ev)
+           WHERE slot % 3 <> 0)
+         SELECT slot,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(event_id) AS min_event, max(event_id) AS max_event
+         FROM iv JOIN ev ON ev.sec BETWEEN iv.s_sec AND iv.e_sec
+         GROUP BY 1 ORDER BY 1""",
+    "q_interval_overlap" ->
+      """WITH slots AS (
+           SELECT DISTINCT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS slot
+           FROM events),
+         a AS (
+           SELECT slot, slot * 21600 + (slot % 7) * 600 AS s_sec,
+                  slot * 21600 + (slot % 7) * 600 + 3000 + (slot % 5) * 900 AS e_sec
+           FROM slots WHERE slot % 3 <> 0),
+         b AS (
+           SELECT slot AS b_slot, slot * 21600 + 1800 AS bs,
+                  slot * 21600 + 1800 + 7200 AS be
+           FROM slots WHERE slot % 2 = 1)
+         SELECT a.slot AS a_slot, b.b_slot,
+           least(a.e_sec, b.be) - greatest(a.s_sec, b.bs) + 1 AS overlap_sec
+         FROM a JOIN b ON a.s_sec <= b.be AND b.bs <= a.e_sec
+         ORDER BY a_slot, b_slot""",
     // HTML extraction: the oracle writes the ANALYTIC expected text
     // (nav + original text + decoded entity line + anchor text) —
     // hash equality proves the whole chain against ground truth
