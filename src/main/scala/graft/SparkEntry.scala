@@ -1066,6 +1066,49 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** ZIP-container ingest ([[graft.operators.ZipWalk]]): documents
+    * packed into per-chunk classic ZIP archives (stored/deflate mixed
+    * by doc parity, REAL JDK deflate + CRC-32), with the first entry
+    * of every chunk ≡ 1 (mod 4) carrying a flipped CENTRAL crc — the
+    * structurally-intact-but-CRC-bad quarantine witness. Corrupt
+    * entries keep their directory NAME (unlike a truncated WARC
+    * member), so the per-source rollup groups ALL entries by the name
+    * itself. The corrupt set is closed-form (min doc of the chunk), so
+    * the whole pack→walk→verify pipeline replays from the base table.
+    */
+  private def qZipIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ZipWalk
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(30)).as("chunk"))
+      .as[(Long, String, Long)]
+    val zips = docs.groupByKey(_._3)
+      .mapGroups { (chunk, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text, _) =>
+          (s"doc/$id.txt", text.getBytes("UTF-8"), id % 2 == 1)
+        }
+        val corrupt: Set[Int] = if (chunk % 4 == 1) Set(0) else Set.empty[Int]
+        (chunk, ZipWalk.fixture(recs, corrupt))
+      }.toDF("doc_id", "payload")
+    ZipWalk.parseEntries(zips).toDF()
+      .withColumn("src_doc",
+        expr("CAST(regexp_extract(name, 'doc/([0-9]+)', 1) AS BIGINT)"))
+      .withColumn("source", concat(lit("src"), pmod(col("src_doc"), lit(15))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col("corrupt"), 0L).otherwise(1L)).as("n_ok"),
+        sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(!col("corrupt") && col("method") === 8, 1L).otherwise(0L))
+          .as("n_deflate"),
+        sum(when(col("corrupt"), 0L).otherwise(col("uncompressed_size")))
+          .as("sum_bytes"),
+        min(when(!col("corrupt"), col("src_doc"))).as("min_doc"),
+        max(when(!col("corrupt"), col("src_doc"))).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   /** URL hygiene ([[graft.operators.UrlOps]]): six deterministic URL
     * shapes per doc — uppercase scheme/host, default and non-default
     * ports, `www.` and trailing-dot hosts, fragments, empty paths,
@@ -1199,6 +1242,54 @@ object SparkEntry {
         (least(col("e_sec"), col("be")) -
           greatest(col("s_sec"), col("bs")) + 1).as("overlap_sec"))
       .orderBy(col("a_slot"), col("b_slot"))
+  }
+
+  /** robots.txt crawl policy ([[graft.operators.Robots]]): per-host
+    * policy bodies synthesized closed-form (hosts `site{g}.com`,
+    * g = doc_id % 7 — g∈{0,1,3,4} carry a graftbot group with
+    * prefix/longer-allow/`$`-anchored rules and a crawl delay,
+    * g∈{2,5} carry only a `*` group with a root disallow and a
+    * `/docs/` carve-out, g=6 publishes no robots.txt at all), applied
+    * to five closed-form path shapes per document. The oracle writes
+    * the ANALYTIC RFC 9309 verdict per (g, shape) — longest-match,
+    * Allow-on-ties, `$` anchor, named-beats-star, missing-file-allows
+    * — so hash equality proves the policy engine against ground truth
+    * rather than self-consistency.
+    */
+  private def qRobotsPolicy(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Robots
+    val g = pmod(col("doc_id"), lit(7))
+    val m = pmod(col("doc_id"), lit(5))
+    val urls = T.documents(s, d).select(
+      concat(lit("site"), g, lit(".com")).as("host"),
+      when(m === 0, concat(lit("/private/p"), col("doc_id")))
+        .when(m === 1, concat(lit("/private/open/p"), col("doc_id")))
+        .when(m === 2, concat(lit("/docs/d"), pmod(col("doc_id"), lit(50))))
+        .when(m === 3, concat(lit("/t"), col("doc_id"), lit(".tmp")))
+        .otherwise(concat(lit("/public/x"), col("doc_id"))).as("path"))
+    val hosts = urls.select(
+        regexp_extract(col("host"), "site([0-9]+)", 1).cast("long").as("g"))
+      .distinct()
+      .filter(col("g") =!= 6) // g=6 publishes no robots.txt
+    val robots = hosts.select(
+      concat(lit("site"), col("g"), lit(".com")).as("host"),
+      when(pmod(col("g"), lit(3)) === 2,
+        lit("# star-only host\nUser-agent: *\nDisallow: /\nAllow: /docs/\n"))
+        .otherwise(concat(
+          lit("User-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/open/\nDisallow: /*.tmp$\nCrawl-delay: "),
+          col("g"), lit("\n"))).as("body"))
+    val rules = Robots.parseRules(robots, "host", "body")
+    Robots.verdicts(urls, rules, "graftbot")
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_paths"),
+        sum(col("allowed").cast("long")).as("n_allowed"),
+        sum((!col("allowed")).cast("long")).as("n_blocked"),
+        sum(when(col("matched_pattern") === "/*.tmp$", 1L).otherwise(0L))
+          .as("n_tmp"),
+        min(col("crawl_delay")).as("crawl_delay"))
+      .orderBy(col("host"))
   }
 
   /** Keyframe fetch plan over the MP4 fixtures: every 2nd sync sample
@@ -3905,6 +3996,8 @@ object SparkEntry {
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_robots_policy" -> (qRobotsPolicy _),
+    "q_zip_ingest" -> (qZipIngest _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6729,6 +6822,81 @@ object SparkEntry {
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
          FROM documents ORDER BY doc_id""",
+    // ZIP ingest: corrupt set = min doc of every chunk ≡ 1 (mod 4)
+    // (the flipped-CRC first entry); names survive corruption so the
+    // rollup keys on the name-derived doc id; ASCII ⇒ strlen = bytes
+    "q_zip_ingest" ->
+      """WITH d AS (
+           SELECT doc_id, strlen(text) AS len, doc_id % 30 AS chunk,
+                  'src' || CAST(doc_id % 15 AS VARCHAR) AS source
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS bad_doc FROM d
+               WHERE chunk % 4 = 1 GROUP BY 1),
+         m AS (SELECT d.*,
+                 (c.bad_doc IS NOT NULL AND d.doc_id = c.bad_doc) AS corrupt
+               FROM d LEFT JOIN c ON d.chunk = c.chunk)
+         SELECT source,
+           count(*) AS n_entries,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN NOT corrupt AND doc_id % 2 = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_deflate,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT)
+             AS sum_bytes,
+           min(CASE WHEN NOT corrupt THEN doc_id END) AS min_doc,
+           max(CASE WHEN NOT corrupt THEN doc_id END) AS max_doc
+         FROM m GROUP BY source ORDER BY source""",
+    // robots.txt policy: the oracle writes the ANALYTIC RFC 9309
+    // verdict per (host-policy shape, path shape) — longest-match,
+    // Allow-on-ties, $ anchor, named-beats-star, missing-file-allows
+    // all proven against ground truth, not self-consistency
+    "q_robots_policy" ->
+      """WITH urls AS (
+           SELECT DISTINCT
+             'site' || (doc_id % 7) || '.com' AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/p' || doc_id
+               WHEN 1 THEN '/private/open/p' || doc_id
+               WHEN 2 THEN '/docs/d' || (doc_id % 50)
+               WHEN 3 THEN '/t' || doc_id || '.tmp'
+               ELSE '/public/x' || doc_id END AS path
+           FROM documents),
+         v AS (
+           SELECT host, path,
+             CAST(regexp_extract(host, 'site([0-9]+)', 1) AS BIGINT) AS g,
+             CASE
+               WHEN path LIKE '/private/open/%' THEN 1
+               WHEN path LIKE '/private/%' THEN 0
+               WHEN path LIKE '/docs/%' THEN 2
+               WHEN path LIKE '%.tmp' THEN 3
+               ELSE 4 END AS m
+           FROM urls),
+         verdict AS (
+           SELECT host, path, g, m,
+             CASE WHEN g = 6 THEN TRUE
+                  WHEN g % 3 = 2 THEN (m = 2)
+                  ELSE (m IN (1, 2, 4)) END AS allowed,
+             CASE WHEN g = 6 THEN NULL
+                  WHEN g % 3 = 2 THEN
+                    (CASE WHEN m = 2 THEN '/docs/' ELSE '/' END)
+                  WHEN m = 0 THEN '/private/'
+                  WHEN m = 1 THEN '/private/open/'
+                  WHEN m = 3 THEN '/*.tmp$'
+                  ELSE NULL END AS matched_pattern,
+             CASE WHEN g = 6 OR g % 3 = 2 THEN NULL
+                  ELSE CAST(g AS DOUBLE) END AS crawl_delay
+           FROM v)
+         SELECT host,
+           count(*) AS n_paths,
+           CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_blocked,
+           CAST(sum(CASE WHEN matched_pattern = '/*.tmp$' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tmp,
+           min(crawl_delay) AS crawl_delay
+         FROM verdict GROUP BY host ORDER BY host""",
     // URL canonicalization: the oracle writes the ANALYTIC canonical
     // form per synthesized shape — hash equality proves the rules
     // (case, www., trailing dot, default ports, fragment, empty path,
