@@ -1066,6 +1066,35 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** PDF → text extraction ([[graft.operators.PdfCodec]]): every
+    * document serialized as a REAL two-page classic-xref PDF (page 1 =
+    * the document text with its newline structure as `T*` line
+    * advances, page 2 = a closed-form footer line; FlateDecode content
+    * streams, Type1 resource, Info `/Title`), with every doc ≡ 4
+    * (mod 9) carrying a truncated page-2 stream — the page-level
+    * quarantine witness (document keeps decoding). The oracle writes
+    * the ANALYTIC expected structure and text, so hash equality proves
+    * the xref walk, COS parse, Flate decode, text-operator extraction,
+    * and escape round trip against ground truth.
+    */
+  private def qDocPdfExtract(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PdfCodec
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val pdfs = T.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, PdfCodec.encode(
+          Seq(text, s"-- page 2 of doc $id"), s"Doc $id",
+          truncateStreamOf = if (id % 9 == 4) Set(1) else Set.empty[Int]))
+      }.toDF("doc_id", "payload")
+    PdfCodec.decodeDocs(pdfs).toDF()
+      .select(col("doc_id"), col("ok"), col("version"), col("n_objects"),
+        col("title"), col("n_pages"), col("n_pages_ok"),
+        col("text").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ZIP-container ingest ([[graft.operators.ZipWalk]]): documents
     * packed into per-chunk classic ZIP archives (stored/deflate mixed
     * by doc parity, REAL JDK deflate + CRC-32), with the first entry
@@ -3998,6 +4027,7 @@ object SparkEntry {
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_robots_policy" -> (qRobotsPolicy _),
     "q_zip_ingest" -> (qZipIngest _),
+    "q_doc_pdf_extract" -> (qDocPdfExtract _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6821,6 +6851,21 @@ object SparkEntry {
            CAST(1 AS INTEGER) AS n_links,
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
+         FROM documents ORDER BY doc_id""",
+    // PDF extract: the oracle writes the ANALYTIC structure and text
+    // (8 in-use objects for a 2-page doc; page 2 quarantined for docs
+    // ≡ 4 mod 9) — hash equality proves xref/COS/Flate/text-operator
+    // decode against ground truth
+    "q_doc_pdf_extract" ->
+      """SELECT doc_id, TRUE AS ok, '1.4' AS version,
+           CAST(8 AS INTEGER) AS n_objects,
+           'Doc ' || doc_id AS title,
+           CAST(2 AS INTEGER) AS n_pages,
+           CAST(CASE WHEN doc_id % 9 = 4 THEN 1 ELSE 2 END AS INTEGER)
+             AS n_pages_ok,
+           CASE WHEN doc_id % 9 = 4 THEN text
+                ELSE text || chr(10) || '-- page 2 of doc ' || doc_id
+           END AS text_out
          FROM documents ORDER BY doc_id""",
     // ZIP ingest: corrupt set = min doc of every chunk ≡ 1 (mod 4)
     // (the flipped-CRC first entry); names survive corruption so the
