@@ -1066,6 +1066,42 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** mbox/MIME mail-archive ingest ([[graft.operators.MimeWalk]]):
+    * documents become messages in per-chunk mailboxes — docs ≢ 0
+    * (mod 3) as multipart/alternative with a quoted-printable
+    * text/plain part (the document text, mboxrd-quoted) and a base64
+    * text/html part, docs ≡ 0 (mod 3) as singlepart base64; subjects
+    * RFC 2047 B-encoded. The FIRST message of every chunk ≡ 2 (mod 5)
+    * declares a boundary that never occurs (when multipart — the
+    * closed-form condition the oracle replays), quarantining the
+    * message while headers survive. Text equality proves the whole
+    * mbox → headers → multipart → QP/base64 decode chain.
+    */
+  private def qMboxIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.MimeWalk
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(25)).as("chunk"))
+      .as[(Long, String, Long)]
+    val boxes = docs.groupByKey(_._3)
+      .mapGroups { (chunk, it) =>
+        val msgs = it.toSeq.sortBy(_._1).map { case (id, text, _) =>
+          (s"user${id % 50}@site${id % 7}.com", s"Doc $id", text, id % 3 != 0)
+        }
+        val corrupt: Set[Int] =
+          if (chunk % 5 == 2 && msgs.head._4) Set(0) else Set.empty[Int]
+        (chunk, MimeWalk.fixture(msgs, corrupt))
+      }.toDF("doc_id", "payload")
+    MimeWalk.parseMessages(boxes).toDF()
+      .select(
+        expr("CAST(regexp_extract(subject, 'Doc ([0-9]+)', 1) AS BIGINT)")
+          .as("doc_id"),
+        col("from").as("from_addr"), col("subject"), col("n_parts"),
+        col("corrupt"), col("text_plain").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PDF → text extraction ([[graft.operators.PdfCodec]]): every
     * document serialized as a REAL two-page classic-xref PDF (page 1 =
     * the document text with its newline structure as `T*` line
@@ -4028,6 +4064,7 @@ object SparkEntry {
     "q_robots_policy" -> (qRobotsPolicy _),
     "q_zip_ingest" -> (qZipIngest _),
     "q_doc_pdf_extract" -> (qDocPdfExtract _),
+    "q_mbox_ingest" -> (qMboxIngest _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6852,6 +6889,29 @@ object SparkEntry {
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
          FROM documents ORDER BY doc_id""",
+    // mbox/MIME ingest: corrupt set = first (min-doc) message of every
+    // chunk ≡ 2 (mod 5) WHEN multipart (doc % 3 ≠ 0 — singlepart has
+    // no boundary to break); headers survive quarantine, so every row
+    // keys on the decoded subject
+    "q_mbox_ingest" ->
+      """WITH d AS (
+           SELECT doc_id, text, doc_id % 25 AS chunk FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS first_doc FROM d GROUP BY 1),
+         m AS (
+           SELECT d.doc_id, d.text,
+             (d.chunk % 5 = 2 AND d.doc_id = c.first_doc
+               AND d.doc_id % 3 <> 0) AS corrupt
+           FROM d JOIN c ON d.chunk = c.chunk)
+         SELECT doc_id,
+           'user' || (doc_id % 50) || '@site' || (doc_id % 7) || '.com'
+             AS from_addr,
+           'Doc ' || doc_id AS subject,
+           CAST(CASE WHEN corrupt THEN 0
+                     WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INTEGER)
+             AS n_parts,
+           corrupt,
+           CASE WHEN corrupt THEN '' ELSE text END AS text_out
+         FROM m ORDER BY doc_id""",
     // PDF extract: the oracle writes the ANALYTIC structure and text
     // (8 in-use objects for a 2-page doc; page 2 quarantined for docs
     // ≡ 4 mod 9) — hash equality proves xref/COS/Flate/text-operator
