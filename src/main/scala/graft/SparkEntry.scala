@@ -1066,6 +1066,22 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Multi-pattern blocklist scan ([[graft.operators.Blocklist]] /
+    * [[graft.exprs.AcMatches]]): per-pattern corpus totals over one
+    * Aho–Corasick pass per document. Every pattern is BORDER-FREE (no
+    * proper prefix = suffix), so occurrences cannot self-overlap and
+    * the oracle's non-overlapping replace-count equals AC's
+    * all-occurrences count exactly; patterns that contain each other
+    * and a zero-hit pattern are included deliberately.
+    */
+  private def qBlocklistSummary(s: SparkSession, d: String): DataFrame = {
+    val patterns = Seq("data line", "join a filter", "merge data",
+      "quantum zebra", "slow", "spark", "the fast key")
+    graft.operators.Blocklist
+      .summary(T.documents(s, d), "doc_id", "text", patterns)
+      .orderBy(col("pattern"))
+  }
+
   /** mbox/MIME mail-archive ingest ([[graft.operators.MimeWalk]]):
     * documents become messages in per-chunk mailboxes — docs ≢ 0
     * (mod 3) as multipart/alternative with a quoted-printable
@@ -4065,6 +4081,7 @@ object SparkEntry {
     "q_zip_ingest" -> (qZipIngest _),
     "q_doc_pdf_extract" -> (qDocPdfExtract _),
     "q_mbox_ingest" -> (qMboxIngest _),
+    "q_blocklist_summary" -> (qBlocklistSummary _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6889,6 +6906,23 @@ object SparkEntry {
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
          FROM documents ORDER BY doc_id""",
+    // blocklist scan: border-free patterns make the non-overlapping
+    // replace-count equal AC's all-occurrences count; `//` is DuckDB
+    // integer division (the subtraction is exactly divisible)
+    "q_blocklist_summary" ->
+      """WITH occ AS (
+           SELECT p.pattern,
+             (strlen(d.text) - strlen(replace(d.text, p.pattern, '')))
+               // strlen(p.pattern) AS cnt
+           FROM documents d
+           CROSS JOIN (VALUES ('data line'),('join a filter'),
+             ('merge data'),('quantum zebra'),('slow'),('spark'),
+             ('the fast key')) p(pattern))
+         SELECT pattern,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs
+         FROM occ GROUP BY 1 ORDER BY 1""",
     // mbox/MIME ingest: corrupt set = first (min-doc) message of every
     // chunk ≡ 2 (mod 5) WHEN multipart (doc % 3 ≠ 0 — singlepart has
     // no boundary to break); headers survive quarantine, so every row
