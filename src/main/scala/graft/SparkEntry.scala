@@ -1066,6 +1066,33 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** The MODERN-layout twin of [[qDocPdfExtract]]: the same documents
+    * through [[graft.operators.PdfCodec.encodeModern]] — every dict
+    * object packed in a `/Type /ObjStm` object stream and the xref as
+    * a FlateDecode STREAM under PNG predictor 12 (the shape every
+    * contemporary PDF writer emits). Same analytic oracle modulo the
+    * layout constants (version 1.5; 10 in-use objects: n+4 packed
+    * dicts resolved through type-2 entries + n content streams +
+    * ObjStm + the xref stream itself).
+    */
+  private def qDocPdfModern(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PdfCodec
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val pdfs = T.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, PdfCodec.encodeModern(
+          Seq(text, s"-- page 2 of doc $id"), s"Doc $id",
+          truncateStreamOf = if (id % 9 == 4) Set(1) else Set.empty[Int]))
+      }.toDF("doc_id", "payload")
+    PdfCodec.decodeDocs(pdfs).toDF()
+      .select(col("doc_id"), col("ok"), col("version"), col("n_objects"),
+        col("title"), col("n_pages"), col("n_pages_ok"),
+        col("text").as("text_out"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multi-pattern blocklist scan ([[graft.operators.Blocklist]] /
     * [[graft.exprs.AcMatches]]): per-pattern corpus totals over one
     * Aho–Corasick pass per document. Every pattern is BORDER-FREE (no
@@ -4082,6 +4109,7 @@ object SparkEntry {
     "q_doc_pdf_extract" -> (qDocPdfExtract _),
     "q_mbox_ingest" -> (qMboxIngest _),
     "q_blocklist_summary" -> (qBlocklistSummary _),
+    "q_doc_pdf_modern" -> (qDocPdfModern _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6905,6 +6933,19 @@ object SparkEntry {
            CAST(1 AS INTEGER) AS n_links,
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
+         FROM documents ORDER BY doc_id""",
+    // modern-PDF twin: 1.5 layout constants — n+4 dicts through the
+    // ObjStm + 2 content streams + ObjStm + xref stream = 10 objects
+    "q_doc_pdf_modern" ->
+      """SELECT doc_id, TRUE AS ok, '1.5' AS version,
+           CAST(10 AS INTEGER) AS n_objects,
+           'Doc ' || doc_id AS title,
+           CAST(2 AS INTEGER) AS n_pages,
+           CAST(CASE WHEN doc_id % 9 = 4 THEN 1 ELSE 2 END AS INTEGER)
+             AS n_pages_ok,
+           CASE WHEN doc_id % 9 = 4 THEN text
+                ELSE text || chr(10) || '-- page 2 of doc ' || doc_id
+           END AS text_out
          FROM documents ORDER BY doc_id""",
     // blocklist scan: border-free patterns make the non-overlapping
     // replace-count equal AC's all-occurrences count; `//` is DuckDB

@@ -124,19 +124,72 @@ class PdfCodecSpec extends SparkSpec {
       "abcd\nnext\nquoted\ndquoted")
   }
 
-  test("encryption and xref streams reject the document loudly") {
+  test("encryption and a startxref into garbage reject the document loudly") {
     val enc = assemble(Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [] /Count 0 >>"),
       "/Encrypt 9 0 R")
     assert(!PdfCodec.decode(enc).ok)
-    // xref-stream documents say "N 0 obj" where startxref points —
-    // readXrefChain requires the literal `xref` keyword
+    // startxref pointing at a non-xref object (here: into the header)
     val good = PdfCodec.encode(Seq("x"), "t")
     val s = new String(good, "ISO-8859-1")
     val broken = s.replaceAll("startxref\n[0-9]+", "startxref\n9")
       .getBytes("ISO-8859-1")
     assert(!PdfCodec.decode(broken).ok)
+  }
+
+  test("modern layout: ObjStm + predictor-12 xref stream round-trips") {
+    val text = Seq("modern page one\nline two", "modern page two")
+    val m = PdfCodec.decode(PdfCodec.encodeModern(text, "Modern Title"))
+    assert(m.ok && m.version === "1.5")
+    assert(m.title === "Modern Title")
+    assert(m.pages.map(_.text) === text)
+    // classic and modern layouts agree on content
+    val c = PdfCodec.decode(PdfCodec.encode(text, "Modern Title"))
+    assert(m.pages.map(_.text) === c.pages.map(_.text))
+    // page quarantine works through the ObjStm indirection too
+    val t = PdfCodec.decode(PdfCodec.encodeModern(text, "T", Set(0)))
+    assert(t.ok && t.pages.map(_.ok) === Seq(false, true))
+    assert(t.pages(1).text === "modern page two")
+  }
+
+  test("pngUnpredict: every PNG filter type at bpp=1") {
+    // rows of 3 columns; raw values chosen so each filter is exercised
+    val raw = Seq(
+      Seq(10, 20, 30), // row 0
+      Seq(13, 24, 35), // row 1
+      Seq(20, 30, 40), // row 2
+      Seq(25, 37, 50), // row 3
+      Seq(30, 45, 60)) // row 4
+    def b(i: Int) = (i & 0xff).toByte
+    val filtered = new java.io.ByteArrayOutputStream()
+    // row 0: None — literal
+    filtered.write(0); raw(0).foreach(v => filtered.write(v))
+    // row 1: Sub — cur - left
+    filtered.write(1)
+    filtered.write(raw(1)(0)); filtered.write(raw(1)(1) - raw(1)(0))
+    filtered.write(raw(1)(2) - raw(1)(1))
+    // row 2: Up — cur - prior
+    filtered.write(2); (0 until 3).foreach(i => filtered.write(raw(2)(i) - raw(1)(i)))
+    // row 3: Average — cur - floor((left + prior)/2)
+    filtered.write(3)
+    filtered.write(raw(3)(0) - ((0 + raw(2)(0)) >> 1))
+    filtered.write(raw(3)(1) - ((raw(3)(0) + raw(2)(1)) >> 1))
+    filtered.write(raw(3)(2) - ((raw(3)(1) + raw(2)(2)) >> 1))
+    // row 4: Paeth — cur - paeth(left, up, upleft)
+    def paeth(a: Int, bb: Int, cc: Int): Int = {
+      val p = a + bb - cc
+      val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - cc)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else cc
+    }
+    filtered.write(4)
+    filtered.write(raw(4)(0) - paeth(0, raw(3)(0), 0))
+    filtered.write(raw(4)(1) - paeth(raw(4)(0), raw(3)(1), raw(3)(0)))
+    filtered.write(raw(4)(2) - paeth(raw(4)(1), raw(3)(2), raw(3)(1)))
+    val got = PdfCodec.pngUnpredict(filtered.toByteArray, 3).get
+    assert(got.toSeq === raw.flatten.map(b))
+    // malformed: not a multiple of columns+1
+    assert(PdfCodec.pngUnpredict(Array[Byte](0, 1), 3).isEmpty)
   }
 
   test("decodeDocs fans documents out partition-parallel") {
