@@ -1066,6 +1066,47 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** TAR ingest ([[graft.operators.Tar]]): documents packed into
+    * per-chunk ustar tarballs (real checksums, per-entry mtimes =
+    * doc·60), the FIRST entry of every chunk ≡ 4 (mod 6) carrying a
+    * flipped checksum digit — quarantined as ONE nameless span with
+    * block resync, so the rollup keys on the chunk-derived source
+    * (chunk % 7 ≡ doc % 7, the [[qWarcIngest]] trick) and the corrupt
+    * set is closed-form (min doc of the chunk).
+    */
+  private def qTarIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Tar
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(35)).as("chunk"))
+      .as[(Long, String, Long)]
+    val tars = docs.groupByKey(_._3)
+      .mapGroups { (chunk, it) =>
+        val rows = it.toSeq.sortBy(_._1)
+        val ids = rows.map(_._1)
+        val files = rows.map { case (id, text, _) =>
+          (s"docs/$id.txt", text.getBytes("UTF-8"))
+        }
+        val corrupt: Set[Int] = if (chunk % 6 == 4) Set(0) else Set.empty[Int]
+        (chunk, Tar.fixture(files, corrupt, i => ids(i) * 60L))
+      }.toDF("doc_id", "payload")
+    Tar.parseEntries(tars).toDF()
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(7))))
+      .withColumn("src_doc",
+        expr("CAST(regexp_extract(name, 'docs/([0-9]+)', 1) AS BIGINT)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col("corrupt"), 0L).otherwise(1L)).as("n_ok"),
+        sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("corrupt"), 0L).otherwise(col("size"))).as("sum_size"),
+        sum(when(col("corrupt"), 0L).otherwise(col("mtime"))).as("sum_mtime"),
+        min(when(!col("corrupt"), col("src_doc"))).as("min_doc"),
+        max(when(!col("corrupt"), col("src_doc"))).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   /** The MODERN-layout twin of [[qDocPdfExtract]]: the same documents
     * through [[graft.operators.PdfCodec.encodeModern]] — every dict
     * object packed in a `/Type /ObjStm` object stream and the xref as
@@ -4110,6 +4151,7 @@ object SparkEntry {
     "q_mbox_ingest" -> (qMboxIngest _),
     "q_blocklist_summary" -> (qBlocklistSummary _),
     "q_doc_pdf_modern" -> (qDocPdfModern _),
+    "q_tar_ingest" -> (qTarIngest _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6934,6 +6976,31 @@ object SparkEntry {
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
          FROM documents ORDER BY doc_id""",
+    // TAR ingest: corrupt span = min doc of every chunk ≡ 4 (mod 6)
+    // (nameless — the header is untrusted), source keyed on the chunk
+    // (chunk % 7 ≡ doc % 7 since 7 | 35); ASCII ⇒ strlen = size
+    "q_tar_ingest" ->
+      """WITH d AS (
+           SELECT doc_id, strlen(text) AS len, doc_id % 35 AS chunk,
+                  'src' || CAST(doc_id % 7 AS VARCHAR) AS source
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS bad FROM d
+               WHERE chunk % 6 = 4 GROUP BY 1),
+         m AS (SELECT d.*,
+                 (c.bad IS NOT NULL AND d.doc_id = c.bad) AS corrupt
+               FROM d LEFT JOIN c ON d.chunk = c.chunk)
+         SELECT source,
+           count(*) AS n_entries,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT)
+             AS sum_size,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE doc_id * 60 END)
+             AS BIGINT) AS sum_mtime,
+           min(CASE WHEN NOT corrupt THEN doc_id END) AS min_doc,
+           max(CASE WHEN NOT corrupt THEN doc_id END) AS max_doc
+         FROM m GROUP BY source ORDER BY source""",
     // modern-PDF twin: 1.5 layout constants — n+4 dicts through the
     // ObjStm + 2 content streams + ObjStm + xref stream = 10 objects
     "q_doc_pdf_modern" ->
