@@ -1066,6 +1066,127 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** ID3v2 tag walk ([[graft.operators.Id3]]): every document becomes
+    * a tagged MP3 payload — v2.3 (PLAIN frame sizes) for even docs,
+    * v2.4 (SYNCSAFE sizes) for odd, text encodings rotated mod 3
+    * within each version's legal set, docs ≡ 5 (mod 11) untagged —
+    * with the real [[Mp3Codec]] frame stream behind the tag. The
+    * analytic oracle is encoding-independent (ASCII round-trips
+    * through Latin-1/UTF-16/UTF-8 identically), so hash equality
+    * proves both size grammars and all encodings at once.
+    */
+  private def qAudioId3(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Id3, Mp3Codec}
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val mp3 = Mp3Codec.fixture("1", 3, 44100, 2, Seq(128, 160))
+    val media = T.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val payload =
+          if (id % 11 == 5) mp3
+          else {
+            val major = if (id % 2 == 0) 3 else 4
+            val enc =
+              if (major == 3) { if (id % 3 == 0) 0 else 1 }
+              else (id % 3) match { case 0 => 0; case 1 => 3; case _ => 1 }
+            val yearId = if (major == 3) "TYER" else "TDRC"
+            Id3.fixture(major, Seq(
+              "TIT2" -> s"Doc $id", "TPE1" -> s"artist${id % 30}",
+              "TALB" -> s"album${id % 12}", "TRCK" -> s"${id % 20 + 1}",
+              yearId -> s"19${50 + id % 50}"), enc) ++ mp3
+          }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+    Id3.parseTags(media).toDF()
+      .select(col("doc_id"), col("has_tag"), col("version"), col("title"),
+        col("artist"), col("album"), col("track"),
+        col("year").as("tag_year"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Crawl-pipeline end-to-end: the round-12 front doors COMPOSED —
+    * documents → per-chunk `.warc.gz` (planted truncated members, the
+    * [[qWarcIngest]] corrupt set) → WARC walk → HTML-to-text
+    * extraction (the [[qHtmlExtract]] adversarial template) → URL
+    * canonicalization (uppercase scheme/host, `www.`, default port,
+    * fragment) → robots.txt verdicts (the [[qRobotsPolicy]] per-host
+    * policy shapes) → a length quality gate → per-host corpus rollup.
+    * Every stage is closed-form, so ONE hash equality proves the whole
+    * chain: gzip+CRC, record grammar, tag/entity stripping, canonical
+    * rules, RFC 9309 longest-match, and the final aggregation.
+    */
+  private def qCrawlE2e(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Warc, HtmlExtract, UrlOps, Robots}
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(40)).as("chunk"))
+      .as[(Long, String, Long)]
+    val chunks = docs.groupByKey(_._3)
+      .mapGroups { (chunk, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text, _) =>
+          val g = id % 7
+          val path = (id % 5) match {
+            case 0 => s"/private/p$id"
+            case 1 => s"/private/open/p$id"
+            case 2 => s"/docs/d${id % 50}"
+            case 3 => s"/t$id.tmp"
+            case _ => s"/public/x$id"
+          }
+          val uri = s"HTTP://WWW.Site$g.COM:80$path#frag"
+          val html = s"""<html><head><title> Doc $id &amp; friends </title>
+<style>p { color: #f00; }</style>
+<script>if (1 < 2) { var x = "<p>hi</p>"; }</script></head>
+<body>
+<!-- navigation -->
+<div class="nav">Home | About</div>
+<p>$text</p>
+<p>x &amp; y &lt; z&nbsp;&nbsp;ok</p>
+<a href="https://example.com/d/$id">read doc $id</a>
+</body></html>"""
+          (uri, "response", html.getBytes("UTF-8"))
+        }
+        val corrupt: Set[Int] = if (chunk % 5 == 3) Set(0) else Set.empty[Int]
+        (chunk, Warc.fixtureGz(recs, corrupt))
+      }.toDF("doc_id", "payload")
+    val fetched = Warc.parseRecords(chunks).toDF()
+      .filter(!col("corrupt"))
+      .select(col("target_uri"), col("body_text"))
+      .withColumn("canon", UrlOps.canonicalize(col("target_uri")))
+      .withColumn("host", UrlOps.host(col("target_uri")))
+      .withColumn("path",
+        regexp_extract(col("canon"), "^[a-z]+://[^/]+(/.*)$", 1))
+      .withColumn("text_out", HtmlExtract.text(col("body_text")))
+      .withColumn("src_doc",
+        expr("CAST(regexp_extract(text_out, 'read doc ([0-9]+)$', 1) AS BIGINT)"))
+    val hosts = fetched.select(
+        regexp_extract(col("host"), "site([0-9]+)", 1).cast("long").as("g"))
+      .distinct().filter(col("g") =!= 6)
+    val robots = hosts.select(
+      concat(lit("site"), col("g"), lit(".com")).as("host"),
+      when(pmod(col("g"), lit(3)) === 2,
+        lit("User-agent: *\nDisallow: /\nAllow: /docs/\n"))
+        .otherwise(concat(
+          lit("User-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/open/\nDisallow: /*.tmp$\nCrawl-delay: "),
+          col("g"), lit("\n"))).as("body"))
+    val verdicts = Robots.verdicts(fetched.select("host", "path"),
+      Robots.parseRules(robots, "host", "body"), "graftbot")
+      .select(col("host"), col("path"), col("allowed"))
+    fetched.join(verdicts, Seq("host", "path"))
+      .withColumn("kept", col("allowed") && length(col("text_out")) >= 90)
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_fetched"),
+        sum(col("allowed").cast("long")).as("n_allowed"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept"), length(col("text_out")))
+          .otherwise(0L)).as("sum_chars"),
+        min(when(col("kept"), col("src_doc"))).as("min_doc"),
+        max(when(col("kept"), col("src_doc"))).as("max_doc"))
+      .orderBy(col("host"))
+  }
+
   /** TAR ingest ([[graft.operators.Tar]]): documents packed into
     * per-chunk ustar tarballs (real checksums, per-entry mtimes =
     * doc·60), the FIRST entry of every chunk ≡ 4 (mod 6) carrying a
@@ -4152,6 +4273,8 @@ object SparkEntry {
     "q_blocklist_summary" -> (qBlocklistSummary _),
     "q_doc_pdf_modern" -> (qDocPdfModern _),
     "q_tar_ingest" -> (qTarIngest _),
+    "q_crawl_e2e" -> (qCrawlE2e _),
+    "q_audio_id3" -> (qAudioId3 _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -6976,6 +7099,62 @@ object SparkEntry {
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
          FROM documents ORDER BY doc_id""",
+    // ID3v2: the analytic oracle is encoding-independent (ASCII);
+    // version/fields closed-form; untagged docs ≡ 5 (mod 11)
+    "q_audio_id3" ->
+      """SELECT doc_id,
+           (doc_id % 11 <> 5) AS has_tag,
+           CASE WHEN doc_id % 11 = 5 THEN ''
+                WHEN doc_id % 2 = 0 THEN '2.3' ELSE '2.4' END AS version,
+           CASE WHEN doc_id % 11 = 5 THEN ''
+                ELSE 'Doc ' || doc_id END AS title,
+           CASE WHEN doc_id % 11 = 5 THEN ''
+                ELSE 'artist' || (doc_id % 30) END AS artist,
+           CASE WHEN doc_id % 11 = 5 THEN ''
+                ELSE 'album' || (doc_id % 12) END AS album,
+           CASE WHEN doc_id % 11 = 5 THEN ''
+                ELSE CAST(doc_id % 20 + 1 AS VARCHAR) END AS track,
+           CASE WHEN doc_id % 11 = 5 THEN ''
+                ELSE '19' || (50 + doc_id % 50) END AS tag_year,
+           CAST(CASE WHEN doc_id % 11 = 5 THEN 0 ELSE 5 END AS INTEGER)
+             AS n_frames
+         FROM documents ORDER BY doc_id""",
+    // crawl e2e: every stage analytic — the WARC corrupt set (min doc
+    // of chunk ≡ 3 mod 5), the HTML template's expected text, the
+    // canonical URL, the RFC 9309 verdict per (g, m), the ≥90-char
+    // quality gate — composed in one CTE chain
+    "q_crawl_e2e" ->
+      """WITH d AS (
+           SELECT doc_id, text, doc_id % 40 AS chunk,
+                  doc_id % 7 AS g, doc_id % 5 AS m
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS bad FROM d
+               WHERE chunk % 5 = 3 GROUP BY 1),
+         f AS (
+           SELECT d.doc_id, d.g, d.m,
+             'Home | About' || chr(10) || d.text || chr(10) ||
+               'x & y < z ok' || chr(10) || 'read doc ' || d.doc_id
+               AS text_out
+           FROM d LEFT JOIN c ON d.chunk = c.chunk
+           WHERE c.bad IS NULL OR d.doc_id <> c.bad),
+         v AS (
+           SELECT f.*,
+             CASE WHEN g = 6 THEN TRUE
+                  WHEN g % 3 = 2 THEN (m = 2)
+                  ELSE (m IN (1, 2, 4)) END AS allowed,
+             strlen(text_out) AS n_chars
+           FROM f),
+         k AS (SELECT v.*, (allowed AND n_chars >= 90) AS kept FROM v)
+         SELECT 'site' || g || '.com' AS host,
+           count(*) AS n_fetched,
+           CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sum_chars,
+           min(CASE WHEN kept THEN doc_id END) AS min_doc,
+           max(CASE WHEN kept THEN doc_id END) AS max_doc
+         FROM k GROUP BY 1 ORDER BY 1""",
     // TAR ingest: corrupt span = min doc of every chunk ≡ 4 (mod 6)
     // (nameless — the header is untrusted), source keyed on the chunk
     // (chunk % 7 ≡ doc % 7 since 7 | 35); ASCII ⇒ strlen = size
