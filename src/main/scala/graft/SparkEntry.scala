@@ -1659,6 +1659,62 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** zstd corpus front door ([[graft.operators.ZstdCodec]], the
+    * from-spec RFC 8878 decoder): every document compresses into its
+    * own CHECKSUMMED zstd frame via the REAL encoder (zstd-jni, on the
+    * Spark classpath for parquet; level varied 1–19 by doc_id so raw/
+    * RLE/compressed blocks, 1- and 4-stream Huffman literals, and all
+    * FSE sequence modes all appear), 16 frames concatenate per shard
+    * with a skippable frame planted at the head of every 5th shard, and
+    * every (doc_id % 97 == 13) frame is truncated mid-stream — CRC-
+    * quarantined, the walk resynchronizes at the next valid frame (the
+    * 97-vs-16 spacing guarantees no two corrupt frames collapse into
+    * one quarantine span). Decode must be BYTE-EXACT for the md5
+    * checksum sum to hash-match the oracle's closed form on the base
+    * table.
+    */
+  private def qZstdIngest(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val shards = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 16)
+      .mapGroups { (shard, it) =>
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          if (shard % 5 == 0) {
+            val bb = java.nio.ByteBuffer.allocate(12)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(0x184d2a52); bb.putInt(4); bb.putInt(0x6a756e6b)
+            out.write(bb.array())
+          }
+          it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+            ctx.setLevel(1 + (id % 19).toInt)
+            ctx.setChecksum(true)
+            val frame = ctx.compress(s"$id\t$src\t$text".getBytes("UTF-8"))
+            if (id % 97 == 13) out.write(frame, 0, frame.length - 6)
+            else out.write(frame)
+          }
+          (shard, out.toByteArray)
+        } finally ctx.close()
+      }
+      .toDF("doc_id", "payload")
+    graft.operators.ZstdCodec.parseMembers(shards).toDF()
+      .select(
+        when(col("corrupt"), lit("(corrupt)"))
+          .otherwise(element_at(split(col("body_text"), "\t", 3), 2)).as("source"),
+        when(col("corrupt"), lit(null).cast("string"))
+          .otherwise(col("body_text")).as("body"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("body"))), lit(0L)).cast("long").as("sum_chars"),
+        coalesce(sum(Split.hashDraw32(col("body"))), lit(0L)).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4262,6 +4318,7 @@ object SparkEntry {
     "q_audio_mp3_meta" -> (qAudioMp3Meta _),
     "q_audio_ogg_meta" -> (qAudioOggMeta _),
     "q_warc_ingest" -> (qWarcIngest _),
+    "q_zstd_ingest" -> (qZstdIngest _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7379,6 +7436,25 @@ object SparkEntry {
            min(CASE WHEN corrupt THEN NULL ELSE doc_id END) AS min_doc,
            max(CASE WHEN corrupt THEN NULL ELSE doc_id END) AS max_doc
          FROM m GROUP BY 1 ORDER BY 1""",
+    // zstd front door: decode must be byte-exact (checksummed frames
+    // from the real encoder through the from-spec RFC 8878 decoder), so
+    // the md5-anchored 32-bit checksum sum replays from the base table;
+    // the corrupt set is exactly the planted (doc_id % 97 == 13) class
+    "q_zstd_ingest" ->
+      """SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(CAST(doc_id AS VARCHAR) || chr(9) || source ||
+                           chr(9) || text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||
+                           chr(9) || source || chr(9) || text), 1, 8)
+                    AS BIGINT)) AS BIGINT) AS sum_fp
+         FROM documents WHERE doc_id % 97 != 13
+         GROUP BY source
+         UNION ALL
+         SELECT '(corrupt)', CAST(count(*) AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM documents WHERE doc_id % 97 = 13
+         ORDER BY source""",
     // Ogg page walk: all-integer closed form (n_pages = data pages +
     // BOS; Vorbis duration on the audio clock, Opus on the 48 kHz
     // granule clock minus pre-skip); doc 5 is the planted non-Ogg payload
