@@ -1715,6 +1715,75 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Mixed-format corpus front door ([[graft.operators.Codecs]]): the
+    * corpus arrives gzip/zstd/lz4/snappy side by side (format = doc_id
+    * mod 4), 12 members concatenate per shard with zstd-skippable pads
+    * planted in every 3rd shard, and the magic-sniffing walk routes
+    * each member to the matching from-spec decoder. All four encode
+    * legs are REAL reference encoders (JDK gzip, zstd-jni, lz4-java,
+    * snappy-java); all four decode legs are the in-repo codecs, so the
+    * md5-anchored oracle gates byte-exactness of every one.
+    */
+  private def qCompressedCorpus(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val shards = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 12)
+      .mapGroups { (shard, it) =>
+        val zctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          if (shard % 3 == 0) {
+            val bb = java.nio.ByteBuffer.allocate(12)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(0x184d2a5e); bb.putInt(4); bb.putInt(0x70616421)
+            out.write(bb.array())
+          }
+          it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+            val body = s"$id\t$src\t$text".getBytes("UTF-8")
+            (id % 4) match {
+              case 0 =>
+                // member-local sink: closing the codec stream must not
+                // close the shared shard buffer (and close() is what
+                // releases the native Deflater)
+                val mem = new java.io.ByteArrayOutputStream()
+                val gz = new java.util.zip.GZIPOutputStream(mem)
+                gz.write(body); gz.close()
+                out.write(mem.toByteArray)
+              case 1 =>
+                zctx.setLevel(3 + (id % 17).toInt); zctx.setChecksum(true)
+                out.write(zctx.compress(body))
+              case 2 =>
+                import net.jpountz.lz4.LZ4FrameOutputStream
+                val mem = new java.io.ByteArrayOutputStream()
+                val fos = new LZ4FrameOutputStream(mem,
+                  LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, body.length.toLong,
+                  LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+                  LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+                fos.write(body); fos.close()
+                out.write(mem.toByteArray)
+              case _ =>
+                out.write(graft.operators.SnappyCodec.encodeFramed(body))
+            }
+          }
+          (shard, out.toByteArray)
+        } finally zctx.close()
+      }
+      .toDF("doc_id", "payload")
+    graft.operators.Codecs.parseMembers(shards).toDF()
+      .select(col("format"),
+        element_at(split(col("body_text"), "\t", 3), 2).as("source"),
+        col("body_text").as("body"))
+      .groupBy(col("format"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("body"))).cast("long").as("sum_chars"),
+        sum(Split.hashDraw32(col("body"))).cast("long").as("sum_fp"))
+      .orderBy(col("format"), col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4319,6 +4388,7 @@ object SparkEntry {
     "q_audio_ogg_meta" -> (qAudioOggMeta _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_zstd_ingest" -> (qZstdIngest _),
+    "q_compressed_corpus" -> (qCompressedCorpus _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7455,6 +7525,23 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // mixed-format front door: four reference encoders in, four in-repo
+    // decoders out — byte-exactness gated per format by the md5 sums
+    "q_compressed_corpus" ->
+      """WITH m AS (
+           SELECT CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+                    WHEN 2 THEN 'lz4' ELSE 'snappy' END AS format,
+                  source,
+                  CAST(doc_id AS VARCHAR) || chr(9) || source || chr(9) || text
+                    AS body
+           FROM documents)
+         SELECT format, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(body)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substring(md5(body), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     // Ogg page walk: all-integer closed form (n_pages = data pages +
     // BOS; Vorbis duration on the audio clock, Opus on the 48 kHz
     // granule clock minus pre-skip); doc 5 is the planted non-Ogg payload

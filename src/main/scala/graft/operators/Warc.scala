@@ -66,8 +66,11 @@ object Warc {
     out.toSeq
   }
 
-  /** One RFC 1952 member at `pos`: Some((inflated, nextPos)) or None. */
-  private def inflateMember(b: Array[Byte], pos: Int): Option[(Array[Byte], Int)] = {
+  /** One RFC 1952 member at `pos`: Some((inflated, nextPos)) or None.
+    * Package-visible: [[Codecs]] reuses it as the gzip leg of the
+    * format-sniffing mixed-corpus walk.
+    */
+  private[operators] def inflateMember(b: Array[Byte], pos: Int): Option[(Array[Byte], Int)] = {
     try {
       if (b.length - pos < 18) return None // header + trailer minimum
       if (!(b(pos) == GzMagic0 && b(pos + 1) == GzMagic1)) return None

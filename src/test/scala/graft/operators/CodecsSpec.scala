@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mixed-format sniffing walk: four formats concatenated in one
+  * payload route to the right decoders, skippable frames stay
+  * transparent, and a corrupt checksummed member quarantines without
+  * poisoning its neighbors.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  private def gz(s: String): Array[Byte] = {
+    val mem = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(mem)
+    g.write(s.getBytes("UTF-8")); g.close()
+    mem.toByteArray
+  }
+  private def zst(s: String): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try { ctx.setLevel(5); ctx.setChecksum(true); ctx.compress(s.getBytes("UTF-8")) }
+    finally ctx.close()
+  }
+  private def lz4(s: String): Array[Byte] = {
+    import net.jpountz.lz4.LZ4FrameOutputStream
+    val mem = new java.io.ByteArrayOutputStream()
+    val f = new LZ4FrameOutputStream(mem, LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+      s.length.toLong, LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+      LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+    f.write(s.getBytes("UTF-8")); f.close()
+    mem.toByteArray
+  }
+  private def snap(s: String): Array[Byte] =
+    SnappyCodec.encodeFramed(s.getBytes("UTF-8"))
+
+  test("sniffs and decodes all four formats from one concatenation") {
+    val skip = {
+      val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x184d2a50); bb.putInt(4); bb.putInt(7); bb.array()
+    }
+    val whole = gz("alpha via gzip") ++ zst("beta via zstd") ++ skip ++
+      lz4("gamma via lz4") ++ snap("delta via snappy")
+    val m = Codecs.members(whole)
+    assert(m.map(_._2) === Seq("gzip", "zstd", "lz4", "snappy"))
+    assert(m.map(x => new String(x._3, "UTF-8")) ===
+      Seq("alpha via gzip", "beta via zstd", "gamma via lz4", "delta via snappy"))
+    // offsets are member starts, strictly increasing
+    assert(m.map(_._1) === m.map(_._1).sorted)
+  }
+
+  test("a corrupt member quarantines; the walk resynchronizes across formats") {
+    val z = zst("will be truncated")
+    val whole = gz("first ok") ++ z.take(z.length - 5) ++ lz4("after the gap") ++ snap("last ok")
+    val m = Codecs.members(whole)
+    val bad = m.filter(_._3 == null)
+    assert(bad.length === 1 && bad.head._2 === "(corrupt)")
+    assert(m.filter(_._3 != null).map(x => new String(x._3, "UTF-8")) ===
+      Seq("first ok", "after the gap", "last ok"))
+  }
+
+  test("empty and garbage payloads yield empty / fully-quarantined walks") {
+    assert(Codecs.members(Array.emptyByteArray).isEmpty)
+    assert(Codecs.members(null).isEmpty)
+    val garbage = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val m = Codecs.members(garbage)
+    assert(m.forall(_._3 == null))
+  }
+}
