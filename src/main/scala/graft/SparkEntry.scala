@@ -1716,12 +1716,13 @@ object SparkEntry {
   }
 
   /** Mixed-format corpus front door ([[graft.operators.Codecs]]): the
-    * corpus arrives gzip/zstd/lz4/snappy side by side (format = doc_id
-    * mod 4), 12 members concatenate per shard with zstd-skippable pads
-    * planted in every 3rd shard, and the magic-sniffing walk routes
-    * each member to the matching from-spec decoder. All four encode
-    * legs are REAL reference encoders (JDK gzip, zstd-jni, lz4-java,
-    * snappy-java); all four decode legs are the in-repo codecs, so the
+    * corpus arrives gzip/zstd/lz4/snappy/bzip2/xz side by side (format
+    * = doc_id mod 6), 12 members concatenate per shard with
+    * zstd-skippable pads planted in every 3rd shard, and the
+    * magic-sniffing walk routes each member to the matching from-spec
+    * decoder. All six encode legs are REAL reference encoders (JDK
+    * gzip, zstd-jni, lz4-java, snappy-java, commons-compress bzip2,
+    * tukaani xz); all six decode legs are the in-repo codecs, so the
     * md5-anchored oracle gates byte-exactness of every one.
     */
   private def qCompressedCorpus(s: SparkSession, d: String): DataFrame = {
@@ -1743,7 +1744,7 @@ object SparkEntry {
           }
           it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
             val body = s"$id\t$src\t$text".getBytes("UTF-8")
-            (id % 4) match {
+            (id % 6) match {
               case 0 =>
                 // member-local sink: closing the codec stream must not
                 // close the shared shard buffer (and close() is what
@@ -1764,8 +1765,20 @@ object SparkEntry {
                   LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
                 fos.write(body); fos.close()
                 out.write(mem.toByteArray)
-              case _ =>
+              case 3 =>
                 out.write(graft.operators.SnappyCodec.encodeFramed(body))
+              case 4 =>
+                val mem = new java.io.ByteArrayOutputStream()
+                val bz = new org.apache.commons.compress.compressors.bzip2
+                  .BZip2CompressorOutputStream(mem, 1 + (id % 9).toInt)
+                bz.write(body); bz.close()
+                out.write(mem.toByteArray)
+              case _ =>
+                val mem = new java.io.ByteArrayOutputStream()
+                val xz = new org.tukaani.xz.XZOutputStream(mem,
+                  new org.tukaani.xz.LZMA2Options((id % 10).toInt))
+                xz.write(body); xz.close()
+                out.write(mem.toByteArray)
             }
           }
           (shard, out.toByteArray)
@@ -7525,13 +7538,14 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
-    // mixed-format front door: four reference encoders in, four in-repo
+    // mixed-format front door: six reference encoders in, six in-repo
     // decoders out — byte-exactness gated per format by the md5 sums
     "q_compressed_corpus" ->
       """WITH m AS (
-           SELECT CASE CAST(doc_id % 4 AS INTEGER)
+           SELECT CASE CAST(doc_id % 6 AS INTEGER)
                     WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
-                    WHEN 2 THEN 'lz4' ELSE 'snappy' END AS format,
+                    WHEN 2 THEN 'lz4' WHEN 3 THEN 'snappy'
+                    WHEN 4 THEN 'bzip2' ELSE 'xz' END AS format,
                   source,
                   CAST(doc_id AS VARCHAR) || chr(9) || source || chr(9) || text
                     AS body

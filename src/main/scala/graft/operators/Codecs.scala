@@ -2,14 +2,15 @@ package graft.operators
 
 /** The mixed-format corpus front door: a 100 TB corpus does not arrive
   * in one compression format — gzip (CommonCrawl), zstd (modern dumps),
-  * LZ4 (low-latency mirrors), and framed snappy (Hadoop lineage) sit
-  * side by side, often concatenated shard by shard. This sniffs each
-  * member's magic and routes it to the matching in-repo decoder
+  * LZ4 (low-latency mirrors), framed snappy (Hadoop lineage), bzip2
+  * (Wikipedia dumps, pbzip2 shards), and xz (kernel/academic archives)
+  * sit side by side, often concatenated shard by shard. This sniffs
+  * each member's magic and routes it to the matching in-repo decoder
   * ([[Warc.inflateMember]] / [[ZstdCodec]] / [[Lz4Codec]] /
-  * [[SnappyCodec]]), yielding (offset, format, payload) rows; a member
-  * that fails its format's own integrity gates quarantines and the
-  * walk resynchronizes at the next position where a sniffed magic
-  * actually decodes.
+  * [[SnappyCodec]] / [[Bzip2Codec]] / [[XzCodec]]), yielding (offset,
+  * format, payload) rows; a member that fails its format's own
+  * integrity gates quarantines and the walk resynchronizes at the next
+  * position where a sniffed magic actually decodes.
   *
   * At 1000-executor scale members are independent rows (the
   * [[Warc.parseRecords]] splittable-ingest shape), so the mixed walk
@@ -36,6 +37,10 @@ object Codecs {
     }
     if (b.length - pos >= 10 && b(pos) == 0xff.toByte && b(pos + 1) == 6 &&
       b(pos + 2) == 0 && b(pos + 3) == 0 && b(pos + 4) == 's') return "snappy"
+    if (b.length - pos >= 4 && b(pos) == 'B' && b(pos + 1) == 'Z' && b(pos + 2) == 'h' &&
+      b(pos + 3) >= '1' && b(pos + 3) <= '9') return "bzip2"
+    if (b.length - pos >= 6 && b(pos) == 0xfd.toByte && b(pos + 1) == '7' &&
+      b(pos + 2) == 'z' && b(pos + 3) == 'X' && b(pos + 4) == 'Z' && b(pos + 5) == 0) return "xz"
     ""
   }
 
@@ -49,6 +54,8 @@ object Codecs {
       case "zstd" => ZstdCodec.decodeFrame(b, pos).map { case (d, n) => ("zstd", d, n) }
       case "lz4" => Lz4Codec.decodeFrame(b, pos).map { case (d, n) => ("lz4", d, n) }
       case "snappy" => SnappyCodec.decodeFramedAt(b, pos).map { case (d, n) => ("snappy", d, n) }
+      case "bzip2" => Bzip2Codec.decodeStream(b, pos).map { case (d, n) => ("bzip2", d, n) }
+      case "xz" => XzCodec.decodeStream(b, pos).map { case (d, n) => ("xz", d, n) }
       case _ => None
     }
 

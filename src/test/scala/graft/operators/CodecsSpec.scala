@@ -31,18 +31,33 @@ class CodecsSpec extends AnyFunSuite {
   }
   private def snap(s: String): Array[Byte] =
     SnappyCodec.encodeFramed(s.getBytes("UTF-8"))
+  private def bz2(s: String): Array[Byte] = {
+    val mem = new java.io.ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(mem, 5)
+    z.write(s.getBytes("UTF-8")); z.close()
+    mem.toByteArray
+  }
+  private def xz(s: String): Array[Byte] = {
+    val mem = new java.io.ByteArrayOutputStream()
+    val z = new org.tukaani.xz.XZOutputStream(mem, new org.tukaani.xz.LZMA2Options(4))
+    z.write(s.getBytes("UTF-8")); z.close()
+    mem.toByteArray
+  }
 
-  test("sniffs and decodes all four formats from one concatenation") {
+  test("sniffs and decodes all six formats from one concatenation") {
     val skip = {
       val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.putInt(0x184d2a50); bb.putInt(4); bb.putInt(7); bb.array()
     }
     val whole = gz("alpha via gzip") ++ zst("beta via zstd") ++ skip ++
-      lz4("gamma via lz4") ++ snap("delta via snappy")
+      lz4("gamma via lz4") ++ snap("delta via snappy") ++
+      bz2("epsilon via bzip2") ++ xz("zeta via xz")
     val m = Codecs.members(whole)
-    assert(m.map(_._2) === Seq("gzip", "zstd", "lz4", "snappy"))
+    assert(m.map(_._2) === Seq("gzip", "zstd", "lz4", "snappy", "bzip2", "xz"))
     assert(m.map(x => new String(x._3, "UTF-8")) ===
-      Seq("alpha via gzip", "beta via zstd", "gamma via lz4", "delta via snappy"))
+      Seq("alpha via gzip", "beta via zstd", "gamma via lz4",
+        "delta via snappy", "epsilon via bzip2", "zeta via xz"))
     // offsets are member starts, strictly increasing
     assert(m.map(_._1) === m.map(_._1).sorted)
   }
