@@ -1768,15 +1768,22 @@ object SparkEntry {
               case 3 =>
                 out.write(graft.operators.SnappyCodec.encodeFramed(body))
               case 4 =>
+                // level 1 suffices for ~1 KB members (block size 100 KiB
+                // >> member); levels only size the block buffers, and a
+                // corpus writer sizes them to the member, not 900 KiB
                 val mem = new java.io.ByteArrayOutputStream()
                 val bz = new org.apache.commons.compress.compressors.bzip2
-                  .BZip2CompressorOutputStream(mem, 1 + (id % 9).toInt)
+                  .BZip2CompressorOutputStream(mem, 1)
                 bz.write(body); bz.close()
                 out.write(mem.toByteArray)
               case _ =>
+                // preset varies the mode/nice-len machinery; the dict is
+                // pinned to 64 KiB so a tiny member does not pay a
+                // preset-9 64 MiB allocation (the real-writer convention)
                 val mem = new java.io.ByteArrayOutputStream()
-                val xz = new org.tukaani.xz.XZOutputStream(mem,
-                  new org.tukaani.xz.LZMA2Options((id % 10).toInt))
+                val opts = new org.tukaani.xz.LZMA2Options((id % 10).toInt)
+                opts.setDictSize(65536)
+                val xz = new org.tukaani.xz.XZOutputStream(mem, opts)
                 xz.write(body); xz.close()
                 out.write(mem.toByteArray)
             }
@@ -1795,6 +1802,20 @@ object SparkEntry {
         sum(length(col("body"))).cast("long").as("sum_chars"),
         sum(Split.hashDraw32(col("body"))).cast("long").as("sum_fp"))
       .orderBy(col("format"), col("source"))
+  }
+
+  /** DoReMi-flavored mixture optimization
+    * ([[graft.operators.Selection.mixtureOptimizer]]): per-source
+    * unigram-LM excess loss drives 5 rounds of integer multiplicative
+    * weights; the whole optimization (one corpus pass + a
+    * sources-sized loop) replays bit-exactly in SQL as unrolled CTEs.
+    */
+  private def qMixtureOptimizer(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val perDoc = UnigramLm.docLogLoss(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    Selection.mixtureOptimizer(perDoc, "source", "nll", "n_tokens")
+      .orderBy(col("source"))
   }
 
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
@@ -4402,6 +4423,7 @@ object SparkEntry {
     "q_warc_ingest" -> (qWarcIngest _),
     "q_zstd_ingest" -> (qZstdIngest _),
     "q_compressed_corpus" -> (qCompressedCorpus _),
+    "q_mixture_optimizer" -> (qMixtureOptimizer _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7538,6 +7560,52 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // DoReMi-linearized mixture weights: the per-doc NLL is the
+    // q_lm_score computation; everything after it is exact integer
+    // arithmetic (floor divisions, ppm renormalizations), so 5 rounds
+    // of multiplicative weights unroll as CTEs with window sums
+    "q_mixture_optimizer" -> {
+      def round(n: Int) =
+        s"""w${n}a AS (
+             SELECT source, tsum, loss, excess,
+               w * (1000000 + 100 * excess) // 1000000 AS wu
+             FROM w${n - 1}),
+           w$n AS (
+             SELECT source, tsum, loss, excess,
+               wu * 1000000 // (SUM(wu) OVER ()) AS w
+             FROM w${n}a)"""
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                        CAST(count(*) AS DOUBLE) AS v FROM vocab),
+         nll AS (
+           SELECT doc_id,
+             round(avg(-ln((cnt + 0.5) / (total + 0.5 * v))), 4) AS nll,
+             count(*) AS n_tokens
+           FROM tok JOIN vocab USING (term), tot GROUP BY doc_id),
+         perdoc AS (
+           SELECT d.source, CAST(round(nll.nll * 10000) AS BIGINT) AS li,
+                  CAST(nll.n_tokens AS BIGINT) AS nt
+           FROM nll JOIN documents d USING (doc_id)),
+         persrc AS (
+           SELECT source, sum(li * nt) AS lsum, sum(nt) AS tsum
+           FROM perdoc GROUP BY 1),
+         refv AS (SELECT sum(lsum) // sum(tsum) AS ref FROM persrc),
+         w0 AS (
+           SELECT source, tsum, lsum // tsum AS loss,
+             greatest(CAST(0 AS BIGINT), lsum // tsum - ref) AS excess,
+             CAST(1000000 AS BIGINT) AS w
+           FROM persrc, refv),
+         ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)}
+         SELECT source, CAST(tsum AS BIGINT) AS n_tokens,
+           CAST(loss AS BIGINT) AS loss_e4,
+           CAST(excess AS BIGINT) AS excess_e4,
+           CAST(w AS BIGINT) AS weight_ppm,
+           CAST(w * 1000000 // (SUM(w) OVER ()) AS BIGINT) AS tokens_target
+         FROM w5 ORDER BY source"""
+    },
     // mixed-format front door: six reference encoders in, six in-repo
     // decoders out — byte-exactness gated per format by the md5 sums
     "q_compressed_corpus" ->

@@ -270,4 +270,72 @@ object Selection {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** DoReMi-flavored mixture-weight optimizer (Xie et al. 2023,
+    * linearized): iteratively up-weights the sources whose language-
+    * model loss exceeds the corpus reference — "spend more of the token
+    * budget where the model is worst" — using multiplicative weights
+    * w_i ← w_i·(1 + η·excess_i) instead of the paper's exponential
+    * (the first-order Hedge expansion), because the linear update stays
+    * in EXACT integer arithmetic end to end: per-doc NLL arrives 4-dp
+    * snapped (the [[UnigramLm.docLogLoss]] convention), per-source
+    * token-weighted mean loss is an integer floor-division, and every
+    * round's update and ppm renormalization is a Long multiply +
+    * floor-divide — so the whole optimization replays bit-exactly in
+    * SQL as unrolled CTEs, no float exp drift across engines.
+    *
+    * Scale shape: ONE corpus pass (token explode → per-source partial
+    * aggregate); the optimization itself runs on the |sources|-row
+    * summary — metadata-sized by definition, the repo's accepted
+    * collect class (a mixture has tens of sources, not millions).
+    *
+    * Input: per-doc rows (sourceCol, nllCol 4-dp, tokenCol). Output:
+    * one row per source with the loss/excess diagnostics, the final
+    * ppm weight, and the token allocation of `budgetTokens`.
+    */
+  def mixtureOptimizer(
+      perDoc: DataFrame,
+      sourceCol: String,
+      nllCol: String,
+      tokenCol: String,
+      rounds: Int = 5,
+      etaPer1e4Nat: Long = 100L,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val perSource = perDoc
+      .select(col(sourceCol).as("source"),
+        round(col(nllCol) * 10000).cast("long").as("li"),
+        col(tokenCol).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("li") * col("nt")).as("lsum"), sum(col("nt")).as("tsum"))
+      .as[(String, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    require(perSource.nonEmpty, "no sources to optimize over")
+    val totalL = perSource.map(_._2).sum
+    val totalT = perSource.map(_._3).sum
+    val ref = totalL / totalT // integer floor: reference loss, 1e-4 nats
+    val loss = perSource.map(s => s._2 / s._3)
+    val excess = loss.map(l => math.max(0L, l - ref))
+    var w = Array.fill(perSource.length)(1000000L)
+    var r = 0
+    while (r < rounds) {
+      var i = 0
+      while (i < w.length) {
+        w(i) = w(i) * (1000000L + etaPer1e4Nat * excess(i)) / 1000000L
+        i += 1
+      }
+      val sw = w.sum
+      i = 0
+      while (i < w.length) { w(i) = w(i) * 1000000L / sw; i += 1 }
+      r += 1
+    }
+    val sw = w.sum
+    val rows = perSource.indices.map { i =>
+      (perSource(i)._1, perSource(i)._3, loss(i), excess(i), w(i),
+        w(i) * budgetTokens / sw)
+    }
+    rows.toDF("source", "n_tokens", "loss_e4", "excess_e4", "weight_ppm", "tokens_target")
+  }
 }

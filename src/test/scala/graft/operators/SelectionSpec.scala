@@ -206,4 +206,47 @@ class SelectionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
   }
+
+  test("mixtureOptimizer: uniform losses stay uniform; excess loss gains weight") {
+    // three sources, token-weighted: a at mean loss, b above, c below
+    val perDoc = Seq(
+      ("a", 5.0, 100L), ("a", 5.0, 100L),
+      ("b", 9.0, 100L), ("b", 9.0, 100L),
+      ("c", 1.0, 100L), ("c", 1.0, 100L)
+    ).toDF("source", "nll", "n_tokens")
+    val out = Selection.mixtureOptimizer(perDoc, "source", "nll", "n_tokens")
+      .orderBy("source")
+      .collect()
+    val bySrc = out.map(r => r.getString(0) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // reference loss = 5.0 ⇒ only b has excess
+    assert(bySrc("a")._1 === 0L && bySrc("c")._1 === 0L)
+    assert(bySrc("b")._1 === 40000L) // (9.0 - 5.0) in 1e-4 nats
+    // b ends strictly heavier; a and c identical
+    assert(bySrc("b")._2 > bySrc("a")._2)
+    assert(bySrc("a")._2 === bySrc("c")._2)
+    // ppm weights and token targets stay near their scales (floor loss only)
+    val wsum = out.map(_.getLong(4)).sum
+    assert(wsum <= 1000000L && wsum > 999990L)
+    val tsum = out.map(_.getLong(5)).sum
+    assert(tsum <= 1000000L && tsum > 999990L)
+
+    // all-equal losses: excess 0 everywhere, weights stay uniform
+    val flat = Seq(("a", 3.0, 50L), ("b", 3.0, 500L), ("c", 3.0, 5L))
+      .toDF("source", "nll", "n_tokens")
+    val fo = Selection.mixtureOptimizer(flat, "source", "nll", "n_tokens").collect()
+    assert(fo.map(_.getLong(4)).distinct.length === 1)
+  }
+
+  test("mixtureOptimizer is deterministic and source-order independent") {
+    val perDoc = Seq(
+      ("w", 4.5, 10L), ("x", 7.25, 40L), ("y", 2.0, 25L), ("z", 6.0, 80L))
+      .toDF("source", "nll", "n_tokens")
+    val once = Selection.mixtureOptimizer(perDoc, "source", "nll", "n_tokens")
+      .orderBy("source").collect().map(_.toString)
+    val again = Selection.mixtureOptimizer(
+        perDoc.orderBy(desc("source")).repartition(3), "source", "nll", "n_tokens")
+      .orderBy("source").collect().map(_.toString)
+    assert(once.toSeq === again.toSeq)
+  }
 }
