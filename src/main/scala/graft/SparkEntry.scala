@@ -1818,6 +1818,35 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Encoding repair ([[graft.exprs.FixMojibake]], the ftfy core step):
+    * every document gets a non-ASCII witness suffix, a third of the
+    * corpus is wire-corrupted with one layer of UTF-8-read-as-Latin-1
+    * (built with Spark's own codegen'd encode/decode), the ≡4 mod 9
+    * subset with TWO layers; the native repair expression must return
+    * every corrupted document to byte-identity (md5-sum oracle) while
+    * leaving the clean two-thirds untouched — the witness char > U+00FF
+    * is what PROVES them clean to the conservative rule.
+    */
+  private def qEncodingRepair(s: SparkSession, d: String): DataFrame = {
+    import graft.exprs.FixMojibake
+    def layer(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
+    val base = T.documents(s, d).select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" café №9"),
+        (col("doc_id") % 10).cast("string")).as("clean"))
+    val wire = base.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 9 === 4, layer(layer(col("clean"))))
+        .when(col("doc_id") % 3 === 1, layer(col("clean")))
+        .otherwise(col("clean")).as("wire"))
+    wire
+      .select(col("source"), col("wire"), FixMojibake(col("wire")).as("fixed"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("fixed") =!= col("wire"), 1L).otherwise(0L)).as("n_repaired"),
+        sum(Split.hashDraw32(col("fixed"))).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4424,6 +4453,7 @@ object SparkEntry {
     "q_zstd_ingest" -> (qZstdIngest _),
     "q_compressed_corpus" -> (qCompressedCorpus _),
     "q_mixture_optimizer" -> (qMixtureOptimizer _),
+    "q_encoding_repair" -> (qEncodingRepair _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7560,6 +7590,22 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // encoding repair: the fixed text must be BYTE-identical to the
+    // pre-corruption original (md5 sums), and the repaired set exactly
+    // the planted ≡1 mod 3 class; the clean docs' witness char (№ >
+    // U+00FF) proves them untouchable to the conservative rule
+    "q_encoding_repair" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+             text || ' café №9' || CAST(doc_id % 10 AS VARCHAR) AS clean
+           FROM documents)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repaired,
+           CAST(sum(CAST('0x' || substring(md5(clean), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM b GROUP BY source ORDER BY source""",
     // DoReMi-linearized mixture weights: the per-doc NLL is the
     // q_lm_score computation; everything after it is exact integer
     // arithmetic (floor divisions, ppm renormalizations), so 5 rounds
