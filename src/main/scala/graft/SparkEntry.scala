@@ -1847,6 +1847,47 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Positional phrase search ([[graft.operators.Rank.phraseSearch]]):
+    * two phrases — one self-overlapping bigram (overlap semantics) and
+    * one trigram — answered in a single zero-shuffle HOF scan each;
+    * the oracle rebuilds positional postings with generate_subscripts
+    * and replays the adjacency join, a genuinely different algorithm
+    * for the same semantics.
+    */
+  private def qPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    Rank.phraseSearch(docs, "doc_id", "text", Seq("table", "table"))
+      .select(lit("table table").as("phrase"), col("doc_id"),
+        col("n_hits"), col("first_pos"))
+      .unionAll(
+        Rank.phraseSearch(docs, "doc_id", "text", Seq("query", "key", "scan"))
+          .select(lit("query key scan").as("phrase"), col("doc_id"),
+            col("n_hits"), col("first_pos")))
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+
+  /** Unicode NFC canonicalization ([[graft.exprs.NfcNormalize]]): every
+    * document gets a DECOMPOSED suffix (e + combining acute, a +
+    * combining ring); the codegen'd JDK-Normalizer expression must
+    * produce byte-identical output to DuckDB's utf8proc nfc_normalize —
+    * two independent implementations of UAX #15 as oracle and engine.
+    */
+  private def qUnicodeNfc(s: SparkSession, d: String): DataFrame = {
+    import graft.exprs.NfcNormalize
+    // the suffix is spelled DECOMPOSED in source: e+U+0301, a+U+030A, o+U+0308
+    val deco = concat(col("text"), lit(" école ångström "),
+      (col("doc_id") % 7).cast("string"))
+    T.documents(s, d)
+      .select(col("source"), NfcNormalize(deco).as("nfc"), deco.as("raw"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("nfc"))).cast("long").as("sum_chars"),
+        sum(Split.hashDraw32(col("nfc"))).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4454,6 +4495,8 @@ object SparkEntry {
     "q_compressed_corpus" -> (qCompressedCorpus _),
     "q_mixture_optimizer" -> (qMixtureOptimizer _),
     "q_encoding_repair" -> (qEncodingRepair _),
+    "q_unicode_nfc" -> (qUnicodeNfc _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7590,6 +7633,55 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // NFC canonicalization: two independent UAX #15 implementations
+    // (JDK Normalizer vs DuckDB's utf8proc) must agree byte-for-byte;
+    // the decomposed suffix is rebuilt from chr() codepoints
+    "q_unicode_nfc" ->
+      """WITH b AS (
+           SELECT source,
+             text || ' e' || chr(769) || 'cole a' || chr(778) ||
+               'ngstro' || chr(776) || 'm ' || CAST(doc_id % 7 AS VARCHAR)
+               AS raw
+           FROM documents),
+         n AS (SELECT source, raw, nfc_normalize(raw) AS nfc FROM b)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nfc != raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(length(nfc)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substring(md5(nfc), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM n GROUP BY source ORDER BY source""",
+    // positional phrase search: the oracle rebuilds postings with
+    // generate_subscripts and replays the adjacency join — a different
+    // algorithm (index join) than the engine's zero-shuffle HOF scan
+    "q_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         p AS (
+           -- parallel unnests zip in DuckDB: (term, 0-based position)
+           SELECT doc_id, unnest(toks) AS term,
+                  unnest(range(len(toks))) AS pos
+           FROM t),
+         b0 AS (SELECT doc_id, pos AS p0 FROM p WHERE term = 'table'),
+         b1 AS (SELECT doc_id, pos - 1 AS p0 FROM p WHERE term = 'table'),
+         ph1 AS (
+           SELECT 'table table' AS phrase, doc_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(p0) AS BIGINT) AS first_pos
+           FROM b0 JOIN b1 USING (doc_id, p0) GROUP BY doc_id),
+         c0 AS (SELECT doc_id, pos AS p0 FROM p WHERE term = 'query'),
+         c1 AS (SELECT doc_id, pos - 1 AS p0 FROM p WHERE term = 'key'),
+         c2 AS (SELECT doc_id, pos - 2 AS p0 FROM p WHERE term = 'scan'),
+         ph2 AS (
+           SELECT 'query key scan' AS phrase, doc_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(p0) AS BIGINT) AS first_pos
+           FROM c0 JOIN c1 USING (doc_id, p0) JOIN c2 USING (doc_id, p0)
+           GROUP BY doc_id)
+         SELECT * FROM ph1 UNION ALL SELECT * FROM ph2
+         ORDER BY phrase, doc_id""",
     // encoding repair: the fixed text must be BYTE-identical to the
     // pre-corruption original (md5 sums), and the repaired set exactly
     // the planted ≡1 mod 3 class; the clean docs' witness char (№ >

@@ -405,4 +405,40 @@ object Rank {
       tradeEdges(orders, lineitem, supplierOffset))
     e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** Exact positional phrase search — "which documents contain these
+    * words CONSECUTIVELY, where, how often" — as a ZERO-SHUFFLE
+    * codegen'd scan: instead of the textbook positional-inverted-index
+    * build (explode → per-term postings → k-way adjacency self-join,
+    * k shuffles of corpus-sized postings), the adjacency test runs as
+    * higher-order array functions over each document's own token
+    * array — `filter(sequence(0, n-k), i -> toks[i]==w0 && …)` — so a
+    * petabyte corpus answers a phrase query in one scan-local pass
+    * with column pruning and no exchange at all. Overlapping
+    * occurrences count (the standard positional semantics).
+    *
+    * Returns only matching docs: (doc_id, n_hits, first_pos) with
+    * first_pos 0-based in tokens.
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = Text.tokens(col(textCol))
+    val k = phrase.length
+    val hitArr = when(size(toks) >= k,
+      filter(sequence(lit(0), size(toks) - k),
+        i => phrase.zipWithIndex.map { case (w, j) =>
+          element_at(toks, i + j + 1) === lit(w)
+        }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("doc_id"), hitArr.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+  }
 }

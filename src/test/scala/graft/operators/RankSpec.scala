@@ -220,4 +220,33 @@ class RankSpec extends SparkSpec {
     assert(g.length === 4)
     assert(g.toSet === Set((7L, 1001L), (7L, 1002L), (1001L, 7L), (1002L, 7L)))
   }
+
+  test("phraseSearch: exact positions, overlap counting, boundary cases") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"), // "a b" at 0, 3, 6
+      (2L, "x x x x"),         // "x x" overlapping at 0, 1, 2
+      (3L, "a c b"),           // no "a b"
+      (4L, "a b"),             // exact doc-length match at 0
+      (5L, "b"),               // shorter than the phrase
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val ab = Rank.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ab.toSeq === Seq((1L, 3L, 0L), (4L, 1L, 0L)))
+    val xx = Rank.phraseSearch(docs, "doc_id", "text", Seq("x", "x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(xx.toSeq === Seq((2L, 3L, 0L))) // overlapping occurrences count
+    val abc = Rank.phraseSearch(docs, "doc_id", "text", Seq("c", "a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(abc.toSeq === Seq((1L, 2L, 2L)))
+  }
+
+  test("phraseSearch is a zero-shuffle scan (no Exchange, no explode)") {
+    val docs = spark.range(100).selectExpr("id AS doc_id",
+      "concat('w', CAST(id % 5 AS STRING), ' table table x') AS text")
+    val plan = Rank.phraseSearch(docs, "doc_id", "text", Seq("table", "table"))
+      .queryExecution.executedPlan.toString
+    assert(topLevelHashExchanges(plan).isEmpty, s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"explode crept in:\n$plan")
+  }
 }
