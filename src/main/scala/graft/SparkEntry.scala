@@ -1673,6 +1673,53 @@ object SparkEntry {
     * checksum sum to hash-match the oracle's closed form on the base
     * table.
     */
+  /** One member in the format doc_id selects (mod 6), via the REAL
+    * reference encoder for that format. Member-local sinks so closing a
+    * codec stream (which releases native Deflaters) never closes the
+    * shared shard buffer. Encoder parameters follow the real-writer
+    * convention for ~1 KB members: bzip2 level 1 (block buffers sized
+    * to the member, not 900 KiB) and a 64 KiB xz dict (a preset-9 call
+    * would allocate a 64 MiB hash chain PER MEMBER — measured fatal at
+    * 100x data, SCALING round 12).
+    */
+  private def encodeByFormat(
+      id: Long, body: Array[Byte],
+      zctx: com.github.luben.zstd.ZstdCompressCtx): Array[Byte] =
+    (id % 6) match {
+      case 0 =>
+        val mem = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(mem)
+        gz.write(body); gz.close()
+        mem.toByteArray
+      case 1 =>
+        zctx.setLevel(3 + (id % 17).toInt); zctx.setChecksum(true)
+        zctx.compress(body)
+      case 2 =>
+        import net.jpountz.lz4.LZ4FrameOutputStream
+        val mem = new java.io.ByteArrayOutputStream()
+        val fos = new LZ4FrameOutputStream(mem,
+          LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, body.length.toLong,
+          LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+          LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+        fos.write(body); fos.close()
+        mem.toByteArray
+      case 3 =>
+        graft.operators.SnappyCodec.encodeFramed(body)
+      case 4 =>
+        val mem = new java.io.ByteArrayOutputStream()
+        val bz = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream(mem, 1)
+        bz.write(body); bz.close()
+        mem.toByteArray
+      case _ =>
+        val mem = new java.io.ByteArrayOutputStream()
+        val opts = new org.tukaani.xz.LZMA2Options((id % 10).toInt)
+        opts.setDictSize(65536)
+        val xz = new org.tukaani.xz.XZOutputStream(mem, opts)
+        xz.write(body); xz.close()
+        mem.toByteArray
+    }
+
   private def qZstdIngest(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -1743,50 +1790,7 @@ object SparkEntry {
             out.write(bb.array())
           }
           it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
-            val body = s"$id\t$src\t$text".getBytes("UTF-8")
-            (id % 6) match {
-              case 0 =>
-                // member-local sink: closing the codec stream must not
-                // close the shared shard buffer (and close() is what
-                // releases the native Deflater)
-                val mem = new java.io.ByteArrayOutputStream()
-                val gz = new java.util.zip.GZIPOutputStream(mem)
-                gz.write(body); gz.close()
-                out.write(mem.toByteArray)
-              case 1 =>
-                zctx.setLevel(3 + (id % 17).toInt); zctx.setChecksum(true)
-                out.write(zctx.compress(body))
-              case 2 =>
-                import net.jpountz.lz4.LZ4FrameOutputStream
-                val mem = new java.io.ByteArrayOutputStream()
-                val fos = new LZ4FrameOutputStream(mem,
-                  LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, body.length.toLong,
-                  LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
-                  LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
-                fos.write(body); fos.close()
-                out.write(mem.toByteArray)
-              case 3 =>
-                out.write(graft.operators.SnappyCodec.encodeFramed(body))
-              case 4 =>
-                // level 1 suffices for ~1 KB members (block size 100 KiB
-                // >> member); levels only size the block buffers, and a
-                // corpus writer sizes them to the member, not 900 KiB
-                val mem = new java.io.ByteArrayOutputStream()
-                val bz = new org.apache.commons.compress.compressors.bzip2
-                  .BZip2CompressorOutputStream(mem, 1)
-                bz.write(body); bz.close()
-                out.write(mem.toByteArray)
-              case _ =>
-                // preset varies the mode/nice-len machinery; the dict is
-                // pinned to 64 KiB so a tiny member does not pay a
-                // preset-9 64 MiB allocation (the real-writer convention)
-                val mem = new java.io.ByteArrayOutputStream()
-                val opts = new org.tukaani.xz.LZMA2Options((id % 10).toInt)
-                opts.setDictSize(65536)
-                val xz = new org.tukaani.xz.XZOutputStream(mem, opts)
-                xz.write(body); xz.close()
-                out.write(mem.toByteArray)
-            }
+            out.write(encodeByFormat(id, s"$id\t$src\t$text".getBytes("UTF-8"), zctx))
           }
           (shard, out.toByteArray)
         } finally zctx.close()
@@ -1886,6 +1890,64 @@ object SparkEntry {
         sum(length(col("nfc"))).cast("long").as("sum_chars"),
         sum(Split.hashDraw32(col("nfc"))).cast("long").as("sum_fp"))
       .orderBy(col("source"))
+  }
+
+  /** Corpus-build pipeline e2e — the round-12 cleaning front doors
+    * CHAINED: six-format compressed members (REAL encoders) → the
+    * [[graft.operators.Codecs]] sniffing walk → [[graft.exprs
+    * .FixMojibake]] (a third of the corpus wire-mojibaked, built with
+    * Spark's own encode/decode) → [[graft.exprs.NfcNormalize]] (the
+    * suffix ships DECOMPOSED; U+0301 > U+00FF doubles as the witness
+    * that proves clean docs untouchable to the mojibake rule) → exact
+    * member-level dedup (docs ≡5 mod 11 ship twice). Every stage is
+    * closed-form, so ONE hash equality proves decode + repair +
+    * canonicalization + dedup TOGETHER — the q_crawl_e2e pattern for
+    * the compression/cleaning layer.
+    */
+  private def qCorpusE2e(s: SparkSession, d: String): DataFrame = {
+    import graft.exprs.{FixMojibake, NfcNormalize}
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    def layer(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
+    val wired = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" école ångström "),
+          (col("doc_id") % 10).cast("string")).as("deco"))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 1, layer(col("deco")))
+          .otherwise(col("deco")).as("wire"))
+    val shards = wired
+      .select(col("doc_id"), col("source"), col("wire"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 12)
+      .mapGroups { (shard, it) =>
+        val zctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          it.toSeq.sortBy(_._1).foreach { case (id, src, wire) =>
+            val member = encodeByFormat(id, s"$id\t$src\t$wire".getBytes("UTF-8"), zctx)
+            out.write(member)
+            if (id % 11 == 5) out.write(member) // planted duplicate member
+          }
+          (shard, out.toByteArray)
+        } finally zctx.close()
+      }
+      .toDF("doc_id", "payload")
+    graft.operators.Codecs.parseMembers(shards).toDF()
+      .groupBy(col("body_text"))
+      .agg(count(lit(1)).as("copies"), first(col("format")).as("format"))
+      .select(col("format"), col("copies"),
+        element_at(split(col("body_text"), "\t", 3), 2).as("source"),
+        col("body_text").as("wire"),
+        NfcNormalize(FixMojibake(col("body_text"))).as("clean"))
+      .groupBy(col("format"), col("source"))
+      .agg(
+        sum(col("copies")).cast("long").as("n_members"),
+        count(lit(1)).as("n_docs"),
+        sum(when(FixMojibake(col("wire")) =!= col("wire"), 1L).otherwise(0L))
+          .as("n_repaired"),
+        sum(Split.hashDraw32(col("clean"))).cast("long").as("sum_fp"))
+      .orderBy(col("format"), col("source"))
   }
 
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
@@ -4497,6 +4559,7 @@ object SparkEntry {
     "q_encoding_repair" -> (qEncodingRepair _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_phrase_search" -> (qPhraseSearch _),
+    "q_corpus_e2e" -> (qCorpusE2e _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7633,6 +7696,29 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // corpus-build e2e: decode(6 formats) → mojibake repair → NFC →
+    // member dedup, every stage closed-form — one hash proves the chain
+    "q_corpus_e2e" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+             CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'lz4'
+               WHEN 3 THEN 'snappy' WHEN 4 THEN 'bzip2' ELSE 'xz'
+             END AS format,
+             CAST(doc_id AS VARCHAR) || chr(9) || source || chr(9) || text
+               || ' ' || chr(233) || 'cole ' || chr(229) || 'ngstr'
+               || chr(246) || 'm ' || CAST(doc_id % 10 AS VARCHAR) AS clean
+           FROM documents)
+         SELECT format, source,
+           CAST(count(*) +
+             sum(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repaired,
+           CAST(sum(CAST('0x' || substring(md5(clean), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     // NFC canonicalization: two independent UAX #15 implementations
     // (JDK Normalizer vs DuckDB's utf8proc) must agree byte-for-byte;
     // the decomposed suffix is rebuilt from chr() codepoints
