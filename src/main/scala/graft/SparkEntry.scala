@@ -1950,6 +1950,75 @@ object SparkEntry {
       .orderBy(col("format"), col("source"))
   }
 
+  /** STREAMING mixed-format corpus ingest: the [[graft.operators
+    * .Codecs]] walk as a Structured Streaming stage — compressed shards
+    * arrive as three file batches (mtimes pinned, the
+    * qStreamCardinality lesson), each micro-batch decodes its members
+    * statelessly (one `mapPartitions`, no state store), and the
+    * exactly-once parquet sink accumulates decoded members; the
+    * terminal aggregate runs over the sink. Oracle = the same
+    * closed-form as the batch walk, so stream ≡ batch is the gate.
+    */
+  private def qStreamCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scorpus").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val shards = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 12)
+      .mapGroups { (shard, it) =>
+        val zctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          val outB = new java.io.ByteArrayOutputStream()
+          it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+            outB.write(encodeByFormat(id, s"$id\t$src\t$text".getBytes("UTF-8"), zctx))
+          }
+          (shard, shard % 3, outB.toByteArray)
+        } finally zctx.close()
+      }
+      .toDF("doc_id", "arrival", "payload")
+    (0 to 2).foreach { b =>
+      shards.filter(col("arrival") === b).select(col("doc_id"), col("payload"))
+        .coalesce(1).write.parquet(s"$tmp/c$b")
+    }
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(in))
+    (0 to 2).foreach { b =>
+      fs.listStatus(new Path(s"$tmp/c$b"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val dst = new Path(in, s"c$b-$i.parquet")
+          fs.rename(f.getPath, dst)
+          fs.setTimes(dst, 1000000L * (b + 1), -1)
+        }
+    }
+    val schema = s.read.parquet(in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val members = graft.operators.Codecs.parseMembers(stream).toDF()
+      .filter(!col("corrupt"))
+      .select(col("format"), col("body_text"))
+    val finished = members.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start().awaitTermination(180000)
+    require(finished, "streaming corpus ingest did not finish within 180s")
+    s.read.parquet(out)
+      .select(col("format"),
+        element_at(split(col("body_text"), "\t", 3), 2).as("source"),
+        col("body_text").as("body"))
+      .groupBy(col("format"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("body"))).cast("long").as("sum_chars"),
+        sum(Split.hashDraw32(col("body"))).cast("long").as("sum_fp"))
+      .orderBy(col("format"), col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4560,6 +4629,7 @@ object SparkEntry {
     "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_corpus_e2e" -> (qCorpusE2e _),
+    "q_stream_corpus" -> (qStreamCorpus _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7696,6 +7766,24 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // streaming mixed-format ingest: stream ≡ batch is the gate — the
+    // closed form is the same as q_compressed_corpus's
+    "q_stream_corpus" ->
+      """WITH m AS (
+           SELECT CASE CAST(doc_id % 6 AS INTEGER)
+                    WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+                    WHEN 2 THEN 'lz4' WHEN 3 THEN 'snappy'
+                    WHEN 4 THEN 'bzip2' ELSE 'xz' END AS format,
+                  source,
+                  CAST(doc_id AS VARCHAR) || chr(9) || source || chr(9) || text
+                    AS body
+           FROM documents)
+         SELECT format, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(body)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substring(md5(body), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     // corpus-build e2e: decode(6 formats) → mojibake repair → NFC →
     // member dedup, every stage closed-form — one hash proves the chain
     "q_corpus_e2e" ->
