@@ -110,6 +110,14 @@ object GraftExtensions {
         expectArity("normalize_text(text)", children, 1)
         NormalizeText(children(0))
       },
+      fn("fix_mojibake", classOf[FixMojibake]) { children =>
+        expectArity("fix_mojibake(text)", children, 1)
+        FixMojibake(children(0))
+      },
+      fn("nfc_normalize", classOf[NfcNormalize]) { children =>
+        expectArity("nfc_normalize(text)", children, 1)
+        NfcNormalize(children(0))
+      },
       fn("redact_pii", Text.getClass) { children =>
         expectArity("redact_pii(text)", children, 1)
         expression(Text.redactPii(column(children(0))))

@@ -88,6 +88,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ext_docs")
   }
 
+  test("fix_mojibake and nfc_normalize from SQL equal the Column API") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    def moj(s: String) = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    // explicit escapes throughout: composed \u00e9 vs decomposed e+\u0301
+    // must not depend on this source file's own normalization
+    val df = Seq(moj("caf\u00e9 \u211696"), "plain", "e\u0301cole").toDF("t")
+    df.createOrReplaceTempView("enc_docs")
+    val sql = spark.sql(
+      "SELECT fix_mojibake(t) AS f, nfc_normalize(t) AS n FROM enc_docs").collect()
+    val api = df.select(FixMojibake($"t").as("f"), NfcNormalize($"t").as("n")).collect()
+    assert(sql.map(_.toString).toSeq === api.map(_.toString).toSeq)
+    assert(sql(0).getString(0) === "caf\u00e9 \u211696")
+    assert(sql(2).getString(1) === "\u00e9cole")
+    spark.catalog.dropTempView("enc_docs")
+  }
+
   test("cdc_cuts from SQL equals the Column API and the HOF formulation") {
     val spark = graft.TestSession.spark
     import spark.implicits._
