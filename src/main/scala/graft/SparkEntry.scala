@@ -2019,6 +2019,60 @@ object SparkEntry {
       .orderBy(col("format"), col("source"))
   }
 
+  /** Ranged decode over a zstd corpus ([[graft.operators.ZstdCodec
+    * .frameIndex]]): the decode-free header hop finds member boundaries
+    * at I/O speed (what makes 100 TB of `.zst` splittable), then ONLY
+    * the members at even ordinal within each shard are decoded — the
+    * [[Mp4Codec]] keyframe-plan pattern for compressed text. The oracle
+    * recomputes the even-ordinal set with a window rank, so the hash
+    * gates both the index (right boundaries, skippables hopped) and the
+    * selective decode.
+    */
+  private def qZstdRanged(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val shards = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 16)
+      .mapGroups { (shard, it) =>
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          if (shard % 5 == 0) {
+            val bb = java.nio.ByteBuffer.allocate(12)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(0x184d2a52); bb.putInt(4); bb.putInt(0x6a756e6b)
+            out.write(bb.array())
+          }
+          it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+            ctx.setLevel(1 + (id % 19).toInt)
+            ctx.setChecksum(true)
+            out.write(ctx.compress(s"$id\t$src\t$text".getBytes("UTF-8")))
+          }
+          (shard, out.toByteArray)
+        } finally ctx.close()
+      }
+      .toDF("doc_id", "payload")
+    shards.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, bytes) =>
+        val idx = graft.operators.ZstdCodec.frameIndex(bytes)
+        idx.zipWithIndex.iterator.collect {
+          case ((off, len), ord) if len > 0 && ord % 2 == 0 =>
+            graft.operators.ZstdCodec.decodeFrame(bytes, off.toInt)
+              .map(r => new String(r._1, "UTF-8"))
+        }.flatten
+      })
+      .toDF("body")
+      .select(element_at(split(col("body"), "\t", 3), 2).as("source"),
+        col("body"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Split.hashDraw32(col("body"))).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4630,6 +4684,7 @@ object SparkEntry {
     "q_phrase_search" -> (qPhraseSearch _),
     "q_corpus_e2e" -> (qCorpusE2e _),
     "q_stream_corpus" -> (qStreamCorpus _),
+    "q_zstd_ranged" -> (qZstdRanged _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7766,6 +7821,23 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // ranged decode: the even-ordinal-within-shard set replays as a
+    // window rank; hash equality gates the decode-free frame index
+    // (boundaries + skippable hops) AND the selective decode together
+    "q_zstd_ranged" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             CAST(doc_id AS VARCHAR) || chr(9) || source || chr(9) || text
+               AS body,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id)
+               - 1 AS ord
+           FROM documents)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST('0x' || substring(md5(body), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM r WHERE ord % 2 = 0
+         GROUP BY source ORDER BY source""",
     // streaming mixed-format ingest: stream ≡ batch is the gate — the
     // closed form is the same as q_compressed_corpus's
     "q_stream_corpus" ->

@@ -710,6 +710,81 @@ object ZstdCodec {
     } catch { case _: Exception => None }
   }
 
+  /** Decode-free frame index: hop over frame and block HEADERS only —
+    * no entropy decode, no output buffer — to find member boundaries at
+    * I/O speed. This is what makes a 100 TB `.zst` corpus SPLITTABLE
+    * (boundary discovery costs bytes-read, not decompression) and what
+    * a ranged fetch plans with: decode only the frames that hold the
+    * rows you want, skip the rest ([[Mp4Codec]]'s keyframe-plan pattern
+    * for compressed text). Returns (offset, compressedLen) per DATA
+    * frame (skippables hopped); None entries are impossible — a frame
+    * whose headers cannot be walked ends the index at that offset with
+    * a (-1)-length sentinel so callers see the corruption boundary.
+    */
+  def frameIndex(b: Array[Byte]): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    if (b == null || b.isEmpty) return out.toSeq
+    var pos = 0
+    var corrupt = false
+    while (pos < b.length && !corrupt) {
+      val start = pos
+      skipFrame(b, pos) match {
+        case Some((isData, next)) =>
+          if (isData) out += ((start.toLong, (next - start).toLong))
+          pos = next
+        case None =>
+          out += ((start.toLong, -1L))
+          corrupt = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** Header-hop one frame: Some((isDataFrame, nextPos)) or None. */
+  private def skipFrame(b: Array[Byte], pos: Int): Option[(Boolean, Int)] = {
+    try {
+      if (b.length - pos < 4) return None
+      val magic = le(b, pos, 4).toInt
+      if ((magic & 0xfffffff0) == SkipMagicBase) {
+        if (b.length - pos < 8) return None
+        val next = pos + 8 + le(b, pos + 4, 4)
+        if (next > b.length) return None
+        return Some((false, next.toInt))
+      }
+      if (magic != FrameMagic) return None
+      var p = pos + 4
+      val fhd = b(p) & 0xff; p += 1
+      val fcsFlag = fhd >> 6
+      val singleSegment = (fhd & 0x20) != 0
+      if ((fhd & 0x08) != 0) return None
+      if (!singleSegment) p += 1 // window descriptor
+      p += Array(0, 1, 2, 4)(fhd & 3) // dict id
+      p += (fcsFlag match {
+        case 0 => if (singleSegment) 1 else 0
+        case 1 => 2
+        case 2 => 4
+        case _ => 8
+      })
+      var last = false
+      while (!last) {
+        if (b.length - p < 3) return None
+        val bh = le(b, p, 3).toInt; p += 3
+        last = (bh & 1) == 1
+        val btype = (bh >> 1) & 3
+        val bsize = bh >>> 3
+        btype match {
+          case 0 | 2 => p += bsize // raw | compressed: hop the payload
+          case 1 => p += 1 // RLE: one byte regardless of size
+          case _ => return None
+        }
+        if (p > b.length) return None
+      }
+      if ((fhd & 0x04) != 0) p += 4 // content checksum
+      if (p > b.length) return None
+      Some((true, p))
+    } catch { case _: Exception => None }
+  }
+
   /** Strict whole-payload decode: every frame must verify; frames
     * concatenate (skippable frames contribute nothing). None on any
     * corruption or trailing garbage.

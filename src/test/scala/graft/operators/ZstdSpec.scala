@@ -179,6 +179,32 @@ class ZstdSpec extends AnyFunSuite {
     })
   }
 
+  test("frameIndex: decode-free boundaries equal the decoding walk's") {
+    val docs = (0 until 8).map(i => s"ranged doc $i ${"pad " * (i * 13)}".getBytes("UTF-8"))
+    val frames = docs.zipWithIndex.map { case (d, i) => compress(d, 1 + i % 9, checksum = true) }
+    val skip = {
+      val bb = java.nio.ByteBuffer.allocate(9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x184d2a57); bb.putInt(1); bb.put(9.toByte); bb.array()
+    }
+    val whole = frames(0) ++ frames(1) ++ skip ++ frames.drop(2).reduce(_ ++ _)
+    val idx = ZstdCodec.frameIndex(whole)
+    val walk = ZstdCodec.members(whole)
+    assert(idx.length === 8)
+    assert(idx.forall(_._2 > 0))
+    assert(idx.map(_._1) === walk.map(_._1), "index offsets must equal the decoding walk's")
+    // every indexed range decodes to its doc without touching the rest
+    idx.zipWithIndex.foreach { case ((off, len), i) =>
+      val d = ZstdCodec.decodeFrame(whole, off.toInt)
+      assert(d.isDefined && java.util.Arrays.equals(d.get._1, docs(i)))
+      assert(d.get._2 - off === len, "index length must equal the frame's byte span")
+    }
+    // corruption surfaces as the (-1) sentinel at the right offset
+    val cut = whole.take(whole.length - 4)
+    val idxCut = ZstdCodec.frameIndex(cut)
+    assert(idxCut.last._2 === -1L)
+    assert(idxCut.count(_._2 > 0) === 7)
+  }
+
   test("decode throughput is linear-ish: 10 MB under a loose wall") {
     val big = (0 until 200000).map(i => s"record $i common tail ${i % 97}\n").mkString.getBytes("UTF-8")
     val z = compress(big, 3)
