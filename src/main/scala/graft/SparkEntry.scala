@@ -2073,6 +2073,54 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Corrupt-tolerant CSV ingest ([[graft.operators.RawIngest
+    * .csvRecords]] + [[graft.operators.RawIngest.csv]]): whole-file
+    * blobs split by the QUOTE-AWARE RFC 4180 splitter (every text field
+    * carries an embedded comma, quoted quote, AND newline — a
+    * line-based reader would shred every record), then PERMISSIVE
+    * from_csv with quote-doubling escape. Planted classes: ≡6 mod 29
+    * carries an unparseable doc_id (type corruption → quarantine with
+    * the raw record retained), ≡3 mod 31 ships an empty text field
+    * (tolerance, NOT corruption — the JSONL contract).
+    */
+  private def qCsvIngest(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val blobs = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 20)
+      .mapGroups { (chunk, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, src, text) =>
+          val text2 = text + ", \"q\" tail\nsecond"
+          val quoted = "\"" + text2.replace("\"", "\"\"") + "\""
+          if (id % 29 == 6) s"x$id,$src,$quoted"
+          else if (id % 31 == 3) s"$id,$src,"
+          else s"$id,$src,$quoted"
+        }
+        (chunk, recs.mkString("", "\n", "\n"))
+      }
+      .toDF("blob_id", "blob")
+    val parsed = graft.operators.RawIngest.csv(
+      graft.operators.RawIngest.csvRecords(blobs, "blob_id", "blob"),
+      "record", "doc_id LONG, source STRING, text STRING")
+    parsed
+      .groupBy(when(col("is_corrupt"), lit("(corrupt)"))
+        .otherwise(coalesce(col("rec.source"), lit("(null)"))).as("source"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        count(col("rec.doc_id")).as("n_parsed"),
+        sum(when(col("rec.text").isNull && !col("is_corrupt"), 1L)
+          .otherwise(0L)).as("n_null_text"),
+        coalesce(sum(when(col("is_corrupt"), lit(null))
+          .otherwise(length(col("rec.text")))), lit(0L))
+          .cast("long").as("sum_chars"),
+        coalesce(sum(when(col("is_corrupt"), lit(null))
+          .otherwise(Split.hashDraw32(col("rec.text")))), lit(0L))
+          .cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4685,6 +4733,7 @@ object SparkEntry {
     "q_corpus_e2e" -> (qCorpusE2e _),
     "q_stream_corpus" -> (qStreamCorpus _),
     "q_zstd_ranged" -> (qZstdRanged _),
+    "q_csv_ingest" -> (qCsvIngest _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7820,6 +7869,31 @@ object SparkEntry {
          SELECT '(corrupt)', CAST(count(*) AS BIGINT),
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
+         ORDER BY source""",
+    // CSV ingest: text2 reconstructs the embedded comma/quote/newline
+    // marker; the corrupt set is exactly the planted type-broken ids,
+    // the null-text set exactly the empty-field ids (tolerance)
+    "q_csv_ingest" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+             text || ', "q" tail' || chr(10) || 'second' AS text2
+           FROM documents)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN doc_id % 31 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text,
+           CAST(sum(CASE WHEN doc_id % 31 = 3 THEN 0
+             ELSE length(text2) END) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN doc_id % 31 = 3 THEN 0
+             ELSE CAST('0x' || substring(md5(text2), 1, 8) AS BIGINT) END)
+             AS BIGINT) AS sum_fp
+         FROM b WHERE doc_id % 29 != 6
+         GROUP BY source
+         UNION ALL
+         SELECT '(corrupt)', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM documents WHERE doc_id % 29 = 6
          ORDER BY source""",
     // ranged decode: the even-ordinal-within-shard set replays as a
     // window rank; hash equality gates the decode-free frame index

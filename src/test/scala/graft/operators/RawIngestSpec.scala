@@ -42,4 +42,48 @@ class RawIngestSpec extends SparkSpec {
     val out = RawIngest.jsonl(lines, "line", ddl).collect()
     assert(out.forall(_.getAs[Boolean]("is_corrupt")))
   }
+
+  test("splitCsvRecords: quoted newlines/commas/escaped quotes stay in one record") {
+    val blob = "1,a,\"x, y\"\n" + // embedded comma
+      "2,b,\"line one\nline two\"\n" + // embedded newline
+      "3,c,\"he said \"\"hi\"\"\"\n" + // escaped quotes
+      "4,d,plain\r\n" + // CRLF terminator
+      "5,e,\"tail" // unterminated quote at EOF
+    val recs = RawIngest.splitCsvRecords(blob)
+    assert(recs.map(_._1) === Seq(
+      "1,a,\"x, y\"",
+      "2,b,\"line one\nline two\"",
+      "3,c,\"he said \"\"hi\"\"\"",
+      "4,d,plain",
+      "5,e,\"tail"))
+    assert(recs.map(_._2) === Seq(false, false, false, false, true))
+    assert(RawIngest.splitCsvRecords("") === Seq.empty)
+    assert(RawIngest.splitCsvRecords("\n\n") === Seq.empty) // blank lines drop
+  }
+
+  test("csv classification: type corruption quarantines, empty fields tolerate") {
+    val blobs = Seq((0L,
+      "1,web,\"text one\"\n" +
+        "xBAD,cc,\"text two\"\n" + // unparseable doc_id → corrupt
+        "3,books,\n" + // empty text → null, NOT corrupt
+        "4,web,\"with \"\"quote\"\" and, comma\"\n" +
+        "5,cc,\"unterminated")) // splitter flags → corrupt
+      .toDF("blob_id", "blob")
+    val parsed = RawIngest.csv(
+      RawIngest.csvRecords(blobs, "blob_id", "blob"),
+      "record", "doc_id LONG, source STRING, text STRING")
+    val byId = parsed.collect().map(r =>
+      r.getString(parsed.columns.indexOf("record")).takeWhile(_ != ',') ->
+        r.getAs[Boolean]("is_corrupt")).toMap
+    assert(byId("1") === false && byId("4") === false)
+    assert(byId("xBAD") === true, "type-broken doc_id must quarantine")
+    assert(byId("5") === true, "unterminated quote must quarantine")
+    assert(byId("3") === false, "empty field is tolerance, not corruption")
+    val r3 = parsed.filter(col("record").startsWith("3,")).select("rec.text").head()
+    assert(r3.isNullAt(0))
+    val r4 = parsed.filter(col("record").startsWith("4,")).select("rec.text").head()
+    assert(r4.getString(0) === "with \"quote\" and, comma")
+    val r2 = parsed.filter(col("record").startsWith("xBAD")).select("rec._corrupt_record").head()
+    assert(!r2.isNullAt(0), "raw record retained for quarantine")
+  }
 }
