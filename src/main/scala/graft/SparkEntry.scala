@@ -2121,6 +2121,55 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** `.tar.zst` composition — the shape modern dataset mirrors actually
+    * ship: a ustar archive compressed WHOLE as one checksummed zstd
+    * frame. [[graft.operators.ZstdCodec.decode]] (strict) feeds
+    * [[graft.operators.Tar.entries]]; a truncated frame quarantines the
+    * whole shard (counted as chunks, closed-form), which is exactly the
+    * failure unit of a .tar.zst — there is no member boundary to resync
+    * at inside a single compressed frame.
+    */
+  private def qTarZst(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val shards = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 15)
+      .mapGroups { (chunk, it) =>
+        val files = it.toSeq.sortBy(_._1).map { case (id, src, text) =>
+          (s"docs/$src/$id.txt", text.getBytes("UTF-8"))
+        }
+        val tar = graft.operators.Tar.fixture(files, mtimeOf = i => 1700000000L + i)
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          ctx.setLevel(6); ctx.setChecksum(true)
+          val z = ctx.compress(tar)
+          (chunk, if (chunk % 7 == 5) z.take(z.length - 6) else z)
+        } finally ctx.close()
+      }
+      .toDF("doc_id", "payload")
+    shards.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, z) =>
+        graft.operators.ZstdCodec.decode(z) match {
+          case None => Iterator.single(("(corrupt)", 0L, null: String))
+          case Some(tar) =>
+            graft.operators.Tar.entries(tar).iterator
+              .filter(e => !e.corrupt && e.typeflag == '0')
+              .map(e => (e.name.split("/")(1), e.size,
+                new String(e.data, "UTF-8")))
+        }
+      })
+      .toDF("source", "size", "body")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("size")).cast("long").as("sum_bytes"),
+        coalesce(sum(Split.hashDraw32(col("body"))), lit(0L))
+          .cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4734,6 +4783,7 @@ object SparkEntry {
     "q_stream_corpus" -> (qStreamCorpus _),
     "q_zstd_ranged" -> (qZstdRanged _),
     "q_csv_ingest" -> (qCsvIngest _),
+    "q_tar_zst" -> (qTarZst _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7869,6 +7919,21 @@ object SparkEntry {
          SELECT '(corrupt)', CAST(count(*) AS BIGINT),
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
+         ORDER BY source""",
+    // .tar.zst: whole-archive frames, so the quarantine unit is the
+    // SHARD (chunk), closed-form via integer division on doc_id
+    "q_tar_zst" ->
+      """SELECT source,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+           CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM documents WHERE (doc_id // 15) % 7 != 5
+         GROUP BY source
+         UNION ALL
+         SELECT '(corrupt)', CAST(count(DISTINCT doc_id // 15) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         FROM documents WHERE (doc_id // 15) % 7 = 5
          ORDER BY source""",
     // CSV ingest: text2 reconstructs the embedded comma/quote/newline
     // marker; the corrupt set is exactly the planted type-broken ids,
