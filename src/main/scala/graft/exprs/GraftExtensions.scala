@@ -182,6 +182,18 @@ object GraftExtensions {
         children.drop(4).zipWithIndex.map { case (c, i) =>
           stringLit(c, f, s"carryCol[$i]") })
     },
+    tfn("compressed_members", graft.operators.Codecs.getClass) { children =>
+      val f = "compressed_members(table, idCol, payloadCol)"
+      expectArity(f, children, 3)
+      val t = SparkSession.active.table(stringLit(children(0), f, "table"))
+      graft.operators.Codecs.parseMembers(
+        t.select(
+          org.apache.spark.sql.functions
+            .col(stringLit(children(1), f, "idCol")).as("doc_id"),
+          org.apache.spark.sql.functions
+            .col(stringLit(children(2), f, "payloadCol")).as("payload")))(
+        SparkSession.active).toDF()
+    },
     tfn("pack_sequences", graft.operators.Pack.getClass) { children =>
       val f = "pack_sequences(table, idCol, tokensExpr, budget, partitionCol...)"
       if (children.size < 4) userError(s"$f: expected >= 4 arguments")

@@ -106,6 +106,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("enc_docs")
   }
 
+  test("table function: compressed_members walks a mixed corpus from pure SQL") {
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    def gz(s: String): Array[Byte] = {
+      val mem = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(mem)
+      g.write(s.getBytes("UTF-8")); g.close()
+      mem.toByteArray
+    }
+    def zst(s: String): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(s.getBytes("UTF-8")) }
+      finally ctx.close()
+    }
+    Seq((1L, gz("via gzip") ++ zst("via zstd")), (2L, zst("solo")))
+      .toDF("id", "payload").createOrReplaceTempView("cm_blobs")
+    val rows = spark.sql(
+      """SELECT doc_id, format, body_text
+         FROM compressed_members('cm_blobs', 'id', 'payload')
+         ORDER BY doc_id, offset""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "gzip", "via gzip"), (1L, "zstd", "via zstd"), (2L, "zstd", "solo")))
+    spark.catalog.dropTempView("cm_blobs")
+  }
+
   test("cdc_cuts from SQL equals the Column API and the HOF formulation") {
     val spark = graft.TestSession.spark
     import spark.implicits._
