@@ -1999,23 +1999,28 @@ object SparkEntry {
     val schema = s.read.parquet(in).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
+    // digest IN-STREAM: the sink carries (format, source, len, fp) — a
+    // few dozen bytes per member instead of the decoded text, so the
+    // stream's write cost is metadata-sized while the md5 gate still
+    // covers every decoded byte (measured: the full-text sink was 228 s
+    // at 100x, all write amplification)
     val members = graft.operators.Codecs.parseMembers(stream).toDF()
       .filter(!col("corrupt"))
-      .select(col("format"), col("body_text"))
+      .select(col("format"),
+        element_at(split(col("body_text"), "\t", 3), 2).as("source"),
+        length(col("body_text")).cast("long").as("len"),
+        Split.hashDraw32(col("body_text")).as("fp"))
     val finished = members.writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("parquet").option("path", out)
       .start().awaitTermination(180000)
     require(finished, "streaming corpus ingest did not finish within 180s")
     s.read.parquet(out)
-      .select(col("format"),
-        element_at(split(col("body_text"), "\t", 3), 2).as("source"),
-        col("body_text").as("body"))
       .groupBy(col("format"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(length(col("body"))).cast("long").as("sum_chars"),
-        sum(Split.hashDraw32(col("body"))).cast("long").as("sum_fp"))
+        sum(col("len")).cast("long").as("sum_chars"),
+        sum(col("fp")).cast("long").as("sum_fp"))
       .orderBy(col("format"), col("source"))
   }
 
