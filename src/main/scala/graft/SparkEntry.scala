@@ -2184,6 +2184,85 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Avro OCF front door ([[graft.operators.AvroWalk]], from-spec):
+    * 15-doc container files written by the REAL Avro library in all
+    * four codecs (codec = chunk mod 4; the snappy and zstandard blocks
+    * decode through the in-repo codecs), each ≡2 mod 9 chunk truncated
+    * (single-block files, so the whole chunk quarantines — header
+    * intact, so the quarantine row still knows its codec). Values
+    * must decode byte-exactly for the md5 oracle to agree.
+    */
+  private def qAvroIngest(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+         {"name":"id","type":"long"},
+         {"name":"source","type":"string"},
+         {"name":"text","type":["null","string"]}]}"""
+    val blobs = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 15)
+      .mapGroups { (chunk, it) =>
+        import org.apache.avro.Schema
+        import org.apache.avro.file.{CodecFactory, DataFileWriter}
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+        val schema = new Schema.Parser().parse(schemaJson)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec((chunk % 4) match {
+          case 0 => CodecFactory.nullCodec()
+          case 1 => CodecFactory.deflateCodec(6)
+          case 2 => CodecFactory.snappyCodec()
+          case _ => CodecFactory.zstandardCodec(3)
+        })
+        w.setSyncInterval(1 << 20) // one block per file: the quarantine unit
+        w.create(schema, out)
+        it.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+          val r = new GenericData.Record(schema)
+          r.put("id", id); r.put("source", src); r.put("text", text)
+          w.append(r)
+        }
+        w.close()
+        val bytes = out.toByteArray
+        (chunk, if (chunk % 9 == 2) bytes.take(bytes.length - 10) else bytes)
+      }
+      .toDF("doc_id", "payload")
+    graft.operators.AvroWalk.parseRecords(blobs).toDF()
+      .select(col("codec"),
+        when(col("corrupt"), lit("(corrupt)"))
+          .otherwise(element_at(col("values"), 2)).as("source"),
+        when(col("corrupt"), lit(null).cast("string"))
+          .otherwise(element_at(col("values"), 3)).as("text"))
+      .groupBy(col("codec"), col("source"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        coalesce(sum(Split.hashDraw32(col("text"))), lit(0L))
+          .cast("long").as("sum_fp"))
+      .orderBy(col("codec"), col("source"))
+  }
+
+  /** ORC source/sink roundtrip: the corpus written as zlib ORC and read
+    * back through Spark's native ORC source (predicate pushdown and
+    * column pruning come free from the format's stripe stats) — the
+    * md5 oracle gates byte-exact text fidelity through the format.
+    */
+  private def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .write.mode("overwrite").option("compression", "zlib").orc(s"$tmp/docs")
+    s.read.orc(s"$tmp/docs")
+      .filter(col("doc_id") % 3 =!= 1) // pushed to the stripe scan
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(Split.hashDraw32(col("text"))).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraph(
@@ -4798,6 +4877,8 @@ object SparkEntry {
     "q_zstd_ranged" -> (qZstdRanged _),
     "q_csv_ingest" -> (qCsvIngest _),
     "q_tar_zst" -> (qTarZst _),
+    "q_avro_ingest" -> (qAvroIngest _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -7934,6 +8015,38 @@ object SparkEntry {
                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          FROM documents WHERE doc_id % 97 = 13
          ORDER BY source""",
+    // ORC roundtrip: format fidelity gated by the md5 sums; the planted
+    // filter exercises stripe-stat pushdown on the read side
+    "q_orc_roundtrip" ->
+      """SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM documents WHERE doc_id % 3 != 1
+         GROUP BY source ORDER BY source""",
+    // Avro OCF: corrupt rows keep their codec (the header survives the
+    // tail truncation); the per-codec corrupt counts are chunk counts
+    "q_avro_ingest" ->
+      """WITH c AS (
+           SELECT doc_id, source, text, doc_id // 15 AS chunk
+           FROM documents),
+         k AS (
+           SELECT *, CASE CAST(chunk % 4 AS INTEGER)
+             WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+             WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec
+           FROM c)
+         SELECT codec, source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM k WHERE chunk % 9 != 2
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT codec, '(corrupt)', CAST(count(DISTINCT chunk) AS BIGINT),
+           CAST(0 AS BIGINT)
+         FROM k WHERE chunk % 9 = 2 GROUP BY 1
+         ORDER BY codec, source""",
     // .tar.zst: whole-archive frames, so the quarantine unit is the
     // SHARD (chunk), closed-form via integer division on doc_id
     "q_tar_zst" ->
