@@ -426,6 +426,28 @@ object Rank {
       textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
+    // one native compiled scan per document (graft.exprs.PhraseHits):
+    // the HOF formulation (kept below for the spec's equivalence
+    // witness) is semantically identical but CodegenFallback-interpreted
+    val hits = graft.exprs.PhraseHits(col(textCol), phrase)
+    docs
+      .select(col(idCol).as("doc_id"), hits.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        element_at(col("hits"), 1).as("n_hits"),
+        element_at(col("hits"), 2).as("first_pos"))
+  }
+
+  /** The higher-order-function formulation of [[phraseSearch]] — the
+    * declarative spelling Catalyst cannot compile (HigherOrderFunction
+    * is CodegenFallback). Kept as the independent equivalence witness
+    * the spec checks the native scan against.
+    */
+  private[graft] def phraseSearchHof(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val k = phrase.length
     val hitArr = when(size(toks) >= k,

@@ -241,6 +241,24 @@ class RankSpec extends SparkSpec {
     assert(abc.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("phraseSearch native scan ≡ the HOF formulation (randomized)") {
+    val r = new scala.util.Random(42)
+    val vocab = Array("a", "bb", "ccc", "table", "x")
+    val docs = (0 until 300).map { i =>
+      val n = r.nextInt(30)
+      val extraSpace = if (i % 7 == 0) "  " else " " // multi-space runs too
+      (i.toLong, (0 until n).map(_ => vocab(r.nextInt(vocab.length)))
+        .mkString(extraSpace) + (if (i % 11 == 0) "  " else ""))
+    }.toDF("doc_id", "text")
+    for (phrase <- Seq(Seq("a"), Seq("table", "table"), Seq("a", "bb", "a"))) {
+      val native = Rank.phraseSearch(docs, "doc_id", "text", phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val hof = Rank.phraseSearchHof(docs, "doc_id", "text", phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(native.toSeq === hof.toSeq, s"phrase $phrase")
+    }
+  }
+
   test("phraseSearch is a zero-shuffle scan (no Exchange, no explode)") {
     val docs = spark.range(100).selectExpr("id AS doc_id",
       "concat('w', CAST(id % 5 AS STRING), ' table table x') AS text")
