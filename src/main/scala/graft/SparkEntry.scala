@@ -2543,6 +2543,32 @@ object SparkEntry {
     Ann.ivfTopK(assigned, "vec_id", "embedding", cents, q, 10, 2)
   }
 
+  /** IVF index PERSISTENCE roundtrip — "the index is a table": the
+    * assignments land in parquet PARTITIONED BY centroid_id and the
+    * centroid table beside them, then the probe runs from the
+    * re-read tables with fresh lineage. nProbe=2 of 8 cells means the
+    * probe's `centroid_id IN (...)` filter prunes 6/8 of the index at
+    * the FILE level (partition pruning, no data read) — at 100 TB this
+    * is the difference between an index and a scan. Oracle =
+    * [[qAnnIvf]]'s verbatim: persistence must be value-invisible.
+    */
+  private def qAnnPersisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val emb = T.embeddings(s, d)
+    val cents = Ann.seedCentroids(emb, "vec_id", "embedding", 8)
+    val q = cents.head._2
+    Ann.ivfAssign(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$tmp/assigned")
+    cents.toDF("cid", "cvec").write.mode("overwrite").parquet(s"$tmp/cents")
+    val assigned = s.read.parquet(s"$tmp/assigned")
+    val cents2 = s.read.parquet(s"$tmp/cents")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    Ann.ivfTopK(assigned, "vec_id", "embedding", cents2, q, 10, 2)
+  }
+
   /** IVF-PQ ANN ([[graft.operators.Ann.ivfPqTopK]]) — the composed
     * billion-vector probe: 8 seeded IVF cells prune the corpus to the 2
     * cells nearest the query, the survivors PQ-encode (8 subspaces × 16
@@ -4879,6 +4905,7 @@ object SparkEntry {
     "q_tar_zst" -> (qTarZst _),
     "q_avro_ingest" -> (qAvroIngest _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_ann_persisted" -> (qAnnPersisted _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -6531,6 +6558,30 @@ object SparkEntry {
            round(sum(value), 2) AS sum_v
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_ann_ivf" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS c
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id <> 0),
+         q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         assign AS (
+           SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, c) DESC, cid DESC) AS rn
+           FROM corpus CROSS JOIN cent),
+         probes AS (
+           SELECT cid FROM cent, q
+           ORDER BY list_cosine_similarity(c, qv) DESC, cid ASC LIMIT 2)
+         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos
+         FROM assign, q
+         WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    // persistence is value-invisible: the SAME oracle as q_ann_ivf
+    "q_ann_persisted" ->
       """WITH cent AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                   CAST(embedding AS DOUBLE[]) AS c
