@@ -1142,6 +1142,7 @@ object SparkEntry {
 <div class="nav">Home | About</div>
 <p>$text</p>
 <p>x &amp; y &lt; z&nbsp;&nbsp;ok</p>
+<p>$HtmlCharrefWitness</p>
 <a href="https://example.com/d/$id">read doc $id</a>
 </body></html>"""
           (uri, "response", html.getBytes("UTF-8"))
@@ -1423,13 +1424,31 @@ object SparkEntry {
   /** HTML → text extraction ([[graft.operators.HtmlExtract]]): every
     * document wrapped in a deterministic page template (title with an
     * entity, style + script blocks with embedded `<` and quoted tags,
-    * a comment, nav boilerplate, entity-laden paragraphs, an anchor),
-    * then extracted back. The oracle writes the ANALYTIC expected text
-    * — nav line + the ORIGINAL text + decoded entity line + anchor
-    * text — so hash equality proves script/style/comment removal,
-    * block-newline structure, tag stripping, entity decode, and
-    * whitespace canonicalization against ground truth.
+    * a comment, nav boilerplate, entity-laden paragraphs, a CHARACTER-
+    * REFERENCE witness line — decimal/hex smart quotes, `&#X` casing,
+    * em-dashes, numeric NBSP, soft hyphen, the HTML5 C1→cp1252 remap
+    * (`&#146;`), the `&amp;lt;` double-escape, an invalid surrogate,
+    * an out-of-plane code point, an unknown name, `&euro;`/`&frac12;`
+    * — and an anchor), then extracted back. The oracle writes the
+    * ANALYTIC expected text — nav line + the ORIGINAL text + decoded
+    * entity lines + anchor text, with `chr()` arithmetic for the
+    * non-ASCII code points — so hash equality proves script/style/
+    * comment removal, block-newline structure, tag stripping, the
+    * full numeric+named entity decode with its guards, and whitespace
+    * canonicalization against ground truth.
     */
+  private[graft] val HtmlCharrefWitness: String =
+    "it&#8217;s &#x2019;q&#X2019; &mdash;&#8212; a&nbsp;&#160;b &shy;c " +
+      "&#146;w &amp;lt; &#xD800;s &#1114112;o &unknown; &euro;1 &frac12;"
+
+  /** [[HtmlCharrefWitness]] after the documented decode + whitespace
+    * canonicalization — the analytic ground truth the oracle mirrors
+    * with `chr()` arithmetic.
+    */
+  private[graft] val HtmlCharrefDecoded: String =
+    "it’s ’q’ —— a b c ’w &lt; " +
+      "&#xD800;s &#1114112;o &unknown; €1 ½"
+
   private def qHtmlExtract(s: SparkSession, d: String): DataFrame = {
     import graft.operators.HtmlExtract
     val html = concat(
@@ -1440,6 +1459,7 @@ object SparkEntry {
       lit("<body>\n<!-- navigation -->\n<div class=\"nav\">Home | About</div>\n"),
       lit("<p>"), col("text"), lit("</p>\n"),
       lit("<p>x &amp; y &lt; z&nbsp;&nbsp;ok</p>\n"),
+      lit("<p>" + HtmlCharrefWitness + "</p>\n"),
       lit("<a href=\"https://example.com/d/"), col("doc_id"),
       lit("\">read doc "), col("doc_id"), lit("</a>\n</body></html>"))
     T.documents(s, d)
@@ -1452,7 +1472,8 @@ object SparkEntry {
         element_at(HtmlExtract.links(col("html")), 1).as("first_link"),
         (HtmlExtract.text(col("html")) ===
           concat(lit("Home | About\n"), col("text"),
-            lit("\nx & y < z ok\nread doc "), col("doc_id"))).as("exact"))
+            lit("\nx & y < z ok\n" + HtmlCharrefDecoded + "\nread doc "),
+            col("doc_id"))).as("exact"))
       .orderBy(col("doc_id"))
   }
 
@@ -7756,13 +7777,21 @@ object SparkEntry {
          FROM a JOIN b ON a.s_sec <= b.be AND b.bs <= a.e_sec
          ORDER BY a_slot, b_slot""",
     // HTML extraction: the oracle writes the ANALYTIC expected text
-    // (nav + original text + decoded entity line + anchor text) —
-    // hash equality proves the whole chain against ground truth
+    // (nav + original text + decoded entity lines + anchor text; the
+    // charref witness decodes via chr() arithmetic — smart quotes
+    // 8217/x2019, C1-remapped &#146;, em-dash 8212, euro 8364, ½ 189
+    // — while the guarded-invalid references stay literal) — hash
+    // equality proves the whole chain against ground truth
     "q_html_extract" ->
       """SELECT doc_id,
            'Doc ' || doc_id || ' & friends' AS title,
            'Home | About' || chr(10) || text || chr(10) ||
-             'x & y < z ok' || chr(10) || 'read doc ' || doc_id AS text_out,
+             'x & y < z ok' || chr(10) ||
+             'it' || chr(8217) || 's ' || chr(8217) || 'q' || chr(8217) ||
+             ' ' || chr(8212) || chr(8212) || ' a b c ' || chr(8217) ||
+             'w &lt; &#xD800;s &#1114112;o &unknown; ' || chr(8364) ||
+             '1 ' || chr(189) || chr(10) ||
+             'read doc ' || doc_id AS text_out,
            CAST(1 AS INTEGER) AS n_links,
            'https://example.com/d/' || doc_id AS first_link,
            TRUE AS exact
@@ -7801,7 +7830,12 @@ object SparkEntry {
          f AS (
            SELECT d.doc_id, d.g, d.m,
              'Home | About' || chr(10) || d.text || chr(10) ||
-               'x & y < z ok' || chr(10) || 'read doc ' || d.doc_id
+               'x & y < z ok' || chr(10) ||
+               'it' || chr(8217) || 's ' || chr(8217) || 'q' || chr(8217) ||
+               ' ' || chr(8212) || chr(8212) || ' a b c ' || chr(8217) ||
+               'w &lt; &#xD800;s &#1114112;o &unknown; ' || chr(8364) ||
+               '1 ' || chr(189) || chr(10) ||
+               'read doc ' || d.doc_id
                AS text_out
            FROM d LEFT JOIN c ON d.chunk = c.chunk
            WHERE c.bad IS NULL OR d.doc_id <> c.bad),
@@ -7810,7 +7844,7 @@ object SparkEntry {
              CASE WHEN g = 6 THEN TRUE
                   WHEN g % 3 = 2 THEN (m = 2)
                   ELSE (m IN (1, 2, 4)) END AS allowed,
-             strlen(text_out) AS n_chars
+             length(text_out) AS n_chars
            FROM f),
          k AS (SELECT v.*, (allowed AND n_chars >= 90) AS kept FROM v)
          SELECT 'site' || g || '.com' AS host,
@@ -8103,7 +8137,7 @@ object SparkEntry {
     "q_tar_zst" ->
       """SELECT source,
            CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
            CAST(sum(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
              AS BIGINT) AS sum_fp
          FROM documents WHERE (doc_id // 15) % 7 != 5

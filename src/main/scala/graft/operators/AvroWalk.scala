@@ -279,7 +279,11 @@ object AvroWalk {
                 val buf = new Array[Byte](1 << 16)
                 while (!inf.finished()) {
                   val k = inf.inflate(buf)
-                  require(k > 0 || !inf.needsInput(), "truncated deflate")
+                  // any zero-progress state that is not completion —
+                  // truncated input, a preset-dictionary demand, or any
+                  // other stall — fails into the quarantine path instead
+                  // of spinning an executor forever on a hostile block
+                  require(k > 0 || inf.finished(), "truncated or stalled deflate")
                   bos.write(buf, 0, k)
                 }
                 inf.end()

@@ -16,18 +16,20 @@ import org.apache.spark.sql.functions._
   *  2. drop the `<head>` (after pulling [[title]] from it);
   *  3. BLOCK-level tags become newlines (the structure signal quality
   *     scorers use: line counts, line lengths); remaining tags vanish;
-  *  4. the named entities that dominate real corpora decode
-  *     (`&amp; &lt; &gt; &quot; &#39; &nbsp;` — `&amp;` LAST so
-  *     `&amp;lt;` does not double-decode);
+  *  4. character references decode in one native compiled pass
+  *     ([[graft.exprs.HtmlEntityDecode]]): decimal/hex NUMERIC
+  *     references with valid-plane + surrogate guards (and the HTML5
+  *     windows-1252 C1 remap), plus the ~50 high-frequency named
+  *     entities — single left-to-right scan, so `&amp;lt;` yields
+  *     the literal `&lt;` (the HTML semantics); NBSP becomes plain
+  *     space and soft hyphen drops (corpus-cleaning contract);
   *  5. whitespace canonicalizes: runs of spaces/tabs collapse, space
   *     around newlines trims, newline runs collapse, edges trim.
   *
-  * Honest subset: no numeric character references beyond `&#39;`
-  * (computed code points need a real parser — a deployment plugs one
-  * at the [[Multimodal.decodeStub]]-style seam), no CDATA, no
-  * conditional comments. The chain is deterministic and replays in
-  * any RE2/PCRE engine, which is what the analytic `q_html_extract`
-  * oracle exploits.
+  * Honest subset: no CDATA, no conditional comments, no
+  * semicolon-less legacy entities. The chain is deterministic and
+  * replays in any RE2/PCRE engine plus `chr()` arithmetic, which is
+  * what the analytic `q_html_extract` oracle exploits.
   */
 object HtmlExtract {
 
@@ -55,14 +57,8 @@ object HtmlExtract {
     squeeze(entities(noTags))
   }
 
-  private def entities(c: Column): Column = {
-    val e1 = regexp_replace(c, "&lt;", "<")
-    val e2 = regexp_replace(e1, "&gt;", ">")
-    val e3 = regexp_replace(e2, "&quot;", "\"")
-    val e4 = regexp_replace(e3, "&#39;", "'")
-    val e5 = regexp_replace(e4, "&nbsp;", " ")
-    regexp_replace(e5, "&amp;", "&") // last — see object scaladoc
-  }
+  private def entities(c: Column): Column =
+    graft.exprs.HtmlEntityDecode(c)
 
   private def squeeze(c: Column): Column = {
     val s1 = regexp_replace(c, "[ \\t]{2,}", " ")

@@ -411,11 +411,14 @@ object Rank {
     * codegen'd scan: instead of the textbook positional-inverted-index
     * build (explode → per-term postings → k-way adjacency self-join,
     * k shuffles of corpus-sized postings), the adjacency test runs as
-    * higher-order array functions over each document's own token
-    * array — `filter(sequence(0, n-k), i -> toks[i]==w0 && …)` — so a
-    * petabyte corpus answers a phrase query in one scan-local pass
-    * with column pruning and no exchange at all. Overlapping
-    * occurrences count (the standard positional semantics).
+    * the native compiled [[graft.exprs.PhraseHits]] expression — one
+    * tokenize-and-match pass over each document inside whole-stage
+    * codegen — so a petabyte corpus answers a phrase query in one
+    * scan-local pass with column pruning and no exchange at all.
+    * Overlapping occurrences count (the standard positional
+    * semantics). [[phraseSearchHof]] keeps the declarative
+    * higher-order-function spelling of the same test as the spec's
+    * independent equivalence witness.
     *
     * Returns only matching docs: (doc_id, n_hits, first_pos) with
     * first_pos 0-based in tokens.

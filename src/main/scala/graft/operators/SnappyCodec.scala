@@ -141,8 +141,13 @@ object SnappyCodec {
     * ending leniently at the first byte that is not a valid snappy
     * chunk — the member shape the mixed-format [[Codecs]] walk needs
     * (the framing format is unbounded by design; in a concatenated
-    * corpus the next member's magic byte, 0x1f/0x28/0x04, falls in
-    * snappy's reserved-unskippable range and terminates the member).
+    * corpus the next member's magic byte, 0x1f/0x28/0x04/0x42, falls
+    * in snappy's reserved-unskippable range and terminates the member
+    * — EXCEPT xz, whose first magic byte 0xfd lands in the skippable
+    * range; that adjacency is resolved by sniffing the full 6-byte xz
+    * magic before consuming a 0xfd "skippable" chunk, and by treating
+    * a skippable chunk whose declared size overruns the buffer as
+    * end-of-member rather than corruption).
     * Returns Some((data, nextPos)); None if the stream id is absent or
     * any PARSED chunk fails its CRC.
     */
@@ -158,11 +163,21 @@ object SnappyCodec {
         val chunkType = b(p) & 0xff
         val valid = chunkType == 0x00 || chunkType == 0x01 || chunkType == 0xfe ||
           (chunkType >= 0x80 && chunkType <= 0xfd)
-        if (!valid) done = true // next member's magic (or stream end)
+        val xzMagicHere = chunkType == 0xfd && b.length - p >= 6 &&
+          (b(p + 1) & 0xff) == 0x37 && (b(p + 2) & 0xff) == 0x7a &&
+          (b(p + 3) & 0xff) == 0x58 && (b(p + 4) & 0xff) == 0x5a && b(p + 5) == 0
+        val skippable = chunkType == 0xfe || (chunkType >= 0x80 && chunkType <= 0xfd)
+        if (!valid || xzMagicHere) done = true // next member's magic (or stream end)
+        else if (skippable && b.length - p < 4) done = true // truncated foreign tail
         else {
           if (b.length - p < 4) return None
           val size = (b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8) | ((b(p + 3) & 0xff) << 16)
-          if (p + 4 + size > b.length) return None
+          if (p + 4 + size > b.length) {
+            if (skippable) { done = true } // bogus length from foreign bytes: end of member
+            else return None
+          }
+          if (done) { /* fall through to loop exit without consuming */ }
+          else {
           val q = p + 4
           chunkType match {
             case 0x00 =>
@@ -178,6 +193,7 @@ object SnappyCodec {
             case _ => () // padding / skippable
           }
           p += 4 + size
+          }
         }
       }
       Some((out.toByteArray, p))

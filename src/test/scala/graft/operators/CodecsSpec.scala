@@ -72,6 +72,25 @@ class CodecsSpec extends AnyFunSuite {
       Seq("first ok", "after the gap", "last ok"))
   }
 
+  test("xz directly after snappy: 0xfd magic byte is not eaten as a skippable chunk") {
+    // xz's first magic byte (0xfd) lands in snappy framing's SKIPPABLE
+    // range; an unsniffled walk would consume the xz header as a bogus
+    // 0x587a37-byte skippable chunk and quarantine the valid snappy
+    // member. Both adjacency orders must survive.
+    val whole = snap("snappy before xz") ++ xz("xz after snappy") ++ snap("snappy tail")
+    val m = Codecs.members(whole)
+    assert(m.map(_._2) === Seq("snappy", "xz", "snappy"))
+    assert(m.map(x => new String(x._3, "UTF-8")) ===
+      Seq("snappy before xz", "xz after snappy", "snappy tail"))
+    // and the overrun fallback alone (no full 6-byte magic visible —
+    // payload truncated right after the 0xfd byte) ends the member
+    // leniently instead of failing it
+    val truncated = snap("lenient end") ++ Array[Byte](0xfd.toByte)
+    val d = SnappyCodec.decodeFramedAt(truncated, 0)
+    assert(d.isDefined)
+    assert(new String(d.get._1, "UTF-8") === "lenient end")
+  }
+
   test("empty and garbage payloads yield empty / fully-quarantined walks") {
     assert(Codecs.members(Array.emptyByteArray).isEmpty)
     assert(Codecs.members(null).isEmpty)

@@ -47,4 +47,29 @@ class HtmlExtractSpec extends SparkSpec {
   test("plain text passes through unchanged (idempotent on non-HTML)") {
     assert(extract("just words, no markup") === "just words, no markup")
   }
+
+  test("numeric charrefs: decimal, hex (both X casings), C1 remap, NBSP, shy") {
+    val t = extract("<p>it&#8217;s &#x2019;q&#X2019; &#146;w a&#160;b &shy;c&#173;d</p>")
+    assert(t === "it’s ’q’ ’w a b cd")
+  }
+
+  test("guarded-invalid references stay byte-for-byte literal") {
+    val t = extract(
+      "<p>&#xD800; &#0; &#1114112; &#x110000; &#999999999; &# ; &#x; &unknown; &zz &frac12</p>")
+    assert(t ===
+      "&#xD800; &#0; &#1114112; &#x110000; &#999999999; &# ; &#x; &unknown; &zz &frac12")
+  }
+
+  test("single-pass decode: &amp;#8217; yields the literal reference text") {
+    // the HTML semantics: the replacement is never rescanned
+    assert(extract("<p>&amp;#8217; &amp;amp; &amp;euro;</p>") ===
+      "&#8217; &amp; &euro;")
+  }
+
+  test("high-frequency named entities decode; euro, fractions, accents") {
+    val t = extract(
+      "<p>&mdash;&ndash; &hellip; &copy;&reg;&trade; &euro;5 &frac12; caf&eacute; &laquo;q&raquo;</p>")
+    assert(t ===
+      "—– … ©®™ €5 ½ café «q»")
+  }
 }
