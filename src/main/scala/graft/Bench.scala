@@ -55,6 +55,11 @@ object Bench {
     // never sets it, so recorded artifacts always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // diagnostic-tier queries (equivalence witnesses for a registered
+    // scale path) stay out of the recorded sweep unless explicitly
+    // requested — the correctness gate still runs them at every scale
+    val includeDiagnostics =
+      sys.env.get("SPARK_GRAFT_DIAGNOSTICS").contains("1") || only.isDefined
     // Forcing mode. Default `.count()` is the driver's recorded convention
     // (kept for round-over-round comparability) — but count lets Catalyst
     // prune terminal projections, so narrow per-row queries (regex scrubs,
@@ -70,6 +75,8 @@ object Bench {
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
+        .filter { case (name, _) =>
+          includeDiagnostics || !SparkEntry.diagnosticOnly(name) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -33,7 +33,10 @@ object BenchIter {
       println(f"[benchiter] $label%-28s ${runs.map(_._1).min}%8.2f s  (rows ${runs.head._2})")
     }
 
-    for (it <- Seq(1, 2, 5, 10))
+    // 30-iteration point: with the per-iteration lazy localCheckpoint
+    // the wall must stay linear in iterations (flat per-iteration cost);
+    // pre-fix, plan analysis grew with the embedded prior plans
+    for (it <- Seq(1, 2, 5, 10, 30))
       time(s"pageRank it=$it") { Rank.pageRank(g, it).count() }
     val e = Rank.tradeEdges(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 1000000L)
       .localCheckpoint()

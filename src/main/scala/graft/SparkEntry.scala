@@ -916,6 +916,27 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Forward-push personalized PageRank
+    * ([[graft.operators.Rank.pprForwardPush]]): the localized-mass
+    * scale path for [[qPersonalizedPagerank]]'s question — same seed
+    * set, same trade graph, but work ∝ pushed mass instead of 6
+    * edge-scale shuffles (the edge list is scanned, never shuffled;
+    * the frontier is provably ≤ 1/ε rows and broadcast). 20
+    * synchronous rounds at ε = 10⁻⁵; the oracle replays the entire
+    * integer push schedule as generated CTEs, so the hash proves the
+    * batched ACL semantics exactly — not merely "close to" the power
+    * method (RankSpec locks that bound separately).
+    */
+  private def qPprPush(s: SparkSession, d: String): DataFrame = {
+    val g = Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L)
+    // same derivation note as [[qPersonalizedPagerank]]: seeds from the
+    // orders scan, equal by construction to graph srcs < 5
+    val sources = T.orders(s, d).select(col("o_custkey").as("node"))
+      .filter(col("node") < 5).distinct()
+    Rank.pprForwardPush(g, sources, 20)
+      .orderBy(col("node"))
+  }
+
   /** Ordered 4-stage funnel over events: each stage counts users whose
     * stage event falls strictly after their earliest completion of the
     * previous stage.
@@ -1346,6 +1367,10 @@ object SparkEntry {
     * member), so the per-source rollup groups ALL entries by the name
     * itself. The corrupt set is closed-form (min doc of the chunk), so
     * the whole pack→walk→verify pipeline replays from the base table.
+    * Chunks ≡ 2 (mod 4) serialize as FORCED-ZIP64 archives (saturated
+    * EOCD/central fields + locator/record/0x0001 indirection) — the
+    * >4 GiB-layout witness; entries and hash are identical to the
+    * classic serialization, which is exactly the claim.
     */
   private def qZipIngest(s: SparkSession, d: String): DataFrame = {
     import graft.operators.ZipWalk
@@ -1360,7 +1385,9 @@ object SparkEntry {
           (s"doc/$id.txt", text.getBytes("UTF-8"), id % 2 == 1)
         }
         val corrupt: Set[Int] = if (chunk % 4 == 1) Set(0) else Set.empty[Int]
-        (chunk, ZipWalk.fixture(recs, corrupt))
+        (chunk,
+          if (chunk % 4 == 2) ZipWalk.fixture64(recs)
+          else ZipWalk.fixture(recs, corrupt))
       }.toDF("doc_id", "payload")
     ZipWalk.parseEntries(zips).toDF()
       .withColumn("src_doc",
@@ -1378,6 +1405,44 @@ object SparkEntry {
         min(when(!col("corrupt"), col("src_doc"))).as("min_doc"),
         max(when(!col("corrupt"), col("src_doc"))).as("max_doc"))
       .orderBy(col("source"))
+  }
+
+  /** Mixed-charset ingest witness
+    * ([[graft.functions.Text.decodeCharset]]): each document
+    * serialized in one of five byte encodings by doc_id (plain UTF-8,
+    * BOM'd UTF-8, windows-1252 legacy bytes, UTF-16 LE/BE with BOMs),
+    * all carrying a non-ASCII witness suffix (é, em-dash, euro, ™ —
+    * each cp1252-representable so every modality round-trips the SAME
+    * text), then decoded back through the shared front-door seam the
+    * WARC/TAR/ZIP/mbox walks use. The oracle is the closed-form
+    * expected text via chr() arithmetic — hash equality proves BOM
+    * routing, the strict-UTF-8 validity scan, and the cp1252
+    * fallback, against ground truth rather than self-consistency.
+    */
+  private def qCharsetDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val witness = "café — €9 ™"
+    val decoded = T.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val full = s"$text [$witness]"
+        val payload: Array[Byte] = (id % 5) match {
+          case 0 => full.getBytes("UTF-8")
+          case 1 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+            full.getBytes("UTF-8")
+          case 2 => full.getBytes("windows-1252")
+          case 3 => Array(0xff.toByte, 0xfe.toByte) ++
+            full.getBytes("UTF-16LE")
+          case _ => Array(0xfe.toByte, 0xff.toByte) ++
+            full.getBytes("UTF-16BE")
+        }
+        (id, id % 5, graft.functions.Text.decodeCharset(payload))
+      }
+      .toDF("doc_id", "mode", "text_out")
+    decoded
+      .withColumn("n_chars", length(col("text_out")).cast("long"))
+      .orderBy(col("doc_id"))
   }
 
   /** URL hygiene ([[graft.operators.UrlOps]]): six deterministic URL
@@ -2290,29 +2355,62 @@ object SparkEntry {
           T.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id", "embedding", 3))
       .orderBy(col("node"))
 
+  /** Corpus-sized centroid frame for the bucketed kNN builds:
+    * C = ⌈2√N⌉ (balances assignment work against 4N²/C pair scoring),
+    * first-C corpus vectors as centroids (SQL-replayable numbering).
+    * Constant partition key on the numbering window: a C-row (≤ 2√N)
+    * frame in one partition is the intended plan — the lit key keeps
+    * WindowExec's no-partition warning out of the log noise real
+    * regressions use.
+    */
+  private def knnCentroids(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val c = math.ceil(2.0 * math.sqrt(emb.count().toDouble)).toInt
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("vec_id"))
+    emb.orderBy(col("vec_id")).limit(c)
+      .select((row_number().over(cw) - 1).as("cid"), col("embedding").as("cvec"))
+  }
+
   /** Scale-path kNN graph ([[graft.operators.Graph.knnGraphBucketed]]):
     * the SAME triangle readout as [[qKnnTriangles]], but the graph is
     * built over the FULL embeddings table with the IVF-bucketed
-    * candidate generator — C = ⌈2√N⌉ cells (first-C corpus vectors as
-    * centroids, SQL-replayable), 2-probe multi-assignment, cell-local
-    * scoring. This is the registered 100 TB input path the exact
-    * build's `vec_id < 2000` diagnostic bound defers to: O(N^1.5) work
-    * with NO corpus-sized broadcast, sub-quadratic at every decade
-    * (BENCH_r12 knn curve).
+    * candidate generator — C = ⌈2√N⌉ cells, 2-probe multi-assignment,
+    * cell-local scoring. This is the registered 100 TB input path the
+    * exact build's `vec_id < 2000` diagnostic bound defers to:
+    * O(N^1.5) work with NO corpus-sized broadcast, sub-quadratic at
+    * every decade (BENCH_r12 knn curve). Past ~10⁹ rows the C-row
+    * centroid broadcast itself grows as √N — [[qKnnTriangles2L]] is
+    * the registered two-level continuation for that regime.
     */
-  private def qKnnTrianglesBucketed(s: SparkSession, d: String): DataFrame = {
-    val emb = T.embeddings(s, d)
-    // one metadata action sizes the cell count to the corpus: C = ⌈2√N⌉
-    // balances N·C assignment sims against 4N²/C pair scoring
-    val c = math.ceil(2.0 * math.sqrt(emb.count().toDouble)).toInt
-    val cw = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val cent = emb.orderBy(col("vec_id")).limit(c)
-      .select((row_number().over(cw) - 1).as("cid"), col("embedding").as("cvec"))
+  private def qKnnTrianglesBucketed(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.triangleStats(
         graft.operators.Graph.knnGraphBucketed(
-          emb, "vec_id", "embedding", 3, cent, nProbe = 2))
+          T.embeddings(s, d), "vec_id", "embedding", 3,
+          knnCentroids(s, d), nProbe = 2))
       .orderBy(col("node"))
-  }
+
+  /** Two-level scale path
+    * ([[graft.operators.Graph.knnGraphBucketed2L]]): the bucketed
+    * build with the ASSIGNMENT stage itself quantized — √C coarse
+    * cells prune the fine-centroid scan, so per-row assignment is
+    * O(√C) and no broadcast exceeds √C ≈ N^(1/4) rows (the 10⁹-row
+    * regime where the flat C-row broadcast gives out). The oracle
+    * replays the ENTIRE two-level schedule (coarse derivation,
+    * fine→coarse parents, vector probes, candidate collapse, ranking,
+    * triangles) — hash equality proves the batched semantics exactly.
+    * On these isotropic synthetic embeddings 2-2 probing recovers
+    * most but not all of the flat build's edges (high-dim random
+    * vectors are the worst case for residual quantizers), so the flat
+    * [[qKnnTrianglesBucketed]] stays registered as the exact-oracle
+    * reference and THIS query carries the two-level contract.
+    */
+  private def qKnnTriangles2L(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.triangleStats(
+        graft.operators.Graph.knnGraphBucketed2L(
+          T.embeddings(s, d), "vec_id", "embedding", 3,
+          knnCentroids(s, d), nProbe = 2, nProbeCoarse = 2))
+      .orderBy(col("node"))
 
   /** Batch k-NN join: 5 query vectors × corpus, top-5 neighbors each —
     * broadcast NLJ scoring + WindowGroupLimit per-query top-k.
@@ -4335,6 +4433,25 @@ object SparkEntry {
     jsonSafe(AccountEndpoints.getTransaction(fixtureActions(s), "trx00000003",
       lib = 150L, blockHint = Some(103L), partitionSize = 100L))
 
+  /** v1 trace reshape: block header + per-receipt grouped traces
+    * (get_block.ts:20-126 — the header join, the per-receipt action
+    * fan-out, the authorization re-key, the trx grouping).
+    */
+  private def qHypBlockTrace(s: SparkSession, d: String): DataFrame =
+    jsonSafe(AccountEndpoints.getBlockTrace(Fixtures.blocks(s, 200).toDF(),
+      fixtureActions(s), 103L, lib = 150L))
+
+  /** check_transaction status probe: found row + unknown-fallback row
+    * in one frame (check_transaction.ts:4-27).
+    */
+  private def qHypCheckTrx(s: SparkSession, d: String): DataFrame = {
+    val found = AccountEndpoints.checkTransaction(
+      fixtureActions(s), "trx00000003", lib = 150L)
+    val missing = AccountEndpoints.checkTransaction(
+      fixtureActions(s), "deadbeef", lib = 150L)
+    jsonSafe(found.unionAll(missing)).orderBy(col("id"))
+  }
+
   /** F2/F5 over block headers. */
   private def qHypBlocks(s: SparkSession, d: String): DataFrame =
     AccountEndpoints.getBlocks(Fixtures.blocks(s, 200).toDF(),
@@ -4854,6 +4971,16 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- registry
 
+  /** Sweep-tier tag: queries that exist as EQUIVALENCE WITNESSES for a
+    * registered scale path and are priced out of the default bench
+    * sweep — the correctness gate (Verify) still runs them at every
+    * scale; Bench skips them unless SPARK_GRAFT_DIAGNOSTICS=1.
+    * `q_knn_triangles` is the exact O(N²) kNN build bounded to
+    * `vec_id < 2000`: at 100× it spent 10.04 s per sweep re-proving a
+    * bound its spec and the bucketed twin's oracle already lock.
+    */
+  val diagnosticOnly: Set[String] = Set("q_knn_triangles")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_extended_stats" -> (qExtendedStats _),
@@ -4898,12 +5025,14 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
     "q_ppr" -> (qPersonalizedPagerank _),
+    "q_ppr_push" -> (qPprPush _),
     "q_video_sample_plan" -> (qVideoSamplePlan _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_pmi_topk" -> (qPmiTopk _),
     "q_knn_triangles" -> (qKnnTriangles _),
     "q_knn_triangles_bucketed" -> (qKnnTrianglesBucketed _),
+    "q_knn_triangles_2l" -> (qKnnTriangles2L _),
     "q_hyperball" -> (qHyperball _),
     "q_harmonic_centrality" -> (qHarmonicCentrality _),
     "q_effective_diameter" -> (qEffectiveDiameter _),
@@ -4928,6 +5057,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_ann_persisted" -> (qAnnPersisted _),
     "q_url_canonical" -> (qUrlCanonical _),
+    "q_charset_decode" -> (qCharsetDecode _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
@@ -5079,6 +5209,8 @@ object SparkEntry {
     "q_hyperion_controlled_accounts" -> (qHypControlledAccounts _),
     "q_hyperion_account" -> (qHypAccount _),
     "q_hyperion_transaction" -> (qHypTransaction _),
+    "q_hyperion_block_trace" -> (qHypBlockTrace _),
+    "q_hyperion_check_trx" -> (qHypCheckTrx _),
     "q_hyperion_blocks" -> (qHypBlocks _),
     "q_hyperion_abi_decode" -> (qHypAbiDecode _),
     "q_hyperion_hex_decode" -> (qHypHexDecode _),
@@ -5246,9 +5378,57 @@ object SparkEntry {
          SELECT node, pr_e8 FROM r$iters ORDER BY node"""
   }
 
+  /** Generated forward-push PPR oracle: an exact CTE replay of
+    * [[graft.operators.Rank.pprForwardPush]]'s synchronous push
+    * schedule — per round, the SAME integer threshold test, the SAME
+    * double contribution expression (e0 literals force DuckDB into
+    * IEEE doubles: its bare decimal literals are EXACT decimals and
+    * would round .5 ties differently than Spark's doubles), the SAME
+    * full-outer state merge. Hash equality proves the whole schedule.
+    */
+  private def pprPushOracleSql(rounds: Int, epsE8: Long): String = {
+    val step = (i: Int) =>
+      s"""a$i AS (SELECT node, deg, r_e8 FROM s${i - 1}
+             WHERE r_e8 >= $epsE8 * deg),
+         g$i AS (SELECT ed.dst AS node, ed.dst_deg AS deg,
+             sum(CAST(round(0.85e0 * a.r_e8 / ed.deg) AS BIGINT)) AS in_e8
+           FROM ed JOIN a$i a ON ed.src = a.node GROUP BY 1, 2),
+         s$i AS MATERIALIZED (
+           SELECT coalesce(u.node, g.node) AS node,
+             coalesce(u.deg, g.deg) AS deg,
+             coalesce(u.p_e8, 0) AS p_e8,
+             CAST(coalesce(u.r_e8, 0) + coalesce(g.in_e8, 0) AS BIGINT) AS r_e8
+           FROM (SELECT node, deg,
+                   CASE WHEN r_e8 >= $epsE8 * deg
+                     THEN p_e8 + CAST(round((1.0e0 - 0.85e0) * r_e8) AS BIGINT)
+                     ELSE p_e8 END AS p_e8,
+                   CASE WHEN r_e8 >= $epsE8 * deg
+                     THEN CAST(0 AS BIGINT) ELSE r_e8 END AS r_e8
+                 FROM s${i - 1}) u
+           FULL JOIN g$i g ON u.node = g.node)"""
+    s"""WITH eraw AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eraw
+               UNION ALL SELECT b AS src, a AS dst FROM eraw),
+         deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         ed AS MATERIALIZED (SELECT e.src, e.dst, d1.deg, d2.deg AS dst_deg
+           FROM e JOIN deg d1 ON e.src = d1.src
+                  JOIN deg d2 ON e.dst = d2.src),
+         src AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src < 5),
+         nsrc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM src),
+         s0 AS MATERIALIZED (SELECT s.node, d.deg,
+           CAST(0 AS BIGINT) AS p_e8,
+           CAST(round(100000000.0e0 / (SELECT ns FROM nsrc)) AS BIGINT) AS r_e8
+           FROM src s JOIN deg d ON s.node = d.src),
+         ${(1 to rounds).map(step).mkString(",\n         ")}
+         SELECT node, p_e8, r_e8 FROM s$rounds ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_hits" -> hitsOracleSql(6),
     "q_ppr" -> pprOracleSql(6),
+    "q_ppr_push" -> pprPushOracleSql(20, 1000L),
     "q_hyperball" -> hyperballOracleSql(3),
     "q_harmonic_centrality" -> harmonicOracleSql(3),
     "q_jsonl_ingest" ->
@@ -5418,6 +5598,81 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(v, cvec) DESC, cid DESC) AS rn
            FROM corpus CROSS JOIN cent),
          cells AS (SELECT id, v, cid AS cell FROM assign WHERE rn <= 2),
+         scored AS (
+           SELECT DISTINCT l.id AS query_id, r.id AS neighbor_id,
+             round(list_cosine_similarity(r.v, l.v), 4) AS cos
+           FROM cells l JOIN cells r ON l.cell = r.cell AND l.id <> r.id),
+         rk AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored),
+         d AS (SELECT query_id, neighbor_id FROM rk WHERE rn <= 3),
+         e AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+             greatest(query_id, neighbor_id) AS b FROM d),
+         w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         t AS (SELECT x, y, z FROM w WHERE EXISTS (
+           SELECT 1 FROM e e3 WHERE e3.a = w.x AND e3.b = w.z)),
+         tn AS (SELECT node, count(*) AS triangles FROM (
+             SELECT x AS node FROM t
+             UNION ALL SELECT y FROM t
+             UNION ALL SELECT z FROM t)
+           GROUP BY 1),
+         deg AS (SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           GROUP BY 1)
+         SELECT deg.node, coalesce(tn.triangles, 0) AS triangles, deg.degree,
+           CASE WHEN deg.degree >= 2
+             THEN coalesce(tn.triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1))
+             ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tn ON deg.node = tn.node ORDER BY deg.node""",
+    // two-level kNN graph: the bucketed chain with the assignment
+    // itself quantized — coarse cells = every ⌈√C⌉-th fine centroid,
+    // fine centroids pre-assigned to their 2 nearest coarse parents,
+    // vectors probe 2 coarse cells, candidates collapse per (id, cid)
+    // before the fine top-2 rank; everything downstream identical
+    "q_knn_triangles_2l" ->
+      """WITH nv AS (
+           SELECT CAST(ceil(2 * sqrt(count(*))) AS BIGINT) AS c FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  CAST(embedding AS DOUBLE[]) AS cvec
+           FROM (SELECT * FROM embeddings ORDER BY vec_id
+                 LIMIT (SELECT c FROM nv))),
+         cc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM cent),
+         coarse AS (
+           SELECT cid // (SELECT stride FROM cc) AS gid, cvec AS gvec
+           FROM cent WHERE cid % (SELECT stride FROM cc) = 0),
+         fineof AS (
+           SELECT gid, cid, cvec FROM (
+             SELECT c.cid, c.cvec, g.gid,
+               row_number() OVER (PARTITION BY c.cid
+                 ORDER BY list_cosine_similarity(c.cvec, g.gvec) DESC,
+                          g.gid DESC) AS rn
+             FROM cent c CROSS JOIN coarse g) WHERE rn <= 2),
+         corpus AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         vprobe AS (
+           SELECT id, v, gid FROM (
+             SELECT s.id, s.v, g.gid,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY list_cosine_similarity(s.v, g.gvec) DESC,
+                          g.gid DESC) AS rn
+             FROM corpus s CROSS JOIN coarse g) WHERE rn <= 2),
+         cand AS (
+           SELECT id, cid, any_value(v) AS v, any_value(sim) AS sim FROM (
+             SELECT p.id, p.v, f.cid,
+               list_cosine_similarity(p.v, f.cvec) AS sim
+             FROM vprobe p JOIN fineof f ON p.gid = f.gid)
+           GROUP BY id, cid),
+         cells AS (
+           SELECT id, v, cid AS cell FROM (
+             SELECT id, v, cid,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY sim DESC, cid DESC) AS rn
+             FROM cand) WHERE rn <= 2),
          scored AS (
            SELECT DISTINCT l.id AS query_id, r.id AS neighbor_id,
              round(list_cosine_similarity(r.v, l.v), 4) AS cos
@@ -7776,6 +8031,15 @@ object SparkEntry {
            least(a.e_sec, b.be) - greatest(a.s_sec, b.bs) + 1 AS overlap_sec
          FROM a JOIN b ON a.s_sec <= b.be AND b.bs <= a.e_sec
          ORDER BY a_slot, b_slot""",
+    // charset seam: all five byte encodings decode to the SAME text;
+    // witness chars via chr() — é 233, em-dash 8212, euro 8364, ™ 8482
+    "q_charset_decode" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS mode,
+           text || ' [caf' || chr(233) || ' ' || chr(8212) || ' ' ||
+             chr(8364) || '9 ' || chr(8482) || ']' AS text_out,
+           length(text || ' [caf' || chr(233) || ' ' || chr(8212) || ' ' ||
+             chr(8364) || '9 ' || chr(8482) || ']') AS n_chars
+         FROM documents ORDER BY doc_id""",
     // HTML extraction: the oracle writes the ANALYTIC expected text
     // (nav + original text + decoded entity lines + anchor text; the
     // charref witness decodes via chr() arithmetic — smart quotes
@@ -9178,6 +9442,40 @@ object SparkEntry {
            block_num <= 150 AS irreversible
          FROM tr WHERE trx_id = 'trx00000003'
          ORDER BY gs0""",
+    // v1 get_block trace: ONE transfer trx in block 103 (i=3: dave →
+    // alice), its merged action fanned back out per receipt in gs
+    // order; header columns from the blocks fixture; data re-escaped
+    // by to_json exactly as Spark's nested-JSON serialization
+    "q_hyperion_block_trace" ->
+      """WITH a AS (SELECT
+           '{"from":"dave","to":"alice","quantity":"4.0000 TST","memo":"payment 3"}'
+             AS dat)
+         SELECT printf('00%014x', 103) AS id,
+           CAST(103 AS BIGINT) AS number,
+           printf('00%014x', 102) AS previous_id,
+           'irreversible' AS status,
+           epoch_ms(1700000000000 + 103 * 500) AS timestamp,
+           'prodalpha' AS producer,
+           'trx00000003' AS trx_id,
+           CAST(1000010 AS BIGINT) AS first_gs,
+           '[{"receiver":"eosio.token","account":"eosio.token","action":"transfer","authorization":[{"account":"dave","permission":"active"}],"data":'
+             || to_json(dat)
+             || '},{"receiver":"dave","account":"eosio.token","action":"transfer","authorization":[{"account":"dave","permission":"active"}],"data":'
+             || to_json(dat)
+             || '},{"receiver":"alice","account":"eosio.token","action":"transfer","authorization":[{"account":"dave","permission":"active"}],"data":'
+             || to_json(dat) || '}]' AS actions
+         FROM a""",
+    // check_transaction: the found row (root act at min gs, head
+    // signatures, LIB flag) and the reference's unknown-fallback row
+    "q_hyperion_check_trx" ->
+      """SELECT 'deadbeef' AS id, 'unknown' AS status,
+           CAST(NULL AS BIGINT) AS block_num,
+           CAST(NULL AS VARCHAR) AS root_action,
+           '[]' AS signatures, FALSE AS irreversible
+         UNION ALL
+         SELECT 'trx00000003', 'executed', CAST(103 AS BIGINT),
+           'eosio.token::transfer', '["SIG_K1_3"]', TRUE
+         ORDER BY id""",
     "q_hyperion_account" ->
       """WITH cu AS (
            SELECT i, lvl, 1000300 + 4 * i + lvl + 1 AS gs, 300 + i AS block_num,

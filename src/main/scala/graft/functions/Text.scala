@@ -13,6 +13,48 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Mixed-charset byte→text decoding — the shared front-door seam for
+    * every payload-to-text step (WARC bodies, TAR entries, ZIP entries,
+    * mbox parts). Real corpora are NOT all UTF-8; decoding them as if
+    * they were silently mojibakes every legacy page at ingest (the
+    * `fix_mojibake` expression repairs after the fact — this prevents
+    * it at the door). Deterministic detection ladder:
+    *
+    *  1. BOM: UTF-8 (EF BB BF) → strict UTF-8 of the remainder;
+    *     UTF-16 LE (FF FE) / BE (FE FF) → the indicated UTF-16 flavor;
+    *  2. no BOM: a strict RFC 3629 validity scan — valid ⇒ UTF-8
+    *     (ASCII is a trivial subset);
+    *  3. fallback: windows-1252 — the de-facto legacy web encoding
+    *     (NOT ISO-8859-1: bytes 0x80–0x9F are the smart-quote/dash/
+    *     euro glyphs, matching the HTML5 charref C1 remap).
+    *
+    * Any decode failure inside a branch falls through to the cp1252
+    * total fallback — garbage in, deterministic text out, never a
+    * throw. Heuristic honestly bounded: no charset sniffing beyond
+    * BOM+validity (no chardet statistics), no UTF-32, no EBCDIC.
+    */
+  def decodeCharset(b: Array[Byte]): String = {
+    if (b == null) return null
+    def strict(bytes: Array[Byte], off: Int, name: String): String = {
+      val dec = java.nio.charset.Charset.forName(name).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes, off, bytes.length - off))
+        .toString
+    }
+    try {
+      if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf) strict(b, 3, "UTF-8")
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+        strict(b, 2, "UTF-16LE")
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+        strict(b, 2, "UTF-16BE")
+      else strict(b, 0, "UTF-8")
+    } catch {
+      case _: Exception => new String(b, java.nio.charset.Charset.forName("windows-1252"))
+    }
+  }
+
   /** Whitespace token count (any-run-of-whitespace delimiter). */
   def tokenCount(text: Column): Column = {
     val t = trim(text)

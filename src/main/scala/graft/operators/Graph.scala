@@ -122,6 +122,107 @@ object Graph {
       .distinct()
   }
 
+  /** Two-level (coarse→fine) quantized kNN graph — [[knnGraphBucketed]]
+    * with the centroid ASSIGNMENT stage itself quantized, the step that
+    * keeps the build scale-safe past ~10⁹ rows where the flat variant's
+    * own guardrails give out: at C = ⌈2√N⌉ fine cells, flat assignment
+    * broadcasts a C-row centroid frame (60k+ rows × dim at 10⁹) and
+    * pays N·C similarity ops — the broadcast and the per-row loop both
+    * grow as √N.
+    *
+    * Here: every `stride = ⌈√C⌉`-th fine centroid serves as a COARSE
+    * centroid (√C rows — the only broadcast, bounded ~N^(1/4));
+    * each vector probes its `nProbeCoarse` nearest coarse cells; fine
+    * centroids are pre-assigned to their own nearest coarse cells and
+    * the vector→fine scoring becomes a SHUFFLE join on the coarse id —
+    * per-row work O(√C + nProbeCoarse·C/√C) = O(√C) instead of O(C),
+    * and no √N-sized broadcast anywhere. The trade is one extra
+    * shuffle of N·nProbeCoarse vector rows, which the cell-local
+    * self-join was going to shuffle anyway.
+    *
+    * Determinism: every ranking is (sim DESC, cid DESC) — the
+    * [[graft.exprs.NearestCentroid]] convention — so the whole
+    * schedule replays in SQL. Approximation: a vector can miss a fine
+    * cell whose coarse parent it did not probe; `q_knn_triangles_
+    * bucketed` keeps the FLAT-schedule oracle, so its hash-green is
+    * the measured statement that the two-level assignment reproduced
+    * the flat assignment exactly on the gate corpus (RankSpec-style
+    * equivalence, enforced by the correctness gate itself).
+    */
+  def knnGraphBucketed2L(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame, // columns: cid (int), cvec (vector)
+      nProbe: Int = 2,
+      nProbeCoarse: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbeCoarse >= 1)
+    val cents = centroids.select(col("cid"), col("cvec"))
+    // coarse = every stride-th fine centroid; stride from a 1-row agg
+    // cross-joined (no driver action, the HITS normalize pattern)
+    val cCount = cents.agg(count(lit(1)).as("__c"))
+    val withStride = cents.crossJoin(broadcast(cCount))
+      .withColumn("__stride", ceil(sqrt(col("__c"))).cast("int"))
+    val coarse = withStride
+      .filter(pmod(col("cid"), col("__stride")) === 0)
+      .select((col("cid") / col("__stride")).cast("int").as("gid"),
+        col("cvec").as("gvec"))
+    // fine→coarse pre-assignment: C×√C sims, centroid-frame-local
+    val fineSims = cents.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cvec"), col("gid"),
+        graft.exprs.CosineSim(col("cvec"), col("gvec")).as("__sim"))
+    val fw = Window.partitionBy("cid")
+      .orderBy(col("__sim").desc, col("gid").desc)
+    val fineOf = fineSims
+      .withColumn("__rn", row_number().over(fw))
+      .filter(col("__rn") <= nProbeCoarse)
+      .select(col("gid"), col("cid"), col("cvec"))
+    // vector→coarse: the only N-scale broadcast probe, √C rows
+    val vg = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(coarse))
+      .select(col("id"), col("v"), col("gid"),
+        graft.exprs.CosineSim(col("v"), col("gvec")).as("__gsim"))
+    val gw = Window.partitionBy("id")
+      .orderBy(col("__gsim").desc, col("gid").desc)
+    val probed = vg
+      .withColumn("__rn", row_number().over(gw))
+      .filter(col("__rn") <= nProbeCoarse)
+      .select(col("id"), col("v"), col("gid"))
+    // vector→fine: shuffle join on the coarse id (fine side is tiny —
+    // hint it into the hash-build role), then the flat top-nProbe rank
+    val cand = probed
+      .join(fineOf.hint("shuffle_hash"), Seq("gid"))
+      .select(col("id"), col("v"), col("cid"),
+        graft.exprs.CosineSim(col("v"), col("cvec")).as("__sim"))
+      // multi-parent fine cells arrive once per shared probed parent —
+      // collapse before ranking so row_number never sees duplicates
+      .groupBy(col("id"), col("cid"))
+      .agg(first(col("v")).as("v"), first(col("__sim")).as("__sim"))
+    val aw = Window.partitionBy("id")
+      .orderBy(col("__sim").desc, col("cid").desc)
+    val assigned = cand
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+    val scored = assigned.as("l")
+      .join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"),
+        round(graft.exprs.CosineSim(col("r.v"), col("l.v")), 4).as("__cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct()
+  }
+
   /** Per-node triangle count + degree + local clustering coefficient
     * over an undirected edge set given as distinct (a, b), a < b.
     *

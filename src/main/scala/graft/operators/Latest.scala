@@ -46,7 +46,10 @@ object Gaps {
     * `seqCol` within the observed min/max.
     */
   def detect(df: DataFrame, seqCol: String): DataFrame = {
-    val w = Window.orderBy(col(seqCol))
+    // constant partition key: intended single-partition plan (the
+    // bucketed variant is the scale path); keeps WindowExec's
+    // no-partition warning out of the noise real regressions use
+    val w = Window.partitionBy(lit(1)).orderBy(col(seqCol))
     df.select(col(seqCol))
       .distinct()
       .withColumn("__next", lead(col(seqCol), 1).over(w))
@@ -71,7 +74,9 @@ object Gaps {
       .groupBy(bucket.as("__b"))
       .agg(min("seq").as("__min"), max("seq").as("__max"),
         count("*").as("__cnt"), collect_list("seq").as("__vals"))
-    val w = Window.orderBy(col("__b"))
+    // constant partition key: the frame is bucket summaries (~n/bucketSize
+    // rows) — single-partition by design, warning-free by the lit key
+    val w = Window.partitionBy(lit(1)).orderBy(col("__b"))
     val withNext = perBucket
       .withColumn("__next_min", lead(col("__min"), 1).over(w))
     // gaps inside a sparse bucket (exploded locally — bounded by bucketSize)

@@ -56,13 +56,7 @@ object MimeWalk {
   // ------------------------------------------------------------ decoding
 
   private def bytesToString(b: Array[Byte]): String =
-    try {
-      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      dec.decode(java.nio.ByteBuffer.wrap(b)).toString
-    } catch {
-      case _: Exception => new String(b, "ISO-8859-1")
-    }
+    graft.functions.Text.decodeCharset(b) // shared front-door charset seam
 
   /** Quoted-printable per RFC 2045 §6.7: `=XX` escapes, `=` + EOL soft
     * breaks; bad escapes pass through literally (the tolerant reading).

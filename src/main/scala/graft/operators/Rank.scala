@@ -240,6 +240,12 @@ object Rank {
         .select(
           col("dst").as("node"),
           round(lit(baseE8) + lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
+        // lazy per-iteration truncation (the HITS lesson): without it
+        // iteration i's plan embeds all i−1 priors, so a convergence-
+        // length run (30–50 iterations) pays quadratic analysis cost;
+        // the aggregate above ends in a shuffle, so the checkpoint
+        // adds zero jobs and downstream reads reuse the shuffle files
+        .localCheckpoint(eager = false)
     }
     // eager node-sized snapshot truncates the lineage, so the edge-scale
     // caches can be released without a recompute hazard
@@ -295,10 +301,118 @@ object Rank {
           round(
             when(col("__s").isNotNull, lit(baseE8)).otherwise(lit(0.0)) +
               lit(damping) * col("in_e8")).cast("long").as("pr_e8"))
+        // same lazy per-iteration truncation as [[pageRank]]
+        .localCheckpoint(eager = false)
     }
     val out = ranks.localCheckpoint()
     edgesDeg.unpersist()
     nodes.unpersist()
+    srcSet.unpersist()
+    out
+  }
+
+  /** Personalized PageRank by SYNCHRONOUS FORWARD PUSH (the
+    * Andersen–Chung–Lang local-push scheme batched into deterministic
+    * rounds) — the scale path for localized source sets, where
+    * [[personalizedPageRank]]'s power method pays 6 edge-scale
+    * shuffles regardless of how little of the graph the mass ever
+    * touches.
+    *
+    * State per touched node: estimate `p_e8` and residual `r_e8`
+    * (1e8-unit integer carrier). Each round, every node whose
+    * residual clears the degree-scaled threshold
+    * (`r_e8 ≥ epsE8·deg`) pushes simultaneously:
+    * `p += round(α·r)`; each neighbor receives
+    * `round(d·r/deg)` residual (d = damping = 1−α); the pusher's
+    * residual resets to 0. All arithmetic
+    * is integer-carried scale-0 rounds of deterministic double
+    * expressions, so the whole push schedule replays as generated SQL
+    * CTEs — the `q_ppr_push` oracle is that replay, hash-exact.
+    *
+    * Scale invariants (the reason this wins at 100 TB):
+    *  - total residual mass never exceeds 1.0, so the active frontier
+    *    is PROVABLY ≤ 1/ε nodes (each active node holds ≥ ε·deg ≥ ε
+    *    mass) — at the default ε = 10⁻⁵ that is ≤ 10⁵ rows, which
+    *    makes `broadcast(active)` safe BY CONSTRUCTION, not by
+    *    sampling: the edge list is scanned but never shuffled and
+    *    never sorted, in any round;
+    *  - a node of degree > 1/ε can never clear its threshold, so hub
+    *    fan-out is bounded and the per-round contribution shuffle is
+    *    ∝ edges touched by the frontier, not |E|;
+    *  - dst degree rides ON the cached edge list (one prep join), so
+    *    no per-round |V| degree join exists;
+    *  - the node-state full-outer merge is touched-node-sized, and a
+    *    lazy `localCheckpoint` per round keeps plan analysis linear
+    *    in rounds.
+    *
+    * Approximation contract (ACL): on convergence the estimate obeys
+    * `p(v) ≤ ppr(v) ≤ p(v) + ε·deg(v)` (plus integer-rounding drift
+    * bounded by one e8 unit per push received). The exact power
+    * method [[personalizedPageRank]] remains the dense fallback and
+    * the equivalence witness (RankSpec checks the bound).
+    *
+    * Returns (node, p_e8, r_e8) for every touched node.
+    */
+  def pprForwardPush(
+      edges: DataFrame, // columns: src, dst (already symmetric)
+      sources: DataFrame, // column: node
+      rounds: Int,
+      damping: Double = 0.85,
+      epsE8: Long = 1000L): DataFrame = {
+    val alpha = 1.0 - damping
+    // prep: degree of BOTH endpoints on the edge row (src deg divides
+    // the push; dst deg rides along so contributions arrive
+    // threshold-ready without a per-round |V| join)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e2 = edges
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dst_deg")), "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = sources.select(col("node")).distinct()
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSources = srcSet.count() // materializes both caches
+    require(nSources > 0, "pprForwardPush needs a non-empty source set")
+    var state = srcSet.select(
+      col("node"), col("deg"),
+      lit(0L).as("p_e8"),
+      round(lit(1.0e8 / nSources)).cast("long").as("r_e8"))
+    for (_ <- 1 to rounds) {
+      val active = state
+        .filter(col("r_e8") >= lit(epsE8) * col("deg"))
+        .select(col("node"), col("r_e8")) // deg rides on the edge row
+      // |active| ≤ 1/ε by the mass argument above: broadcast is safe
+      val pushed = e2
+        .join(broadcast(active), e2("src") === active("node"))
+        .select(
+          col("dst"), col("dst_deg"),
+          round(lit(damping) * col("r_e8") / e2("deg")).cast("long")
+            .as("c_e8"))
+        .groupBy("dst", "dst_deg")
+        .agg(sum(col("c_e8")).as("in_e8"))
+        .select(col("dst").as("node"), col("dst_deg").as("deg"),
+          col("in_e8"))
+      val settled = state.select(
+        col("node"), col("deg"),
+        when(col("r_e8") >= lit(epsE8) * col("deg"),
+          col("p_e8") + round(lit(alpha) * col("r_e8")).cast("long"))
+          .otherwise(col("p_e8")).as("p_e8"),
+        when(col("r_e8") >= lit(epsE8) * col("deg"), lit(0L))
+          .otherwise(col("r_e8")).as("r_e8"))
+      state = settled.as("s")
+        .join(pushed.as("g"), col("s.node") === col("g.node"), "full_outer")
+        .select(
+          coalesce(col("s.node"), col("g.node")).as("node"),
+          coalesce(col("s.deg"), col("g.deg")).as("deg"),
+          coalesce(col("s.p_e8"), lit(0L)).as("p_e8"),
+          (coalesce(col("s.r_e8"), lit(0L)) +
+            coalesce(col("g.in_e8"), lit(0L))).as("r_e8"))
+        // lazy truncation: the state is read twice next round (active
+        // filter + settle), so without it the plan doubles per round
+        .localCheckpoint(eager = false)
+    }
+    val out = state.select("node", "p_e8", "r_e8").localCheckpoint()
+    e2.unpersist()
     srcSet.unpersist()
     out
   }

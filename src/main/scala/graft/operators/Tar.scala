@@ -225,7 +225,7 @@ object Tar {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         entries(bytes).map(e => EntryRow(id, e.name, e.typeflag.toString,
           e.size, e.mtime, e.corrupt,
-          if (e.data == null) null else new String(e.data, "UTF-8")))
+          if (e.data == null) null else graft.functions.Text.decodeCharset(e.data)))
       })
   }
 }

@@ -219,7 +219,7 @@ object Warc {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         records(bytes).map(r => RecordRow(id, r.offset, r.warcType,
           r.targetUri, r.contentLength,
-          new String(r.body, "UTF-8"), r.corrupt))
+          graft.functions.Text.decodeCharset(r.body), r.corrupt))
       })
   }
 }

@@ -18,10 +18,22 @@ package graft.operators
   * deflate stream, out-of-range data span) quarantines THAT entry and
   * the walk continues with the rest of the directory.
   *
+  * ZIP64 (APPNOTE 4.5): when EOCD fields carry the 0xFFFF/0xFFFFFFFF
+  * sentinels, the walk follows the ZIP64 EOCD LOCATOR (PK\x06\x07,
+  * the 20 bytes preceding the EOCD) to the ZIP64 EOCD RECORD
+  * (PK\x06\x06) for the real count/size/offset, and a central header
+  * whose size/offset fields are saturated reads the 0x0001 extra
+  * field's 8-byte values in APPNOTE order (usize, csize, localOff —
+  * only the saturated ones are present). Bulk corpus archives exceed
+  * 4 GiB routinely; this front door accepts them. (A single IN-MEMORY
+  * payload row still caps at the JVM's 2 GiB array bound — the walk
+  * validates ZIP64 structure and serves every span that fits the
+  * buffer; larger archives arrive through a ranged file source.)
+  *
   * Subset, honestly: encrypted entries (general-purpose bit 0) are
   * surfaced with `encrypted = true`, data withheld, NOT corrupt;
-  * ZIP64 archives (0xFFFF/0xFFFFFFFF sentinel fields) and spanned
-  * disks return the archive-level corrupt row — out of subset, loud.
+  * spanned/multi-disk archives return the archive-level corrupt row
+  * — out of subset, loud.
   *
   * Scale shape: one archive per row, entry fan-out inside
   * `mapPartitions` — bytes-linear, scan-local, no shuffle before the
@@ -43,6 +55,8 @@ object ZipWalk {
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
 
   private val ArchiveCorrupt =
     Seq(Entry(null, -1, -1L, -1L, encrypted = false, null, corrupt = true))
@@ -68,31 +82,82 @@ object ZipWalk {
       val diskNum = le16(bytes, eocd + 4)
       val cdDisk = le16(bytes, eocd + 6)
       val nHere = le16(bytes, eocd + 8)
-      val nTotal = le16(bytes, eocd + 10)
-      val cdSize = le32(bytes, eocd + 12)
-      val cdOff = le32(bytes, eocd + 16)
+      var nTotal = le16(bytes, eocd + 10).toLong
+      var cdSize = le32(bytes, eocd + 12)
+      var cdOff = le32(bytes, eocd + 16)
       if (diskNum != 0 || cdDisk != 0 || nHere != nTotal) return ArchiveCorrupt // spanned
-      if (nTotal == 0xFFFF || cdOff == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL)
-        return ArchiveCorrupt // ZIP64 out of subset
-      if (cdOff + cdSize > eocd) return ArchiveCorrupt
+      val saturated = nTotal == 0xFFFFL || cdOff == 0xFFFFFFFFL ||
+        cdSize == 0xFFFFFFFFL
+      if (saturated) {
+        // ZIP64: the 20-byte EOCD locator sits immediately before the
+        // EOCD; follow it to the ZIP64 EOCD record for the real values
+        val loc = eocd - 20
+        if (loc < 0 || !(bytes(loc) == 0x50 && bytes(loc + 1) == 0x4b &&
+          bytes(loc + 2) == 0x06 && bytes(loc + 3) == 0x07)) return ArchiveCorrupt
+        if (le32(bytes, loc + 4) != 0L || le32(bytes, loc + 16) != 1L)
+          return ArchiveCorrupt // multi-disk
+        val r64 = le64(bytes, loc + 8)
+        if (r64 < 0 || r64 > loc - 56) return ArchiveCorrupt
+        val r = r64.toInt
+        if (!(bytes(r) == 0x50 && bytes(r + 1) == 0x4b &&
+          bytes(r + 2) == 0x06 && bytes(r + 3) == 0x06)) return ArchiveCorrupt
+        if (le32(bytes, r + 16) != 0L || le32(bytes, r + 20) != 0L)
+          return ArchiveCorrupt // spanned
+        if (le64(bytes, r + 24) != le64(bytes, r + 32)) return ArchiveCorrupt
+        nTotal = le64(bytes, r + 32)
+        cdSize = le64(bytes, r + 40)
+        cdOff = le64(bytes, r + 48)
+      }
+      val cdEnd = if (saturated) eocd - 20 else eocd
+      if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > cdEnd) return ArchiveCorrupt
+      if (cdOff > Int.MaxValue || nTotal > Int.MaxValue) return ArchiveCorrupt
 
       val out = scala.collection.mutable.Buffer.empty[Entry]
       var p = cdOff.toInt
-      var k = 0
+      var k = 0L
       while (k < nTotal) {
-        if (p + 46 > eocd || !(bytes(p) == 0x50 && bytes(p + 1) == 0x4b &&
+        if (p + 46 > cdEnd || !(bytes(p) == 0x50 && bytes(p + 1) == 0x4b &&
           bytes(p + 2) == 0x01 && bytes(p + 3) == 0x02)) return ArchiveCorrupt
         val flags = le16(bytes, p + 8)
         val method = le16(bytes, p + 10)
         val crc = le32(bytes, p + 16)
-        val csize = le32(bytes, p + 20)
-        val usize = le32(bytes, p + 24)
+        var csize = le32(bytes, p + 20)
+        var usize = le32(bytes, p + 24)
         val nameLen = le16(bytes, p + 28)
         val extraLen = le16(bytes, p + 30)
         val commentLen = le16(bytes, p + 32)
-        val localOff = le32(bytes, p + 42)
+        var localOff = le32(bytes, p + 42)
         if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL ||
-          localOff == 0xFFFFFFFFL) return ArchiveCorrupt // ZIP64
+          localOff == 0xFFFFFFFFL) {
+          // ZIP64 extended-information extra field (id 0x0001): 8-byte
+          // values in APPNOTE order, PRESENT ONLY for saturated fields
+          var q = p + 46 + nameLen
+          val qEnd = q + extraLen
+          var found = false
+          while (!found && q + 4 <= qEnd) {
+            val id = le16(bytes, q)
+            val len = le16(bytes, q + 2)
+            if (q + 4 + len > qEnd) return ArchiveCorrupt
+            if (id == 0x0001) {
+              var v = q + 4
+              if (usize == 0xFFFFFFFFL) {
+                if (v + 8 > q + 4 + len) return ArchiveCorrupt
+                usize = le64(bytes, v); v += 8
+              }
+              if (csize == 0xFFFFFFFFL) {
+                if (v + 8 > q + 4 + len) return ArchiveCorrupt
+                csize = le64(bytes, v); v += 8
+              }
+              if (localOff == 0xFFFFFFFFL) {
+                if (v + 8 > q + 4 + len) return ArchiveCorrupt
+                localOff = le64(bytes, v); v += 8
+              }
+              found = true
+            }
+            q += 4 + len
+          }
+          if (!found) return ArchiveCorrupt // sentinel with no 0x0001 field
+        }
         val name = new String(bytes, p + 46, nameLen, "UTF-8")
         val encrypted = (flags & 0x01) != 0
         out += readEntry(bytes, name, method, crc, csize, usize,
@@ -111,6 +176,10 @@ object ZipWalk {
       encrypted: Boolean): Entry = {
     val bad = Entry(name, method, csize, usize, encrypted, null, corrupt = true)
     try {
+      // a ZIP64 span that exceeds the in-memory 2 GiB array bound is
+      // entry-corrupt for THIS buffered row, not archive-corrupt
+      if (localOff < 0 || localOff > Int.MaxValue ||
+        csize < 0 || csize > Int.MaxValue) return bad
       val lo = localOff.toInt
       if (lo + 30 > b.length || !(b(lo) == 0x50 && b(lo + 1) == 0x4b &&
         b(lo + 2) == 0x03 && b(lo + 3) == 0x04)) return bad
@@ -208,6 +277,80 @@ object ZipWalk {
     out.toByteArray
   }
 
+  /** Serialize entries as a FORCED-ZIP64 archive: every central header
+    * saturates usize/csize/localOff to 0xFFFFFFFF and carries the real
+    * values in a 0x0001 extra field; the EOCD saturates count/size/
+    * offset and a ZIP64 EOCD record + locator precede it — the small-
+    * archive-with-64-bit-fields shape zip64 writers emit, so the walk's
+    * indirection is testable without a real >4 GiB payload.
+    */
+  def fixture64(entriesIn: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    final case class Meta(name: Array[Byte], method: Int, crc: Long,
+      csize: Int, usize: Int, off: Int)
+    val metas = entriesIn.map { case (name, data, deflate) =>
+      val nameB = name.getBytes("UTF-8")
+      val c = new java.util.zip.CRC32(); c.update(data)
+      val packed =
+        if (deflate) {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(data); d.finish()
+          val tmp = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 16)
+          while (!d.finished()) tmp.write(buf, 0, d.deflate(buf))
+          d.end(); tmp.toByteArray
+        } else data
+      val off = out.size()
+      val h = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.putInt(0x04034b50).putShort(45.toShort).putShort(0.toShort)
+        .putShort((if (deflate) 8 else 0).toShort).putShort(0.toShort)
+        .putShort(0x2921.toShort)
+        .putInt(c.getValue.toInt).putInt(packed.length).putInt(data.length)
+        .putShort(nameB.length.toShort).putShort(0)
+      out.write(h.array()); out.write(nameB); out.write(packed)
+      Meta(nameB, if (deflate) 8 else 0, c.getValue, packed.length,
+        data.length, off)
+    }
+    val cdStart = out.size()
+    metas.foreach { m =>
+      // 0x0001 extra: usize + csize + localOff, all forced
+      val h = java.nio.ByteBuffer.allocate(46)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.putInt(0x02014b50).putShort(45).putShort(45.toShort).putShort(0.toShort)
+        .putShort(m.method.toShort).putShort(0.toShort).putShort(0x2921.toShort)
+        .putInt(m.crc.toInt).putInt(-1).putInt(-1) // 0xFFFFFFFF sentinels
+        .putShort(m.name.length.toShort).putShort(28.toShort).putShort(0.toShort)
+        .putShort(0.toShort).putShort(0.toShort).putInt(0).putInt(-1)
+      out.write(h.array()); out.write(m.name)
+      val x = java.nio.ByteBuffer.allocate(28)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      x.putShort(1.toShort).putShort(24.toShort)
+        .putLong(m.usize.toLong).putLong(m.csize.toLong).putLong(m.off.toLong)
+      out.write(x.array())
+    }
+    val cdSize = out.size() - cdStart
+    val r64 = out.size()
+    val rec = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rec.putInt(0x06064b50).putLong(44L).putShort(45.toShort).putShort(45.toShort)
+      .putInt(0).putInt(0).putLong(metas.length.toLong).putLong(metas.length.toLong)
+      .putLong(cdSize.toLong).putLong(cdStart.toLong)
+    out.write(rec.array())
+    val loc = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    loc.putInt(0x07064b50).putInt(0).putLong(r64.toLong).putInt(1)
+    out.write(loc.array())
+    val e = java.nio.ByteBuffer.allocate(22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    e.putInt(0x06054b50).putShort(0.toShort).putShort(0.toShort)
+      .putShort(-1).putShort(-1) // 0xFFFF sentinels
+      .putInt(-1).putInt(-1).putShort(0.toShort)
+    out.write(e.array())
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- Spark
 
   final case class EntryRow(
@@ -228,7 +371,7 @@ object ZipWalk {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         entries(bytes).map(en => EntryRow(id, en.name, en.method,
           en.compressedSize, en.uncompressedSize, en.encrypted, en.corrupt,
-          if (en.data == null) null else new String(en.data, "UTF-8")))
+          if (en.data == null) null else graft.functions.Text.decodeCharset(en.data)))
       })
   }
 }

@@ -65,6 +65,99 @@ object AccountEndpoints {
       .orderBy(col("global_sequence"))
   }
 
+  /** POST /v1/trace/get_block — per-block transaction-trace reshaping
+    * (reference: `v1-trace/get_block/get_block.ts:20-126`): the block
+    * header joined with the block's actions, grouped into the v1
+    * trace response — one row per transaction carrying the header
+    * columns, `status` = irreversible/pending vs the LIB scalar, and
+    * `actions` = the per-RECEIPT trace array (the v1 shape repeats an
+    * action once per receipt, receipts in global-sequence order;
+    * authorization actors re-key to `account`, exactly the
+    * reference's reshape loop). An absent block yields an empty frame
+    * (the reference's 'block not found' throw).
+    *
+    * Plan: both filters prune on `block_num` before any join; the
+    * 1-row header broadcasts onto the per-trx aggregate — no
+    * full-table work beyond the two pruned scans.
+    */
+  def getBlockTrace(
+      blocks: DataFrame,
+      actions: DataFrame,
+      blockNum: Long,
+      lib: Long): DataFrame = {
+    val header = blocks
+      .filter(col("block_num") === blockNum)
+      .select(
+        col("block_id").as("id"),
+        col("block_num").as("number"),
+        col("prev_id").as("previous_id"),
+        when(lit(lib) > col("block_num"), lit("irreversible"))
+          .otherwise(lit("pending")).as("status"),
+        col("timestamp"),
+        col("producer"))
+    val perReceipt = actions
+      .filter(col("block_num") === blockNum)
+      .select(col("trx_id"), col("act"),
+        explode(col("receipts")).as("receipt"))
+      .select(col("trx_id"),
+        col("receipt.global_sequence").as("gs"),
+        struct(
+          col("receipt.receiver").as("receiver"),
+          col("act.account").as("account"),
+          col("act.name").as("action"),
+          transform(col("act.authorization"), a =>
+            struct(a.getField("actor").as("account"),
+              a.getField("permission").as("permission"))).as("authorization"),
+          col("act.data").as("data")).as("trace"))
+    val trxs = perReceipt
+      .groupBy("trx_id")
+      .agg(
+        min(col("gs")).as("first_gs"),
+        transform(sort_array(collect_list(struct(col("gs"), col("trace")))),
+          x => x.getField("trace")).as("actions"))
+    trxs.crossJoin(broadcast(header))
+      .select(col("id"), col("number"), col("previous_id"), col("status"),
+        col("timestamp"), col("producer"), col("trx_id"), col("first_gs"),
+        col("actions"))
+      .orderBy(col("first_gs"))
+  }
+
+  /** GET /v2/history/check_transaction — trx-id status probe
+    * (reference: `check_transaction.ts:4-27`). There it is a pure
+    * Redis read of what the indexer cached at ingest (`master.ts:
+    * 471-487`: status 'executed', block, signatures, the ROOT act);
+    * the analytics analog derives the same response from the actions
+    * table: root action = the act at the transaction's minimum global
+    * sequence, `status` = 'executed' when the trx exists and
+    * 'unknown' otherwise (the reference's fallback row), plus the
+    * LIB-derived `irreversible` flag [[getTransaction]] carries.
+    */
+  def checkTransaction(
+      actions: DataFrame,
+      trxId: String,
+      lib: Long,
+      blockHint: Option[Long] = None): DataFrame = {
+    val hits = getTransaction(actions, trxId, lib, blockHint)
+    hits
+      .agg(
+        count(lit(1)).as("__n"),
+        min(col("block_num")).as("__block"),
+        min_by(col("act"), col("global_sequence")).as("__act"),
+        min_by(col("signatures"), col("global_sequence")).as("__sigs"),
+        coalesce(bool_and(col("irreversible")), lit(false)).as("__irr"))
+      .select(
+        lit(trxId.toLowerCase).as("id"),
+        when(col("__n") === 0, lit("unknown"))
+          .otherwise(lit("executed")).as("status"),
+        col("__block").as("block_num"),
+        when(col("__n") === 0, lit(null).cast("string"))
+          .otherwise(concat(col("__act.account"), lit("::"),
+            col("__act.name"))).as("root_action"),
+        coalesce(col("__sigs"), array().cast("array<string>"))
+          .as("signatures"),
+        col("__irr").as("irreversible"))
+  }
+
   /** GET /v2/history/get_blocks — term/terms/range filters over block
     * headers (F2/F5 on the blocks table).
     */

@@ -92,7 +92,9 @@ object StateEndpoints {
       .select(col("block_num"), col("producer"))
       .withColumn("__b", floor(col("block_num") / blockBucket))
     val wIn = Window.partitionBy(col("__b")).orderBy(col("block_num"))
-    val wBuckets = Window.orderBy(col("__b"))
+    // constant partition key: one row per bucket — single-partition by
+    // design, warning-free by the lit key
+    val wBuckets = Window.partitionBy(lit(1)).orderBy(col("__b"))
     val prevBucketMax = b.groupBy(col("__b"))
       .agg(max(col("block_num")).as("__bmax"))
       .withColumn("__prev_bmax", lag(col("__bmax"), 1).over(wBuckets))

@@ -107,7 +107,9 @@ object Replay {
     val slice = history
       .filter(col("block_num").between(startBlock, endBlock))
       .withColumn("__b", floor(col("block_num") / blockBucket))
-    val wBuckets = Window.orderBy(col("__b"))
+    // constant partition key: bucket-summary frame (~blocks/blockBucket
+    // rows) — single-partition by design, warning-free by the lit key
+    val wBuckets = Window.partitionBy(lit(1)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = slice.groupBy(col("__b"))
       .agg(count(lit(1)).as("__cnt"))

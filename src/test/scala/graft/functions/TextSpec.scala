@@ -143,3 +143,38 @@ class AssetsSpec extends SparkSpec {
     assert(got(3).isNullAt(0) && got(4).isNullAt(0))
   }
 }
+
+class DecodeCharsetSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.functions.Text.decodeCharset
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("plain UTF-8 (including astral) and ASCII decode as UTF-8") {
+    assert(decodeCharset("hello".getBytes("UTF-8")) === "hello")
+    assert(decodeCharset("caf\u00e9 \u4e2d\u6587 \ud83d\ude00".getBytes("UTF-8")) ===
+      "caf\u00e9 \u4e2d\u6587 \ud83d\ude00")
+    assert(decodeCharset(Array.emptyByteArray) === "")
+    assert(decodeCharset(null) === null)
+  }
+
+  test("BOMs route: UTF-8 BOM stripped, UTF-16 LE/BE flavors honored") {
+    assert(decodeCharset(b(0xef, 0xbb, 0xbf) ++ "x\u00e9".getBytes("UTF-8")) === "x\u00e9")
+    assert(decodeCharset(b(0xff, 0xfe) ++ "ab\u20ac".getBytes("UTF-16LE")) === "ab\u20ac")
+    assert(decodeCharset(b(0xfe, 0xff) ++ "ab\u20ac".getBytes("UTF-16BE")) === "ab\u20ac")
+  }
+
+  test("invalid UTF-8 falls back to windows-1252 (NOT Latin-1 C1 controls)") {
+    // 0x93 quoted 0x94, 0x85 ellipsis, 0xe9 e-acute followed by space
+    assert(decodeCharset(b(0x93) ++ "q".getBytes("UTF-8") ++ b(0x94)) === "\u201cq\u201d")
+    assert(decodeCharset(b(0x85)) === "\u2026")
+    assert(decodeCharset("caf".getBytes("UTF-8") ++ b(0xe9, 0x20) ++ "au lait".getBytes("UTF-8")) ===
+      "caf\u00e9 au lait")
+  }
+
+  test("garbage never throws: truncated UTF-16 after BOM falls back whole") {
+    val odd = b(0xff, 0xfe, 0x41) // BOM + one dangling byte
+    val out = decodeCharset(odd)
+    assert(out != null && out.nonEmpty) // cp1252 of the raw bytes
+    assert(decodeCharset(b(0xc3)) === "\u00c3") // lone UTF-8 lead byte
+  }
+}

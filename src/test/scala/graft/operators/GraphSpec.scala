@@ -111,6 +111,46 @@ class GraphSpec extends SparkSpec {
     assert(g2.forall(p => p._1 < p._2))
   }
 
+  test("knnGraphBucketed2L: probing every coarse cell IS the flat bucketed build") {
+    // when nProbeCoarse covers all coarse cells, every fine centroid is
+    // a candidate for every vector, so the two-level assignment
+    // degenerates to the flat scan edge-for-edge — the equivalence that
+    // makes the two-level form a drop-in continuation of the scale path
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy($"vec_id")
+    val cent = vecs.filter($"vec_id" < 9L) // C=9 fine cells, stride 3
+      .select((row_number().over(cw) - 1).as("cid"), $"embedding".as("cvec"))
+    val flat = Graph.knnGraphBucketed(vecs, "vec_id", "embedding", 3, cent, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoLevel = Graph.knnGraphBucketed2L(
+        vecs, "vec_id", "embedding", 3, cent, nProbe = 2, nProbeCoarse = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoLevel === flat)
+  }
+
+  test("knnGraphBucketed2L: narrow coarse probes stay cell-local and a<b-normalized") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy($"vec_id")
+    val cent = vecs.filter($"vec_id" < 9L)
+      .select((row_number().over(cw) - 1).as("cid"), $"embedding".as("cvec"))
+    val g = Graph.knnGraphBucketed2L(
+      vecs, "vec_id", "embedding", 3, cent, nProbe = 2, nProbeCoarse = 1)
+    val edges = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall(p => p._1 < p._2))
+    assert(edges.toSet.size === edges.length)
+    // plan lock: the fine-candidate join is the hinted shuffle join, and
+    // no broadcast carries the fine centroid frame (only coarse probes)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fine-candidate join not shuffle-hash:\n$plan")
+  }
+
   // ------------------------------------------------------------ hyperBall
 
   private def sym(pairs: (Long, Long)*) =

@@ -78,13 +78,37 @@ class ZipWalkSpec extends SparkSpec {
     assert(es.head.encrypted && !es.head.corrupt && es.head.data == null)
   }
 
-  test("ZIP64 sentinel fields reject the archive loudly") {
+  test("ZIP64 sentinels WITHOUT the locator/record reject the archive loudly") {
     val zip = ZipWalk.fixture(Seq(("x", bytes("x"), false)))
     // EOCD is the last 22 bytes (no comment); set total entries = 0xFFFF
+    // but provide no ZIP64 EOCD structures — saturated and dangling
     val z64 = zip.clone()
     val eocd = z64.length - 22
     z64(eocd + 10) = 0xff.toByte; z64(eocd + 11) = 0xff.toByte
     val es = ZipWalk.entries(z64)
+    assert(es.length === 1 && es.head.corrupt)
+  }
+
+  test("ZIP64: forced 64-bit fields round-trip through locator, record, and 0x0001 extras") {
+    val zip = ZipWalk.fixture64(Seq(
+      ("big/a.txt", bytes("alpha via zip64"), true),
+      ("big/b.bin", bytes("beta stored " * 40), false),
+      ("big/c.txt", bytes("gamma"), true)))
+    val es = ZipWalk.entries(zip)
+    assert(es.map(_.name) === Seq("big/a.txt", "big/b.bin", "big/c.txt"))
+    assert(es.forall(e => !e.corrupt && !e.encrypted))
+    assert(new String(es(0).data, "UTF-8") === "alpha via zip64")
+    assert(new String(es(1).data, "UTF-8") === "beta stored " * 40)
+    assert(es(1).uncompressedSize === ("beta stored " * 40).length.toLong)
+    assert(new String(es(2).data, "UTF-8") === "gamma")
+  }
+
+  test("ZIP64: a smashed record signature quarantines the archive, not the JVM") {
+    val zip = ZipWalk.fixture64(Seq(("x", bytes("x"), false)))
+    // the ZIP64 EOCD record sits 56+20+22 bytes from the end; break its sig
+    val smashed = zip.clone()
+    smashed(smashed.length - 98) = 0x51
+    val es = ZipWalk.entries(smashed)
     assert(es.length === 1 && es.head.corrupt)
   }
 
