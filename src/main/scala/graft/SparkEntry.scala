@@ -4969,6 +4969,195 @@ object SparkEntry {
       .unionByName(usage).orderBy(col("block_num"))
   }
 
+  // ------------------------------------------------------- wiki dump ingest
+
+  /** The wikitext wrapper every dump fixture wraps a document in —
+    * one Scala builder shared by [[qWikiDump]]'s shard serializer and
+    * [[qWikitextStrip]]'s input, mirrored verbatim by the DuckDB
+    * oracles (string concatenation both sides, so any drift in either
+    * copy hash-fails three gates at once). Exercises one witness of
+    * every [[graft.exprs.Wikitext]] grammar rule: template, heading,
+    * bold, labeled link, Category link, ref island, list item,
+    * labeled external link.
+    */
+  private def wikiMarkup(id: Long, lang: String, source: String, text: String): String =
+    s"{{Infobox doc|id=$id|lang=$lang}}\n" +
+      s"== Doc $id ==\n" +
+      s"'''$text''' and a [[Doc ${id - 1}|prev $id]] link[[Category:$source]]" +
+      s"<ref name=\"r$id\">cite $id</ref>\n" +
+      s"* item $id\n" +
+      s"[http://example.org/doc/$id ext$id]\n"
+
+  /** documents → export-0.10 dump shards (12 pages each): redirects at
+    * doc ≡ 4 (mod 11), Template-namespace pages at doc ≡ 3 (mod 7),
+    * 1 + doc%3 revisions per page (stubs then the wikitext wrapper),
+    * and the FIRST page of every chunk ≡ 7 (mod 9) torn mid-element —
+    * the [[graft.operators.WikiDump]] quarantine witness.
+    */
+  private def wikiShards(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.WikiDump
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        expr("doc_id DIV 12").as("chunk"))
+      .as[(Long, String, String, String, Long)]
+      .groupByKey(_._5)
+      .mapGroups { (chunk, it) =>
+        val pages = it.toSeq.sortBy(_._1).map { case (id, lang, src, text, _) =>
+          if (id % 11 == 4)
+            WikiDump.PageSpec(id, s"Doc $id", 0, Some(s"Doc ${id - 1}"),
+              Seq((id * 10, "2020-01-01T00:00:00Z", s"user${id % 20}", false,
+                s"#REDIRECT [[Doc ${id - 1}]]")))
+          else {
+            val ns = if (id % 7 == 3) 10 else 0
+            val n = 1 + (id % 3).toInt
+            val revs = (0 until n).map { r =>
+              val txt =
+                if (r == n - 1) wikiMarkup(id, lang, src, text)
+                else s"stub $id r$r"
+              (id * 10 + r, f"2020-01-01T00:00:$r%02dZ", s"user${id % 20}",
+                r % 2 == 1, txt)
+            }
+            WikiDump.PageSpec(id, s"Doc $id", ns, None, revs)
+          }
+        }
+        (chunk, WikiDump.fixture(pages, tornPage = if (chunk % 9 == 7) 0 else -1))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** MediaWiki dump front door ([[graft.operators.WikiDump]] —
+    * export-0.10 page/revision walk): per-source page, revision,
+    * redirect and quarantine accounting plus md5-anchored latest-text
+    * fidelity. The torn pages land in the `(corrupt)` bucket, one row
+    * per torn page (the [[qWarcIngest]] resync contract).
+    */
+  private def qWikiDump(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.WikiDump
+    implicit val sp: SparkSession = s
+    val latest = col("rev_ordinal") === col("rev_count") - 1
+    WikiDump.parseRevisions(wikiShards(s, d)).toDF()
+      .withColumn("src", when(col("corrupt"), lit("(corrupt)"))
+        .otherwise(concat(lit("src"), pmod(col("page_id"), lit(20)))))
+      .groupBy(col("src").as("source"))
+      .agg(
+        count_distinct(when(!col("corrupt"), col("page_id"))).as("n_pages"),
+        sum(when(col("corrupt"), 0L).otherwise(1L)).as("n_revs"),
+        count_distinct(when(col("redirect").isNotNull, col("page_id"))).as("n_redirects"),
+        sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        coalesce(sum(when(latest && !col("corrupt"), length(col("text")))), lit(0L))
+          .cast("long").as("latest_chars"),
+        coalesce(sum(when(latest && !col("corrupt"),
+          Split.hashDraw32(col("text")))), lit(0L)).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** Wikitext → plain text ([[graft.exprs.WikitextStrip]] — the
+    * markup-removal stage of the dump path), per document: the
+    * wrapper's template/heading/emphasis/link/ref/list/external
+    * markup must strip to EXACTLY the closed-form prose the oracle
+    * rebuilds, md5-gated row by row (5 000 rows at sf0.1).
+    */
+  private def qWikitextStrip(s: SparkSession, d: String): DataFrame = {
+    import graft.exprs.WikitextStrip
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .map { case (id, lang, src, text) => (id, wikiMarkup(id, lang, src, text)) }
+      .toDF("doc_id", "wiki")
+      .select(col("doc_id"),
+        trim(regexp_replace(WikitextStrip(col("wiki")), "\\s+", " ")).as("plain"))
+      .select(col("doc_id"), length(col("plain")).as("n_chars"),
+        Split.hashDraw32(col("plain")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Wikipedia ingestion path END TO END: dump shards → revision walk
+    * → latest revision per page ([[graft.operators.Latest.argmax]],
+    * one partial-agg shuffle — never a global window) → main-namespace
+    * article filter → [[graft.exprs.WikitextStrip]] →
+    * [[graft.exprs.HtmlEntityDecode]] → whitespace canonicalization →
+    * per-source token and fingerprint rollup. Redirects, Template-ns
+    * pages and quarantined torn pages drop out exactly where the
+    * closed-form oracle says they must.
+    */
+  private def qWikiE2e(s: SparkSession, d: String): DataFrame = {
+    import graft.exprs.{HtmlEntityDecode, WikitextStrip}
+    import graft.operators.{Latest, WikiDump}
+    implicit val sp: SparkSession = s
+    val revs = WikiDump.parseRevisions(wikiShards(s, d)).toDF()
+      .filter(!col("corrupt") && col("redirect").isNull && col("ns") === 0)
+    val latest = Latest.argmax(revs, Seq("page_id"), col("rev_ordinal"))
+    latest
+      .select(col("page_id"),
+        trim(regexp_replace(HtmlEntityDecode(WikitextStrip(col("text"))),
+          "\\s+", " ")).as("plain"))
+      .groupBy(concat(lit("src"), pmod(col("page_id"), lit(20))).as("source"))
+      .agg(
+        count(lit(1)).as("n_articles"),
+        sum(size(split(col("plain"), " "))).cast("long").as("sum_tokens"),
+        sum(Split.hashDraw32(col("plain"))).cast("long").as("sum_fp"))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------------------- code-corpus quality
+
+  /** Source-code corpus quality battery ([[graft.functions.Code]] —
+    * The Stack / StarCoder rules, integer-exact): every document
+    * becomes a synthetic source file (language = doc mod 4, shebang
+    * on the python class, `@generated` banners ≡ 6 mod 13, a
+    * 1200-char minified line ≡ 9 mod 17), built IN-PLAN with
+    * `concat_ws` so the whole construction + rule battery is one
+    * codegen'd projection — zero shuffle, scan → project → sort. The
+    * oracle rebuilds the same file in DuckDB and re-derives every
+    * metric with ITS OWN string/list kernels (independent replay, not
+    * arithmetic shortcuts).
+    */
+  private def qCodeQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Code
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val langIdx = pmod(id, lit(4))
+    val cmt = when(langIdx === 0, "#").when(langIdx === 1, "//")
+      .when(langIdx === 2, "--").otherwise("//")
+    val ext = when(langIdx === 0, ".py").when(langIdx === 1, ".scala")
+      .when(langIdx === 2, ".sql").otherwise(".js")
+    val autogen = pmod(id, lit(13)) === 6
+    val longline = pmod(id, lit(17)) === 9
+    val l0 = when(langIdx === 0, lit("#!/usr/bin/env python3"))
+      .otherwise(concat(cmt, lit(" header doc_"), ids))
+    val l1 = concat(cmt, lit(" "), when(autogen, lit("@generated do not edit"))
+      .otherwise(concat(lit("hand written by user"), pmod(id, lit(20)))))
+    val l2 = when(langIdx === 0,
+        concat(lit("def f_"), ids, lit("(): return \""), col("text"), lit("\"")))
+      .when(langIdx === 1,
+        concat(lit("def f"), ids, lit(" = \""), col("text"), lit("\"")))
+      .when(langIdx === 2,
+        concat(lit("SELECT '"), col("text"), lit("' AS t"), ids))
+      .otherwise(
+        concat(lit("const f"), ids, lit(" = () => \""), col("text"), lit("\"")))
+    val l3 = when(longline, concat(lit("let m"), ids, lit("=\""),
+      repeat(lit("x"), 1200), lit("\";"))).otherwise(lit(null).cast("string"))
+    val l4 = concat(cmt, lit(" end"))
+    T.documents(s, d)
+      .select(id, col("text"),
+        concat(lit("repo"), pmod(id, lit(7)), lit("/src/doc_"), ids, ext).as("path"),
+        concat_ws("\n", l0, l1, l2, l3, l4).as("content"),
+        cmt.as("cmt"))
+      .select(col("doc_id"),
+        Code.langFromPath(col("path")).as("lang_path"),
+        Code.langFromShebang(col("content")).as("lang_shebang"),
+        Code.nLines(col("content")).as("n_lines"),
+        Code.maxLineLen(col("content")).as("max_line"),
+        Code.sumLineLen(col("content")).as("sum_len"),
+        Code.alnumChars(col("content")).as("alnum"),
+        Code.commentLines(col("content"), col("cmt")).as("comment_lines"),
+        Code.autogenFlag(col("content")).as("autogen"),
+        Code.keepVerdict(col("content")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   /** Sweep-tier tag: queries that exist as EQUIVALENCE WITNESSES for a
@@ -5069,6 +5258,10 @@ object SparkEntry {
     "q_doc_pdf_modern" -> (qDocPdfModern _),
     "q_tar_ingest" -> (qTarIngest _),
     "q_crawl_e2e" -> (qCrawlE2e _),
+    "q_wiki_dump" -> (qWikiDump _),
+    "q_wikitext_strip" -> (qWikitextStrip _),
+    "q_wiki_e2e" -> (qWikiE2e _),
+    "q_code_quality" -> (qCodeQuality _),
     "q_audio_id3" -> (qAudioId3 _),
     "q_knn_join" -> (qKnnJoin _),
     "q_source_mixture" -> (qSourceMixture _),
@@ -8081,6 +8274,163 @@ object SparkEntry {
              AS n_frames
          FROM documents ORDER BY doc_id""",
     // crawl e2e: every stage analytic — the WARC corrupt set (min doc
+    // code-corpus quality: DuckDB rebuilds the same synthetic source
+    // file (concat_ws skips the NULL minified line both sides) and
+    // re-derives every metric with its own string/list kernels — an
+    // independent replay of the whole StarCoder-rule battery
+    "q_code_quality" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             CAST(doc_id AS VARCHAR) AS ids,
+             CAST(doc_id % 4 AS INTEGER) AS li,
+             (doc_id % 13 = 6) AS autogen_p,
+             (doc_id % 17 = 9) AS longline
+           FROM documents),
+         p AS (
+           SELECT *,
+             CASE li WHEN 0 THEN '#' WHEN 1 THEN '//'
+               WHEN 2 THEN '--' ELSE '//' END AS cmt,
+             CASE li WHEN 0 THEN '.py' WHEN 1 THEN '.scala'
+               WHEN 2 THEN '.sql' ELSE '.js' END AS ext
+           FROM b),
+         f AS (
+           SELECT doc_id, li, cmt,
+             'repo' || CAST(doc_id % 7 AS VARCHAR) || '/src/doc_' || ids || ext
+               AS path,
+             concat_ws(chr(10),
+               CASE WHEN li = 0 THEN '#!/usr/bin/env python3'
+                 ELSE cmt || ' header doc_' || ids END,
+               cmt || ' ' || CASE WHEN autogen_p THEN '@generated do not edit'
+                 ELSE 'hand written by user' || CAST(doc_id % 20 AS VARCHAR) END,
+               CASE li
+                 WHEN 0 THEN 'def f_' || ids || '(): return "' || text || '"'
+                 WHEN 1 THEN 'def f' || ids || ' = "' || text || '"'
+                 WHEN 2 THEN 'SELECT ''' || text || ''' AS t' || ids
+                 ELSE 'const f' || ids || ' = () => "' || text || '"' END,
+               CASE WHEN longline
+                 THEN 'let m' || ids || '="' || repeat('x', 1200) || '";'
+                 ELSE NULL END,
+               cmt || ' end') AS content
+           FROM p),
+         m AS (
+           SELECT doc_id, li, cmt, path, content,
+             string_split(content, chr(10)) AS ls
+           FROM f)
+         SELECT doc_id,
+           CASE li WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+             WHEN 2 THEN 'sql' ELSE 'javascript' END AS lang_path,
+           CASE WHEN li = 0 THEN 'python' ELSE NULL END AS lang_shebang,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(list_max(list_transform(ls, x -> strlen(x))) AS BIGINT)
+             AS max_line,
+           CAST(list_aggregate(list_transform(ls, x -> strlen(x)), 'sum')
+             AS BIGINT) AS sum_len,
+           CAST(strlen(regexp_replace(content, '[^0-9A-Za-z]', '', 'g'))
+             AS BIGINT) AS alnum,
+           CAST(len(list_filter(ls, x -> starts_with(ltrim(x), cmt)))
+             AS BIGINT) AS comment_lines,
+           (contains(lower(content), 'auto-generated')
+             OR contains(lower(content), 'autogenerated')
+             OR contains(lower(content), 'automatically generated')
+             OR contains(lower(content), 'do not edit')
+             OR contains(lower(content), '@generated')
+             OR contains(lower(content), 'generated by')) AS autogen,
+           (NOT (list_max(list_transform(ls, x -> strlen(x))) > 1000)
+             AND NOT (list_aggregate(list_transform(ls, x -> strlen(x)), 'sum')
+               > 100 * len(ls))
+             AND NOT (4 * strlen(regexp_replace(content, '[^0-9A-Za-z]', '', 'g'))
+               < strlen(content))
+             AND NOT (contains(lower(content), 'auto-generated')
+               OR contains(lower(content), 'autogenerated')
+               OR contains(lower(content), 'automatically generated')
+               OR contains(lower(content), 'do not edit')
+               OR contains(lower(content), '@generated')
+               OR contains(lower(content), 'generated by'))) AS keep
+         FROM m ORDER BY doc_id""",
+    // MediaWiki dump walk: the wikitext wrapper is rebuilt verbatim in
+    // SQL (repeat(chr(39),3) = the ''' runs), the torn set is the min
+    // doc of every chunk ≡ 7 mod 9, redirects are the doc ≡ 4 mod 11
+    // class, revision counts replay 1 + doc%3
+    "q_wiki_dump" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source, text, doc_id // 12 AS chunk,
+                  CAST(doc_id AS VARCHAR) AS ids
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS torn_doc FROM d
+               WHERE chunk % 9 = 7 GROUP BY 1),
+         m AS (SELECT d.*,
+                 (c.torn_doc IS NOT NULL AND d.doc_id = c.torn_doc) AS torn,
+                 (d.doc_id % 11 = 4) AS redir
+               FROM d LEFT JOIN c ON d.chunk = c.chunk),
+         w AS (SELECT *,
+                 CASE WHEN redir
+                   THEN '#REDIRECT [[Doc ' || CAST(doc_id - 1 AS VARCHAR) || ']]'
+                   ELSE '{{Infobox doc|id=' || ids || '|lang=' || lang || '}}'
+                     || chr(10) || '== Doc ' || ids || ' ==' || chr(10)
+                     || repeat(chr(39), 3) || text || repeat(chr(39), 3)
+                     || ' and a [[Doc ' || CAST(doc_id - 1 AS VARCHAR)
+                     || '|prev ' || ids || ']] link[[Category:' || source
+                     || ']]<ref name="r' || ids || '">cite ' || ids || '</ref>'
+                     || chr(10) || '* item ' || ids || chr(10)
+                     || '[http://example.org/doc/' || ids || ' ext' || ids
+                     || ']' || chr(10)
+                 END AS latest,
+                 CASE WHEN redir THEN 1
+                   ELSE 1 + CAST(doc_id % 3 AS INTEGER) END AS nrev
+               FROM m)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(nrev) AS BIGINT) AS n_revs,
+           CAST(sum(CASE WHEN redir THEN 1 ELSE 0 END) AS BIGINT) AS n_redirects,
+           CAST(0 AS BIGINT) AS n_corrupt,
+           CAST(sum(strlen(latest)) AS BIGINT) AS latest_chars,
+           CAST(sum(CAST('0x' || substring(md5(latest), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM w WHERE NOT torn GROUP BY source
+         UNION ALL
+         SELECT '(corrupt)', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+         FROM w WHERE torn
+         ORDER BY source""",
+    // wikitext strip: the expected prose is the closed-form residue of
+    // the wrapper — heading text, the document body, the link label,
+    // the list item, the external-link label — whitespace-collapsed
+    "q_wikitext_strip" ->
+      """WITH e AS (
+           SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+               || ' and a prev ' || CAST(doc_id AS VARCHAR)
+               || ' link item ' || CAST(doc_id AS VARCHAR)
+               || ' ext' || CAST(doc_id AS VARCHAR) AS plain
+           FROM documents)
+         SELECT doc_id, CAST(strlen(plain) AS BIGINT) AS n_chars,
+           CAST('0x' || substring(md5(plain), 1, 8) AS BIGINT) AS fp
+         FROM e ORDER BY doc_id""",
+    // dump → latest revision → article filter → strip, end to end:
+    // survivors are exactly the non-torn, non-redirect, main-namespace
+    // docs; tokens count by space arithmetic on the single-spaced prose
+    "q_wiki_e2e" ->
+      """WITH d AS (
+           SELECT doc_id, source, text, doc_id // 12 AS chunk
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS torn_doc FROM d
+               WHERE chunk % 9 = 7 GROUP BY 1),
+         k AS (SELECT d.* FROM d LEFT JOIN c ON d.chunk = c.chunk
+               WHERE (c.torn_doc IS NULL OR d.doc_id <> c.torn_doc)
+                 AND d.doc_id % 11 <> 4 AND d.doc_id % 7 <> 3),
+         e AS (SELECT doc_id, source,
+                 'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                   || ' and a prev ' || CAST(doc_id AS VARCHAR)
+                   || ' link item ' || CAST(doc_id AS VARCHAR)
+                   || ' ext' || CAST(doc_id AS VARCHAR) AS plain
+               FROM k)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_articles,
+           CAST(sum(strlen(plain) - strlen(replace(plain, ' ', '')) + 1)
+             AS BIGINT) AS sum_tokens,
+           CAST(sum(CAST('0x' || substring(md5(plain), 1, 8) AS BIGINT))
+             AS BIGINT) AS sum_fp
+         FROM e GROUP BY source ORDER BY source""",
     // of chunk ≡ 3 mod 5), the HTML template's expected text, the
     // canonical URL, the RFC 9309 verdict per (g, m), the ≥90-char
     // quality gate — composed in one CTE chain
