@@ -1407,6 +1407,56 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** 7z-container ingest ([[graft.operators.SevenZWalk]]): documents
+    * packed into per-chunk 7z archives across the format's four real
+    * layouts by chunk (mod 4): 0 → LZMA2 folders (commons-compress, an
+    * INDEPENDENT encoder — round-trip equality witnesses the from-spec
+    * LZMA2 decoder against foreign output), 1 → copy folders with one
+    * mid-payload bit of the FIRST entry flipped (substream-CRC
+    * quarantine, name kept — corrupt set = min doc of the chunk,
+    * closed-form), 2 → classic LZMA1 folders (coder 0x030101 — the
+    * `7z a` encoded-header coder, decoded by the shared sized-LZMA
+    * engine), 3 → hand-serialized SOLID archive (one copy folder split
+    * by kSubStreamsInfo + the header itself packed as kEncodedHeader —
+    * the default `7z a` multi-file layout commons-compress never
+    * writes). Same rollup shape as [[qZipIngest]], so the oracle
+    * replays from the base table.
+    */
+  private def qSevenZIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SevenZWalk
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(24)).as("chunk"))
+      .as[(Long, String, Long)]
+    val archives = docs.groupByKey(_._3)
+      .mapGroups { (chunk, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text, _) =>
+          (s"doc/$id.txt", text.getBytes("UTF-8"))
+        }
+        val bytes = (chunk % 4) match {
+          case 0 => SevenZWalk.fixture(recs, "lzma2")
+          case 1 => SevenZWalk.fixtureCorrupt(recs)
+          case 2 => SevenZWalk.fixture(recs, "lzma")
+          case _ => SevenZWalk.fixtureSolid(recs)
+        }
+        (chunk, bytes)
+      }.toDF("doc_id", "payload")
+    SevenZWalk.parseEntries(archives).toDF()
+      .withColumn("src_doc",
+        expr("CAST(regexp_extract(name, 'doc/([0-9]+)', 1) AS BIGINT)"))
+      .withColumn("source", concat(lit("src"), pmod(col("src_doc"), lit(15))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col("corrupt"), 0L).otherwise(1L)).as("n_ok"),
+        sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("corrupt"), 0L).otherwise(col("size"))).as("sum_bytes"),
+        min(when(!col("corrupt"), col("src_doc"))).as("min_doc"),
+        max(when(!col("corrupt"), col("src_doc"))).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   /** Mixed-charset ingest witness
     * ([[graft.functions.Text.decodeCharset]]): each document
     * serialized in one of five byte encodings by doc_id (plain UTF-8,
@@ -5252,6 +5302,7 @@ object SparkEntry {
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_robots_policy" -> (qRobotsPolicy _),
     "q_zip_ingest" -> (qZipIngest _),
+    "q_7z_ingest" -> (qSevenZIngest _),
     "q_doc_pdf_extract" -> (qDocPdfExtract _),
     "q_mbox_ingest" -> (qMboxIngest _),
     "q_blocklist_summary" -> (qBlocklistSummary _),
@@ -8584,6 +8635,31 @@ object SparkEntry {
              AS n_corrupt,
            CAST(sum(CASE WHEN NOT corrupt AND doc_id % 2 = 1
              THEN 1 ELSE 0 END) AS BIGINT) AS n_deflate,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT)
+             AS sum_bytes,
+           min(CASE WHEN NOT corrupt THEN doc_id END) AS min_doc,
+           max(CASE WHEN NOT corrupt THEN doc_id END) AS max_doc
+         FROM m GROUP BY source ORDER BY source""",
+    // 7z ingest: corrupt set = min doc of every chunk ≡ 1 (mod 4)
+    // (the flipped-payload-bit first entry of the copy-method leg);
+    // directory names live in the header, so corruption keeps them and
+    // the rollup keys on the name-derived doc id; sum_bytes is tar-like
+    // BYTE semantics, hence strlen (DuckDB strlen = UTF-8 byte count)
+    "q_7z_ingest" ->
+      """WITH d AS (
+           SELECT doc_id, strlen(text) AS len, doc_id % 24 AS chunk,
+                  'src' || CAST(doc_id % 15 AS VARCHAR) AS source
+           FROM documents),
+         c AS (SELECT chunk, min(doc_id) AS bad_doc FROM d
+               WHERE chunk % 4 = 1 GROUP BY 1),
+         m AS (SELECT d.*,
+                 (c.bad_doc IS NOT NULL AND d.doc_id = c.bad_doc) AS corrupt
+               FROM d LEFT JOIN c ON d.chunk = c.chunk)
+         SELECT source,
+           count(*) AS n_entries,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
            CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT)
              AS sum_bytes,
            min(CASE WHEN NOT corrupt THEN doc_id END) AS min_doc,

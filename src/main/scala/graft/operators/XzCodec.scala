@@ -240,9 +240,15 @@ object XzCodec {
   /** Decode one LZMA chunk of exactly `unpacked` bytes from
     * b[from, from+packed). The probability state persists in `st`.
     */
+  /** `strictFinish` = require the encoder's chunk-flush alignment
+    * (code == 0, consumed ≤ packed) — true for LZMA2's per-chunk
+    * units; false for a sized LZMA1 stream, which simply stops at the
+    * target length with the range coder mid-state (integrity there is
+    * the 7z folder CRC, as in every public LZMA1 decoder).
+    */
   private def lzmaChunk(
       b: Array[Byte], from: Int, packed: Int, unpacked: Int,
-      st: LzmaState, win: Window): Unit = {
+      st: LzmaState, win: Window, strictFinish: Boolean = true): Unit = {
     val rc = new RangeDec(b, from, from + packed)
     val posMask = (1 << st.pb) - 1
     val litPosMask = (1 << st.lp) - 1
@@ -323,15 +329,39 @@ object XzCodec {
         }
       }
     }
-    require(rc.pos <= from + packed + 1, "LZMA chunk consumed past its packed size")
-    require(rc.finishedClean, "range coder did not finish clean")
+    if (strictFinish) {
+      require(rc.pos <= from + packed + 1, "LZMA chunk consumed past its packed size")
+      require(rc.finishedClean, "range coder did not finish clean")
+    }
   }
 
   /** Decode an LZMA2-filtered block body at b[from, until); returns the
     * block payload. `dictBits` from the filter props (allocation guard
     * only — the window buffers the whole block).
     */
-  private def lzma2(b: Array[Byte], from: Int, until: Int, maxOutput: Int): Array[Byte] = {
+  /** Classic LZMA1 stream decode to exactly `outSize` bytes (shared
+    * with [[SevenZWalk]]: 7z coder 0x030101 — the coder real `7z a`
+    * uses for its ENCODED HEADERS — is one sized range-coded stream
+    * with a 1-byte lc/lp/pb props prefix in the coder properties; the
+    * dict-size hint in props(1..4) is irrelevant here because the
+    * window buffers the whole output). An end marker before `outSize`
+    * fails the stream (sized 7z folders never carry one).
+    */
+  private[operators] def lzma1(b: Array[Byte], from: Int, until: Int,
+      propsByte: Int, outSize: Int): Array[Byte] = {
+    val win = new Window(outSize)
+    val st = new LzmaState(0, 0, 0)
+    st.setProps(propsByte)
+    st.reset() // rebuild literal probs at the decoded lc/lp width
+    lzmaChunk(b, from, until - from, outSize, st, win, strictFinish = false)
+    win.payload
+  }
+
+  /** Raw LZMA2 chunk-sequence decode (shared with [[SevenZWalk]]: a
+    * 7z LZMA2 coder's packed stream is exactly this grammar, no
+    * container around it).
+    */
+  private[operators] def lzma2(b: Array[Byte], from: Int, until: Int, maxOutput: Int): Array[Byte] = {
     val win = new Window(maxOutput)
     var st: LzmaState = null
     var needDictReset = true

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** 7zFormat grammar witnesses. The commons-compress legs round-trip
+  * against an INDEPENDENT encoder (copy / classic LZMA1 / LZMA2 from
+  * the xz toolchain on the Spark classpath); the hand-serialized solid
+  * leg exercises the layouts that encoder never writes — one folder
+  * split into substreams by kSubStreamsInfo, and the header itself
+  * packed as a kEncodedHeader folder. Quarantine witnesses: flipped
+  * payload byte (substream CRC), flipped packed LZMA2 byte (folder
+  * decode), truncated/garbage archives (archive row), unsupported
+  * coder (files kept by name).
+  */
+class SevenZWalkSpec extends SparkSpec {
+
+  private def bytes(s: String) = s.getBytes("UTF-8")
+
+  private val recs = Seq(
+    ("docs/a.txt", bytes("alpha alpha alpha alpha")),
+    ("docs/b.txt", bytes("the quick brown fox jumps over the lazy dog " * 40)),
+    ("c.md", bytes("# heading\nbody text with some entropy 0123456789")))
+
+  test("commons-compress round trip: copy, lzma1 and lzma2 methods") {
+    for (m <- Seq("copy", "lzma", "lzma2")) {
+      val es = SevenZWalk.entries(SevenZWalk.fixture(recs, m))
+      assert(es.map(_.name) === recs.map(_._1), m)
+      assert(es.forall(e => !e.corrupt && e.crcOk), m)
+      assert(es.map(e => new String(e.data, "UTF-8")) ===
+        recs.map(r => new String(r._2, "UTF-8")), m)
+      assert(es.map(_.size) === recs.map(_._2.length.toLong), m)
+    }
+  }
+
+  test("empty file carried via the EmptyStream vector") {
+    val es = SevenZWalk.entries(SevenZWalk.fixture(
+      Seq(("full.txt", bytes("payload")), ("empty.txt", Array.empty[Byte])), "lzma2"))
+    assert(es.map(e => (e.name, e.emptyStream, e.size)) ===
+      Seq(("full.txt", false, 7L), ("empty.txt", true, 0L)))
+    assert(es.forall(!_.corrupt))
+  }
+
+  test("hand-serialized solid folder + encoded header: substream split and CRCs") {
+    val es = SevenZWalk.entries(SevenZWalk.fixtureSolid(recs))
+    assert(es.map(_.name) === recs.map(_._1))
+    assert(es.forall(e => !e.corrupt && e.crcOk))
+    assert(es.map(e => new String(e.data, "UTF-8")) ===
+      recs.map(r => new String(r._2, "UTF-8")))
+  }
+
+  test("flipped payload byte quarantines exactly the first entry, name kept") {
+    val es = SevenZWalk.entries(SevenZWalk.fixtureCorrupt(recs))
+    assert(es.map(e => (e.name, e.corrupt)) ===
+      Seq(("docs/a.txt", true), ("docs/b.txt", false), ("c.md", false)))
+    assert(es(0).data === null)
+    assert(new String(es(2).data, "UTF-8") === new String(recs(2)._2, "UTF-8"))
+  }
+
+  test("flipped packed LZMA2 byte fails that folder only; other folders decode") {
+    // one folder per entry under commons-compress: corrupt folder 1's
+    // packed stream mid-byte (pack area starts at 32)
+    val a = SevenZWalk.fixture(recs, "lzma2")
+    val firstPack = SevenZWalk.entries(a) // sanity: clean before flip
+    assert(firstPack.forall(!_.corrupt))
+    a(40) = (a(40) ^ 0x20).toByte
+    val es = SevenZWalk.entries(a)
+    assert(es.map(_.name) === recs.map(_._1))
+    assert(es(0).corrupt && es(0).data == null)
+    assert(!es(2).corrupt &&
+      new String(es(2).data, "UTF-8") === new String(recs(2)._2, "UTF-8"))
+  }
+
+  test("archive-level corruption: bad magic, truncated tail, flipped header CRC") {
+    val good = SevenZWalk.fixture(recs, "copy")
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val truncated = java.util.Arrays.copyOf(good, good.length - 3)
+    val badHeaderCrc = good.clone()
+    badHeaderCrc(28) = (badHeaderCrc(28) ^ 0x01).toByte // next-header CRC field
+    for (b <- Seq(badMagic, truncated, badHeaderCrc, Array.empty[Byte],
+      bytes("definitely not a seven zip archive, far too small anyway"))) {
+      val es = SevenZWalk.entries(b)
+      assert(es.length === 1 && es.head.corrupt && es.head.name == null)
+    }
+  }
+
+  test("REAL_UINT64 round-trips across width boundaries via the solid fixture") {
+    // a payload > 16384 bytes forces 2-tail-byte numbers in sizes
+    val big = Seq(("big.bin", Array.tabulate(20000)(i => (i % 251).toByte)),
+      ("tiny.bin", Array[Byte](1, 2, 3)))
+    val es = SevenZWalk.entries(SevenZWalk.fixtureSolid(big))
+    assert(es.map(e => (e.name, e.size, e.corrupt)) ===
+      Seq(("big.bin", 20000L, false), ("tiny.bin", 3L, false)))
+    assert(es(0).data.toSeq === big(0)._2.toSeq)
+  }
+
+  test("Spark fan-out: parseEntries walks archives partition-parallel") {
+    import spark.implicits._
+    val arch = (0L until 6L).toSeq.map { id =>
+      (id, SevenZWalk.fixture(Seq(
+        (s"d/$id-a.txt", bytes(s"alpha $id")),
+        (s"d/$id-b.txt", bytes(s"beta $id " * 20))),
+        if (id % 2 == 0) "lzma2" else "copy"))
+    }
+    val df = arch.toDF("doc_id", "payload").repartition(3)
+    val out = SevenZWalk.parseEntries(df)(spark).collect().sortBy(e => (e.doc_id, e.name))
+    assert(out.length === 12)
+    assert(out.forall(!_.corrupt))
+    assert(out.filter(_.name.endsWith("-a.txt")).map(_.body_text).toSeq ===
+      (0L until 6L).map(id => s"alpha $id"))
+  }
+}
