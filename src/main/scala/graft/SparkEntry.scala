@@ -3324,6 +3324,35 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"), col("start_a"))
   }
 
+  /** Corpus-global exact substring dedup via the distributed suffix
+    * array ([[graft.operators.SuffixArray.repeatLengths]] — Manber–
+    * Myers prefix doubling in shuffle vocabulary + binary-lifted LCP;
+    * Lee et al. 2022's suffix-array semantics, where
+    * [[qRepeatedSpans]]' winnow path is the pairwise approximation).
+    * Per source: corpus positions whose longest repeated prefix
+    * reaches 10/20/40 chars and distinct docs carrying a ≥20 repeat.
+    * The oracle replays the SEMANTICS, not the algorithm —
+    * `rep_len ≥ t` ⟺ the position's t-gram occurs ≥ 2 times in the
+    * corpus — so the whole doubling/LCP machinery is proven against
+    * ground truth at three depths.
+    */
+  private def qSuffixDedup(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val rep = graft.operators.SuffixArray.repeatLengths(docs, "doc_id", "text")
+    val counts = rep
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      .groupBy("source").agg(
+        sum(when(col("rep_len") >= 10, 1L).otherwise(0L)).as("pos10"),
+        sum(when(col("rep_len") >= 20, 1L).otherwise(0L)).as("pos20"),
+        sum(when(col("rep_len") >= 40, 1L).otherwise(0L)).as("pos40"),
+        countDistinct(when(col("rep_len") >= 20, col("doc"))).as("docs20"))
+    docs.select("source").distinct()
+      .join(counts, Seq("source"), "left")
+      .na.fill(0L, Seq("pos10", "pos20", "pos40", "docs20"))
+      .orderBy("source")
+  }
+
   /** DSIR importance weights ([[graft.operators.Dsir.importanceWeights]]):
     * every document's log likelihood ratio between the English-subset
     * hashed-unigram distribution and the raw-corpus one — the
@@ -5403,6 +5432,7 @@ object SparkEntry {
     "q_winnow_fp" -> (qWinnowFp _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_repeated_spans" -> (qRepeatedSpans _),
+    "q_suffix_dedup" -> (qSuffixDedup _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -7743,6 +7773,41 @@ object SparkEntry {
          HAVING count(*) + ${k - 1} >= $minLen
          ORDER BY id_a, id_b, start_a"""
     },
+    // suffix-array dedup: rep_len >= t <=> the position's t-gram occurs
+    // >= 2 times (suffix-array adjacency property), so each threshold
+    // replays as a gram-count ground truth; char semantics via length()
+    "q_suffix_dedup" ->
+      """WITH p10 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 9)) AS g
+           FROM documents),
+         g10 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 10) AS gram FROM p10),
+         d10 AS (SELECT source, count(*) AS c FROM g10
+                 WHERE gram IN (SELECT gram FROM g10 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source),
+         p20 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS g
+           FROM documents),
+         g20 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 20) AS gram FROM p20),
+         d20 AS (SELECT source, count(*) AS c, count(DISTINCT doc_id) AS nd FROM g20
+                 WHERE gram IN (SELECT gram FROM g20 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source),
+         p40 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS g
+           FROM documents),
+         g40 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 40) AS gram FROM p40),
+         d40 AS (SELECT source, count(*) AS c FROM g40
+                 WHERE gram IN (SELECT gram FROM g40 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source)
+         SELECT s.source,
+           CAST(COALESCE(d10.c, 0) AS BIGINT) AS pos10,
+           CAST(COALESCE(d20.c, 0) AS BIGINT) AS pos20,
+           CAST(COALESCE(d40.c, 0) AS BIGINT) AS pos40,
+           CAST(COALESCE(d20.nd, 0) AS BIGINT) AS docs20
+         FROM (SELECT DISTINCT source FROM documents) s
+         LEFT JOIN d10 ON s.source = d10.source
+         LEFT JOIN d20 ON s.source = d20.source
+         LEFT JOIN d40 ON s.source = d40.source
+         ORDER BY s.source""",
     "q_winnow_overlap" ->
       """WITH d AS (SELECT doc_id,
                   CASE WHEN doc_id % 11 = 0 THEN text ||

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix array over the document corpus, and the exact
+  * repeated-substring semantics it unlocks (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better" — the
+  * suffix-array approach to exact-substring training-data dedup).
+  *
+  * Contrast with [[Winnow.repeatedSpans]]: that path is PAIRWISE
+  * (winnow fingerprints propose candidate pairs, a gram join verifies
+  * each pair), so its cost tracks candidate volume (Σ df² over shared
+  * fingerprints) and a K-document clique costs K². This path is
+  * corpus-GLOBAL: every duplicated position is found in O(n log L)
+  * total work (n = corpus characters, L = max document length)
+  * regardless of how many documents share a passage — repeat
+  * multiplicity never enters the complexity.
+  *
+  * Construction is Manber–Myers prefix doubling, re-expressed in
+  * Spark's shuffle vocabulary with TWO exchanges per round and no
+  * join:
+  *
+  *  - rank_c(doc, pos) groups suffixes by their first c characters;
+  *    rank_3 seeds the loop with three UTF-16 units packed into one
+  *    long (code+1 per unit, so end-of-doc pads with 0 and shorter
+  *    suffixes sort first).
+  *  - suffixes are DOC-BOUNDED, so the offset lookup
+  *    `rank_c(doc, pos + c)` is WITHIN one document: a `flatMapGroups`
+  *    over doc groups rebuilds the per-doc rank array (≤ max doc
+  *    length entries) and emits (rank, rank at pos+c, −1 past end)
+  *    pairs locally — the classic self-join of distributed doubling
+  *    collapses into one shuffle by doc.
+  *  - re-ranking by the pair avoids any global window: rows are
+  *    range-repartitioned on the key and each partition assigns
+  *    `rank = partition row-offset + local index of the row's key-group
+  *    START`, i.e. exactly the GLOBAL count of strictly-smaller keys —
+  *    independent of the sampled partition boundaries (equal keys
+  *    colocate under range partitioning, so a group never spans one).
+  *    The only driver traffic is one (count, hasDuplicate) pair per
+  *    partition per round — bounded metadata, the [[Selection]]/BPE
+  *    precedent.
+  *  - the round count is ⌈log₂ max-doc-length⌉, NOT log of corpus
+  *    size — a 100 TB corpus of web documents needs the same ~12
+  *    rounds as a 1 GB one. The schedule is fixed up front (one
+  *    max-length probe), so the build itself runs ZERO driver
+  *    actions: all rounds pipeline into whichever single job consumes
+  *    the result. (A convergence early-exit would trade that for one
+  *    collect per round — measured strictly worse here, since
+  *    converged rounds shuffle already-singleton groups cheaply.)
+  *
+  * LCP: in suffix-array order, a suffix's longest common prefix with
+  * ANY other suffix is max(LCP with its two order-neighbors). Adjacent
+  * pairing uses the same range-repartition pass (per-partition firsts
+  * collected as metadata to stitch boundaries), and each pair's LCP is
+  * the codegen'd [[graft.exprs.SuffixLcp]] walk over the two texts,
+  * brought in by two doc-keyed joins (the document table is
+  * corpus/avg-len sized; AQE broadcasts it at gate scale). At corpus
+  * sizes where even the doc table must shuffle, the text join
+  * amplifies each document by its position count — the shard-then-
+  * merge layout (suffix arrays per corpus shard, global dedup on the
+  * shard results) is the documented scale-out, matching how the
+  * published pipelines run this operator.
+  *
+  * `repeatLengths` output: one row per corpus position with
+  * `rep_len` = length of the longest substring starting there that
+  * occurs at least twice in the corpus (anywhere — intra- or
+  * inter-document). `rep_len ≥ t` ⟺ the position's t-gram occurs ≥ 2
+  * times, which is what the DuckDB oracle replays at three depths.
+  *
+  * Character-code note: positions are Java char units (the corpus
+  * tables are ASCII; supplementary-plane text would pair surrogate
+  * units — consistent engine-side, noted for honesty).
+  */
+object SuffixArray {
+
+  /** Final rank table, the coverage (chars compared) at which the
+    * doubling loop stopped, and the cache handles still pinned.
+    */
+  final case class Sa(order: DataFrame, coverage: Long,
+      private[SuffixArray] val handles: Seq[org.apache.spark.sql.Dataset[_]]) {
+    def unpersistAll(): Unit = handles.foreach(_.unpersist())
+  }
+
+  /** Range-repartitioned group-start re-rank. Prefix doubling does
+    * not need globally DENSE ranks — any group id that is (a) equal
+    * exactly within a key group and (b) monotone with key order works,
+    * because the next round only sorts by it and tests equality. So
+    * the new rank is `(partitionId << 42) + local index of the row's
+    * key-group start`: equal keys colocate under range partitioning
+    * (a group never spans a boundary) and partition ids follow key
+    * order, so both properties hold — with NO per-round count collect,
+    * NO cache, and NO second pass. The whole doubling loop is one lazy
+    * DAG; the only jobs the build runs are the max-length probe and
+    * whatever action consumes the result. Rank VALUES depend on the
+    * sampled partition boundaries, but the induced ORDER and grouping
+    * do not, so downstream results are boundary-invariant.
+    */
+  private def groupRanks(rows: DataFrame, nPart: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ranked = rows
+      .repartitionByRange(nPart, col("r"), col("r2"))
+      .sortWithinPartitions("r", "r2")
+      .as[(Long, Int, Long, Long)]
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val base = i.toLong << 42
+        var idx = 0L
+        var curR = 0L
+        var curR2 = 0L
+        var started = false
+        var groupStart = 0L
+        it.map { case (doc, pos, r, r2) =>
+          if (!started || r != curR || r2 != curR2) {
+            started = true; curR = r; curR2 = r2; groupStart = idx
+          }
+          idx += 1
+          (doc, pos, base + groupStart)
+        }
+      }
+    spark.createDataset(ranked).toDF("doc", "pos", "r")
+  }
+
+  /** Build the suffix array; returns the final rank table (doc, pos,
+    * r) where r totals-orders suffixes (ties ⟺ identical suffixes).
+    * Call [[Sa.unpersistAll]] when downstream results are
+    * materialized ([[repeatLengths]] does).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, nPart: Int = 0)(
+      implicit spark: SparkSession): Sa = {
+    import spark.implicits._
+    val parts =
+      if (nPart > 0) nPart
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxLen = docs
+      .agg(coalesce(max(length(col(textCol))), lit(0))).head().getInt(0)
+    // initial rank: THREE UTF-16 units packed per position (17 bits
+    // each, code+1 so end-of-doc pads with 0 and a shorter suffix
+    // sorts first — the same order the per-round −1 sentinel gives).
+    // Starting coverage at 3 saves two doubling rounds, and the
+    // explode is a narrow flatMap — no shuffle.
+    var cur: DataFrame = docs
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("__t"))
+      .as[(Long, String)].flatMap { case (doc, t) =>
+        val n = if (t == null) 0 else t.length
+        (0 until n).iterator.map { p =>
+          val c0 = t.charAt(p).toLong + 1
+          val c1 = if (p + 1 < n) t.charAt(p + 1).toLong + 1 else 0L
+          val c2 = if (p + 2 < n) t.charAt(p + 2).toLong + 1 else 0L
+          (doc, p, (c0 << 34) | (c1 << 17) | c2)
+        }
+      }.toDF("doc", "pos", "r")
+    var coverage = 3L
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    while (coverage < maxLen) {
+      val cc = coverage.toInt
+      // doc-local offset lookup: `lead` over the per-doc position
+      // order — one shuffle by doc, no join, native Tungsten rows —
+      // and a fixed ⌈log₂ maxLen⌉-round schedule with no per-round
+      // action, so every round pipelines into the consumer's one job.
+      // (positions are dense per doc, so lead(·, c) IS rank(pos + c))
+      val withR2 = cur.withColumn("r2", lead(col("r"), cc, -1L).over(wDoc))
+      cur = groupRanks(withR2, parts)
+      coverage *= 2
+    }
+    Sa(cur, coverage, Seq.empty)
+  }
+
+  /** Adjacent suffix pairs in array order with exact LCPs:
+    * (a_doc, a_pos, b_doc, b_pos, lcp). `docs` supplies the texts for
+    * the codegen'd LCP walk.
+    */
+  def adjacentLcp(sa: Sa, docs: DataFrame, idCol: String, textCol: String,
+      nPart: Int = 0)(
+      implicit spark: SparkSession): (DataFrame, org.apache.spark.sql.Dataset[_]) = {
+    import spark.implicits._
+    val parts =
+      if (nPart > 0) nPart
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = sa.order
+      .repartitionByRange(parts, col("r"), col("doc"), col("pos"))
+      .sortWithinPartitions("r", "doc", "pos")
+      .as[(Long, Int, Long)]
+      .persist()
+    // partition firsts: ≤ one row per partition, stitches boundaries
+    val firsts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.hasNext) Iterator((i, it.next())) else Iterator.empty
+    }.collect().toMap
+    val nPartActual = sorted.rdd.getNumPartitions
+    val nextFirst: Map[Int, (Long, Int, Long)] = (0 until nPartActual).flatMap { i =>
+      ((i + 1) until nPartActual).collectFirst {
+        case j if firsts.contains(j) => i -> firsts(j)
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(nextFirst)
+    val pairs = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: (Long, Int, Long) = null
+      val within = it.flatMap { cur =>
+        val out =
+          if (prev == null) Iterator.empty
+          else Iterator((prev._1, prev._2, cur._1, cur._2))
+        prev = cur
+        out
+      }
+      within ++ (if (prev == null) Iterator.empty
+      else bc.value.get(i) match {
+        case Some(nf) => Iterator((prev._1, prev._2, nf._1, nf._2))
+        case None => Iterator.empty
+      })
+    }
+    val ta = docs.select(col(idCol).cast("long").as("a_doc"),
+      col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).cast("long").as("b_doc"),
+      col(textCol).as("__tb"))
+    val lcp = spark.createDataset(pairs)
+      .toDF("a_doc", "a_pos", "b_doc", "b_pos")
+      .join(ta, "a_doc")
+      .join(tb, "b_doc")
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+        graft.exprs.SuffixLcp(col("__ta"), col("a_pos").cast("long"),
+          col("__tb"), col("b_pos").cast("long")).as("lcp"))
+    (lcp, sorted)
+  }
+
+  /** One row per corpus position: (doc, pos [0-based], rep_len) where
+    * rep_len = length of the longest substring starting at pos that
+    * occurs ≥ 2 times anywhere in the corpus. Positions in one-char
+    * corpora (no order-neighbor) are absent; callers left-join.
+    */
+  def repeatLengths(docs: DataFrame, idCol: String, textCol: String,
+      nPart: Int = 0)(implicit spark: SparkSession): DataFrame = {
+    val sa = build(docs, idCol, textCol, nPart)
+    val (pairs, pairSort) = adjacentLcp(sa, docs, idCol, textCol, nPart)
+    val out = pairs.select(col("a_doc").as("doc"), col("a_pos").as("pos"), col("lcp"))
+      .unionByName(pairs.select(col("b_doc").as("doc"), col("b_pos").as("pos"), col("lcp")))
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(col("lcp")).as("rep_len"))
+      .localCheckpoint(eager = true) // sever lineage before releasing caches
+    pairSort.unpersist()
+    sa.unpersistAll()
+    out
+  }
+}

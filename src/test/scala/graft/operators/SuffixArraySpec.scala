@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed witnesses for the distributed suffix array: the
+  * classic "banana" LCPs, identical-suffix capping, cross-document
+  * repeats, intra-document self-overlap, convergence early-exit, and
+  * a brute-force equivalence sweep against an in-memory reference on
+  * randomized corpora.
+  */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def repeats(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    val df = docs.toDF("doc_id", "text")
+    SuffixArray.repeatLengths(df, "doc_id", "text")(spark)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+  }
+
+  /** Brute force: for each position, the longest prefix of its suffix
+    * occurring at ≥ 2 distinct (doc, pos) sites.
+    */
+  private def brute(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    val suf = for ((id, t) <- docs; p <- 0 until t.length) yield (id, p, t.substring(p))
+    suf.map { case (id, p, s) =>
+      val best = suf.iterator.filter { case (id2, p2, _) => (id2, p2) != ((id, p)) }
+        .map { case (_, _, s2) =>
+          var k = 0
+          val n = math.min(s.length, s2.length)
+          while (k < n && s(k) == s2(k)) k += 1
+          k
+        }.foldLeft(0)(math.max)
+      ((id, p), best.toLong)
+    }.toMap
+  }
+
+  test("banana: per-position longest repeated prefix matches hand computation") {
+    val r = repeats(Seq((1L, "banana")))
+    // suffixes: banana anana nana ana na a — repeats: ana (3), na (2), a (1)
+    val expect = Map(
+      (1L, 0) -> 0L, // banana
+      (1L, 1) -> 3L, // anana ~ ana
+      (1L, 2) -> 2L, // nana ~ na
+      (1L, 3) -> 3L, // ana
+      (1L, 4) -> 2L, // na
+      (1L, 5) -> 1L) // a
+    assert(r === expect)
+  }
+
+  test("identical documents: rep_len is capped at the true suffix length") {
+    val r = repeats(Seq((1L, "hello"), (2L, "hello")))
+    for (p <- 0 until 5; d <- Seq(1L, 2L))
+      assert(r((d, p)) === (5 - p).toLong, s"doc $d pos $p")
+  }
+
+  test("cross-document repeat found exactly, non-shared tails at zero") {
+    val r = repeats(Seq((1L, "xxSHAREDyy"), (2L, "zzSHAREDww")))
+    assert(r((1L, 2)) === 6L) // SHARED
+    assert(r((2L, 2)) === 6L)
+    assert(r((1L, 3)) === 5L) // HARED
+    assert(r((1L, 0)) === 1L) // 'x' repeats at pos 1 only
+    assert(r((2L, 8)) === 1L) // 'w' repeats
+    assert(r((1L, 8)) === 1L) // 'y' repeats
+  }
+
+  test("intra-document self-overlap: runs of one character") {
+    val r = repeats(Seq((7L, "aaaa")))
+    // suffix at 0 = aaaa shares aaa with suffix at 1
+    assert(r === Map((7L, 0) -> 3L, (7L, 1) -> 3L, (7L, 2) -> 2L, (7L, 3) -> 1L))
+  }
+
+  test("randomized corpora match the brute-force reference") {
+    val rnd = new scala.util.Random(20260816)
+    val alphabet = "abcd"
+    for (trial <- 1 to 4) {
+      val docs = (1L to 6L).map { id =>
+        val n = 5 + rnd.nextInt(30)
+        (id, Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      assert(repeats(docs) === brute(docs), s"trial $trial: $docs")
+    }
+  }
+
+  test("round schedule is log of MAX DOC LENGTH, fixed up front") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
+    val sa = SuffixArray.build(df, "doc_id", "text")(spark)
+    // 36 chars: packed-3 start, coverage 3→48, i.e. 4 rounds
+    // regardless of corpus row count
+    assert(sa.coverage === 48L)
+    sa.unpersistAll()
+  }
+
+  test("empty and single-char corpora do not crash") {
+    assert(repeats(Seq((1L, ""))) === Map.empty)
+    // a single corpus position has no order-neighbor: absent by contract
+    assert(repeats(Seq((1L, "q"))) === Map.empty)
+  }
+}
