@@ -735,6 +735,79 @@ object SparkEntry {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** Watermarked STREAM-STREAM attribution join
+    * ([[graft.streaming.StreamJoin.attribute]]): the view and click
+    * slices of the events table replayed as two file streams in three
+    * time-contiguous chunks each (pinned ascending mtimes — the
+    * [[qStreamCardinality]] pattern), left-outer joined on user within
+    * a 6-hour event-time horizon. Chunk contiguity means nothing is
+    * ever late and no cross-chunk match can be missed (a view evicts
+    * only once the watermark — min across BOTH inputs — passes its
+    * horizon, by which point every click that could match is in);
+    * one far-future sentinel per side pushes the final watermark so
+    * every unmatched view flushes its null-click row. The rollup
+    * (match pairs, unmatched views, exact integer-micros lag sum per
+    * user bucket) hash-matches a batch self-join in DuckDB — a
+    * STREAMING two-stateful-input operator proven against ground
+    * truth.
+    */
+  private def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sjoin").toString
+    val in1 = s"$tmp/views"; val in2 = s"$tmp/clicks"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = T.events(s, d).select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"))
+    val sentinelTs = java.sql.Timestamp.from(
+      ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+        .plusSeconds(40L * 86400))
+    val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("view" -> in1, "click" -> in2).foreach { case (etype, dir) =>
+      val side = ev.filter(col("event_type") === etype)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      side.filter(col("ts") < cut1).coalesce(1).write.parquet(s"$dir-c0")
+      side.filter(col("ts") >= cut1 && col("ts") < cut2)
+        .coalesce(1).write.parquet(s"$dir-c1")
+      side.filter(col("ts") >= cut2).coalesce(1).write.parquet(s"$dir-c2")
+      s.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"))
+        .coalesce(1).write.parquet(s"$dir-c3")
+      fs.mkdirs(new Path(dir))
+      Seq("c0" -> 1000000L, "c1" -> 2000000L, "c2" -> 3000000L,
+        "c3" -> 4000000L).foreach { case (c, t) =>
+        fs.listStatus(new Path(s"$dir-$c"))
+          .filter(_.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (f, i) =>
+            val dst = new Path(dir, s"$c-$i.parquet")
+            fs.rename(f.getPath, dst)
+            fs.setTimes(dst, t, -1)
+          }
+      }
+    }
+    val schema = s.read.parquet(in1).schema
+    def stream(dir: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = graft.streaming.StreamJoin.attribute(
+      stream(in1), stream(in2), delay = "1 hour", withinSeconds = 21600L)
+    val finished = joined.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start().awaitTermination(180000)
+    require(finished, "stream-stream join did not finish within 180s — " +
+      "refusing to read a partial sink")
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the watermark sentinels
+      .groupBy(pmod(col("user_id"), lit(20)).as("bucket"))
+      .agg(
+        sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(coalesce(col("lag_us"), lit(0L))).as("sum_lag_us"))
+      .orderBy(col("bucket"))
+  }
+
   /** Incremental exact dedup, the daily-increment shape: batch =
     * doc_id ≡ 7 (mod 10); history = the rest PLUS exact copies of half
     * the batch (ids ≡ 7 mod 20, re-keyed), so survivors are exactly the
@@ -5360,6 +5433,7 @@ object SparkEntry {
     "q_pipeline_filter" -> (qPipelineFilter _),
     "q_lm_score" -> (qLmScore _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_stream_cardinality" -> (qStreamCardinality _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_bloom_prune" -> (qBloomPrune _),
@@ -6632,6 +6706,25 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(text))) AS text_hash
          FROM documents ORDER BY text_hash""",
+    // stream-stream attribution: the streaming left-outer join over
+    // time-contiguous chunks equals the batch self-join — pairs,
+    // unmatched views, and exact integer-micros lags replay directly
+    "q_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+         j AS (SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                 epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+               FROM v LEFT JOIN c ON v.user_id = c.user_id
+                 AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR)
+         SELECT user_id % 20 AS bucket,
+           CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(sum(COALESCE(lag_us, 0)) AS BIGINT) AS sum_lag_us
+         FROM j GROUP BY 1 ORDER BY 1""",
     "q_incremental_dedup" ->
       """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
          hist AS (SELECT text FROM documents WHERE doc_id % 10 <> 7
