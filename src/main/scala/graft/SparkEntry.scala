@@ -963,6 +963,17 @@ object SparkEntry {
     Rank.pageRank(Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 6)
       .orderBy(col("node"))
 
+  /** 4-round deterministic label propagation
+    * ([[graft.operators.Graph.labelPropagation]]) over the symmetric
+    * trade graph — community detection with plurality-vote rounds and
+    * smallest-label tie-breaks, so the oracle unrolls the identical
+    * schedule as generated CTEs (the BPE/forward-push precedent).
+    */
+  private def qLabelProp(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+      Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 4)
+      .orderBy(col("node"))
+
   /** 6-iteration HITS over the DIRECTED customer→supplier trade edges
     * (hubs = broad buyers, authorities = widely-bought-from suppliers);
     * integer 1e8-unit carrier with L1 normalization each half-step.
@@ -5364,6 +5375,7 @@ object SparkEntry {
     "q_bm25_topk" -> (qBm25TopK _),
     "q_bm25_multi" -> (qBm25Multi _),
     "q_pagerank" -> (qPageRank _),
+    "q_label_prop" -> (qLabelProp _),
     "q_hits" -> (qHits _),
     "q_ppr" -> (qPersonalizedPagerank _),
     "q_ppr_push" -> (qPprPush _),
@@ -6965,6 +6977,29 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, doc_id, score FROM ranked WHERE rn <= 20
          ORDER BY query_id, doc_id""",
+    // label propagation: the oracle unrolls the 4 synchronous rounds —
+    // plurality vote per node, smallest label on ties (row_number
+    // ORDER BY c DESC, label ASC ≡ the engine's max(struct(c, −label)))
+    "q_label_prop" -> {
+      val rounds = 4
+      val steps = (1 to rounds).map { i =>
+        s"""m$i AS MATERIALIZED (
+             SELECT e.src AS node, l${i - 1}.label, count(*) AS c
+             FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.node GROUP BY 1, 2),
+           l$i AS MATERIALIZED (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER (
+               PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM m$i)
+             WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH d AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS MATERIALIZED (SELECT src, dst FROM d
+           UNION ALL SELECT dst AS src, src AS dst FROM d),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         $steps
+         SELECT node, label FROM l$rounds ORDER BY node"""
+    },
     "q_pagerank" ->
       """WITH eraw AS MATERIALIZED (
            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b

@@ -228,4 +228,35 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted
     assert(a.sameElements(b))
   }
+
+  private def lpa(rounds: Int, pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.labelPropagation(sym(pairs: _*), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two triangles joined by one bridge separate") {
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10
+    val l = lpa(4, (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    assert(l(1L) === 1L && l(2L) === 1L && l(3L) === 1L)
+    assert(Set(l(10L), l(11L), l(12L)).size === 1)
+    assert(l(10L) !== l(1L))
+  }
+
+  test("labelPropagation: plurality wins, smallest label breaks ties") {
+    // node 5's neighbors {1, 2, 9} hold one label each → 3-way tie →
+    // smallest label (1); node 6 sees {3, 9} → tie → 3
+    val l1 = lpa(1, (5L, 1L), (5L, 2L), (5L, 9L), (1L, 2L))
+    assert(l1(5L) === 1L)
+    val l2 = lpa(1, (6L, 3L), (6L, 9L))
+    assert(l2(6L) === 3L)
+  }
+
+  test("labelPropagation: deterministic under repartition") {
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 6L))
+    val a = Graph.labelPropagation(g, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagation(g.repartition(7), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
 }
