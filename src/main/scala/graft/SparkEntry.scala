@@ -1541,6 +1541,43 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Arrow IPC ingest ([[graft.operators.ArrowWalk]]): documents
+    * packed into per-chunk Arrow FILES by the REAL Arrow Java writer
+    * (multi-batch, 16 rows per record batch), decoded back by the
+    * from-spec FlatBuffers walk. Every 7th doc's `source` cell is
+    * NULLED through the validity bitmap (the null witness the oracle
+    * replays as a CASE); chunks ≡ 4 (mod 5) get their footer-length
+    * field bit-flipped — Arrow has no data checksums, so STRUCTURAL
+    * corruption is the detectable kind, and it quarantines the file
+    * as one row. Closed-form rollup replays from the base table.
+    */
+  private def qArrowIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ArrowWalk
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        pmod(col("doc_id"), lit(20)).as("chunk"))
+      .as[(Long, String, String, Long)]
+    val files = docs.groupByKey(_._4).mapGroups { (chunk, it) =>
+      val recs = it.toSeq.sortBy(_._1).map { case (id, src, text, _) =>
+        (id, src, text)
+      }
+      val a = ArrowWalk.fixture(recs, 16, nullSourceEvery = 7)
+      if (chunk % 5 == 4) a(a.length - 10) = (a(a.length - 10) ^ 0x01).toByte
+      (chunk, a)
+    }.toDF("chunk", "payload")
+    ArrowWalk.parseDocs(files).toDF()
+      .groupBy(when(col("corrupt"), lit("(corrupt)"))
+        .otherwise(coalesce(col("source"), lit("(null)"))).as("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(coalesce(length(col("text")), lit(0))).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   /** Mixed-charset ingest witness
     * ([[graft.functions.Text.decodeCharset]]): each document
     * serialized in one of five byte encodings by doc_id (plain UTF-8,
@@ -5417,6 +5454,7 @@ object SparkEntry {
     "q_robots_policy" -> (qRobotsPolicy _),
     "q_zip_ingest" -> (qZipIngest _),
     "q_7z_ingest" -> (qSevenZIngest _),
+    "q_arrow_ingest" -> (qArrowIngest _),
     "q_doc_pdf_extract" -> (qDocPdfExtract _),
     "q_mbox_ingest" -> (qMboxIngest _),
     "q_blocklist_summary" -> (qBlocklistSummary _),
@@ -8858,6 +8896,25 @@ object SparkEntry {
            min(CASE WHEN NOT corrupt THEN doc_id END) AS min_doc,
            max(CASE WHEN NOT corrupt THEN doc_id END) AS max_doc
          FROM m GROUP BY source ORDER BY source""",
+    // Arrow ingest: chunks ≡ 4 (mod 5) are structurally corrupted
+    // (flipped footer length) → one corrupt row each; every 7th doc's
+    // source is nulled via the validity bitmap; char semantics both
+    // sides via length()
+    "q_arrow_ingest" ->
+      """WITH d AS (SELECT doc_id, source, text, doc_id % 20 AS chunk
+                    FROM documents),
+         ok AS (SELECT CASE WHEN doc_id % 7 = 0 THEN '(null)' ELSE source END
+                  AS source, doc_id, length(text) AS len
+                FROM d WHERE chunk % 5 <> 4)
+         SELECT source, count(*) AS n_rows,
+           CAST(sum(len) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM ok GROUP BY source
+         UNION ALL
+         SELECT '(corrupt)', count(DISTINCT chunk), CAST(0 AS BIGINT),
+           NULL, NULL
+         FROM d WHERE chunk % 5 = 4
+         ORDER BY source""",
     // robots.txt policy: the oracle writes the ANALYTIC RFC 9309
     // verdict per (host-policy shape, path shape) — longest-match,
     // Allow-on-ties, $ anchor, named-beats-star, missing-file-allows

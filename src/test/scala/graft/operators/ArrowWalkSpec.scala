@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** From-spec Arrow IPC reader vs the REAL Arrow Java writer: file
+  * round trips across batch splits, validity bitmaps, all supported
+  * scalar types via a hand-assembled stream, quarantine on
+  * truncation/bad magic/unsupported shapes, Spark fan-out.
+  */
+class ArrowWalkSpec extends SparkSpec {
+
+  private val recs = (0L until 25L).map { i =>
+    (i, s"src${i % 4}", s"document $i body " + ("x" * (i % 7).toInt))
+  }
+
+  test("file round trip against the Arrow Java writer, multi-batch") {
+    for (batchRows <- Seq(25, 7, 1)) {
+      val t = ArrowWalk.table(ArrowWalk.fixture(recs, batchRows)) match {
+        case Right(v) => v
+        case Left(e) => fail(s"batchRows=$batchRows quarantined: $e")
+      }
+      assert(t.cols.map(_.name) === Seq("doc_id", "source", "text"), s"b=$batchRows")
+      assert(t.cols.map(_.typ) === Seq("int64", "utf8", "utf8"))
+      assert(t.nRows === 25, s"b=$batchRows")
+      assert((0 until 25).map(i => t.values(0)(i)) === recs.map(r => java.lang.Long.valueOf(r._1)))
+      assert((0 until 25).map(i => t.values(2)(i)) === recs.map(_._3))
+    }
+  }
+
+  test("validity bitmaps: nulled source cells decode as null, others intact") {
+    val t = ArrowWalk.table(ArrowWalk.fixture(recs, 7, nullSourceEvery = 5))
+      .getOrElse(fail("quarantined"))
+    (0 until 25).foreach { i =>
+      if (i % 5 == 0) assert(t.values(1)(i) == null, s"row $i")
+      else assert(t.values(1)(i) === s"src${i % 4}", s"row $i")
+    }
+    // the non-null columns are unaffected
+    assert(t.values(0)(24) === java.lang.Long.valueOf(24L))
+  }
+
+  test("quarantine: truncation, bad magic, garbage") {
+    val good = ArrowWalk.fixture(recs, 7)
+    assert(ArrowWalk.table(java.util.Arrays.copyOf(good, good.length - 5)).isLeft)
+    val badMagic = good.clone(); badMagic(good.length - 1) = 'X'.toByte
+    assert(ArrowWalk.table(badMagic).isLeft)
+    assert(ArrowWalk.table("not arrow at all, just some text".getBytes).isLeft)
+    assert(ArrowWalk.table(Array.emptyByteArray).isLeft)
+  }
+
+  test("flipped footer-length field quarantines the file") {
+    val good = ArrowWalk.fixture(recs, 7)
+    val bad = good.clone()
+    bad(good.length - 10) = (bad(good.length - 10) ^ 0x40).toByte
+    assert(ArrowWalk.table(bad).isLeft)
+  }
+
+  test("all scalar widths + bool + float via the Arrow Java writer") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val fields = List(
+      new Field("i8", FieldType.nullable(new ArrowType.Int(8, true)), null),
+      new Field("i16", FieldType.nullable(new ArrowType.Int(16, true)), null),
+      new Field("i32", FieldType.nullable(new ArrowType.Int(32, true)), null),
+      new Field("f32", FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)), null),
+      new Field("f64", FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+      new Field("flag", FieldType.nullable(new ArrowType.Bool()), null))
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    root.allocateNew()
+    root.getVector("i8").asInstanceOf[TinyIntVector].setSafe(0, -5)
+    root.getVector("i16").asInstanceOf[SmallIntVector].setSafe(0, -300)
+    root.getVector("i32").asInstanceOf[IntVector].setSafe(0, 70000)
+    root.getVector("f32").asInstanceOf[Float4Vector].setSafe(0, 1.5f)
+    root.getVector("f64").asInstanceOf[Float8Vector].setSafe(0, -2.25d)
+    root.getVector("flag").asInstanceOf[BitVector].setSafe(0, 1)
+    root.getVector("i8").asInstanceOf[TinyIntVector].setSafe(1, 7)
+    root.getVector("i16").asInstanceOf[SmallIntVector].setSafe(1, 7)
+    root.getVector("i32").asInstanceOf[IntVector].setSafe(1, 7)
+    root.getVector("f32").asInstanceOf[Float4Vector].setSafe(1, 0.25f)
+    root.getVector("f64").asInstanceOf[Float8Vector].setSafe(1, 0.5d)
+    root.getVector("flag").asInstanceOf[BitVector].setSafe(1, 0)
+    root.setRowCount(2)
+    w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.cols.map(_.typ) === Seq("int8", "int16", "int32", "float32", "float64", "bool"))
+    assert(t.values(0)(0) === java.lang.Long.valueOf(-5L)) // sign extension
+    assert(t.values(1)(0) === java.lang.Long.valueOf(-300L))
+    assert(t.values(2)(0) === java.lang.Long.valueOf(70000L))
+    assert(t.values(3)(0) === java.lang.Double.valueOf(1.5d))
+    assert(t.values(4)(0) === java.lang.Double.valueOf(-2.25d))
+    assert(t.values(5)(0) === java.lang.Boolean.TRUE)
+    assert(t.values(5)(1) === java.lang.Boolean.FALSE)
+  }
+
+  test("dictionary-encoded columns quarantine loudly") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val dictVec = new VarCharVector("dictv", alloc)
+    dictVec.allocateNew(); dictVec.setSafe(0, "a".getBytes); dictVec.setValueCount(1)
+    val enc = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+    val dict = new Dictionary(dictVec, enc)
+    val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+    val f = new Field("code",
+      new FieldType(true, new ArrowType.Int(32, true), enc), null)
+    val root = VectorSchemaRoot.create(new ASchema(List(f).asJava), alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, provider, java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    root.allocateNew()
+    root.getVector("code").asInstanceOf[IntVector].setSafe(0, 0)
+    root.setRowCount(1)
+    w.writeBatch(); w.end(); w.close(); root.close(); dictVec.close(); alloc.close()
+    val r = ArrowWalk.table(bos.toByteArray)
+    assert(r.isLeft)
+    assert(r.left.toOption.exists(_.contains("dictionary")))
+  }
+
+  test("Spark fan-out: parseDocs walks files partition-parallel") {
+    import spark.implicits._
+    val files = (0L until 5L).map { c =>
+      (c, ArrowWalk.fixture(
+        (0L until 8L).map(i => (c * 100 + i, s"s$c", s"chunk $c doc $i")), 3))
+    } :+ (9L, "broken".getBytes("UTF-8"))
+    val df = files.toDF("chunk", "payload").repartition(3)
+    val out = ArrowWalk.parseDocs(df)(spark).collect()
+    assert(out.count(_.corrupt) === 1)
+    assert(out.filter(_.corrupt).head.chunk === 9L)
+    assert(out.count(!_.corrupt) === 40)
+    assert(out.filter(r => !r.corrupt && r.chunk == 2L).map(_.doc_id.toLong).sorted.toSeq
+      === (200L until 208L))
+  }
+}
