@@ -23,8 +23,10 @@ package graft.operators
   *    — LSB-first validity bitmaps, int32 offsets + data for Utf8,
   *    width-typed data for Int/Float, bit-packed Bool.
   *
-  * Honest subset, quarantined LOUDLY (never silently misread):
-  * dictionary-encoded columns, nested types (List/Struct/Map),
+  * Dictionary-encoded columns DECODE (DictionaryBatch values +
+  * signed-index mapping — the categorical-column norm in hub files).
+  * Honest subset, quarantined LOUDLY (never silently misread): delta
+  * dictionaries, nested types (List/Struct/Map),
   * Decimal/Date/Time/Timestamp, compressed bodies (BodyCompression
   * present), and big-endian schemas. Arrow carries NO data checksums,
   * so corruption detection is structural (magic, framing, footer
@@ -117,6 +119,12 @@ object ArrowWalk {
   final case class ArrowTable(cols: Seq[ColSpec], nRows: Int,
       values: Seq[Array[AnyRef]])
 
+  /** Internal field spec: `typ` is the VALUE type; dictionary-encoded
+    * fields carry the dictionary id and index byte width (indices are
+    * signed ints per Schema.fbs).
+    */
+  private final case class FieldSpec(col: ColSpec, dictId: Long, idxWidth: Int)
+
   private val Magic = "ARROW1".getBytes("ASCII")
 
   private def le32(b: Array[Byte], p: Int): Int =
@@ -131,7 +139,6 @@ object ArrowWalk {
   private def fieldType(fb: Fb, fieldT: Int): String = {
     val tt = { val p = fb.field(fieldT, 2); if (p < 0) 0 else fb.u8(p) }
     val tv = fb.fieldOffset(fieldT, 3)
-    require(fb.field(fieldT, 4) < 0, "dictionary-encoded column unsupported")
     tt match {
       case 2 => // Int
         val bw = fb.fieldI32(tv, 0, 0)
@@ -151,7 +158,7 @@ object ArrowWalk {
     }
   }
 
-  private def readSchema(fb: Fb, schemaT: Int): Seq[ColSpec] = {
+  private def readSchema(fb: Fb, schemaT: Int): Seq[FieldSpec] = {
     require(fb.fieldI16(schemaT, 0, 0) == 0, "big-endian arrow unsupported")
     val fieldsVec = fb.fieldOffset(schemaT, 1)
     require(fieldsVec >= 0, "schema without fields")
@@ -160,7 +167,19 @@ object ArrowWalk {
       val children = fb.fieldOffset(f, 5)
       require(children < 0 || fb.vecLen(children) == 0, "nested types unsupported")
       val name = { val p = fb.fieldOffset(f, 0); if (p < 0) "" else fb.string(p) }
-      ColSpec(name, fieldType(fb, f), fb.fieldBool(f, 1, dflt = false))
+      val col = ColSpec(name, fieldType(fb, f), fb.fieldBool(f, 1, dflt = false))
+      val dictT = fb.fieldOffset(f, 4) // DictionaryEncoding
+      if (dictT < 0) FieldSpec(col, -1L, 0)
+      else {
+        val id = fb.fieldI64(dictT, 0, 0L)
+        val idxT = fb.fieldOffset(dictT, 1) // indexType, default int32 signed
+        val bw = if (idxT < 0) 32 else fb.fieldI32(idxT, 0, 0)
+        val signed = idxT < 0 || fb.fieldBool(idxT, 1, dflt = false)
+        require(signed, "unsigned dictionary indices unsupported")
+        require(bw == 8 || bw == 16 || bw == 32 || bw == 64,
+          s"dictionary index width $bw unsupported")
+        FieldSpec(col, id, bw / 8)
+      }
     }
   }
 
@@ -172,7 +191,8 @@ object ArrowWalk {
     * appended to `acc`.
     */
   private def readBatch(fb: Fb, batchT: Int, bytes: Array[Byte], bodyStart: Long,
-      cols: Seq[ColSpec], acc: Array[scala.collection.mutable.ArrayBuffer[AnyRef]]): Unit = {
+      cols: Seq[FieldSpec], acc: Array[scala.collection.mutable.ArrayBuffer[AnyRef]],
+      dicts: scala.collection.mutable.Map[Long, Array[AnyRef]]): Unit = {
     require(fb.field(batchT, 3) < 0, "compressed arrow bodies unsupported")
     val nodesVec = fb.fieldOffset(batchT, 1)
     val bufsVec = fb.fieldOffset(batchT, 2)
@@ -191,14 +211,38 @@ object ArrowWalk {
     }
     def bit(off: Int, len: Int, i: Int): Boolean =
       len == 0 || (bytes(off + (i >> 3)) & (1 << (i & 7))) != 0
-    cols.zipWithIndex.foreach { case (c, ci) =>
+    def ints(dOff: Int, w: Int, n: Int, valid: Int => Boolean,
+        out: java.lang.Long => AnyRef, ci: Int): Unit =
+      (0 until n).foreach { i =>
+        acc(ci) += (if (!valid(i)) null
+        else {
+          var v = 0L
+          var k = 0
+          while (k < w) { v |= (bytes(dOff + w * i + k) & 0xffL) << (8 * k); k += 1 }
+          val sh = 64 - 8 * w
+          out(java.lang.Long.valueOf((v << sh) >> sh))
+        })
+      }
+    cols.zipWithIndex.foreach { case (spec, ci) =>
+      val c = spec.col
       val node = fb.vecElem(nodesVec, ci, 16)
       val n = fb.i64(node).toInt
       val nullCount = fb.i64(node + 8)
       val (vOff, vLen) = slice(nextBuf())
       val valid: Int => Boolean =
         if (nullCount == 0L) _ => true else i => bit(vOff, vLen, i)
-      c.typ match {
+      if (spec.dictId >= 0) {
+        // dictionary-encoded: signed int indices mapped through the
+        // registered dictionary values
+        val dict = dicts.getOrElse(spec.dictId,
+          throw new IllegalArgumentException(s"dictionary ${spec.dictId} not seen"))
+        val (dOff, _) = slice(nextBuf())
+        ints(dOff, spec.idxWidth, n, valid, v => {
+          val ix = v.toInt
+          require(ix >= 0 && ix < dict.length, s"dictionary index $ix out of range")
+          dict(ix)
+        }, ci)
+      } else c.typ match {
         case "utf8" =>
           val (oOff, _) = slice(nextBuf())
           val (dOff, _) = slice(nextBuf())
@@ -219,17 +263,7 @@ object ArrowWalk {
         case t if t.startsWith("int") =>
           val w = t.drop(3).toInt / 8
           val (dOff, _) = slice(nextBuf())
-          (0 until n).foreach { i =>
-            acc(ci) += (if (!valid(i)) null
-            else {
-              var v = 0L
-              var k = 0
-              while (k < w) { v |= (bytes(dOff + w * i + k) & 0xffL) << (8 * k); k += 1 }
-              // sign-extend
-              val sh = 64 - 8 * w
-              java.lang.Long.valueOf((v << sh) >> sh)
-            })
-          }
+          ints(dOff, w, n, valid, identity, ci)
         case "float64" =>
           val (dOff, _) = slice(nextBuf())
           (0 until n).foreach { i =>
@@ -279,8 +313,9 @@ object ArrowWalk {
       if (bytes == null || bytes.length < 12)
         return Left("too small")
       val isFile = bytes.take(6).sameElements(Magic)
-      var schema: Seq[ColSpec] = null
+      var schema: Seq[FieldSpec] = null
       var acc: Array[scala.collection.mutable.ArrayBuffer[AnyRef]] = null
+      val dicts = scala.collection.mutable.Map.empty[Long, Array[AnyRef]]
       def onMessage(fb: Fb, msgT: Int, bodyStart: Long): Unit = {
         val headerType = { val p = fb.field(msgT, 1); if (p < 0) 0 else fb.u8(p) }
         val headerT = fb.fieldOffset(msgT, 2)
@@ -290,8 +325,20 @@ object ArrowWalk {
             acc = Array.fill(schema.size)(scala.collection.mutable.ArrayBuffer.empty[AnyRef])
           case 3 => // RecordBatch
             require(schema != null, "record batch before schema")
-            readBatch(fb, headerT, bytes, bodyStart, schema, acc)
-          case 2 => throw new IllegalArgumentException("dictionary batches unsupported")
+            readBatch(fb, headerT, bytes, bodyStart, schema, acc, dicts)
+          case 2 => // DictionaryBatch: one REPLACEMENT dictionary's values
+            require(schema != null, "dictionary batch before schema")
+            val id = fb.fieldI64(headerT, 0, 0L)
+            require(!fb.fieldBool(headerT, 2, dflt = false),
+              "delta dictionaries unsupported")
+            val spec = schema.find(_.dictId == id).getOrElse(
+              throw new IllegalArgumentException(s"dictionary $id not in schema"))
+            val dataT = fb.fieldOffset(headerT, 1)
+            require(dataT >= 0, "dictionary batch without data")
+            val one = Array.fill(1)(scala.collection.mutable.ArrayBuffer.empty[AnyRef])
+            readBatch(fb, dataT, bytes, bodyStart,
+              Seq(FieldSpec(spec.col, -1L, 0)), one, dicts)
+            dicts(id) = one(0).toArray
           case _ => () // ignorable message
         }
       }
@@ -308,19 +355,21 @@ object ArrowWalk {
         require(schemaT >= 0, "footer without schema")
         schema = readSchema(fb, schemaT)
         acc = Array.fill(schema.size)(scala.collection.mutable.ArrayBuffer.empty[AnyRef])
-        val dicts = fb.fieldOffset(footerT, 2)
-        require(dicts < 0 || fb.vecLen(dicts) == 0, "dictionary batches unsupported")
-        val blocks = fb.fieldOffset(footerT, 3)
-        if (blocks >= 0) (0 until fb.vecLen(blocks)).foreach { i =>
-          // Block struct: offset long, metaDataLength int, (pad), bodyLength long
-          val bp = fb.vecElem(blocks, i, 24)
-          val off = fb.i64(bp)
-          require(off >= 8 && off < bytes.length, "block offset out of range")
-          message(bytes, off.toInt) match {
-            case Some((mfb, msgT, bodyStart, _)) => onMessage(mfb, msgT, bodyStart)
-            case None => throw new IllegalArgumentException("empty block")
+        // Block struct: offset long, metaDataLength int, (pad), bodyLength long
+        def walkBlocks(fieldId: Int): Unit = {
+          val blocks = fb.fieldOffset(footerT, fieldId)
+          if (blocks >= 0) (0 until fb.vecLen(blocks)).foreach { i =>
+            val bp = fb.vecElem(blocks, i, 24)
+            val off = fb.i64(bp)
+            require(off >= 8 && off < bytes.length, "block offset out of range")
+            message(bytes, off.toInt) match {
+              case Some((mfb, msgT, bodyStart, _)) => onMessage(mfb, msgT, bodyStart)
+              case None => throw new IllegalArgumentException("empty block")
+            }
           }
         }
+        walkBlocks(2) // dictionaries first
+        walkBlocks(3) // then record batches
       } else {
         var p = 0
         var continue = true
@@ -333,7 +382,7 @@ object ArrowWalk {
       }
       val nRows = if (acc.isEmpty) 0 else acc(0).length
       require(acc.forall(_.length == nRows), "ragged columns")
-      Right(ArrowTable(schema, nRows, acc.map(_.toArray).toSeq))
+      Right(ArrowTable(schema.map(_.col), nRows, acc.map(_.toArray).toSeq))
     } catch {
       case e: Exception => Left(String.valueOf(e.getMessage))
     }

@@ -99,7 +99,7 @@ class ArrowWalkSpec extends SparkSpec {
     assert(t.values(5)(1) === java.lang.Boolean.FALSE)
   }
 
-  test("dictionary-encoded columns quarantine loudly") {
+  test("dictionary-encoded columns decode through the DictionaryBatch") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ASchema}
@@ -108,10 +108,14 @@ class ArrowWalkSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val alloc = new RootAllocator()
     val dictVec = new VarCharVector("dictv", alloc)
-    dictVec.allocateNew(); dictVec.setSafe(0, "a".getBytes); dictVec.setValueCount(1)
+    dictVec.allocateNew()
+    dictVec.setSafe(0, "alpha".getBytes); dictVec.setSafe(1, "beta".getBytes)
+    dictVec.setSafe(2, "gamma".getBytes); dictVec.setValueCount(3)
     val enc = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
     val dict = new Dictionary(dictVec, enc)
     val provider = new DictionaryProvider.MapDictionaryProvider(dict)
+    // Arrow Java's IN-MEMORY field carries the INDEX type; the IPC
+    // writer emits the VALUE type (utf8) into the schema message
     val f = new Field("code",
       new FieldType(true, new ArrowType.Int(32, true), enc), null)
     val root = VectorSchemaRoot.create(new ASchema(List(f).asJava), alloc)
@@ -119,12 +123,14 @@ class ArrowWalkSpec extends SparkSpec {
     val w = new ArrowFileWriter(root, provider, java.nio.channels.Channels.newChannel(bos))
     w.start()
     root.allocateNew()
-    root.getVector("code").asInstanceOf[IntVector].setSafe(0, 0)
-    root.setRowCount(1)
+    val codes = root.getVector("code").asInstanceOf[IntVector]
+    codes.setSafe(0, 2); codes.setSafe(1, 0); codes.setNull(2); codes.setSafe(3, 1)
+    root.setRowCount(4)
     w.writeBatch(); w.end(); w.close(); root.close(); dictVec.close(); alloc.close()
-    val r = ArrowWalk.table(bos.toByteArray)
-    assert(r.isLeft)
-    assert(r.left.toOption.exists(_.contains("dictionary")))
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.cols.head.typ === "utf8")
+    assert((0 until 4).map(i => t.values(0)(i)) ===
+      Seq("gamma", "alpha", null, "beta"))
   }
 
   test("Spark fan-out: parseDocs walks files partition-parallel") {
