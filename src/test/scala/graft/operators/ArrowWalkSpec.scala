@@ -133,6 +133,38 @@ class ArrowWalkSpec extends SparkSpec {
       Seq("gamma", "alpha", null, "beta"))
   }
 
+  test("STREAM encapsulation (no footer) walks sequentially to EOS") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val fields = List(
+      new Field("doc_id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("text", FieldType.nullable(new ArrowType.Utf8()), null))
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    (0 until 3).foreach { b =>
+      root.allocateNew()
+      val ids = root.getVector("doc_id").asInstanceOf[BigIntVector]
+      val txts = root.getVector("text").asInstanceOf[VarCharVector]
+      (0 until 4).foreach { i =>
+        ids.setSafe(i, b * 10L + i)
+        txts.setSafe(i, s"stream batch $b row $i".getBytes("UTF-8"))
+      }
+      root.setRowCount(4)
+      w.writeBatch()
+    }
+    w.end(); w.close(); root.close(); alloc.close()
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.nRows === 12)
+    assert(t.values(0)(11) === java.lang.Long.valueOf(23L))
+    assert(t.values(1)(0) === "stream batch 0 row 0")
+  }
+
   test("Spark fan-out: parseDocs walks files partition-parallel") {
     import spark.implicits._
     val files = (0L until 5L).map { c =>
