@@ -3474,6 +3474,29 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Exact removal spans ([[graft.operators.SuffixArray
+    * .duplicatedSpans]]): the union of all duplicated substrings of
+    * length ≥ 20 per document, merged to maximal spans — the precise
+    * byte set Lee et al. 2022's dedup deletes. Oracle replays via the
+    * covered-by-a-duplicated-20-gram equivalence + SQL
+    * gaps-and-islands.
+    */
+  private def qSuffixSpans(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val agg = graft.operators.SuffixArray.duplicatedSpans(docs, "doc_id", "text", 20)
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_chars")).as("dup_chars"),
+        max(col("span_chars")).as("max_span"),
+        countDistinct(col("doc")).as("n_docs"))
+    docs.select("source").distinct()
+      .join(agg, Seq("source"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_chars", "max_span", "n_docs"))
+      .orderBy("source")
+  }
+
   /** DSIR importance weights ([[graft.operators.Dsir.importanceWeights]]):
     * every document's log likelihood ratio between the English-subset
     * hashed-unigram distribution and the raw-corpus one — the
@@ -5557,6 +5580,7 @@ object SparkEntry {
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_suffix_dedup" -> (qSuffixDedup _),
+    "q_suffix_spans" -> (qSuffixSpans _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
@@ -7973,6 +7997,40 @@ object SparkEntry {
          LEFT JOIN d10 ON s.source = d10.source
          LEFT JOIN d20 ON s.source = d20.source
          LEFT JOIN d40 ON s.source = d40.source
+         ORDER BY s.source""",
+    // suffix spans: union of [p, p+20) over duplicated-20-gram
+    // positions ≡ union of all duplicated substrings of length ≥ 20;
+    // merged by SQL gaps-and-islands — lengths/counts are base-invariant
+    // so the oracle's 1-based positions replay the engine's 0-based
+    "q_suffix_spans" ->
+      """WITH p AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS g
+           FROM documents),
+         gg AS (SELECT source, doc_id, g,
+                  substr(text, CAST(g AS INT), 20) AS gram FROM p),
+         q AS (SELECT source, doc_id, g AS s, g + 20 AS e FROM gg
+               WHERE gram IN (SELECT gram FROM gg GROUP BY gram
+                              HAVING count(*) >= 2)),
+         m AS (SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS gap FROM q),
+         isl AS (SELECT *, sum(gap) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                 FROM m),
+         sp AS (SELECT source, doc_id, min(s) AS st, max(e) AS en
+                FROM isl GROUP BY source, doc_id, grp),
+         agg AS (SELECT source, count(*) AS c,
+                   sum(en - st) AS dc, max(en - st) AS ms,
+                   count(DISTINCT doc_id) AS nd
+                 FROM sp GROUP BY source)
+         SELECT s.source,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(dc, 0) AS BIGINT) AS dup_chars,
+           CAST(coalesce(ms, 0) AS BIGINT) AS max_span,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_docs
+         FROM (SELECT DISTINCT source FROM documents) s
+         LEFT JOIN agg ON s.source = agg.source
          ORDER BY s.source""",
     "q_winnow_overlap" ->
       """WITH d AS (SELECT doc_id,

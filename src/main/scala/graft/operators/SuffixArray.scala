@@ -98,27 +98,20 @@ object SuffixArray {
     */
   private def groupRanks(rows: DataFrame, nPart: Int)(
       implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val ranked = rows
+    // monotonically_increasing_id = (partitionId << 33) | rowIndex —
+    // order-consistent across the range-sorted layout; min over the
+    // (r, r2) window = the group-start id. The window adds NO exchange
+    // and NO sort: RangePartitioning(r, r2) satisfies its clustering
+    // and the partition sort already matches — and unlike the RDD
+    // formulation this stays in Tungsten rows end to end (the boxed
+    // per-row tuples were the measured allocation wall at 100× data).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("r", "r2")
+    rows
       .repartitionByRange(nPart, col("r"), col("r2"))
       .sortWithinPartitions("r", "r2")
-      .as[(Long, Int, Long, Long)]
-      .rdd.mapPartitionsWithIndex { (i, it) =>
-        val base = i.toLong << 42
-        var idx = 0L
-        var curR = 0L
-        var curR2 = 0L
-        var started = false
-        var groupStart = 0L
-        it.map { case (doc, pos, r, r2) =>
-          if (!started || r != curR || r2 != curR2) {
-            started = true; curR = r; curR2 = r2; groupStart = idx
-          }
-          idx += 1
-          (doc, pos, base + groupStart)
-        }
-      }
-    spark.createDataset(ranked).toDF("doc", "pos", "r")
+      .withColumn("__mid", monotonically_increasing_id())
+      .select(col("doc"), col("pos"),
+        min(col("__mid")).over(w).as("r"))
   }
 
   /** Build the suffix array; returns the final rank table (doc, pos,
@@ -221,6 +214,41 @@ object SuffixArray {
         graft.exprs.SuffixLcp(col("__ta"), col("a_pos").cast("long"),
           col("__tb"), col("b_pos").cast("long")).as("lcp"))
     (lcp, sorted)
+  }
+
+  /** Maximal duplicated spans per document — the "what to remove"
+    * readout of exact substring dedup (Lee et al. 2022 remove every
+    * character covered by a duplicated substring of length ≥ L).
+    * Equivalence that keeps this oracle-able: a character sits inside
+    * SOME duplicated substring of length ≥ L iff it is covered by the
+    * fixed-width interval [pos, pos + L) of SOME position with
+    * rep_len ≥ L — so the union of those intervals IS the exact
+    * removal set. Interval union per doc is gaps-and-islands over the
+    * per-doc position order (windows bounded by document length, no
+    * skew surface).
+    *
+    * Output: (doc, span_start, span_end [exclusive], span_chars).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, nPart: Int = 0)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep = repeatLengths(docs, idCol, textCol, nPart)
+    val iv = rep.filter(col("rep_len") >= minLen)
+      .select(col("doc"), col("pos").cast("long").as("s"),
+        (col("pos") + lit(minLen.toLong)).cast("long").as("e"))
+    val wPrev = Window.partitionBy("doc").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    iv
+      .withColumn("__gap",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(Long.MinValue)),
+          1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__gap")).over(wRun))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_chars"))
   }
 
   /** One row per corpus position: (doc, pos [0-based], rep_len) where

@@ -91,6 +91,23 @@ class SuffixArraySpec extends SparkSpec {
     sa.unpersistAll()
   }
 
+  test("duplicatedSpans: interval union reconstructs exactly the shared passages") {
+    val docs = Seq(
+      (1L, "ABCDEFGHIJ12"),          // passage at [0, 10)
+      (2L, "34ABCDEFGHIJ"),          // same passage at [2, 12)
+      (3L, "KLMNOPQRST56UVWXYZabcd"), // two passages: [0,10) and [12,22)
+      (4L, "78KLMNOPQRST90UVWXYZabcd"))
+    val df = docs.toDF("doc_id", "text")
+    val spans = SuffixArray.duplicatedSpans(df, "doc_id", "text", 6)(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(spans === Seq(
+      (1L, 0L, 10L, 10L),
+      (2L, 2L, 12L, 10L),
+      (3L, 0L, 10L, 10L), (3L, 12L, 22L, 10L),
+      (4L, 2L, 12L, 10L), (4L, 14L, 24L, 10L)))
+  }
+
   test("empty and single-char corpora do not crash") {
     assert(repeats(Seq((1L, ""))) === Map.empty)
     // a single corpus position has no order-neighbor: absent by contract
