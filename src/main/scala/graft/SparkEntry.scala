@@ -4263,6 +4263,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Real-pixel area resize ([[graft.operators.Multimodal
+    * .resizePixels]]): clean pattern images at four sizes box-resampled
+    * to 8×8 with pure integer math, plus one undecodable payload. The
+    * oracle re-derives EVERY output pixel in SQL — generate_series
+    * over blocks and box pixels, the pattern channel formulas, floor
+    * division — so the resample is proven against ground truth, not
+    * constants.
+    */
+  private def qImageResize(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val payloads = Seq(
+      (0L, Multimodal.syntheticPatternImage(64, 64, 3, None, "png")),
+      (1L, Multimodal.syntheticPatternImage(48, 40, 5, None, "png")),
+      (2L, Multimodal.syntheticPatternImage(56, 48, 7, None, "bmp")),
+      (3L, Multimodal.syntheticPatternImage(40, 40, 9, None, "png")),
+      (4L, "definitely not an image payload".getBytes("UTF-8")))
+    val media = Multimodal.toMediaTable(
+      payloads.toDF("doc_id", "payload"), "doc_id", "payload")
+    Multimodal.resizePixels(media, 8, 8).toDF().orderBy(col("doc_id"))
+  }
+
   /** Image near-dup detection: dHash fingerprints through the banded
     * hamming join ([[graft.operators.Dedup.hammingPairs64]] — pigeonhole
     * chunking, pair-emit-once, never a cross join). Exactly the planted
@@ -5591,6 +5614,7 @@ object SparkEntry {
     "q_multimodal_video" -> (qMultimodalVideo _),
     "q_gif_frames" -> (qGifFrames _),
     "q_image_dhash" -> (qImageDhash _),
+    "q_image_resize" -> (qImageResize _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_pipeline_multimodal" -> (qPipelineMultimodal _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -9464,6 +9488,45 @@ object SparkEntry {
            (4, '68b2c9a2c96a4d93', TRUE), (5, 'd9ab66998a261899', TRUE),
            (6, 'b66cb649b2243549', TRUE), (7, '6b4e189f2c69d631', TRUE),
            (8, CAST(NULL AS VARCHAR), FALSE)) AS t(doc_id, dhash_hex, hash_ok)
+         ORDER BY doc_id""",
+    // real-pixel resize: the oracle RE-DERIVES every 8×8 output pixel —
+    // floor-boundary boxes, the pattern channel formulas, floor-division
+    // averages — then the same plain/position-weighted sums
+    "q_image_resize" ->
+      """WITH imgs AS (SELECT * FROM (VALUES
+             (0, 64, 64, 3), (1, 48, 40, 5), (2, 56, 48, 7), (3, 40, 40, 9))
+           AS t(doc_id, w, h, seed)),
+         oi AS (SELECT *, unnest(generate_series(0, 7)) AS i FROM imgs),
+         oj AS (SELECT *, unnest(generate_series(0, 7)) AS j FROM oi),
+         box AS (SELECT doc_id, w, h, seed, i, j,
+                   (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                   (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1 FROM oj),
+         bx AS (SELECT b.*, unnest(generate_series(x0, x1 - 1)) AS x FROM box b),
+         bxy AS (SELECT p.*, unnest(generate_series(y0, y1 - 1)) AS y FROM bx p),
+         ch AS (SELECT doc_id, i, j, (x1 - x0) * (y1 - y0) AS cnt,
+                  (x * x * 7 + y * 13 + seed * 29) % 256 AS r,
+                  (y * y * 5 + x * 11 + seed * 41) % 256 AS g,
+                  (x * y + seed * 11) % 256 AS b
+                FROM bxy),
+         o AS (SELECT doc_id, i, j,
+                 sum(r) // max(cnt) AS vr, sum(g) // max(cnt) AS vg,
+                 sum(b) // max(cnt) AS vb
+               FROM ch GROUP BY doc_id, i, j),
+         a AS (SELECT doc_id,
+                 sum(vr) AS sum_r, sum(vg) AS sum_g, sum(vb) AS sum_b,
+                 sum(vr * (1 + i + j * 8)) AS wsum_r,
+                 sum(vg * (1 + i + j * 8)) AS wsum_g,
+                 sum(vb * (1 + i + j * 8)) AS wsum_b
+               FROM o GROUP BY doc_id)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS ok,
+           CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           CAST(wsum_r AS BIGINT) AS wsum_r, CAST(wsum_g AS BIGINT) AS wsum_g,
+           CAST(wsum_b AS BIGINT) AS wsum_b
+         FROM a
+         UNION ALL
+         SELECT 4, FALSE, 0, 0, 0, 0, 0, 0, 0, 0
          ORDER BY doc_id""",
     "q_image_neardup" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,

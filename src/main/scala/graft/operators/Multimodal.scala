@@ -886,6 +886,78 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
 
+  final case class ResizedImage(
+      doc_id: Long, ok: Boolean, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      wsum_r: Long, wsum_g: Long, wsum_b: Long)
+
+  /** REAL pixel resize — area box downsample to a fixed (tw × th)
+    * grid over losslessly-decoded pixels, ALL integer arithmetic so
+    * any engine reproduces it from the pixel formulas alone (the
+    * [[dhash64]] property, extended to actual resample output):
+    *
+    *   - block (i, j) spans x ∈ [⌊i·w/tw⌋, ⌊(i+1)·w/tw⌋) and the y
+    *     analogue — the floor-boundary convention shared with dHash;
+    *   - output channel value = ⌊Σ channel / box size⌋ (floor
+    *     division, no floating point anywhere);
+    *   - the row carries plain and position-weighted channel sums of
+    *     the RESIZED grid (weight 1 + i + j·tw), so a hash match
+    *     witnesses every output pixel's value AND position.
+    *
+    * Images smaller than the target grid (or undecodable) surface
+    * `ok = false` — never a silent upscale. Scale shape: one narrow
+    * partition-parallel pass, decode + O(w·h) integer sums per row,
+    * no shuffle.
+    */
+  def resizePixels(media: DataFrame, tw: Int, th: Int)(
+      implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < tw || img.getHeight < th)
+            ResizedImage(id, ok = false, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var wr = 0L; var wg = 0L; var wb = 0L
+            var j = 0
+            while (j < th) {
+              val y0 = j * h / th; val y1 = (j + 1) * h / th
+              var i = 0
+              while (i < tw) {
+                val x0 = i * w / tw; val x1 = (i + 1) * w / tw
+                var br = 0L; var bg = 0L; var bb = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = img.getRGB(x, y)
+                    br += (p >> 16) & 0xFF; bg += (p >> 8) & 0xFF; bb += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                val cnt = (x1 - x0).toLong * (y1 - y0)
+                val vr = br / cnt; val vg = bg / cnt; val vb = bb / cnt
+                val wt = 1L + i + j.toLong * tw
+                sr += vr; sg += vg; sb += vb
+                wr += vr * wt; wg += vg * wt; wb += vb * wt
+                i += 1
+              }
+              j += 1
+            }
+            ResizedImage(id, ok = true, tw, th, sr, sg, sb, wr, wg, wb)
+          }
+        }
+      }
+  }
+
   /** Resize stub: target box arithmetic (aspect-preserving fit), pure
     * column math — the real pixel work would live in the decode stage.
     */

@@ -294,6 +294,36 @@ class MultimodalSpec extends SparkSpec {
     val noUpscale = resized.filter($"out_width" > $"width" || $"out_height" > $"height")
     assert(noUpscale.count() === 0)
   }
+
+  test("resizePixels: box averages match a hand computation; small images reject") {
+    import spark.implicits._
+    // 4x2 image with known pixels -> 2x1 resize: boxes are 2x2
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(
+      Array(0x010203, 0x050607, 0x212223, 0x252627),
+      Array(0x090A0B, 0x0D0E0F, 0x292A2B, 0x2D2E2F))
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, px(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Multimodal.toMediaTable(
+      Seq((1L, bos.toByteArray), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    val out = Multimodal.resizePixels(media, 2, 1)(spark).collect().sortBy(_.doc_id)
+    val a = out(0)
+    assert(a.ok)
+    // left box: r = (1+5+9+13)/4 = 7, g = 8, b = 9; right: r = 39, g = 40, b = 41
+    assert((a.sum_r, a.sum_g, a.sum_b) === ((7L + 39L, 8L + 40L, 9L + 41L)))
+    // weights: left 1, right 2
+    assert((a.wsum_r, a.wsum_g, a.wsum_b) === ((7L + 2 * 39L, 8L + 2 * 40L, 9L + 2 * 41L)))
+    assert(!out(1).ok)
+    // a 1x1 source cannot fill a 2x1 grid
+    val tiny = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos2)
+    val m2 = Multimodal.toMediaTable(Seq((3L, bos2.toByteArray)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    assert(!Multimodal.resizePixels(m2, 2, 1)(spark).collect().head.ok)
+  }
 }
 
 class ApproxSpec extends SparkSpec {
