@@ -5413,8 +5413,13 @@ object SparkEntry {
     * `q_knn_triangles` is the exact O(N²) kNN build bounded to
     * `vec_id < 2000`: at 100× it spent 10.04 s per sweep re-proving a
     * bound its spec and the bucketed twin's oracle already lock.
+    * `q_suffix_spans` is the spans READOUT of the same
+    * `SuffixArray.repeatLengths` table `q_suffix_dedup` already sweeps
+    * — benching both would run the ~10-round doubling build twice per
+    * sweep for one extra gaps-and-islands stage whose semantics the
+    * oracle locks at every scale.
     */
-  val diagnosticOnly: Set[String] = Set("q_knn_triangles")
+  val diagnosticOnly: Set[String] = Set("q_knn_triangles", "q_suffix_spans")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
