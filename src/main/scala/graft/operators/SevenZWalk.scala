@@ -450,12 +450,18 @@ object SevenZWalk {
     import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZMethod, SevenZMethodConfiguration, SevenZOutputFile}
     val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
     val out = new SevenZOutputFile(ch)
-    val m = method match {
-      case "copy" => SevenZMethod.COPY
-      case "lzma" => SevenZMethod.LZMA
-      case _ => SevenZMethod.LZMA2
+    // preset 1 (256K dict, hash-chain match finder): the default preset
+    // 6 allocates an 8M BT4 dictionary PER ARCHIVE — measured 31 s of
+    // the sf0.1 sweep spent encoding fixtures; the decoder and the
+    // oracle are preset-independent
+    val cfg = method match {
+      case "copy" => new SevenZMethodConfiguration(SevenZMethod.COPY)
+      case "lzma" => new SevenZMethodConfiguration(SevenZMethod.LZMA,
+        new org.tukaani.xz.LZMA2Options(1))
+      case _ => new SevenZMethodConfiguration(SevenZMethod.LZMA2,
+        new org.tukaani.xz.LZMA2Options(1))
     }
-    out.setContentMethods(java.util.Collections.singletonList(new SevenZMethodConfiguration(m)))
+    out.setContentMethods(java.util.Collections.singletonList(cfg))
     recs.foreach { case (name, bytes) =>
       val e = new SevenZArchiveEntry()
       e.setName(name)
