@@ -26,7 +26,6 @@ object BenchSuffix {
     val (_, tBuildOrder) = t {
       val sa = SuffixArray.build(docs, "doc_id", "text")
       sa.order.count() // materialize the full doubling chain
-      sa.unpersistAll()
     }
     val (_, tFull) = t {
       SuffixArray.repeatLengths(docs, "doc_id", "text").count()
@@ -35,7 +34,7 @@ object BenchSuffix {
       val sa = SuffixArray.build(docs, "doc_id", "text")
       val (pairs, h) = SuffixArray.adjacentLcp(sa, docs, "doc_id", "text")
       pairs.count()
-      h.unpersist(); sa.unpersistAll()
+      h.unpersist()
     }
     println(s"""{"metric":"suffix_stages","build_order_sec":$tBuildOrder,""" +
       s""""pairs_lcp_sec":$tPairs,"full_sec":$tFull,"sf":"$sfDir"}""")

@@ -26,20 +26,16 @@ import org.apache.spark.sql.functions._
   *    long (code+1 per unit, so end-of-doc pads with 0 and shorter
   *    suffixes sort first).
   *  - suffixes are DOC-BOUNDED, so the offset lookup
-  *    `rank_c(doc, pos + c)` is WITHIN one document: a `flatMapGroups`
-  *    over doc groups rebuilds the per-doc rank array (≤ max doc
-  *    length entries) and emits (rank, rank at pos+c, −1 past end)
-  *    pairs locally — the classic self-join of distributed doubling
-  *    collapses into one shuffle by doc.
-  *  - re-ranking by the pair avoids any global window: rows are
-  *    range-repartitioned on the key and each partition assigns
-  *    `rank = partition row-offset + local index of the row's key-group
-  *    START`, i.e. exactly the GLOBAL count of strictly-smaller keys —
-  *    independent of the sampled partition boundaries (equal keys
-  *    colocate under range partitioning, so a group never spans one).
-  *    The only driver traffic is one (count, hasDuplicate) pair per
-  *    partition per round — bounded metadata, the [[Selection]]/BPE
-  *    precedent.
+  *    `rank_c(doc, pos + c)` is WITHIN one document: a `lead(r, c)`
+  *    window over the per-doc position order — the classic self-join
+  *    of distributed doubling collapses into one exchange by doc,
+  *    entirely in Tungsten rows.
+  *  - re-ranking by the pair avoids any global window AND any driver
+  *    traffic: rows are range-repartitioned on the key and the new
+  *    rank is the key group's first `monotonically_increasing_id`
+  *    (order-consistent across partitions; equal keys colocate under
+  *    range partitioning, so a group never spans a boundary) — see
+  *    [[groupRanks]].
   *  - the round count is ⌈log₂ max-doc-length⌉, NOT log of corpus
   *    size — a 100 TB corpus of web documents needs the same ~12
   *    rounds as a 1 GB one. The schedule is fixed up front (one
@@ -74,13 +70,11 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** Final rank table, the coverage (chars compared) at which the
-    * doubling loop stopped, and the cache handles still pinned.
+  /** Final rank table and the coverage (chars compared) at which the
+    * doubling loop stopped. The build is one lazy DAG — nothing is
+    * cached, so there is nothing to release.
     */
-  final case class Sa(order: DataFrame, coverage: Long,
-      private[SuffixArray] val handles: Seq[org.apache.spark.sql.Dataset[_]]) {
-    def unpersistAll(): Unit = handles.foreach(_.unpersist())
-  }
+  final case class Sa(order: DataFrame, coverage: Long)
 
   /** Range-repartitioned group-start re-rank. Prefix doubling does
     * not need globally DENSE ranks — any group id that is (a) equal
@@ -116,8 +110,8 @@ object SuffixArray {
 
   /** Build the suffix array; returns the final rank table (doc, pos,
     * r) where r totals-orders suffixes (ties ⟺ identical suffixes).
-    * Call [[Sa.unpersistAll]] when downstream results are
-    * materialized ([[repeatLengths]] does).
+    * The whole build is lazy; only [[adjacentLcp]] caches (its sort,
+    * returned as a handle).
     */
   def build(docs: DataFrame, idCol: String, textCol: String, nPart: Int = 0)(
       implicit spark: SparkSession): Sa = {
@@ -157,7 +151,7 @@ object SuffixArray {
       cur = groupRanks(withR2, parts)
       coverage *= 2
     }
-    Sa(cur, coverage, Seq.empty)
+    Sa(cur, coverage)
   }
 
   /** Adjacent suffix pairs in array order with exact LCPs:
@@ -266,7 +260,6 @@ object SuffixArray {
       .agg(max(col("lcp")).as("rep_len"))
       .localCheckpoint(eager = true) // sever lineage before releasing caches
     pairSort.unpersist()
-    sa.unpersistAll()
     out
   }
 }

@@ -88,7 +88,6 @@ class SuffixArraySpec extends SparkSpec {
     // 36 chars: packed-3 start, coverage 3→48, i.e. 4 rounds
     // regardless of corpus row count
     assert(sa.coverage === 48L)
-    sa.unpersistAll()
   }
 
   test("duplicatedSpans: interval union reconstructs exactly the shared passages") {
