@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes in place via `getByte` — zero allocation. Otherwise it falls
   * back to a char walk over the materialized strings (char units
   * match the engine's `split(text, "")` position semantics).
-  * Out-of-range positions yield 0, never an error.
+  * Positions past end-of-text yield 0; negative positions clamp to 0
+  * (never an error).
   */
 object SuffixLcpKernel extends Serializable {
   def lcp(a: UTF8String, pa: Long, b: UTF8String, pb: Long): Long = {
@@ -71,7 +72,9 @@ case class SuffixLcp(first: Expression, second: Expression,
       b.asInstanceOf[UTF8String], pb.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kernel = SuffixLcpKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the object's static forwarder (graft.exprs.SuffixLcpKernel.lcp):
+    // Janino cannot resolve the Scala MODULE$ field on the forwarder class.
+    val kernel = classOf[SuffixLcpKernel.type].getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (a, pa, b, pb) =>
       s"${ev.value} = $kernel.lcp($a, $pa, $b, $pb);")
   }
