@@ -788,14 +788,23 @@ object SparkEntry {
       }
     }
     val schema = s.read.parquet(in1).schema
+    // Two files per trigger = two micro-batches: {c0,c1} then
+    // {c2,sentinel}. The cross-batch witness needs A batch boundary
+    // inside the data (clicks in c2 matching views late in c1 prove
+    // join state survived it), not a boundary per chunk — and each
+    // stateful micro-batch pays a fixed checkpoint commit, so halving
+    // the batch count halves the harness wall at identical output.
     def stream(dir: String) = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
     val joined = graft.streaming.StreamJoin.attribute(
       stream(in1), stream(in2), delay = "1 hour", withinSeconds = 21600L)
-    val finished = joined.writeStream.trigger(Trigger.AvailableNow())
+    val query = joined.writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .format("parquet").option("path", out)
-      .start().awaitTermination(180000)
+      .start()
+    val finished =
+      try query.awaitTermination(180000)
+      finally if (query.isActive) query.stop() // don't pin executors past a timeout
     require(finished, "stream-stream join did not finish within 180s — " +
       "refusing to read a partial sink")
     s.read.parquet(out)
@@ -1018,6 +1027,20 @@ object SparkEntry {
     val sources = T.orders(s, d).select(col("o_custkey").as("node"))
       .filter(col("node") < 5).distinct()
     Rank.pprForwardPush(g, sources, 20)
+      .orderBy(col("node"))
+  }
+
+  /** Endpoint-level PPR dispatch ([[graft.operators.Rank.ppr]]): the
+    * 5-account source set is localized, so the dispatcher must take
+    * the forward-push path — the oracle is the push schedule's CTE
+    * replay, so a wrong dispatch (power path) hash-fails, not just
+    * slows down.
+    */
+  private def qPprAuto(s: SparkSession, d: String): DataFrame = {
+    val g = Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L)
+    val sources = T.orders(s, d).select(col("o_custkey").as("node"))
+      .filter(col("node") < 5).distinct()
+    Rank.ppr(g, sources, iterations = 6, rounds = 20)
       .orderBy(col("node"))
   }
 
@@ -1492,10 +1515,12 @@ object SparkEntry {
   }
 
   /** 7z-container ingest ([[graft.operators.SevenZWalk]]): documents
-    * packed into per-chunk 7z archives across the format's four real
+    * packed into per-chunk 7z archives across the format's real
     * layouts by chunk (mod 4): 0 → LZMA2 folders (commons-compress, an
     * INDEPENDENT encoder — round-trip equality witnesses the from-spec
-    * LZMA2 decoder against foreign output), 1 → copy folders with one
+    * LZMA2 decoder against foreign output), sub-rotated (mod 12) with
+    * the BCJ-x86+LZMA2 and delta+LZMA2 two-coder bind-pair chains `7z
+    * a` emits for executables, 1 → copy folders with one
     * mid-payload bit of the FIRST entry flipped (substream-CRC
     * quarantine, name kept — corrupt set = min doc of the chunk,
     * closed-form), 2 → classic LZMA1 folders (coder 0x030101 — the
@@ -1519,7 +1544,14 @@ object SparkEntry {
           (s"doc/$id.txt", text.getBytes("UTF-8"))
         }
         val bytes = (chunk % 4) match {
-          case 0 => SevenZWalk.fixture(recs, "lzma2")
+          // class 0 sub-rotates plain LZMA2 with the two filter+LZMA2
+          // bind-pair chains (BCJ x86, delta) — decoded content is
+          // identical, so the oracle is method-blind by design
+          case 0 => (chunk % 12) match {
+            case 0 => SevenZWalk.fixture(recs, "lzma2")
+            case 4 => SevenZWalk.fixtureFiltered(recs, "bcj")
+            case _ => SevenZWalk.fixtureFiltered(recs, "delta")
+          }
           case 1 => SevenZWalk.fixtureCorrupt(recs)
           case 2 => SevenZWalk.fixture(recs, "lzma")
           case _ => SevenZWalk.fixtureSolid(recs)
@@ -1563,7 +1595,14 @@ object SparkEntry {
       val recs = it.toSeq.sortBy(_._1).map { case (id, src, text, _) =>
         (id, src, text)
       }
-      val a = ArrowWalk.fixture(recs, 16, nullSourceEvery = 7)
+      // body compression rotates by chunk: plain, LZ4_FRAME, ZSTD —
+      // the decoded rows are identical, so the oracle is unchanged and
+      // hash equality witnesses the buffer-decompression path too
+      val codec = (chunk % 3) match {
+        case 0 => "none"; case 1 => "lz4"; case _ => "zstd"
+      }
+      val a = ArrowWalk.fixture(recs, 16, nullSourceEvery = 7,
+        compress = codec)
       if (chunk % 5 == 4) a(a.length - 10) = (a(a.length - 10) ^ 0x01).toByte
       (chunk, a)
     }.toDF("chunk", "payload")
@@ -4687,6 +4726,27 @@ object SparkEntry {
     jsonSafe(AccountEndpoints.getBlockTrace(Fixtures.blocks(s, 200).toDF(),
       fixtureActions(s), 103L, lib = 150L))
 
+  /** GET /v2/get_filters config readout
+    * ([[graft.query.StateEndpoints.getFilters]], get_filters.ts:1-78):
+    * chain-prefix keep + `::` split of the indexer white/blacklists.
+    * The config lists are derived from the nation table (25 fixed
+    * rows, config-sized) so the oracle replays the same derivation,
+    * prefix filter and split in SQL.
+    */
+  private def qHypGetFilters(s: SparkSession, d: String): DataFrame = {
+    val n = T.nation(s, d)
+      .select(col("n_nationkey").cast("long"), lower(col("n_name")),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def rule(t: (Long, String, Long)) = s"chain${t._3 % 2}::c${t._3}::${t._2}"
+    def slice(m: Long) = n.filter(_._1 % 4 == m).map(rule).toSeq
+    StateEndpoints.getFilters(s, chain = "chain0",
+      whitelists = StateEndpoints.FilterConfig(
+        actions = slice(0), deltas = slice(1)),
+      blacklists = StateEndpoints.FilterConfig(
+        actions = slice(2), deltas = slice(3)))
+  }
+
   /** check_transaction status probe: found row + unknown-fallback row
     * in one frame (check_transaction.ts:4-27).
     */
@@ -5418,8 +5478,14 @@ object SparkEntry {
     * — benching both would run the ~10-round doubling build twice per
     * sweep for one extra gaps-and-islands stage whose semantics the
     * oracle locks at every scale.
+    * `q_ppr` is the dense power-method PPR: `q_ppr_auto` (the
+    * endpoint dispatch) and `q_ppr_push` already sweep the path real
+    * localized requests take, and at 100× the power method costs
+    * 96.9 s per sweep re-proving the fallback the oracle locks at
+    * every scale anyway.
     */
-  val diagnosticOnly: Set[String] = Set("q_knn_triangles", "q_suffix_spans")
+  val diagnosticOnly: Set[String] =
+    Set("q_knn_triangles", "q_suffix_spans", "q_ppr")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -5467,6 +5533,7 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_ppr" -> (qPersonalizedPagerank _),
     "q_ppr_push" -> (qPprPush _),
+    "q_ppr_auto" -> (qPprAuto _),
     "q_video_sample_plan" -> (qVideoSamplePlan _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
@@ -5662,6 +5729,7 @@ object SparkEntry {
     "q_hyperion_transaction" -> (qHypTransaction _),
     "q_hyperion_block_trace" -> (qHypBlockTrace _),
     "q_hyperion_check_trx" -> (qHypCheckTrx _),
+    "q_hyperion_get_filters" -> (qHypGetFilters _),
     "q_hyperion_blocks" -> (qHypBlocks _),
     "q_hyperion_abi_decode" -> (qHypAbiDecode _),
     "q_hyperion_hex_decode" -> (qHypHexDecode _),
@@ -5880,6 +5948,7 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql(6),
     "q_ppr" -> pprOracleSql(6),
     "q_ppr_push" -> pprPushOracleSql(20, 1000L),
+    "q_ppr_auto" -> pprPushOracleSql(20, 1000L),
     "q_hyperball" -> hyperballOracleSql(3),
     "q_harmonic_centrality" -> harmonicOracleSql(3),
     "q_jsonl_ingest" ->
@@ -10278,6 +10347,32 @@ object SparkEntry {
          SELECT 'trx00000003', 'executed', CAST(103 AS BIGINT),
            'eosio.token::transfer', '["SIG_K1_3"]', TRUE
          ORDER BY id""",
+    // get_filters: the same nation-derived config, chain-prefix kept,
+    // :: split; is_whitelisted = raw whitelists non-empty pre-filter
+    "q_hyperion_get_filters" ->
+      """WITH n AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS k, lower(n_name) AS nm,
+                  CAST(n_regionkey AS BIGINT) AS r,
+                  'chain' || CAST(n_regionkey % 2 AS VARCHAR) AS chain
+           FROM nation),
+         w AS (SELECT EXISTS(SELECT 1 FROM n WHERE k % 4 IN (0, 1)) AS isw)
+         SELECT 'include' AS list, 'action' AS kind,
+                'c' || CAST(r AS VARCHAR) AS contract, nm AS action,
+                CAST(NULL AS VARCHAR) AS "table", w.isw AS is_whitelisted
+         FROM n, w WHERE k % 4 = 0 AND chain = 'chain0'
+         UNION ALL
+         SELECT 'include', 'delta', 'c' || CAST(r AS VARCHAR),
+                CAST(NULL AS VARCHAR), nm, w.isw
+         FROM n, w WHERE k % 4 = 1 AND chain = 'chain0'
+         UNION ALL
+         SELECT 'exclude', 'action', 'c' || CAST(r AS VARCHAR), nm,
+                CAST(NULL AS VARCHAR), w.isw
+         FROM n, w WHERE k % 4 = 2 AND chain = 'chain0'
+         UNION ALL
+         SELECT 'exclude', 'delta', 'c' || CAST(r AS VARCHAR),
+                CAST(NULL AS VARCHAR), nm, w.isw
+         FROM n, w WHERE k % 4 = 3 AND chain = 'chain0'
+         ORDER BY 1, 2, 3, 4, 5""",
     "q_hyperion_account" ->
       """WITH cu AS (
            SELECT i, lvl, 1000300 + 4 * i + lvl + 1 AS gs, 300 + i AS block_num,

@@ -222,10 +222,23 @@ object Wikitext {
     val name = str.substring(i0 + 1, ne).toLowerCase(java.util.Locale.ROOT)
     val selfClosing = str.charAt(gt - 1) == '/'
     if (!selfClosing && DropContent.contains(name)) {
-      val close = str.indexOf("</" + name, gt + 1)
-      if (close < 0 || close >= to) return to // unterminated island
-      val cgt = str.indexOf('>', close)
-      return if (cgt < 0 || cgt >= to) to else cgt + 1
+      // full-token close match: "</ref" must not terminate at
+      // "</reflist>" — the char after the name must end the tag
+      val tok = "</" + name
+      var close = str.indexOf(tok, gt + 1)
+      while (close >= 0 && close < to) {
+        val after = close + tok.length
+        if (after >= to) { close = -1 }
+        else {
+          val ca = str.charAt(after)
+          if (ca == '>' || Character.isWhitespace(ca)) {
+            val cgt = str.indexOf('>', close)
+            return if (cgt < 0 || cgt >= to) to else cgt + 1
+          }
+          close = str.indexOf(tok, close + 1)
+        }
+      }
+      return to // unterminated island
     }
     gt + 1
   }

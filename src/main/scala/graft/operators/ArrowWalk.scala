@@ -25,10 +25,15 @@ package graft.operators
   *
   * Dictionary-encoded columns DECODE (DictionaryBatch values +
   * signed-index mapping — the categorical-column norm in hub files).
-  * Honest subset, quarantined LOUDLY (never silently misread): delta
-  * dictionaries, nested types (List/Struct/Map),
-  * Decimal/Date/Time/Timestamp, compressed bodies (BodyCompression
-  * present), and big-endian schemas. Arrow carries NO data checksums,
+  * Compressed bodies DECODE (BodyCompression method BUFFER, codecs
+  * LZ4_FRAME and ZSTD — the layouts hub-distributed Feather files
+  * ship routinely): each body buffer is
+  * `[int64 uncompressed-length][frame]`, length -1 = stored raw;
+  * decompression goes through the repo's own from-spec [[Lz4Codec]] /
+  * [[ZstdCodec]]. Honest subset, quarantined LOUDLY (never silently
+  * misread): delta dictionaries, nested types (List/Struct/Map),
+  * Decimal/Date/Time/Timestamp, and big-endian schemas. Arrow
+  * carries NO data checksums,
   * so corruption detection is structural (magic, framing, footer
   * length, buffer bounds) — a flipped body byte is undetectable by
   * design; noted where the ZIP/7z walks advertise CRC gates.
@@ -190,10 +195,29 @@ object ArrowWalk {
   /** Decode one record batch body into per-column boxed values,
     * appended to `acc`.
     */
+  /** One record-batch buffer, possibly re-materialized by buffer-level
+    * decompression (`arr` is then a fresh array, `off` = 0).
+    */
+  private final case class View(arr: Array[Byte], off: Int, len: Int)
+
   private def readBatch(fb: Fb, batchT: Int, bytes: Array[Byte], bodyStart: Long,
       cols: Seq[FieldSpec], acc: Array[scala.collection.mutable.ArrayBuffer[AnyRef]],
       dicts: scala.collection.mutable.Map[Long, Array[AnyRef]]): Unit = {
-    require(fb.field(batchT, 3) < 0, "compressed arrow bodies unsupported")
+    // BodyCompression (Message.fbs): method BUFFER = each non-empty
+    // body buffer is [int64 LE uncompressed-length][one LZ4-frame /
+    // zstd frame]; length -1 marks a buffer the writer stored raw
+    // (compression did not pay). codec 0 = LZ4_FRAME, 1 = ZSTD — both
+    // decoded by the repo's own from-spec codecs.
+    val compT = fb.fieldOffset(batchT, 3)
+    val codec: Int =
+      if (compT < 0) -1
+      else {
+        val c = { val p = fb.field(compT, 0); if (p < 0) 0 else fb.u8(p) }
+        val m = { val p = fb.field(compT, 1); if (p < 0) 0 else fb.u8(p) }
+        require(m == 0, s"arrow body-compression method $m unsupported")
+        require(c == 0 || c == 1, s"arrow compression codec $c unsupported")
+        c
+      }
     val nodesVec = fb.fieldOffset(batchT, 1)
     val bufsVec = fb.fieldOffset(batchT, 2)
     require(nodesVec >= 0 && bufsVec >= 0, "record batch missing nodes/buffers")
@@ -203,22 +227,40 @@ object ArrowWalk {
       Buf(fb.i64(p), fb.i64(p + 8))
     }
     var bi = 0
-    def nextBuf(): Buf = { val r = bufs(bi); bi += 1; r }
-    def slice(buf: Buf): (Int, Int) = {
+    def nextBuf(): View = {
+      val buf = bufs(bi); bi += 1
       val s = bodyStart + buf.off
       require(s >= 0 && s + buf.len <= bytes.length, "buffer beyond file")
-      (s.toInt, buf.len.toInt)
+      if (codec < 0 || buf.len == 0) View(bytes, s.toInt, buf.len.toInt)
+      else {
+        require(buf.len >= 8, "compressed buffer shorter than its length prefix")
+        var ulen = 0L
+        var k = 0
+        while (k < 8) { ulen |= (bytes(s.toInt + k) & 0xffL) << (8 * k); k += 1 }
+        if (ulen == -1L) View(bytes, s.toInt + 8, buf.len.toInt - 8)
+        else {
+          val frame = java.util.Arrays.copyOfRange(
+            bytes, s.toInt + 8, (s + buf.len).toInt)
+          val out = (if (codec == 0) Lz4Codec.decode(frame)
+                     else ZstdCodec.decode(frame))
+            .getOrElse(throw new IllegalArgumentException(
+              "arrow buffer decompression failed"))
+          require(out.length == ulen,
+            s"decompressed ${out.length} != declared $ulen")
+          View(out, 0, out.length)
+        }
+      }
     }
-    def bit(off: Int, len: Int, i: Int): Boolean =
-      len == 0 || (bytes(off + (i >> 3)) & (1 << (i & 7))) != 0
-    def ints(dOff: Int, w: Int, n: Int, valid: Int => Boolean,
+    def bit(v: View, i: Int): Boolean =
+      v.len == 0 || (v.arr(v.off + (i >> 3)) & (1 << (i & 7))) != 0
+    def ints(d: View, w: Int, n: Int, valid: Int => Boolean,
         out: java.lang.Long => AnyRef, ci: Int): Unit =
       (0 until n).foreach { i =>
         acc(ci) += (if (!valid(i)) null
         else {
           var v = 0L
           var k = 0
-          while (k < w) { v |= (bytes(dOff + w * i + k) & 0xffL) << (8 * k); k += 1 }
+          while (k < w) { v |= (d.arr(d.off + w * i + k) & 0xffL) << (8 * k); k += 1 }
           val sh = 64 - 8 * w
           out(java.lang.Long.valueOf((v << sh) >> sh))
         })
@@ -228,58 +270,58 @@ object ArrowWalk {
       val node = fb.vecElem(nodesVec, ci, 16)
       val n = fb.i64(node).toInt
       val nullCount = fb.i64(node + 8)
-      val (vOff, vLen) = slice(nextBuf())
+      val vv = nextBuf()
       val valid: Int => Boolean =
-        if (nullCount == 0L) _ => true else i => bit(vOff, vLen, i)
+        if (nullCount == 0L) _ => true else i => bit(vv, i)
       if (spec.dictId >= 0) {
         // dictionary-encoded: signed int indices mapped through the
         // registered dictionary values
         val dict = dicts.getOrElse(spec.dictId,
           throw new IllegalArgumentException(s"dictionary ${spec.dictId} not seen"))
-        val (dOff, _) = slice(nextBuf())
-        ints(dOff, spec.idxWidth, n, valid, v => {
+        val d = nextBuf()
+        ints(d, spec.idxWidth, n, valid, v => {
           val ix = v.toInt
           require(ix >= 0 && ix < dict.length, s"dictionary index $ix out of range")
           dict(ix)
         }, ci)
       } else c.typ match {
         case "utf8" =>
-          val (oOff, _) = slice(nextBuf())
-          val (dOff, _) = slice(nextBuf())
+          val o = nextBuf()
+          val d = nextBuf()
           (0 until n).foreach { i =>
             acc(ci) += (if (!valid(i)) null
             else {
-              val s = le32(bytes, oOff + 4 * i)
-              val e = le32(bytes, oOff + 4 * (i + 1))
-              new String(bytes, dOff + s, e - s, "UTF-8")
+              val s = le32(o.arr, o.off + 4 * i)
+              val e = le32(o.arr, o.off + 4 * (i + 1))
+              new String(d.arr, d.off + s, e - s, "UTF-8")
             })
           }
         case "bool" =>
-          val (dOff, dLen) = slice(nextBuf())
+          val d = nextBuf()
           (0 until n).foreach { i =>
             acc(ci) += (if (!valid(i)) null
-            else java.lang.Boolean.valueOf(bit(dOff, dLen, i)))
+            else java.lang.Boolean.valueOf(bit(d, i)))
           }
         case t if t.startsWith("int") =>
           val w = t.drop(3).toInt / 8
-          val (dOff, _) = slice(nextBuf())
-          ints(dOff, w, n, valid, identity, ci)
+          val d = nextBuf()
+          ints(d, w, n, valid, identity, ci)
         case "float64" =>
-          val (dOff, _) = slice(nextBuf())
+          val d = nextBuf()
           (0 until n).foreach { i =>
             acc(ci) += (if (!valid(i)) null
             else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble({
               var v = 0L; var k = 0
-              while (k < 8) { v |= (bytes(dOff + 8 * i + k) & 0xffL) << (8 * k); k += 1 }
+              while (k < 8) { v |= (d.arr(d.off + 8 * i + k) & 0xffL) << (8 * k); k += 1 }
               v
             })))
           }
         case "float32" =>
-          val (dOff, _) = slice(nextBuf())
+          val d = nextBuf()
           (0 until n).foreach { i =>
             acc(ci) += (if (!valid(i)) null
             else java.lang.Double.valueOf(
-              java.lang.Float.intBitsToFloat(le32(bytes, dOff + 4 * i)).toDouble))
+              java.lang.Float.intBitsToFloat(le32(d.arr, d.off + 4 * i)).toDouble))
           }
         case other => throw new IllegalArgumentException(s"type $other unsupported")
       }
@@ -397,7 +439,7 @@ object ArrowWalk {
     * `source` on every k-th row (validity-bitmap witness).
     */
   def fixture(recs: Seq[(Long, String, String)], batchRows: Int,
-      nullSourceEvery: Int = 0): Array[Byte] = {
+      nullSourceEvery: Int = 0, compress: String = "none"): Array[Byte] = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
@@ -411,8 +453,23 @@ object ArrowWalk {
         new Field("text", FieldType.nullable(new ArrowType.Utf8()), null))
       val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
       val bos = new java.io.ByteArrayOutputStream()
-      val w = new ArrowFileWriter(root, null,
-        java.nio.channels.Channels.newChannel(bos))
+      val ch = java.nio.channels.Channels.newChannel(bos)
+      // compressed variants use the real writer's BodyCompression path
+      // (arrow-compression's factory) — still a foreign encoder
+      val w = compress match {
+        case "none" => new ArrowFileWriter(root, null, ch)
+        case c =>
+          val codecType = c match {
+            case "lz4" => org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+            case "zstd" => org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD
+            case other => throw new IllegalArgumentException(s"fixture compress=$other")
+          }
+          new ArrowFileWriter(root, null, ch,
+            new java.util.HashMap[String, String](),
+            org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+            org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+            codecType)
+      }
       w.start()
       recs.grouped(math.max(1, batchRows)).foreach { group =>
         root.allocateNew()

@@ -417,6 +417,43 @@ object Rank {
     out
   }
 
+  /** Endpoint-level PPR dispatch — forward push
+    * ([[pprForwardPush]]) when the source set is localized
+    * (`nSources ≤ maxPushSources`), exact power iteration
+    * ([[personalizedPageRank]]) as the dense fallback. PPR is this
+    * engine's generalization of the reference's account-centric
+    * history queries (get_actions account OR-expansion, SURVEY §2.2
+    * F7): those source sets are a handful of accounts, exactly the
+    * regime where push's work ∝ pushed mass beats the power method's
+    * 6 edge-scale shuffles per iteration regardless of graph size
+    * (measured 24.8 s vs 96.9 s at 100× on the same trade graph).
+    * A teleport vector spread over MORE sources than `maxPushSources`
+    * defeats the frontier-mass bound that makes `broadcast(active)`
+    * safe, so the dense exact method takes over.
+    *
+    * The two paths keep their native contracts — push returns touched
+    * nodes as (node, p_e8, r_e8), power returns every node's
+    * (node, pr_e8) — so the dispatch decision is visible in the
+    * result schema, which is what the spec locks.
+    */
+  def ppr(
+      edges: DataFrame, // columns: src, dst (already symmetric)
+      sources: DataFrame, // column: node
+      iterations: Int, // power-method budget (dense fallback)
+      rounds: Int, // push budget (localized path)
+      damping: Double = 0.85,
+      epsE8: Long = 1000L,
+      maxPushSources: Long = 1024L): DataFrame = {
+    val srcSet = sources.select(col("node")).distinct()
+    // the dispatch count is source-set-sized (the config/request side
+    // of an endpoint call, never corpus-sized); both inner paths
+    // re-derive their own cached copy
+    if (srcSet.count() <= maxPushSources)
+      pprForwardPush(edges, sources, rounds, damping, epsE8)
+    else
+      personalizedPageRank(edges, sources, iterations, damping)
+  }
+
   /** HITS hubs-and-authorities by fixed-iteration mutual reinforcement
     * over a DIRECTED edge list: `a'(v) = Σ_{u→v} h(u)`,
     * `h'(u) = Σ_{u→v} a(v)`, each half-step L1-normalized back to 1e8

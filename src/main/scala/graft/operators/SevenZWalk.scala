@@ -18,12 +18,14 @@ package graft.operators
   *    stream — decoded with the same folder machinery, then re-parsed
   *    (the layout 7-Zip writes by default for multi-file archives);
   *  - coders: Copy (0x00), LZMA2 (0x21, via [[XzCodec.lzma2]] — the
-  *    packed stream is exactly the raw chunk grammar xz blocks carry)
-  *    and classic LZMA1 (0x030101, via [[XzCodec.lzma1]] — the coder
-  *    real `7z a` uses for encoded headers). Single-coder folders
-  *    only; BCJ/delta/encrypted folders quarantine their files with
-  *    names kept (honest subset — the three supported methods cover
-  *    what `7z a` and commons-compress emit by default).
+  *    packed stream is exactly the raw chunk grammar xz blocks carry),
+  *    classic LZMA1 (0x030101, via [[XzCodec.lzma1]] — the coder
+  *    real `7z a` uses for encoded headers), and the branch filters
+  *    x86 BCJ (0x03030103) and Delta (0x03) — decoded through the
+  *    folder's bind-pair graph, so the filter+LZMA two-coder chains
+  *    `7z a` emits for executables decode end-to-end. Multi-input
+  *    coders (BCJ2) and encrypted folders quarantine their files with
+  *    names kept (honest subset).
   *
   * Quarantine contract ([[ZipWalk]]'s shape): a folder that fails to
   * decode or misses its CRC quarantines ITS files only; the walk keeps
@@ -42,6 +44,7 @@ object SevenZWalk {
       crcOk: Boolean,
       corrupt: Boolean,
       emptyStream: Boolean,
+      isDir: Boolean, // kEmptyStream entry NOT marked kEmptyFile
       data: Array[Byte]) // null when corrupt or empty
 
   // ------------------------------------------------------------ numbers
@@ -101,7 +104,8 @@ object SevenZWalk {
 
   private final case class Coder(id: Long, props: Array[Byte], nIn: Int, nOut: Int)
   private final case class Folder(coders: Seq[Coder], outSizes: Seq[Long],
-      crc: Option[Long], numPacked: Int)
+      crc: Option[Long], numPacked: Int,
+      bindPairs: Seq[(Int, Int)]) // (global inIndex, global outIndex)
 
   private final case class Streams(
       packPos: Long,
@@ -114,6 +118,8 @@ object SevenZWalk {
   private val IdCopy = 0x00L
   private val IdLzma2 = 0x21L
   private val IdLzma1 = 0x030101L
+  private val IdDelta = 0x03L
+  private val IdBcjX86 = 0x03030103L
 
   private val K = new {
     val End = 0x00; val Header = 0x01; val ArchiveProps = 0x02
@@ -169,14 +175,18 @@ object SevenZWalk {
           Coder(cid, props, nIn, nOut)
         }
         val nBind = totalOut - 1
-        (0 until nBind).foreach { _ => c.num(); c.num() }
+        val binds = (0 until nBind).map { _ =>
+          (c.num().toInt, c.num().toInt)
+        }
         val numPacked = totalIn - nBind
+        // explicit packed-stream indices only when > 1 (BCJ2 shape);
+        // such folders quarantine in decodeFolder, so the order is moot
         if (numPacked > 1) (0 until numPacked).foreach(_ => c.num())
-        (coders, totalOut, numPacked)
+        (coders, totalOut, numPacked, binds)
       }
       t = c.num().toInt
       require(t == K.UnpackSize, "7z: missing kCodersUnpackSize")
-      val outSizes = raw.map { case (_, tOut, _) => Seq.fill(tOut)(c.num()) }
+      val outSizes = raw.map { case (_, tOut, _, _) => Seq.fill(tOut)(c.num()) }
       var crcs: Seq[Option[Long]] = Seq.fill(nf)(None)
       t = c.num().toInt
       while (t != K.End) {
@@ -186,8 +196,8 @@ object SevenZWalk {
         } else c.skip(c.num())
         t = c.num().toInt
       }
-      folders = raw.zip(outSizes).zip(crcs).map { case (((cs, _, np), os), crc) =>
-        Folder(cs, os, crc, np)
+      folders = raw.zip(outSizes).zip(crcs).map { case (((cs, _, np, bp), os), crc) =>
+        Folder(cs, os, crc, np, bp)
       }
       id = c.num().toInt
     }
@@ -253,36 +263,153 @@ object SevenZWalk {
     c.getValue
   }
 
-  /** Decode one single-coder folder from the packed area; None on
-    * unsupported coder or decode failure.
+  // ---------------------------------------------------- branch filters
+
+  /** x86 BCJ branch-converter DECODE (the public `Bra86`/xz x86 simple
+    * filter, as 7z coder 0x03030103 — the default companion of LZMA2
+    * for executables in software-mirror archives): the encoder rewrote
+    * E8/E9 call/jmp 32-bit relative displacements into absolute
+    * targets; this walks the buffer once and converts them back,
+    * tracking the 3-bit mask of recent E8/E9 prefix bytes the spec
+    * uses to skip already-converted overlaps. Whole-buffer one-shot
+    * (start ip 0), in place.
+    */
+  private[operators] def bcjX86Decode(buf: Array[Byte]): Array[Byte] = {
+    val allowed = Array(true, true, true, false, true, false, false, false)
+    val bitNo = Array(0, 1, 2, 2, 3, 3, 3, 3)
+    def msb(b: Int): Boolean = { val v = b & 0xff; v == 0 || v == 0xff }
+    var prevMask = 0
+    var prevPos = -1
+    val end = buf.length - 5
+    var i = 0
+    while (i <= end) {
+      if ((buf(i) & 0xfe) != 0xe8) { i += 1 }
+      else {
+        val d = i - prevPos
+        var skip = false
+        if ((d & ~3) != 0) prevMask = 0
+        else {
+          prevMask = (prevMask << (d - 1)) & 7
+          if (prevMask != 0) {
+            val b = buf(i + 4 - bitNo(prevMask))
+            if (!allowed(prevMask) || msb(b)) {
+              prevPos = i
+              prevMask = ((prevMask << 1) & 7) | 1
+              skip = true
+            }
+          }
+        }
+        if (!skip) {
+          prevPos = i
+          if (msb(buf(i + 4))) {
+            var src = (buf(i + 1) & 0xff) | ((buf(i + 2) & 0xff) << 8) |
+              ((buf(i + 3) & 0xff) << 16) | ((buf(i + 4) & 0xff) << 24)
+            var dest = 0
+            var fixing = true
+            while (fixing) {
+              dest = src - (i + 5) // decode: absolute → relative
+              if (prevMask == 0) fixing = false
+              else {
+                val index = bitNo(prevMask) * 8
+                val b = (dest >>> (24 - index)) & 0xff
+                if (!msb(b)) fixing = false
+                else src = dest ^ ((1 << (32 - index)) - 1)
+              }
+            }
+            buf(i + 1) = dest.toByte
+            buf(i + 2) = (dest >>> 8).toByte
+            buf(i + 3) = (dest >>> 16).toByte
+            buf(i + 4) = (0 - ((dest >>> 24) & 1)).toByte
+            i += 5
+          } else {
+            prevMask = ((prevMask << 1) & 7) | 1
+            i += 1
+          }
+        } else i += 1
+      }
+    }
+    buf
+  }
+
+  /** Delta filter DECODE (7z coder 0x03): `out(i) += out(i - dist)`,
+    * dist = props(0) + 1. In place.
+    */
+  private[operators] def deltaDecode(buf: Array[Byte], dist: Int): Array[Byte] = {
+    var i = dist
+    while (i < buf.length) {
+      buf(i) = (buf(i) + buf(i - dist)).toByte
+      i += 1
+    }
+    buf
+  }
+
+  /** Decode one folder from the packed area; None on unsupported coder
+    * shape or decode failure. Single packed stream only; chains walk
+    * the bind pairs backward from the folder's final output (the one
+    * no bind pair consumes) — the two-coder filter+LZMA layout real
+    * `7z a` emits for executables decodes here, BCJ2's 4-input shape
+    * quarantines.
     */
   private def decodeFolder(archive: Array[Byte], packOff: Long, packSize: Long,
       f: Folder): Option[Array[Byte]] = {
-    if (f.coders.size != 1 || f.numPacked != 1) return None
-    val coder = f.coders.head
-    if (coder.nIn != 1 || coder.nOut != 1) return None
-    val outSize = f.outSizes.head
+    if (f.numPacked != 1) return None
     if (packOff < 0 || packOff + packSize > archive.length) return None
     try {
-      val out = coder.id match {
-        case IdCopy =>
-          require(packSize == outSize, "7z: copy size mismatch")
-          java.util.Arrays.copyOfRange(archive, packOff.toInt,
-            (packOff + packSize).toInt)
-        case IdLzma2 =>
-          val dec = XzCodec.lzma2(archive, packOff.toInt,
-            (packOff + packSize).toInt, outSize.toInt)
-          require(dec.length == outSize, "7z: lzma2 size mismatch")
-          dec
-        case IdLzma1 =>
-          // props: 1 byte lc/lp/pb + 4-byte LE dict size (hint only)
-          require(coder.props.length >= 1, "7z: lzma1 missing props")
-          val dec = XzCodec.lzma1(archive, packOff.toInt,
-            (packOff + packSize).toInt, coder.props(0) & 0xff, outSize.toInt)
-          require(dec.length == outSize, "7z: lzma1 size mismatch")
-          dec
-        case _ => return None // BCJ/delta/AES: honest subset
+      val coders = f.coders
+      val inBase = coders.scanLeft(0)(_ + _.nIn)
+      val outBase = coders.scanLeft(0)(_ + _.nOut)
+      val totalOut = outBase.last
+      val boundOut = f.bindPairs.map(_._2).toSet
+      val finalOut = (0 until totalOut).find(o => !boundOut(o)).getOrElse(
+        throw new IllegalArgumentException("7z: folder without a free output"))
+      val memo = new Array[Array[Byte]](totalOut)
+      def packedSlice(): Array[Byte] =
+        java.util.Arrays.copyOfRange(archive, packOff.toInt,
+          (packOff + packSize).toInt)
+      def outputOf(o: Int): Array[Byte] = {
+        if (memo(o) != null) return memo(o)
+        val ci = coders.indices.find(i => o >= outBase(i) && o < outBase(i + 1))
+          .getOrElse(throw new IllegalArgumentException("7z: bad output index"))
+        val coder = coders(ci)
+        require(coder.nIn == 1 && coder.nOut == 1,
+          "7z: multi-stream coder unsupported") // BCJ2
+        val outSize = f.outSizes(o)
+        val gin = inBase(ci)
+        val fromBind = f.bindPairs.find(_._1 == gin).map(bp => outputOf(bp._2))
+        val dec = coder.id match {
+          case IdCopy =>
+            val in = fromBind.getOrElse {
+              require(packSize == outSize, "7z: copy size mismatch")
+              packedSlice()
+            }
+            require(in.length == outSize, "7z: copy size mismatch")
+            in
+          case IdLzma2 =>
+            require(fromBind.isEmpty, "7z: lzma2 over a coder output unsupported")
+            XzCodec.lzma2(archive, packOff.toInt,
+              (packOff + packSize).toInt, outSize.toInt)
+          case IdLzma1 =>
+            require(fromBind.isEmpty, "7z: lzma1 over a coder output unsupported")
+            // props: 1 byte lc/lp/pb + 4-byte LE dict size (hint only)
+            require(coder.props.length >= 1, "7z: lzma1 missing props")
+            XzCodec.lzma1(archive, packOff.toInt,
+              (packOff + packSize).toInt, coder.props(0) & 0xff, outSize.toInt)
+          case IdBcjX86 =>
+            // filters transform a sibling coder's full output (or, in a
+            // filter-only folder, the packed bytes themselves)
+            bcjX86Decode(fromBind.getOrElse(packedSlice()).clone())
+          case IdDelta =>
+            require(coder.props.length >= 1, "7z: delta missing distance")
+            deltaDecode(fromBind.getOrElse(packedSlice()).clone(),
+              (coder.props(0) & 0xff) + 1)
+          case _ => throw new IllegalArgumentException(
+            s"7z: coder 0x${coder.id.toHexString} unsupported") // AES/BCJ2/…
+        }
+        require(dec.length == outSize, "7z: coder output size mismatch")
+        memo(o) = dec
+        dec
       }
+      val out = outputOf(finalOut)
       f.crc match {
         case Some(want) if crc32(out) != want => None
         case _ => Some(out)
@@ -297,7 +424,7 @@ object SevenZWalk {
   /** Walk one archive into entries. */
   def entries(bytes: Array[Byte]): Seq[Entry] = {
     def broken = Seq(Entry(null, -1L, crcOk = false, corrupt = true,
-      emptyStream = false, null))
+      emptyStream = false, isDir = false, null))
     if (bytes == null || bytes.length < 32) return broken
     var i = 0
     while (i < 6) { if (bytes(i) != Magic(i)) return broken; i += 1 }
@@ -342,6 +469,10 @@ object SevenZWalk {
       // files info
       var names: Seq[String] = Nil
       var emptyStream: Array[Boolean] = Array.empty
+      // over empty-stream ordinals; absent kEmptyFile = all such
+      // entries are directories (7-Zip writes the property only when
+      // a genuinely empty FILE exists)
+      var emptyFile: Array[Boolean] = Array.empty
       var nFiles = 0
       if (id == K.FilesInfo) {
         nFiles = hc.num().toInt
@@ -352,6 +483,8 @@ object SevenZWalk {
           val next = hc.p + size.toInt
           t match {
             case K.EmptyStream => emptyStream = bitVector(hc, nFiles)
+            case K.EmptyFile =>
+              emptyFile = bitVector(hc, emptyStream.count(identity))
             case K.Name =>
               require(hc.u8() == 0, "7z: external names unsupported")
               val sb = new StringBuilder
@@ -400,17 +533,20 @@ object SevenZWalk {
         }
       }
       var si = 0
+      var ei = 0 // empty-stream ordinal (the kEmptyFile index space)
       val n = if (nFiles > 0) nFiles else sub.size
       (0 until n).foreach { k =>
         val name = names.lift(k).orNull
-        if (k < emptyStream.length && emptyStream(k))
+        if (k < emptyStream.length && emptyStream(k)) {
+          val isFile = ei < emptyFile.length && emptyFile(ei); ei += 1
           out += Entry(name, 0L, crcOk = true, corrupt = false,
-            emptyStream = true, Array.emptyByteArray)
-        else if (si < sub.size) {
+            emptyStream = true, isDir = !isFile, Array.emptyByteArray)
+        } else if (si < sub.size) {
           val (d, sz, ok, bad) = sub(si); si += 1
-          out += Entry(name, sz, ok, bad, emptyStream = false, d)
+          out += Entry(name, sz, ok, bad, emptyStream = false,
+            isDir = false, d)
         } else out += Entry(name, -1L, crcOk = false, corrupt = true,
-          emptyStream = false, null)
+          emptyStream = false, isDir = false, null)
       }
       out.toSeq
     } catch { case _: Exception => broken }
@@ -462,6 +598,39 @@ object SevenZWalk {
         new org.tukaani.xz.LZMA2Options(1))
     }
     out.setContentMethods(java.util.Collections.singletonList(cfg))
+    recs.foreach { case (name, bytes) =>
+      val e = new SevenZArchiveEntry()
+      e.setName(name)
+      e.setDirectory(false)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+
+  /** Real-encoder FILTER-CHAIN fixture: commons-compress writes each
+    * entry through `filter → LZMA2` two-coder folders (`"bcj"` = the
+    * xz-java x86 BCJ encoder, `"delta"` = the delta filter with the
+    * given distance) — the default `7z a` layout for executables, and
+    * a foreign encoder for the bind-pair walk + filter decode.
+    */
+  def fixtureFiltered(recs: Seq[(String, Array[Byte])],
+      filter: String, deltaDist: Int = 4): Array[Byte] = {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZMethod, SevenZMethodConfiguration, SevenZOutputFile}
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
+    val out = new SevenZOutputFile(ch)
+    val head = filter match {
+      case "bcj" => new SevenZMethodConfiguration(SevenZMethod.BCJ_X86_FILTER)
+      case "delta" => new SevenZMethodConfiguration(SevenZMethod.DELTA_FILTER,
+        Integer.valueOf(deltaDist))
+      case other => throw new IllegalArgumentException(s"filter $other")
+    }
+    val cfg = java.util.Arrays.asList(head,
+      new SevenZMethodConfiguration(SevenZMethod.LZMA2,
+        new org.tukaani.xz.LZMA2Options(1)))
+    out.setContentMethods(cfg)
     recs.foreach { case (name, bytes) =>
       val e = new SevenZArchiveEntry()
       e.setName(name)
@@ -569,6 +738,7 @@ object SevenZWalk {
       size: Long,
       crc_ok: Boolean,
       corrupt: Boolean,
+      is_dir: Boolean,
       body_text: String)
 
   /** Partition-parallel entry walk over (doc_id, payload). */
@@ -578,6 +748,7 @@ object SevenZWalk {
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         entries(bytes).map(e => EntryRow(id, e.name, e.size, e.crcOk, e.corrupt,
+          e.isDir,
           if (e.data == null) null else graft.functions.Text.decodeCharset(e.data)))
       })
   }

@@ -239,8 +239,7 @@ object XzCodec {
 
   /** Decode one LZMA chunk of exactly `unpacked` bytes from
     * b[from, from+packed). The probability state persists in `st`.
-    */
-  /** `strictFinish` = require the encoder's chunk-flush alignment
+    * `strictFinish` = require the encoder's chunk-flush alignment
     * (code == 0, consumed ≤ packed) — true for LZMA2's per-chunk
     * units; false for a sized LZMA1 stream, which simply stops at the
     * target length with the range coder mid-state (integrity there is
@@ -335,10 +334,6 @@ object XzCodec {
     }
   }
 
-  /** Decode an LZMA2-filtered block body at b[from, until); returns the
-    * block payload. `dictBits` from the filter props (allocation guard
-    * only — the window buffers the whole block).
-    */
   /** Classic LZMA1 stream decode to exactly `outSize` bytes (shared
     * with [[SevenZWalk]]: 7z coder 0x030101 — the coder real `7z a`
     * uses for its ENCODED HEADERS — is one sized range-coded stream
@@ -357,9 +352,11 @@ object XzCodec {
     win.payload
   }
 
-  /** Raw LZMA2 chunk-sequence decode (shared with [[SevenZWalk]]: a
-    * 7z LZMA2 coder's packed stream is exactly this grammar, no
-    * container around it).
+  /** Raw LZMA2 chunk-sequence decode — both the xz block body (the
+    * bytes after the block header are exactly this grammar) and a 7z
+    * LZMA2 coder's packed stream (shared with [[SevenZWalk]]).
+    * `maxOutput` is an allocation guard only; the window buffers the
+    * whole output.
     */
   private[operators] def lzma2(b: Array[Byte], from: Int, until: Int, maxOutput: Int): Array[Byte] = {
     val win = new Window(maxOutput)

@@ -37,6 +37,45 @@ object StateEndpoints {
     }
   }
 
+  /** One indexer filter config list: chain-prefixed
+    * `chain::code::name` action rules and `chain::code::table` delta
+    * rules (config.blacklists / config.whitelists in the reference).
+    */
+  final case class FilterConfig(actions: Seq[String] = Nil,
+      deltas: Seq[String] = Nil)
+
+  /** GET /v2/get_filters: readout of the indexer's active action/delta
+    * white/blacklists (src/api/routes/v2/get_filters/get_filters.ts:
+    * 1-78). Keeps the requested chain's entries (prefix match, as the
+    * reference's `startsWith(chain)`) and splits each `::` rule into
+    * `{contract, action}` (action rules) or `{contract, table}` (delta
+    * rules) rows; `is_whitelisted` mirrors the reference's flag — true
+    * iff ANY whitelist is non-empty in the RAW config, before the
+    * chain filter. Config-sized and driver-built by nature: this is a
+    * config readout, not a data query.
+    */
+  def getFilters(spark: org.apache.spark.sql.SparkSession, chain: String,
+      whitelists: FilterConfig, blacklists: FilterConfig): DataFrame = {
+    import spark.implicits._
+    val isW = whitelists.actions.nonEmpty || whitelists.deltas.nonEmpty
+    def rows(list: String, kind: String, entries: Seq[String]) =
+      entries.filter(_.startsWith(chain)).map { e =>
+        val p = e.split("::", -1)
+        val contract = if (p.length > 1) p(1) else ""
+        val name = if (p.length > 2) p(2) else ""
+        if (kind == "action") (list, kind, contract, Option(name), None: Option[String], isW)
+        else (list, kind, contract, None: Option[String], Option(name), isW)
+      }
+    val all =
+      rows("include", "action", whitelists.actions) ++
+      rows("include", "delta", whitelists.deltas) ++
+      rows("exclude", "action", blacklists.actions) ++
+      rows("exclude", "delta", blacklists.deltas)
+    all.toDF("list", "kind", "contract", "action", "table", "is_whitelisted")
+      .orderBy(col("list"), col("kind"), col("contract"), col("action"),
+        col("table"))
+  }
+
   /** GET /v2/state/get_key_accounts (U2): accounts controlled by a key —
     * permission-table hits ∪ action-history authorizations, deduped.
     * The reference tries these sequentially with early return; the

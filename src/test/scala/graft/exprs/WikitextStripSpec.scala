@@ -61,6 +61,13 @@ class WikitextStripSpec extends SparkSpec {
     assert(st("<nowiki>'''kept'''</nowiki>") === "kept")
     assert(st("x < y and 2<3") === "x < y and 2<3")
     assert(st("a<ref>unterminated island") === "a")
+    // full-token close match: </reflist> must NOT terminate a <ref>
+    // island (prefix of a longer closing tag), the real one must
+    assert(st("a<ref>x</reflist>y</ref>b") === "ab")
+    assert(st("a<ref attr=1>x</ref more>b") === "ab")
+    // a prefix-only close with no real terminator = unterminated
+    assert(st("a<ref>x</refx>tail") === "a")
+    assert(st("a<ref>x</ref") === "a")
   }
 
   test("emphasis runs") {

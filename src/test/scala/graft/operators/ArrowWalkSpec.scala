@@ -27,6 +27,42 @@ class ArrowWalkSpec extends SparkSpec {
     }
   }
 
+  test("compressed bodies: LZ4_FRAME and ZSTD buffer compression round trip") {
+    for (codec <- Seq("lz4", "zstd"); batchRows <- Seq(25, 7)) {
+      val bytes = ArrowWalk.fixture(recs, batchRows, nullSourceEvery = 5,
+        compress = codec)
+      // witness the writer actually compressed (BodyCompression present)
+      assert(!bytes.sameElements(
+        ArrowWalk.fixture(recs, batchRows, nullSourceEvery = 5)),
+        s"$codec fixture identical to uncompressed")
+      val t = ArrowWalk.table(bytes) match {
+        case Right(v) => v
+        case Left(e) => fail(s"$codec b=$batchRows quarantined: $e")
+      }
+      assert(t.nRows === 25, s"$codec b=$batchRows")
+      assert((0 until 25).map(i => t.values(0)(i)) ===
+        recs.map(r => java.lang.Long.valueOf(r._1)))
+      assert((0 until 25).map(i => t.values(2)(i)) === recs.map(_._3))
+      // null pattern survives decompression
+      (0 until 25).foreach { i =>
+        if (i % 5 == 0) assert(t.values(1)(i) === null, s"$codec row $i")
+        else assert(t.values(1)(i) === recs(i)._2, s"$codec row $i")
+      }
+    }
+  }
+
+  test("compressed bodies: corrupted frame magic quarantines the file") {
+    val bytes = ArrowWalk.fixture(recs, 25, compress = "zstd")
+    // locate the first zstd frame magic (28 B5 2F FD LE) in the body
+    // and break it — the buffer decompression must fail loudly
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (bytes(i) & 0xff) == 0x28 && (bytes(i + 1) & 0xff) == 0xb5 &&
+      (bytes(i + 2) & 0xff) == 0x2f && (bytes(i + 3) & 0xff) == 0xfd)
+    assert(at.isDefined, "no zstd frame found in compressed fixture")
+    bytes(at.get) = (bytes(at.get) ^ 0xff).toByte
+    assert(ArrowWalk.table(bytes).isLeft)
+  }
+
   test("validity bitmaps: nulled source cells decode as null, others intact") {
     val t = ArrowWalk.table(ArrowWalk.fixture(recs, 7, nullSourceEvery = 5))
       .getOrElse(fail("quarantined"))

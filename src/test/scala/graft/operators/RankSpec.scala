@@ -227,6 +227,27 @@ class RankSpec extends SparkSpec {
     assert(math.abs(total - 100000000L) < 500, s"mass $total")
   }
 
+  test("ppr dispatch: localized sources take push, wide teleport falls back to power") {
+    val g = Seq((1L, 11L), (11L, 1L), (2L, 11L), (11L, 2L), (3L, 11L),
+      (11L, 3L)).toDF("src", "dst")
+    // 1 source ≤ maxPushSources → push path (schema carries r_e8, state
+    // holds touched nodes only) and equals the direct push call
+    val auto = Rank.ppr(g, Seq(1L).toDF("node"), iterations = 4, rounds = 8,
+      epsE8 = 100L, maxPushSources = 2L)
+    assert(auto.columns.toSeq === Seq("node", "p_e8", "r_e8"))
+    val direct = Rank.pprForwardPush(g, Seq(1L).toDF("node"), 8, epsE8 = 100L)
+    assert(auto.orderBy("node").collect().toSeq ===
+      direct.orderBy("node").collect().toSeq)
+    // 3 sources > maxPushSources=2 → dense power fallback (every node's
+    // pr_e8) and equals the direct power call
+    val wide = Seq(1L, 2L, 3L).toDF("node")
+    val dense = Rank.ppr(g, wide, iterations = 4, rounds = 8,
+      maxPushSources = 2L)
+    assert(dense.columns.toSeq === Seq("node", "pr_e8"))
+    assert(dense.orderBy("node").collect().toSeq ===
+      Rank.personalizedPageRank(g, wide, 4).orderBy("node").collect().toSeq)
+  }
+
   test("ppr push: approximates the converged power method within the ACL bound") {
     // path-and-branches around source 0; epsE8=500 ⇒ ppr−p ≤ 500·deg
     // at termination (undirected reversibility bound). damping 0.5 so

@@ -37,7 +37,93 @@ class SevenZWalkSpec extends SparkSpec {
       Seq(("full.txt", bytes("payload")), ("empty.txt", Array.empty[Byte])), "lzma2"))
     assert(es.map(e => (e.name, e.emptyStream, e.size)) ===
       Seq(("full.txt", false, 7L), ("empty.txt", true, 0L)))
+    // kEmptyFile marks it a genuinely empty FILE, not a directory
+    assert(es.map(e => (e.name, e.isDir)) ===
+      Seq(("full.txt", false), ("empty.txt", false)))
     assert(es.forall(!_.corrupt))
+  }
+
+  test("directory entries: kEmptyStream without kEmptyFile = isDir") {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
+    val out = new SevenZOutputFile(ch)
+    def put(name: String, dir: Boolean, data: Array[Byte]): Unit = {
+      val e = new SevenZArchiveEntry()
+      e.setName(name); e.setDirectory(dir)
+      out.putArchiveEntry(e)
+      if (!dir) out.write(data)
+      out.closeArchiveEntry()
+    }
+    put("docs", dir = true, null)
+    put("docs/a.txt", dir = false, bytes("alpha"))
+    put("docs/empty.txt", dir = false, Array.empty[Byte])
+    out.close()
+    val a = java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+    val es = SevenZWalk.entries(a)
+    assert(es.map(e => (e.name, e.emptyStream, e.isDir, e.size)) === Seq(
+      ("docs", true, true, 0L),
+      ("docs/a.txt", false, false, 5L),
+      ("docs/empty.txt", true, false, 0L)))
+    assert(es.forall(!_.corrupt))
+  }
+
+  test("directory-only archive: absent kEmptyFile means all-dirs") {
+    import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
+    val out = new SevenZOutputFile(ch)
+    Seq("a", "a/b").foreach { name =>
+      val e = new SevenZArchiveEntry()
+      e.setName(name); e.setDirectory(true)
+      out.putArchiveEntry(e); out.closeArchiveEntry()
+    }
+    out.close()
+    val es = SevenZWalk.entries(
+      java.util.Arrays.copyOf(ch.array(), ch.size().toInt))
+    assert(es.map(e => (e.name, e.isDir)) === Seq(("a", true), ("a/b", true)))
+  }
+
+  test("BCJ x86 + LZMA2 two-coder chain decodes via the bind-pair walk") {
+    // a payload dense in E8/E9 call/jmp opcodes with plausible rel32
+    // displacements — the shape that makes the BCJ transform actually
+    // rewrite bytes (text payloads pass through mostly untouched)
+    val rnd = new scala.util.Random(7)
+    val code = Array.newBuilder[Byte]
+    (0 until 400).foreach { _ =>
+      code += (if (rnd.nextBoolean()) 0xe8 else 0xe9).toByte
+      val rel = rnd.nextInt(1 << 20) - (1 << 19)
+      code += rel.toByte
+      code += (rel >> 8).toByte
+      code += (rel >> 16).toByte
+      code += (if (rel < 0) 0xff else 0x00).toByte
+      (0 until rnd.nextInt(7)).foreach(_ => code += rnd.nextInt(256).toByte)
+    }
+    val payloads = Seq(("bin/a.exe", code.result()),
+      ("bin/b.exe", bytes("plain text rides the same chain")))
+    val es = SevenZWalk.entries(SevenZWalk.fixtureFiltered(payloads, "bcj"))
+    assert(es.map(e => (e.name, e.corrupt, e.crcOk)) ===
+      Seq(("bin/a.exe", false, true), ("bin/b.exe", false, true)))
+    assert(es(0).data === payloads(0)._2)
+    assert(es(1).data === payloads(1)._2)
+  }
+
+  test("delta + LZMA2 two-coder chain decodes via the bind-pair walk") {
+    // sawtooth samples: the shape delta filters exist for
+    val wave = (0 until 3000).map(i => ((i * 7) % 251).toByte).toArray
+    val es = SevenZWalk.entries(SevenZWalk.fixtureFiltered(
+      Seq(("audio/w.raw", wave)), "delta", deltaDist = 2))
+    assert(es.map(e => (e.name, e.corrupt, e.crcOk)) ===
+      Seq(("audio/w.raw", false, true)))
+    assert(es(0).data === wave)
+  }
+
+  test("flipped packed byte in a filtered folder still quarantines by CRC") {
+    val payload = bytes("x" * 500)
+    val a = SevenZWalk.fixtureFiltered(Seq(("f.bin", payload)), "bcj")
+    val at = 40 // inside the packed LZMA2 stream (starts at offset 32)
+    a(at) = (a(at) ^ 0x20).toByte
+    val es = SevenZWalk.entries(a)
+    assert(es.forall(e => e.corrupt || e.name != null))
+    assert(es.exists(_.corrupt))
   }
 
   test("hand-serialized solid folder + encoded header: substream split and CRCs") {

@@ -28,6 +28,29 @@ class StateEndpointsSpec extends SparkSpec {
     assert(got === Seq("alice", "carol", "dave"))
   }
 
+  test("get_filters: chain prefix keep, :: split, raw-config isWhitelisted") {
+    import StateEndpoints.FilterConfig
+    val got = StateEndpoints.getFilters(spark, "wax",
+      whitelists = FilterConfig(
+        actions = Seq("wax::eosio.token::transfer", "telos::eosio::newaccount"),
+        deltas = Seq("wax::eosio.token::accounts")),
+      blacklists = FilterConfig(
+        actions = Seq("wax::spam.contract::*"), deltas = Nil))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[String]("action"), r.getAs[String]("table"),
+        r.getBoolean(5))).toSeq
+    assert(got === Seq(
+      ("exclude", "action", "spam.contract", "*", null, true),
+      ("include", "action", "eosio.token", "transfer", null, true),
+      ("include", "delta", "eosio.token", null, "accounts", true)))
+    // empty whitelists → isWhitelisted false, excludes still listed
+    val none = StateEndpoints.getFilters(spark, "wax",
+      whitelists = FilterConfig(),
+      blacklists = FilterConfig(actions = Seq("wax::a::b")))
+      .collect().map(r => (r.getString(2), r.getBoolean(5))).toSeq
+    assert(none === Seq(("a", false)))
+  }
+
   test("get_tokens: precision enrichment via broadcast dim (J5)") {
     val t = StateEndpoints.getTokens(
       Fixtures.accountBalances(spark), Fixtures.tokenPrecisions(spark), "alice")
