@@ -1617,6 +1617,42 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** SHIP binary wire ingest ([[graft.streaming.ShipWire]]): events
+    * grouped into per-block `get_blocks_result_v0` frames — signed
+    * block + `transaction_trace[]` + `table_delta[]` nested binaries,
+    * both `action_trace` variant arms — encoded by the engine's own
+    * ABI serializer and decoded back by the wire walk: the reference's
+    * state-reader → deserializer path (state-reader.ts:737-767,
+    * 3.2-parser.ts:80-152) as one distributed round trip. The
+    * per-producer rollup replays closed-form from the base table.
+    */
+  private def qShipWire(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.ShipWire
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("2 + (event_id DIV 25)").as("bnum"))
+      .as[(Long, Long, String, Long)]
+    val frames = ev.groupByKey(_._4).mapGroups { (bnum, it) =>
+      val evs = it.toSeq.sortBy(_._1).map(t => (t._1, t._2, t._3))
+      ShipWire.fixtureFrame(bnum, evs)
+    }.toDF("frame")
+    ShipWire.parseFrames(frames).toDF()
+      .groupBy(col("producer"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("trx_count")).as("n_trx"),
+        sum(col("cpu_total")).as("sum_cpu"),
+        sum(col("n_actions")).as("n_actions"),
+        min(col("min_gs")).as("min_gs"),
+        max(col("max_gs")).as("max_gs"),
+        sum(col("n_delta_rows")).as("n_delta_rows"),
+        sum(col("n_deltas_present")).as("n_present"),
+        max(col("block_id")).as("max_block_id"))
+      .orderBy(col("producer"))
+  }
+
   /** Mixed-charset ingest witness
     * ([[graft.functions.Text.decodeCharset]]): each document
     * serialized in one of five byte encodings by doc_id (plain UTF-8,
@@ -5478,14 +5514,14 @@ object SparkEntry {
     * — benching both would run the ~10-round doubling build twice per
     * sweep for one extra gaps-and-islands stage whose semantics the
     * oracle locks at every scale.
-    * `q_ppr` is the dense power-method PPR: `q_ppr_auto` (the
-    * endpoint dispatch) and `q_ppr_push` already sweep the path real
-    * localized requests take, and at 100× the power method costs
-    * 96.9 s per sweep re-proving the fallback the oracle locks at
-    * every scale anyway.
+    * `q_ppr` is the dense power-method PPR and `q_ppr_push` the raw
+    * push operator: `q_ppr_auto` (the endpoint dispatch) sweeps the
+    * exact push schedule real localized requests take, so sweeping
+    * the other two re-runs the same algorithm (push) or the 96.9 s
+    * 100× fallback (power) the oracles already lock at every scale.
     */
   val diagnosticOnly: Set[String] =
-    Set("q_knn_triangles", "q_suffix_spans", "q_ppr")
+    Set("q_knn_triangles", "q_suffix_spans", "q_ppr", "q_ppr_push")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -5572,6 +5608,7 @@ object SparkEntry {
     "q_robots_policy" -> (qRobotsPolicy _),
     "q_zip_ingest" -> (qZipIngest _),
     "q_7z_ingest" -> (qSevenZIngest _),
+    "q_ship_wire" -> (qShipWire _),
     "q_arrow_ingest" -> (qArrowIngest _),
     "q_doc_pdf_extract" -> (qDocPdfExtract _),
     "q_mbox_ingest" -> (qMboxIngest _),
@@ -10347,6 +10384,36 @@ object SparkEntry {
          SELECT 'trx00000003', 'executed', CAST(103 AS BIGINT),
            'eosio.token::transfer', '["SIG_K1_3"]', TRUE
          ORDER BY id""",
+    // SHIP wire: every decoded field is a closed form of
+    // (event_id, user_id, event_type) — block = 2 + event_id DIV 25,
+    // producer = block mod 5, cpu = id%1000+10, gs = 1e6+id, delta
+    // present = id%3 != 0; block_id is the zero-padded uppercase hex
+    // of block_num, so its max replays as printf
+    "q_ship_wire" ->
+      """WITH e AS (
+           SELECT event_id, 2 + event_id // 25 AS bnum FROM events),
+         b AS (SELECT bnum,
+                 'prod' || chr(97 + CAST(bnum % 5 AS INT)) AS producer,
+                 count(*) AS trx_count,
+                 sum(event_id % 1000 + 10) AS cpu_total,
+                 count(*) AS n_actions,
+                 min(1000000 + event_id) AS min_gs,
+                 max(1000000 + event_id) AS max_gs,
+                 count(*) AS n_delta_rows,
+                 sum(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END)
+                   AS n_present
+               FROM e GROUP BY bnum)
+         SELECT producer,
+           count(*) AS n_blocks,
+           CAST(sum(trx_count) AS BIGINT) AS n_trx,
+           CAST(sum(cpu_total) AS BIGINT) AS sum_cpu,
+           CAST(sum(n_actions) AS BIGINT) AS n_actions,
+           CAST(min(min_gs) AS BIGINT) AS min_gs,
+           CAST(max(max_gs) AS BIGINT) AS max_gs,
+           CAST(sum(n_delta_rows) AS BIGINT) AS n_delta_rows,
+           CAST(sum(n_present) AS BIGINT) AS n_present,
+           upper(printf('%064x', max(bnum))) AS max_block_id
+         FROM b GROUP BY producer ORDER BY producer""",
     // get_filters: the same nation-derived config, chain-prefix kept,
     // :: split; is_whitelisted = raw whitelists non-empty pre-filter
     "q_hyperion_get_filters" ->
