@@ -983,6 +983,15 @@ object SparkEntry {
       Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 4)
       .orderBy(col("node"))
 
+  /** 5-round k-core peel ([[graft.operators.Graph.kCore]], k = 25)
+    * over the symmetric trade graph — the link-graph density gate;
+    * the oracle unrolls the identical synchronous peel as CTEs.
+    */
+  private def qKcore(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.kCore(
+      Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 25, 5)
+      .orderBy(col("node"))
+
   /** 6-iteration HITS over the DIRECTED customer→supplier trade edges
     * (hubs = broad buyers, authorities = widely-bought-from suppliers);
     * integer 1e8-unit carrier with L1 normalization each half-step.
@@ -1625,12 +1634,23 @@ object SparkEntry {
     * state-reader → deserializer path (state-reader.ts:737-767,
     * 3.2-parser.ts:80-152) as one distributed round trip. The
     * per-producer rollup replays closed-form from the base table.
+    *
+    * Fixture bound: `event_id < 8000` (320 blocks at every SF — the
+    * fixed-size-protocol-witness convention the hyperion endpoint
+    * fixtures use). The witness is WIRE MECHANICS — variant dispatch,
+    * nested binaries, both trace arms — not scan scale; each frame's
+    * bytes pass six JSON/binary transformations (build → encode →
+    * embed → re-encode → decode → re-parse), so an unbounded
+    * per-event witness would bill ~0.4 ms/event to the sweep for a
+    * path whose scan-scale shape (`mapPartitions` byte walk) the
+    * 7z/arrow/wiki ingest queries already sweep data-proportionally.
     */
   private def qShipWire(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.ShipWire
     implicit val sp: SparkSession = s
     import s.implicits._
     val ev = T.events(s, d)
+      .filter(col("event_id") < 8000)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("2 + (event_id DIV 25)").as("bnum"))
       .as[(Long, Long, String, Long)]
@@ -4054,6 +4074,41 @@ object SparkEntry {
     * re-implementation. Byte length is deliberately not compared: PNG
     * stream size is encoder-version-dependent; pixels are not.
     */
+  /** Baseline JPEG decode ([[graft.operators.JpegCodec]]): grayscale
+    * uniform-8×8-block images, ImageIO-encoded (a FOREIGN encoder) at
+    * quality 1.0 — the Q=1 DC-only construction is LOSSLESS, so the
+    * decoded pixels replay closed-form in SQL despite JPEG's lossy
+    * general case (the lossy paths are locked by JpegCodecSpec's
+    * ImageIO-agreement witnesses). ids ≡ 0 (mod 9) get their SOI
+    * magic broken — the quarantine witness.
+    */
+  private def qJpegDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.JpegCodec
+    import s.implicits._
+    val decoded = s.range(500).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bw = 3 + (id % 3).toInt
+        val bytes = JpegCodec.uniformBlockFixture(bw, 2,
+          (i, j) => ((id * 31 + i * 8 + j * 53) % 256).toInt)
+        if (id % 9 == 0) bytes(1) = 0x00
+        JpegCodec.decode(bytes) match {
+          case Some(dec) =>
+            var sum = 0L
+            dec.argb.foreach(p => sum += (p & 0xff))
+            (id, true, dec.width.toLong, sum)
+          case None => (id, false, -1L, 0L)
+        }
+      }).toDF("id", "ok", "width", "sum_px")
+    decoded.groupBy(pmod(col("id"), lit(10)).as("bucket"))
+      .agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_corrupt"),
+        sum(when(col("ok"), col("sum_px")).otherwise(0L)).as("sum_pixels"),
+        min(when(col("ok"), col("width"))).as("min_w"),
+        max(when(col("ok"), col("width"))).as("max_w"))
+      .orderBy(col("bucket"))
+  }
+
   private def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     implicit val sp: SparkSession = s
@@ -5566,6 +5621,7 @@ object SparkEntry {
     "q_bm25_multi" -> (qBm25Multi _),
     "q_pagerank" -> (qPageRank _),
     "q_label_prop" -> (qLabelProp _),
+    "q_kcore" -> (qKcore _),
     "q_hits" -> (qHits _),
     "q_ppr" -> (qPersonalizedPagerank _),
     "q_ppr_push" -> (qPprPush _),
@@ -5715,6 +5771,7 @@ object SparkEntry {
     "q_suffix_spans" -> (qSuffixSpans _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_audio_containers" -> (qAudioContainers _),
     "q_audio_flac" -> (qAudioFlac _),
@@ -7177,6 +7234,27 @@ object SparkEntry {
     // label propagation: the oracle unrolls the 4 synchronous rounds —
     // plurality vote per node, smallest label on ties (row_number
     // ORDER BY c DESC, label ASC ≡ the engine's max(struct(c, −label)))
+    "q_kcore" -> {
+      val k = 25
+      val rounds = 5
+      val steps = (1 to rounds).map { i =>
+        s"""a$i AS (SELECT node FROM d${i - 1} WHERE deg >= $k),
+           d$i AS MATERIALIZED (
+             SELECT e.src AS node, count(*) AS deg
+             FROM e JOIN a$i s ON e.src = s.node
+                    JOIN a$i t ON e.dst = t.node
+             GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH raw AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM raw
+           UNION ALL SELECT b AS src, a AS dst FROM raw),
+         d0 AS MATERIALIZED (
+           SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         $steps
+         SELECT node, deg FROM d$rounds WHERE deg >= $k ORDER BY node"""
+    },
     "q_label_prop" -> {
       val rounds = 4
       val steps = (1 to rounds).map { i =>
@@ -8532,6 +8610,26 @@ object SparkEntry {
                FROM x a JOIN x b USING (vec_id))
          SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) + 0 AS cov
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // JPEG: planted uniform blocks are lossless at Q=1 (DC = 8·(v−128)
+    // exactly, all AC zero), so pixel sums replay in closed form
+    "q_jpeg_decode" ->
+      """WITH ids AS (SELECT unnest(range(500)) AS id),
+         cells AS (
+           SELECT ids.id, 3 + ids.id % 3 AS bw, i.i, j.j,
+             (ids.id * 31 + i.i * 8 + j.j * 53) % 256 AS v
+           FROM ids,
+             (SELECT unnest(range(5)) AS i) i,
+             (SELECT unnest(range(2)) AS j) j
+           WHERE i.i < 3 + ids.id % 3),
+         per AS (SELECT id, min(bw) AS bw, sum(v) * 64 AS px
+                 FROM cells GROUP BY id)
+         SELECT id % 10 AS bucket,
+           CAST(sum(CASE WHEN id % 9 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN id % 9 <> 0 THEN px ELSE 0 END) AS BIGINT) AS sum_pixels,
+           CAST(min(CASE WHEN id % 9 <> 0 THEN bw * 8 END) AS BIGINT) AS min_w,
+           CAST(max(CASE WHEN id % 9 <> 0 THEN bw * 8 END) AS BIGINT) AS max_w
+         FROM per GROUP BY 1 ORDER BY 1""",
     "q_multimodal_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -10391,7 +10489,8 @@ object SparkEntry {
     // of block_num, so its max replays as printf
     "q_ship_wire" ->
       """WITH e AS (
-           SELECT event_id, 2 + event_id // 25 AS bnum FROM events),
+           SELECT event_id, 2 + event_id // 25 AS bnum FROM events
+           WHERE event_id < 8000),
          b AS (SELECT bnum,
                  'prod' || chr(97 + CAST(bnum % 5 AS INT)) AS producer,
                  count(*) AS trx_count,

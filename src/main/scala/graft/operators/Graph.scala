@@ -437,6 +437,41 @@ object Graph {
     * `edges` must already contain both directions for undirected
     * semantics ([[Rank.tradeGraph]] does).
     */
+  /** k-core decomposition by synchronous PEELING (the Matula–Beck /
+    * Batagelj–Zaversnik core idea, batched into deterministic
+    * rounds): each round removes every node whose CURRENT induced
+    * degree is below `k`, simultaneously, then recomputes degrees on
+    * the induced subgraph. The peel is monotone — once no node falls
+    * below `k` further rounds are no-ops — so with `rounds` at least
+    * the true peel depth the result IS the k-core; a fixed schedule
+    * (the [[labelPropagation]] contract) keeps the whole run one lazy
+    * DAG the oracle can unroll as identical SQL CTEs, with no
+    * per-round driver action. k-core filtering is the standard
+    * link-graph quality gate in crawl curation (keep pages embedded
+    * in dense neighborhoods, shed the pendant spam tail).
+    *
+    * Per round: two survivor semi-joins on the edge list + one degree
+    * count — three bounded exchanges at any scale, no window;
+    * per-round lazy checkpoint truncates the plan.
+    *
+    * `edges` must already contain both directions. Returns the
+    * surviving nodes with their induced degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    (1 to rounds).foreach { _ =>
+      val alive = deg.filter(col("deg") >= k).select("node")
+      deg = edges
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false)
+    }
+    deg.filter(col("deg") >= k)
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))

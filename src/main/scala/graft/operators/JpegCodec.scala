@@ -1,0 +1,449 @@
+package graft.operators
+
+/** Baseline JPEG decode (ITU-T T.81 sequential DCT, Huffman) — the
+  * format hub image corpora overwhelmingly ship in. From-spec, pure
+  * Scala, like the sibling [[Vp8lCodec]]/[[FlacCodec]]:
+  *
+  *  - marker segments: SOI, APPn/COM (skipped), DQT (8/16-bit tables,
+  *    zig-zag order), SOF0/SOF1 (baseline + extended sequential
+  *    Huffman — same decode), DHT (canonical code assembly per Annex
+  *    C), DRI, SOS, EOI;
+  *  - entropy decode: bit-serial Huffman per Annex F (mincode /
+  *    maxcode / valptr), byte-stuffing (FF 00), restart markers
+  *    (byte realign + DC predictor reset every DRI MCUs);
+  *  - block reconstruction: DC prediction + EXTEND sign recovery,
+  *    ZRL/EOB run semantics, dequantization, the reference float
+  *    separable IDCT (exact for the uniform blocks the oracle plants;
+  *    within ±1 of any conforming decoder elsewhere), level shift +
+  *    clamp;
+  *  - sampling: arbitrary H/V factors 1..4 with nearest-neighbor
+  *    chroma upsampling (T.81 leaves the filter to the decoder;
+  *    uniform chroma planes reconstruct exactly under any filter);
+  *  - color: 1-component grayscale and 3-component JFIF YCbCr
+  *    (BT.601 inverse, rounded + clamped).
+  *
+  * Honest subset, quarantined loudly (None, never a misread):
+  * progressive (SOF2), arithmetic coding (SOF9+), hierarchical,
+  * 12-bit precision, and 4-component CMYK/Adobe files.
+  *
+  * Witnesses: the JDK's ImageIO JPEG decoder — an INDEPENDENT
+  * implementation — must agree within the spec's IDCT tolerance on
+  * random images (JpegCodecSpec), and uniform-8×8-block fixtures at
+  * quantization 1 are LOSSLESS by construction (DC = 8·(v−128) is an
+  * exact integer, every AC is 0), which is what gives `q_jpeg_decode`
+  * a closed-form DuckDB oracle despite JPEG being lossy in general.
+  *
+  * Scale shape: one image per row inside `mapPartitions` —
+  * bytes-linear, scan-local, zero shuffle before the caller's
+  * aggregate.
+  */
+object JpegCodec {
+
+  /** Decoded image: ARGB row-major (grayscale replicates Y). */
+  final case class Decoded(width: Int, height: Int, nComp: Int,
+      argb: Array[Int])
+
+  // zig-zag scan position -> natural (row-major) coefficient index
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // c(u)·cos((2x+1)uπ/16) — the reference IDCT basis, u=0 scaled 1/√2
+  private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ----------------------------------------------------------- huffman
+
+  /** Canonical Huffman table per T.81 Annex C/F. */
+  private final class Huff(counts: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l)
+        k += counts(l)
+        maxCode(l) = if (counts(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var cnt = 0
+
+    /** Next entropy bit; FF 00 stuffing unwrapped; a bare marker here
+      * means truncated data (quarantine).
+      */
+    def bit(): Int = {
+      if (cnt == 0) {
+        require(pos < b.length, "jpeg: entropy data truncated")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          require(pos < b.length, "jpeg: truncated at FF")
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed literal FF
+          else throw new IllegalArgumentException(f"jpeg: marker FF$m%02x inside scan")
+          v = 0xff
+        }
+        cur = v
+        cnt = 8
+      }
+      cnt -= 1
+      (cur >> cnt) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l) && code >= h.minCode(l))
+          return h.vals(h.valPtr(l) + code - h.minCode(l))
+        code = (code << 1) | bit()
+        l += 1
+      }
+      throw new IllegalArgumentException("jpeg: invalid huffman code")
+    }
+
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(n: Int): Unit = {
+      cnt = 0
+      require(pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xff) == (0xd0 + (n & 7)),
+        "jpeg: missing restart marker")
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  // ------------------------------------------------------------- model
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+    var td = 0 // DC table id (from SOS)
+    var ta = 0 // AC table id
+  }
+
+  // -------------------------------------------------------------- idct
+
+  /** Reference separable float IDCT; writes level-shifted clamped
+    * samples into `out` at (ox, oy) with row `stride`.
+    */
+  private def idctBlock(coef: Array[Int], out: Array[Byte], ox: Int, oy: Int,
+      stride: Int, outW: Int, outH: Int): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * CosTab(x)(u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val py = oy + y
+      var x = 0
+      while (x < 8) {
+        val px = ox + x
+        if (px < outW && py < outH) {
+          var s = 0.0
+          var vv = 0
+          while (vv < 8) { s += tmp(vv * 8 + x) * CosTab(y)(vv); vv += 1 }
+          val p = math.round(0.25 * s).toInt + 128
+          out(py * stride + px) =
+            (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ------------------------------------------------------------ decode
+
+  def decode(bytes: Array[Byte]): Option[Decoded] = {
+    try {
+      require(bytes != null && bytes.length > 4, "jpeg: too small")
+      require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "jpeg: no SOI")
+      var p = 2
+      def u8(i: Int) = bytes(i) & 0xff
+      def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      val qtabs = new Array[Array[Int]](4) // natural order
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var comps: Array[Comp] = null
+      var width = 0
+      var height = 0
+      var restartInterval = 0
+      var sosAt = -1
+      var done = false
+      while (!done) {
+        require(p + 1 < bytes.length, "jpeg: truncated before SOS")
+        require(u8(p) == 0xff, f"jpeg: expected marker at $p")
+        var m = u8(p + 1)
+        p += 2
+        while (m == 0xff) { m = u8(p); p += 1 } // fill bytes
+        m match {
+          case 0xd9 => throw new IllegalArgumentException("jpeg: EOI before scan")
+          case 0x01 => () // TEM, standalone
+          case mk if mk >= 0xd0 && mk <= 0xd7 => () // stray RST
+          case 0xdb => // DQT
+            val len = u16(p); val end = p + len
+            var q = p + 2
+            while (q < end) {
+              val pq = u8(q) >> 4; val tq = u8(q) & 15
+              require(pq <= 1 && tq < 4, "jpeg: bad DQT")
+              q += 1
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tab(ZigZag(k)) = if (pq == 0) u8(q + k) else u16(q + 2 * k)
+                k += 1
+              }
+              q += (if (pq == 0) 64 else 128)
+              qtabs(tq) = tab
+            }
+            p = end
+          case 0xc4 => // DHT
+            val len = u16(p); val end = p + len
+            var q = p + 2
+            while (q < end) {
+              val tc = u8(q) >> 4; val th = u8(q) & 15
+              require(tc <= 1 && th < 4, "jpeg: bad DHT")
+              val counts = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { counts(l) = u8(q + l); total += counts(l); l += 1 }
+              val vals = Array.tabulate(total)(i => u8(q + 17 + i))
+              val h = new Huff(counts, vals)
+              if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+              q += 17 + total
+            }
+            p = end
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            val len = u16(p)
+            require(u8(p + 2) == 8, "jpeg: 12-bit precision unsupported")
+            height = u16(p + 3); width = u16(p + 5)
+            require(width > 0 && height > 0, "jpeg: zero dimension")
+            val nf = u8(p + 7)
+            require(nf == 1 || nf == 3, s"jpeg: $nf components unsupported")
+            comps = Array.tabulate(nf) { i =>
+              val q = p + 8 + 3 * i
+              val c = Comp(u8(q), u8(q + 1) >> 4, u8(q + 1) & 15, u8(q + 2))
+              require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4, "jpeg: bad sampling")
+              c
+            }
+            p += len
+          case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
+          case mk if mk >= 0xc3 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 =>
+            throw new IllegalArgumentException(f"jpeg: SOF $mk%02x unsupported")
+          case 0xdd => // DRI
+            restartInterval = u16(p + 2)
+            p += u16(p)
+          case 0xda => // SOS
+            require(comps != null, "jpeg: SOS before SOF")
+            val ns = u8(p + 2)
+            require(ns == comps.length, "jpeg: partial scans unsupported")
+            var i = 0
+            while (i < ns) {
+              val cs = u8(p + 3 + 2 * i)
+              val c = comps.find(_.id == cs).getOrElse(
+                throw new IllegalArgumentException("jpeg: SOS component not in SOF"))
+              c.td = u8(p + 4 + 2 * i) >> 4
+              c.ta = u8(p + 4 + 2 * i) & 15
+              i += 1
+            }
+            sosAt = p + u16(p)
+            done = true
+          case _ => // APPn, COM, anything sized: skip by length
+            p += u16(p)
+        }
+      }
+
+      // plane geometry
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      val planes = comps.map { c =>
+        new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8)
+      }
+      val strides = comps.map(c => mcusX * c.h * 8)
+      val planeH = comps.map(c => mcusY * c.v * 8)
+
+      val r = new BitReader(bytes, sosAt)
+      val dcPred = new Array[Int](comps.length)
+      var rstCount = 0
+      var rstIdx = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && rstCount == restartInterval) {
+            r.restart(rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            rstCount = 0
+            java.util.Arrays.fill(dcPred, 0)
+          }
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            val dcT = dcTabs(c.td); val acT = acTabs(c.ta)
+            val q = qtabs(c.tq)
+            require(dcT != null && acT != null && q != null, "jpeg: missing table")
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val coef = new Array[Int](64)
+                val s = r.decode(dcT)
+                require(s <= 15, "jpeg: bad DC category")
+                dcPred(ci) += extend(r.bits(s), s)
+                coef(0) = dcPred(ci) * q(0)
+                var k = 1
+                while (k < 64) {
+                  val rs = r.decode(acT)
+                  val run = rs >> 4; val sz = rs & 15
+                  if (sz == 0) {
+                    if (run == 15) k += 16 // ZRL
+                    else k = 64 // EOB
+                  } else {
+                    k += run
+                    require(k < 64, "jpeg: AC run past block")
+                    val nat = ZigZag(k)
+                    coef(nat) = extend(r.bits(sz), sz) * q(nat)
+                    k += 1
+                  }
+                }
+                idctBlock(coef, planes(ci),
+                  (mx * c.h + bx) * 8, (my * c.v + by) * 8,
+                  strides(ci), strides(ci), planeH(ci))
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          rstCount += 1
+          mx += 1
+        }
+        my += 1
+      }
+
+      // assemble ARGB
+      val out = new Array[Int](width * height)
+      if (comps.length == 1) {
+        val pl = planes(0); val st = strides(0)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val g = pl(y * st + x) & 0xff
+            out(y * width + x) = 0xff000000 | (g << 16) | (g << 8) | g
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val cy = comps(0); val cb = comps(1); val cr = comps(2)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val yy = planes(0)((y * cy.v / vMax) * strides(0) + x * cy.h / hMax) & 0xff
+            val b0 = (planes(1)((y * cb.v / vMax) * strides(1) + x * cb.h / hMax) & 0xff) - 128
+            val r0 = (planes(2)((y * cr.v / vMax) * strides(2) + x * cr.h / hMax) & 0xff) - 128
+            def cl(d: Double): Int = {
+              val v = math.round(d).toInt
+              if (v < 0) 0 else if (v > 255) 255 else v
+            }
+            val rr = cl(yy + 1.402 * r0)
+            val gg = cl(yy - 0.344136 * b0 - 0.714136 * r0)
+            val bb = cl(yy + 1.772 * b0)
+            out(y * width + x) = 0xff000000 | (rr << 16) | (gg << 8) | bb
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some(Decoded(width, height, comps.length, out))
+    } catch { case _: Exception => None }
+  }
+
+  // ---------------------------------------------------------- fixtures
+
+  /** Grayscale uniform-8×8-block fixture, ImageIO-encoded (a FOREIGN
+    * encoder) at quality 1.0 — all-ones quantization tables, so the
+    * DC-only uniform blocks are LOSSLESS and the decode equals the
+    * planted values exactly, the property `q_jpeg_decode`'s SQL
+    * oracle relies on. `cell(i, j)` gives the block value.
+    */
+  def uniformBlockFixture(blocksW: Int, blocksH: Int,
+      cell: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      blocksW * 8, blocksH * 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var j = 0
+    while (j < blocksH) {
+      var i = 0
+      while (i < blocksW) {
+        val v = cell(i, j) & 0xff
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { raster.setSample(i * 8 + x, j * 8 + y, 0, v); x += 1 }
+          y += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    encodeImageIO(img, 1.0f)
+  }
+
+  /** ImageIO JPEG encode at the given quality (the independent-encoder
+    * seam the specs and fixtures share).
+    */
+  def encodeImageIO(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = w.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+}

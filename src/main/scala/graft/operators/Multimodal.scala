@@ -156,6 +156,12 @@ object Multimodal {
             bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
             bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
             bytes(10) == 'B' && bytes(11) == 'P'
+          // JPEG: the in-repo baseline decoder first (ITU T.81
+          // from-spec, [[JpegCodec]]); progressive/arithmetic files
+          // fall through to the JDK reader below
+          val isJpeg = bytes != null && bytes.length >= 2 &&
+            (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+          val fromSpecJpeg = if (isJpeg) JpegCodec.decode(bytes) else None
           if (isWebp) {
             Vp8lCodec.decode(bytes) match {
               case None =>
@@ -173,6 +179,18 @@ object Multimodal {
                 ImageFeatures(id, bytes.length.toLong, d.width, d.height, 4,
                   sr / n, sg / n, sb / n, decode_ok = true)
             }
+          } else if (fromSpecJpeg.isDefined) {
+            val d = fromSpecJpeg.get
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < d.argb.length) {
+              val p = d.argb(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+            val n = d.argb.length.toDouble
+            ImageFeatures(id, bytes.length.toLong, d.width, d.height, d.nComp,
+              sr / n, sg / n, sb / n, decode_ok = true)
           } else {
           // a null payload is as much data as an undecodable one
           val img =

@@ -13,9 +13,11 @@ package graft.operators
   * shuffling. All three check types are VERIFIED (CRC32 via the JDK,
   * CRC64/ECMA-182 implemented here, SHA-256 via the JDK).
   *
-  * Subset, honestly: filters other than LZMA2 (the BCJ rewriters,
-  * delta) are rejected — corpus text never uses them — as are
-  * dictionary sizes over 1 GiB (allocation guard).
+  * Filter chains: LZMA2 alone, or one branch-filter prefix —
+  * x86 BCJ (0x04) / delta (0x03), via [[BranchFilters]] — the chains
+  * `.tar.xz` software mirrors emit for binaries. Other BCJ targets,
+  * non-zero BCJ start offsets, and dictionary sizes over 1 GiB
+  * (allocation guard) are rejected, honestly.
   *
   * Correctness anchor: the tukaani xz library ships on the Spark
   * classpath (commons-compress dependency), so the spec round-trips
@@ -484,7 +486,24 @@ object XzCodec {
           var declaredUncompressed = -1L
           if ((flags & 0x40) != 0) { val (v, n) = varint(b, q); declaredCompressed = v; q += n }
           if ((flags & 0x80) != 0) { val (v, n) = varint(b, q); declaredUncompressed = v; q += n }
-          if (nFilters != 1) return None // LZMA2-only subset
+          if (nFilters > 2) return None
+          // optional branch-filter prefix (xz ids: 0x04 = x86 BCJ,
+          // 0x03 = delta) — LZMA2 must be the LAST filter in the chain
+          var bcj = false
+          var deltaDist = 0
+          if (nFilters == 2) {
+            val (f0, n0) = varint(b, q); q += n0
+            val (ps0, np0) = varint(b, q); q += np0
+            f0 match {
+              case 0x04 =>
+                if (ps0 != 0) return None // non-zero start ip: subset
+                bcj = true
+              case 0x03 =>
+                if (ps0 != 1) return None
+                deltaDist = (b(q) & 0xff) + 1; q += 1
+              case _ => return None // other BCJ targets / unknown
+            }
+          }
           val (fid, nf) = varint(b, q); q += nf
           if (fid != 0x21) return None // LZMA2
           val (propsSize, np) = varint(b, q); q += np
@@ -519,7 +538,11 @@ object XzCodec {
               end
             }
           if (dataEnd > b.length) return None
-          val payload = lzma2(b, dataStart, dataEnd, 1 << 30)
+          val lzOut = lzma2(b, dataStart, dataEnd, 1 << 30)
+          val payload =
+            if (bcj) BranchFilters.bcjX86Decode(lzOut)
+            else if (deltaDist > 0) BranchFilters.deltaDecode(lzOut, deltaDist)
+            else lzOut
           if (declaredUncompressed >= 0 && payload.length.toLong != declaredUncompressed) return None
           p = dataEnd
           while ((p - hdrStart) % 4 != 0) { if (b(p) != 0) return None; p += 1 }

@@ -251,6 +251,36 @@ class GraphSpec extends SparkSpec {
     assert(l2(6L) === 3L)
   }
 
+  test("kCore: peel CASCADES — a pendant tail falls one node per round") {
+    // triangle {1,2,3} with tail 3-4-5-6: the 2-core is the triangle,
+    // but each round only exposes the next tail node (6 first, then 5,
+    // then 4) — the witness that rounds below the peel depth are NOT
+    // yet the core, and rounds at/above it are a fixed point
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    def survivors(rounds: Int) =
+      Graph.kCore(g, 2, rounds).collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors(1) === Seq(1L, 2L, 3L, 4L))
+    assert(survivors(2) === Seq(1L, 2L, 3L))
+    assert(survivors(3) === Seq(1L, 2L, 3L))
+    assert(survivors(9) === Seq(1L, 2L, 3L))
+    // induced degree is reported: triangle nodes each keep 2
+    val rows = Graph.kCore(g, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // a k above the densest core peels to empty
+    assert(Graph.kCore(g, 3, 4).count() === 0L)
+  }
+
+  test("kCore: deterministic under repartition") {
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 4L), (5L, 6L), (1L, 4L))
+    val a = Graph.kCore(g, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.kCore(g.repartition(7), 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("labelPropagation: deterministic under repartition") {
     val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 6L))
     val a = Graph.labelPropagation(g, 4).collect()

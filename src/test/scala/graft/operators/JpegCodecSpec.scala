@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG decode: lossless-by-construction uniform blocks,
+  * foreign-decoder agreement (the JDK ImageIO decoder — an independent
+  * implementation) within the spec's IDCT tolerance, partial-MCU
+  * clipping, subsampling, restart markers, quarantine.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def imageioDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the fixture")
+    img
+  }
+
+  test("uniform 8x8 blocks at quality 1.0 decode EXACTLY (DC-only, Q=1)") {
+    val cell = (i: Int, j: Int) => (i * 37 + j * 101 + 13) % 256
+    val bytes = JpegCodec.uniformBlockFixture(5, 3, cell)
+    val d = JpegCodec.decode(bytes).get
+    assert(d.width === 40 && d.height === 24 && d.nComp === 1)
+    for (j <- 0 until 3; i <- 0 until 5; y <- 0 until 8; x <- 0 until 8) {
+      val p = d.argb((j * 8 + y) * 40 + (i * 8 + x))
+      assert((p & 0xff) === cell(i, j), s"block ($i,$j) px ($x,$y)")
+      assert(((p >> 8) & 0xff) === cell(i, j)) // gray replicates
+    }
+  }
+
+  test("foreign-decoder agreement: random grayscale, non-multiple-of-8 dims") {
+    val rnd = new scala.util.Random(11)
+    for ((w, h, q) <- Seq((37, 23, 0.9f), (64, 64, 0.5f), (9, 50, 0.75f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        raster.setSample(x, y, 0, rnd.nextInt(256))
+      val bytes = JpegCodec.encodeImageIO(img, q)
+      val mine = JpegCodec.decode(bytes).get
+      assert(mine.width === w && mine.height === h)
+      val ref = imageioDecode(bytes).getRaster
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = mine.argb(y * w + x) & 0xff
+        val b = ref.getSample(x, y, 0)
+        maxDiff = math.max(maxDiff, math.abs(a - b))
+      }
+      assert(maxDiff <= 2, s"$w x $h q=$q: max pixel diff $maxDiff")
+    }
+  }
+
+  test("color: uniform RGB image round-trips within rounding (4:2:0 safe)") {
+    for (rgb <- Seq(0x3366cc, 0xdd8822, 0x112211)) {
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 32) img.setRGB(x, y, rgb)
+      val bytes = JpegCodec.encodeImageIO(img, 1.0f)
+      val mine = JpegCodec.decode(bytes).get
+      assert(mine.nComp === 3)
+      val ref = imageioDecode(bytes)
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val a = mine.argb(y * 32 + x)
+        val b = ref.getRGB(x, y)
+        for (sh <- Seq(16, 8, 0)) {
+          val d = math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))
+          assert(d <= 2, f"color $rgb%06x px($x,$y) shift $sh diff $d")
+        }
+      }
+    }
+  }
+
+  test("color: random RGB agrees with ImageIO within tolerance at 4:4:4-ish smoothness") {
+    // piecewise-constant 8x8 color tiles: chroma is uniform inside each
+    // subsampling window, so upsampling-filter differences cannot bite
+    val rnd = new scala.util.Random(5)
+    val img = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (j <- 0 until 4; i <- 0 until 6) {
+      val c = rnd.nextInt(0xffffff)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(i * 8 + x, j * 8 + y, c)
+    }
+    val bytes = JpegCodec.encodeImageIO(img, 0.95f)
+    val mine = JpegCodec.decode(bytes).get
+    val ref = imageioDecode(bytes)
+    // compare tile INTERIORS only: at tile edges the 4:2:0 chroma
+    // neighborhood is non-uniform, where T.81 leaves the upsampling
+    // filter to the decoder (ImageIO interpolates, this codec
+    // replicates) — interior pixels see a uniform neighborhood, so
+    // every conforming filter agrees there
+    var maxDiff = 0
+    for (y <- 0 until 32; x <- 0 until 48
+         if x % 8 >= 2 && x % 8 <= 5 && y % 8 >= 2 && y % 8 <= 5;
+         sh <- Seq(16, 8, 0)) {
+      val d = math.abs(((mine.argb(y * 48 + x) >> sh) & 0xff) -
+        ((ref.getRGB(x, y) >> sh) & 0xff))
+      maxDiff = math.max(maxDiff, d)
+    }
+    // quantization noise perturbs even within-tile chroma samples, so
+    // interpolation-vs-replication still differs by a few LSBs here;
+    // the EXACT agreements live in the uniform-color and grayscale tests
+    assert(maxDiff <= 8, s"max interior channel diff $maxDiff")
+  }
+
+  test("restart markers: DRI interval decodes (metadata-driven fixture)") {
+    // ask the ImageIO writer for a restart interval via its native
+    // metadata tree; if this JDK ignores it, the fixture has no RSTn
+    // and the assertion below keeps the test honest
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(3)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = w.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.8f)
+    val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+    val meta = w.getDefaultImageMetadata(spec, param)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val seq = tree.getElementsByTagName("markerSequence").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+    dri.setAttribute("interval", "2")
+    seq.insertBefore(dri, seq.getFirstChild)
+    meta.setFromTree(fmt, tree)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, meta), param)
+    ios.close(); w.dispose()
+    val bytes = bos.toByteArray
+    // witness the fixture really contains RST markers (FF D0-D7)
+    val hasRst = bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(hasRst, "writer did not honor the dri metadata node")
+    val mine = JpegCodec.decode(bytes).get
+    val ref = imageioDecode(bytes).getRaster
+    var maxDiff = 0
+    for (y <- 0 until 64; x <- 0 until 64)
+      maxDiff = math.max(maxDiff,
+        math.abs((mine.argb(y * 64 + x) & 0xff) - ref.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max diff with restarts $maxDiff")
+  }
+
+  test("quarantine: progressive, truncation, bad magic, garbage") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = w.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); w.dispose()
+    val progressive = bos.toByteArray
+    assert(JpegCodec.decode(progressive) === None) // SOF2
+    val ok = JpegCodec.uniformBlockFixture(2, 2, (_, _) => 99)
+    assert(JpegCodec.decode(java.util.Arrays.copyOf(ok, ok.length / 2)) === None)
+    val bad = ok.clone(); bad(1) = 0x00
+    assert(JpegCodec.decode(bad) === None)
+    assert(JpegCodec.decode(Array[Byte](1, 2, 3)) === None)
+    assert(JpegCodec.decode(null) === None)
+  }
+}

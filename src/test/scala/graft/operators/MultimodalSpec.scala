@@ -50,6 +50,17 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).decode_ok && got(2).width === -1 && got(2).channels === 0)
   }
 
+  test("real decode: baseline JPEG goes through the from-spec JpegCodec") {
+    // uniform blocks at Q=1 are lossless, so the means are exact
+    val jpeg = JpegCodec.uniformBlockFixture(4, 2, (i, j) => 10 + i + 8 * j)
+    val payloads = Seq((1L, jpeg)).toDF("doc_id", "payload")
+    val media = Multimodal.toMediaTable(payloads, "doc_id", "payload")
+    val f = Multimodal.decodeImages(media).collect().head
+    assert(f.decode_ok && f.width === 32 && f.height === 16 && f.channels === 1)
+    // mean over 8 blocks of (10 + i + 8j): 10 + mean(i) + 8*mean(j) = 15.5
+    assert(f.mean_r === 15.5 && f.mean_g === 15.5 && f.mean_b === 15.5)
+  }
+
   test("real audio decode: WAV round-trips to exact integer-domain stats") {
     val payloads = Seq(
       (1L, Multimodal.syntheticWav(480, 8000, 1, 16)),

@@ -91,11 +91,42 @@ class XzSpec extends AnyFunSuite {
     assert(d.isDefined && java.util.Arrays.equals(d.get, data))
   }
 
-  test("out-of-subset filters (BCJ x86) are rejected, not misdecoded") {
-    val data = Array.tabulate[Byte](5000)(i => (i * 31 % 251).toByte)
+  test("BCJ x86 + LZMA2 chain round-trips (foreign encoder)") {
+    // E8/E9-dense bytes so the branch converter actually rewrites
+    val rnd = new scala.util.Random(13)
+    val code = Array.newBuilder[Byte]
+    (0 until 900).foreach { _ =>
+      code += (if (rnd.nextBoolean()) 0xe8 else 0xe9).toByte
+      val rel = rnd.nextInt(1 << 20) - (1 << 19)
+      code += rel.toByte; code += (rel >> 8).toByte
+      code += (rel >> 16).toByte
+      code += (if (rel < 0) 0xff else 0x00).toByte
+      (0 until rnd.nextInt(5)).foreach(_ => code += rnd.nextInt(256).toByte)
+    }
+    val data = code.result()
     val mem = new java.io.ByteArrayOutputStream()
     val xz = new XZOutputStream(mem,
       Array[org.tukaani.xz.FilterOptions](new X86Options(), new LZMA2Options(6)))
+    xz.write(data); xz.close()
+    assert(XzCodec.decode(mem.toByteArray).map(_.toSeq) === Some(data.toSeq))
+  }
+
+  test("delta + LZMA2 chain round-trips (foreign encoder)") {
+    val wave = Array.tabulate[Byte](4000)(i => ((i * 11) % 253).toByte)
+    val mem = new java.io.ByteArrayOutputStream()
+    val d = new org.tukaani.xz.DeltaOptions(3)
+    val xz = new XZOutputStream(mem,
+      Array[org.tukaani.xz.FilterOptions](d, new LZMA2Options(4)))
+    xz.write(wave); xz.close()
+    assert(XzCodec.decode(mem.toByteArray).map(_.toSeq) === Some(wave.toSeq))
+  }
+
+  test("out-of-subset filters (BCJ ARM) are rejected, not misdecoded") {
+    val data = Array.tabulate[Byte](5000)(i => (i * 31 % 251).toByte)
+    val mem = new java.io.ByteArrayOutputStream()
+    val xz = new XZOutputStream(mem,
+      Array[org.tukaani.xz.FilterOptions](new org.tukaani.xz.ARMOptions(),
+        new LZMA2Options(6)))
     xz.write(data); xz.close()
     assert(XzCodec.decode(mem.toByteArray).isEmpty)
   }
