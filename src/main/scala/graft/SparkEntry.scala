@@ -1544,8 +1544,14 @@ object SparkEntry {
     import graft.operators.SevenZWalk
     implicit val sp: SparkSession = s
     import s.implicits._
+    // FIXED-SIZE archives (25 docs each), not a fixed archive COUNT:
+    // pmod chunking capped the job at 24 ever-growing archives, which
+    // serialized the LZMA work at 100x (measured 2004 s); DIV chunking
+    // keeps archive size constant and scales the task count with the
+    // corpus — the only 100 TB-shaped grouping for an encode-heavy walk
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(24)).as("chunk"))
+      .select(col("doc_id"), col("text"),
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, Long)]
     val archives = docs.groupByKey(_._3)
       .mapGroups { (chunk, it) =>
@@ -1596,9 +1602,11 @@ object SparkEntry {
     import graft.operators.ArrowWalk
     implicit val sp: SparkSession = s
     import s.implicits._
+    // same fixed-size-chunk rationale as [[qSevenZIngest]]: archive
+    // size constant, task count scales with the corpus
     val docs = T.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"),
-        pmod(col("doc_id"), lit(20)).as("chunk"))
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, String, Long)]
     val files = docs.groupByKey(_._4).mapGroups { (chunk, it) =>
       val recs = it.toSeq.sortBy(_._1).map { case (id, src, text, _) =>
@@ -9169,7 +9177,7 @@ object SparkEntry {
     // BYTE semantics, hence strlen (DuckDB strlen = UTF-8 byte count)
     "q_7z_ingest" ->
       """WITH d AS (
-           SELECT doc_id, strlen(text) AS len, doc_id % 24 AS chunk,
+           SELECT doc_id, strlen(text) AS len, doc_id // 25 AS chunk,
                   'src' || CAST(doc_id % 15 AS VARCHAR) AS source
            FROM documents),
          c AS (SELECT chunk, min(doc_id) AS bad_doc FROM d
@@ -9192,7 +9200,7 @@ object SparkEntry {
     // source is nulled via the validity bitmap; char semantics both
     // sides via length()
     "q_arrow_ingest" ->
-      """WITH d AS (SELECT doc_id, source, text, doc_id % 20 AS chunk
+      """WITH d AS (SELECT doc_id, source, text, doc_id // 25 AS chunk
                     FROM documents),
          ok AS (SELECT CASE WHEN doc_id % 7 = 0 THEN '(null)' ELSE source END
                   AS source, doc_id, length(text) AS len
