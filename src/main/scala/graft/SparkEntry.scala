@@ -1171,14 +1171,21 @@ object SparkEntry {
     * RESYNCHRONIZES at the next valid member, so the per-source report
     * loses only the planted records. The corrupt set is closed-form
     * (min doc_id of each corrupted chunk), so the oracle replays the
-    * whole pipeline from the base table.
+    * whole pipeline from the base table. FIXED-SIZE chunks (25 docs,
+    * `DIV`), not a fixed chunk COUNT: pmod chunking is a parallelism
+    * ceiling — archive size grows with the corpus while the task count
+    * stays constant (the q_7z_ingest 100× lesson, 2004 → 72 s).
+    * Truncated members lose their URI, so corrupt records roll up
+    * under a `(corrupt)` bucket and OK records key on the URI-derived
+    * doc id.
     */
   private def qWarcIngest(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Warc
     implicit val sp: SparkSession = s
     import s.implicits._
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(40)).as("chunk"))
+      .select(col("doc_id"), col("text"),
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, Long)]
     val chunks = docs.groupByKey(_._3)
       .mapGroups { (chunk, it) =>
@@ -1189,17 +1196,20 @@ object SparkEntry {
         (chunk, Warc.fixtureGz(recs, corrupt))
       }.toDF("doc_id", "payload")
     Warc.parseRecords(chunks).toDF()
-      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .withColumn("src_doc",
+        // TRY_: truncated members lose their URI, leaving ''
+        expr("TRY_CAST(substring(target_uri, 9) AS BIGINT)"))
+      .withColumn("source",
+        when(col("corrupt"), lit("(corrupt)"))
+          .otherwise(concat(lit("src"), pmod(col("src_doc"), lit(20)))))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_records"),
         sum(when(col("corrupt"), 0L).otherwise(1L)).as("n_ok"),
         sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
         sum(when(col("corrupt"), 0L).otherwise(col("content_length"))).as("sum_bytes"),
-        min(when(!col("corrupt"),
-          expr("CAST(substring(target_uri, 9) AS BIGINT)"))).as("min_doc"),
-        max(when(!col("corrupt"),
-          expr("CAST(substring(target_uri, 9) AS BIGINT)"))).as("max_doc"))
+        min(when(!col("corrupt"), col("src_doc"))).as("min_doc"),
+        max(when(!col("corrupt"), col("src_doc"))).as("max_doc"))
       .orderBy(col("source"))
   }
 
@@ -1257,7 +1267,10 @@ object SparkEntry {
     implicit val sp: SparkSession = s
     import s.implicits._
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(40)).as("chunk"))
+      .select(col("doc_id"), col("text"),
+        // fixed-SIZE chunks (25 docs): see [[qSevenZIngest]] — a fixed
+        // chunk COUNT is a parallelism ceiling at scale
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, Long)]
     val chunks = docs.groupByKey(_._3)
       .mapGroups { (chunk, it) =>
@@ -1329,16 +1342,20 @@ object SparkEntry {
     * per-chunk ustar tarballs (real checksums, per-entry mtimes =
     * doc·60), the FIRST entry of every chunk ≡ 4 (mod 6) carrying a
     * flipped checksum digit — quarantined as ONE nameless span with
-    * block resync, so the rollup keys on the chunk-derived source
-    * (chunk % 7 ≡ doc % 7, the [[qWarcIngest]] trick) and the corrupt
-    * set is closed-form (min doc of the chunk).
+    * block resync. Nameless spans can't key on the entry name, so
+    * corrupt rows roll up under a `(corrupt)` bucket and OK entries
+    * key on the name-derived doc id; the corrupt set stays closed-form
+    * (min doc of the chunk). FIXED-SIZE chunks (25 docs, `DIV`): a
+    * fixed chunk COUNT is a parallelism ceiling at scale (the
+    * q_7z_ingest 100× lesson).
     */
   private def qTarIngest(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Tar
     implicit val sp: SparkSession = s
     import s.implicits._
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(35)).as("chunk"))
+      .select(col("doc_id"), col("text"),
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, Long)]
     val tars = docs.groupByKey(_._3)
       .mapGroups { (chunk, it) =>
@@ -1351,9 +1368,11 @@ object SparkEntry {
         (chunk, Tar.fixture(files, corrupt, i => ids(i) * 60L))
       }.toDF("doc_id", "payload")
     Tar.parseEntries(tars).toDF()
-      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(7))))
       .withColumn("src_doc",
         expr("CAST(regexp_extract(name, 'docs/([0-9]+)', 1) AS BIGINT)"))
+      .withColumn("source",
+        when(col("corrupt"), lit("(corrupt)"))
+          .otherwise(concat(lit("src"), pmod(col("src_doc"), lit(7)))))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_entries"),
@@ -1425,7 +1444,9 @@ object SparkEntry {
     implicit val sp: SparkSession = s
     import s.implicits._
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(25)).as("chunk"))
+      .select(col("doc_id"), col("text"),
+        // fixed-SIZE mailboxes (25 msgs): see [[qSevenZIngest]]
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, Long)]
     val boxes = docs.groupByKey(_._3)
       .mapGroups { (chunk, it) =>
@@ -1493,7 +1514,9 @@ object SparkEntry {
     implicit val sp: SparkSession = s
     import s.implicits._
     val docs = T.documents(s, d)
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(30)).as("chunk"))
+      .select(col("doc_id"), col("text"),
+        // fixed-SIZE archives (25 docs): see [[qSevenZIngest]]
+        expr("doc_id DIV 25").as("chunk"))
       .as[(Long, String, Long)]
     val zips = docs.groupByKey(_._3)
       .mapGroups { (chunk, it) =>
@@ -3564,6 +3587,35 @@ object SparkEntry {
     implicit val sp: SparkSession = s
     val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
     val rep = graft.operators.SuffixArray.repeatLengths(docs, "doc_id", "text")
+    val counts = rep
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      .groupBy("source").agg(
+        sum(when(col("rep_len") >= 10, 1L).otherwise(0L)).as("pos10"),
+        sum(when(col("rep_len") >= 20, 1L).otherwise(0L)).as("pos20"),
+        sum(when(col("rep_len") >= 40, 1L).otherwise(0L)).as("pos40"),
+        countDistinct(when(col("rep_len") >= 20, col("doc"))).as("docs20"))
+    docs.select("source").distinct()
+      .join(counts, Seq("source"), "left")
+      .na.fill(0L, Seq("pos10", "pos20", "pos40", "docs20"))
+      .orderBy("source")
+  }
+
+  /** The 100 TB layout of [[qSuffixDedup]] — per-SHARD suffix arrays
+    * plus the capped boundary merge
+    * ([[graft.operators.SuffixArray.repeatLengthsSharded]], Lee et al.
+    * 2022 shard semantics). Exact for every threshold ≤ cap (= 40, the
+    * deepest readout), so the SAME oracle gates both paths: hash
+    * equality against the global build's ground truth is the merge's
+    * correctness witness. 100 docs/shard ⇒ 5 shards at sf0.01, 50 at
+    * sf0.1 — shard count scales with the corpus (fixed shard SIZE, the
+    * q_7z_ingest lesson), and no stage touches a corpus-global text
+    * join.
+    */
+  private def qSuffixDedupSharded(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val rep = graft.operators.SuffixArray.repeatLengthsSharded(
+      docs, "doc_id", "text", docsPerShard = 100L, cap = 40)
     val counts = rep
       .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
       .groupBy("source").agg(
@@ -5776,6 +5828,7 @@ object SparkEntry {
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_suffix_dedup" -> (qSuffixDedup _),
+    "q_suffix_dedup_sharded" -> (qSuffixDedupSharded _),
     "q_suffix_spans" -> (qSuffixSpans _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -8186,7 +8239,42 @@ object SparkEntry {
     },
     // suffix-array dedup: rep_len >= t <=> the position's t-gram occurs
     // >= 2 times (suffix-array adjacency property), so each threshold
-    // replays as a gram-count ground truth; char semantics via length()
+    // replays as a gram-count ground truth; char semantics via length().
+    // The sharded twin shares the oracle VERBATIM: the boundary merge is
+    // exact for every threshold <= its 40-char cap, so ONE ground truth
+    // gates both the global and the shard-then-merge layouts.
+    "q_suffix_dedup_sharded" ->
+      """WITH p10 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 9)) AS g
+           FROM documents),
+         g10 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 10) AS gram FROM p10),
+         d10 AS (SELECT source, count(*) AS c FROM g10
+                 WHERE gram IN (SELECT gram FROM g10 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source),
+         p20 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS g
+           FROM documents),
+         g20 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 20) AS gram FROM p20),
+         d20 AS (SELECT source, count(*) AS c, count(DISTINCT doc_id) AS nd FROM g20
+                 WHERE gram IN (SELECT gram FROM g20 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source),
+         p40 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS g
+           FROM documents),
+         g40 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 40) AS gram FROM p40),
+         d40 AS (SELECT source, count(*) AS c FROM g40
+                 WHERE gram IN (SELECT gram FROM g40 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source)
+         SELECT s.source,
+           CAST(COALESCE(d10.c, 0) AS BIGINT) AS pos10,
+           CAST(COALESCE(d20.c, 0) AS BIGINT) AS pos20,
+           CAST(COALESCE(d40.c, 0) AS BIGINT) AS pos40,
+           CAST(COALESCE(d20.nd, 0) AS BIGINT) AS docs20
+         FROM (SELECT DISTINCT source FROM documents) s
+         LEFT JOIN d10 ON s.source = d10.source
+         LEFT JOIN d20 ON s.source = d20.source
+         LEFT JOIN d40 ON s.source = d40.source
+         ORDER BY s.source""",
     "q_suffix_dedup" ->
       """WITH p10 AS (SELECT source, doc_id, text,
              unnest(generate_series(1, length(text) - 9)) AS g
@@ -9017,7 +9105,7 @@ object SparkEntry {
     // quality gate — composed in one CTE chain
     "q_crawl_e2e" ->
       """WITH d AS (
-           SELECT doc_id, text, doc_id % 40 AS chunk,
+           SELECT doc_id, text, doc_id // 25 AS chunk,
                   doc_id % 7 AS g, doc_id % 5 AS m
            FROM documents),
          c AS (SELECT chunk, min(doc_id) AS bad FROM d
@@ -9053,11 +9141,12 @@ object SparkEntry {
            max(CASE WHEN kept THEN doc_id END) AS max_doc
          FROM k GROUP BY 1 ORDER BY 1""",
     // TAR ingest: corrupt span = min doc of every chunk ≡ 4 (mod 6)
-    // (nameless — the header is untrusted), source keyed on the chunk
-    // (chunk % 7 ≡ doc % 7 since 7 | 35); ASCII ⇒ strlen = size
+    // (nameless — the header is untrusted, so corrupt spans roll up
+    // under '(corrupt)'); OK entries key on the name-derived doc id;
+    // ASCII ⇒ strlen = size
     "q_tar_ingest" ->
       """WITH d AS (
-           SELECT doc_id, strlen(text) AS len, doc_id % 35 AS chunk,
+           SELECT doc_id, strlen(text) AS len, doc_id // 25 AS chunk,
                   'src' || CAST(doc_id % 7 AS VARCHAR) AS source
            FROM documents),
          c AS (SELECT chunk, min(doc_id) AS bad FROM d
@@ -9067,16 +9156,19 @@ object SparkEntry {
                FROM d LEFT JOIN c ON d.chunk = c.chunk)
          SELECT source,
            count(*) AS n_entries,
-           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
-           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_corrupt,
-           CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT)
-             AS sum_size,
-           CAST(sum(CASE WHEN corrupt THEN 0 ELSE doc_id * 60 END)
-             AS BIGINT) AS sum_mtime,
-           min(CASE WHEN NOT corrupt THEN doc_id END) AS min_doc,
-           max(CASE WHEN NOT corrupt THEN doc_id END) AS max_doc
-         FROM m GROUP BY source ORDER BY source""",
+           CAST(count(*) AS BIGINT) AS n_ok,
+           CAST(0 AS BIGINT) AS n_corrupt,
+           CAST(sum(len) AS BIGINT) AS sum_size,
+           CAST(sum(doc_id * 60) AS BIGINT) AS sum_mtime,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+         FROM m WHERE NOT corrupt GROUP BY source
+         UNION ALL
+         SELECT '(corrupt)', count(*), CAST(0 AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         FROM m WHERE corrupt
+         ORDER BY source""",
     // modern-PDF twin: 1.5 layout constants — n+4 dicts through the
     // ObjStm + 2 content streams + ObjStm + xref stream = 10 objects
     "q_doc_pdf_modern" ->
@@ -9113,7 +9205,7 @@ object SparkEntry {
     // keys on the decoded subject
     "q_mbox_ingest" ->
       """WITH d AS (
-           SELECT doc_id, text, doc_id % 25 AS chunk FROM documents),
+           SELECT doc_id, text, doc_id // 25 AS chunk FROM documents),
          c AS (SELECT chunk, min(doc_id) AS first_doc FROM d GROUP BY 1),
          m AS (
            SELECT d.doc_id, d.text,
@@ -9150,7 +9242,7 @@ object SparkEntry {
     // rollup keys on the name-derived doc id; ASCII ⇒ strlen = bytes
     "q_zip_ingest" ->
       """WITH d AS (
-           SELECT doc_id, strlen(text) AS len, doc_id % 30 AS chunk,
+           SELECT doc_id, strlen(text) AS len, doc_id // 25 AS chunk,
                   'src' || CAST(doc_id % 15 AS VARCHAR) AS source
            FROM documents),
          c AS (SELECT chunk, min(doc_id) AS bad_doc FROM d
@@ -9304,7 +9396,7 @@ object SparkEntry {
     // the base table; ASCII text ⇒ strlen = content bytes
     "q_warc_ingest" ->
       """WITH d AS (
-           SELECT doc_id, strlen(text) AS len, doc_id % 40 AS chunk,
+           SELECT doc_id, strlen(text) AS len, doc_id // 25 AS chunk,
                   'src' || CAST(doc_id % 20 AS VARCHAR) AS source
            FROM documents),
          c AS (SELECT chunk, min(doc_id) AS bad_doc FROM d
@@ -9314,12 +9406,19 @@ object SparkEntry {
                FROM d LEFT JOIN c ON d.chunk = c.chunk)
          SELECT source,
            CAST(count(*) AS BIGINT) AS n_records,
-           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
-           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
-           CAST(sum(CASE WHEN corrupt THEN 0 ELSE len END) AS BIGINT) AS sum_bytes,
-           min(CASE WHEN corrupt THEN NULL ELSE doc_id END) AS min_doc,
-           max(CASE WHEN corrupt THEN NULL ELSE doc_id END) AS max_doc
-         FROM m GROUP BY 1 ORDER BY 1""",
+           CAST(count(*) AS BIGINT) AS n_ok,
+           CAST(0 AS BIGINT) AS n_corrupt,
+           CAST(sum(len) AS BIGINT) AS sum_bytes,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+         FROM m WHERE NOT corrupt GROUP BY 1
+         UNION ALL
+         SELECT '(corrupt)',
+           CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         FROM m WHERE corrupt
+         ORDER BY source""",
     // zstd front door: decode must be byte-exact (checksummed frames
     // from the real encoder through the from-spec RFC 8878 decoder), so
     // the md5-anchored 32-bit checksum sum replays from the base table;

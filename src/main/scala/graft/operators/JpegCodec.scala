@@ -254,6 +254,16 @@ object JpegCodec {
             require(u8(p + 2) == 8, "jpeg: 12-bit precision unsupported")
             height = u16(p + 3); width = u16(p + 5)
             require(width > 0 && height > 0, "jpeg: zero dimension")
+            // Allocation guard (the XzCodec 1 GiB rule): SOF dims are
+            // attacker-controlled u16s — a crafted 65k×65k header would
+            // otherwise allocate ~17 GB of ARGB before any entropy data
+            // is read, and OutOfMemoryError is an Error, so it would
+            // ESCAPE the catch-all quarantine and kill the executor.
+            // 2^26 px (8192×8192) bounds out[] at 256 MB and each padded
+            // MCU plane (≤(w+32)(h+32) bytes at 4:1:1 sampling) well
+            // under the same budget; larger images quarantine as None.
+            require(width.toLong * height <= (1L << 26),
+              "jpeg: image over 64M-pixel allocation cap")
             val nf = u8(p + 7)
             require(nf == 1 || nf == 3, s"jpeg: $nf components unsupported")
             comps = Array.tabulate(nf) { i =>

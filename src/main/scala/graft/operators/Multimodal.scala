@@ -158,7 +158,12 @@ object Multimodal {
             bytes(10) == 'B' && bytes(11) == 'P'
           // JPEG: the in-repo baseline decoder first (ITU T.81
           // from-spec, [[JpegCodec]]); progressive/arithmetic files
-          // fall through to the JDK reader below
+          // fall through to the JDK reader below. Behavior note: the
+          // from-spec path upsamples chroma nearest-neighbor where the
+          // JDK reader interpolates, so mean_r/g/b on real 4:2:0
+          // content shift a few LSBs vs a JDK-decoded feature run
+          // (fixtures and the locked oracles are unaffected —
+          // q_multimodal_decode is png/bmp-only)
           val isJpeg = bytes != null && bytes.length >= 2 &&
             (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
           val fromSpecJpeg = if (isJpeg) JpegCodec.decode(bytes) else None

@@ -393,6 +393,11 @@ object SevenZWalk {
       // entries are directories (7-Zip writes the property only when
       // a genuinely empty FILE exists)
       var emptyFile: Array[Boolean] = Array.empty
+      // kEmptyFile sizes itself by the kEmptyStream POPCOUNT, but the
+      // spec does not mandate property order — a header may emit
+      // kEmptyFile first. Record its raw bytes (the per-property size
+      // field gives the span) and decode after the loop.
+      var emptyFileRaw: Array[Byte] = null
       var nFiles = 0
       if (id == K.FilesInfo) {
         nFiles = hc.num().toInt
@@ -404,7 +409,7 @@ object SevenZWalk {
           t match {
             case K.EmptyStream => emptyStream = bitVector(hc, nFiles)
             case K.EmptyFile =>
-              emptyFile = bitVector(hc, emptyStream.count(identity))
+              emptyFileRaw = hc.bytes(size.toInt)
             case K.Name =>
               require(hc.u8() == 0, "7z: external names unsupported")
               val sb = new StringBuilder
@@ -421,6 +426,9 @@ object SevenZWalk {
           hc.p = next
           t = hc.num().toInt
         }
+        if (emptyFileRaw != null)
+          emptyFile = bitVector(new Cursor(emptyFileRaw, 0, emptyFileRaw.length),
+            emptyStream.count(identity))
       }
       // assemble: decode folders, split substreams, map to files
       val out = scala.collection.mutable.Buffer.empty[Entry]

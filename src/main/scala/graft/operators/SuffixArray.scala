@@ -262,4 +262,204 @@ object SuffixArray {
     pairSort.unpersist()
     out
   }
+
+  // ------------------------------------------------- shard-then-merge
+
+  /** The 100 TB layout of [[repeatLengths]]: per-SHARD suffix arrays
+    * plus a capped boundary merge (Lee et al. 2022 run their
+    * suffix-array dedup sharded for exactly this reason).
+    *
+    * Why the global build stops scaling: its doc-table LCP join
+    * amplifies every document by its position count, and the doubling
+    * exchanges range-partition the whole corpus each round — at 100×
+    * the LCP join dominated the decade sweep (668 s, 19.7×/decade).
+    *
+    * Sharded semantics, and why the result is still EXACT for every
+    * dedup readout:
+    *
+    *  - shard = `doc DIV docsPerShard` — every suffix is doc-bounded,
+    *    so a shard fully owns its suffixes; no suffix straddles shards.
+    *  - WITHIN a shard: the same prefix-doubling build and adjacent-
+    *    LCP walk, with `shard` prepended to every exchange key — rank
+    *    groups, adjacency, and the text join are all shard-local, so
+    *    exchange width scales out with shard count and the LCP join
+    *    amplification is bounded by the SHARD's positions, not the
+    *    corpus'. Gives exact UNBOUNDED intra-shard rep_len.
+    *  - ACROSS shards (the boundary-overlap merge): a repeat of length
+    *    t exists across shards iff two positions share their first t
+    *    characters. Every position ships ONE bounded record — its
+    *    first `cap` characters — into a corpus-wide range sort; the
+    *    neighbor LCP in that order (computed in-row, string vs string,
+    *    NO text join) is the exact cross-corpus rep_len capped at
+    *    `cap`. The classic overlap trick, keyed on prefixes instead of
+    *    overlapping byte ranges because suffixes here are doc-bounded.
+    *  - output rep_len = max(intra, cross): exact wherever the true
+    *    rep_len < cap, and exactly `≥ cap` saturated otherwise — so
+    *    every threshold readout with t ≤ cap (Lee et al. remove at a
+    *    FIXED length ~50; the dedup queries test 10/20/40) matches the
+    *    global build bit for bit, which is what the
+    *    `q_suffix_dedup_sharded` twin gates.
+    *
+    * Cost shape at 100 TB: doubling exchanges are shard-keyed (each
+    * range-partition key space is shard-local), the text join touches
+    * only shard-sized tables, and the merge is ONE exchange of
+    * `cap`-char records — ~2·cap bytes/position, less than a single
+    * doubling round's two exchanges, with no join and no window beyond
+    * the sort itself.
+    */
+  def repeatLengthsSharded(docs: DataFrame, idCol: String, textCol: String,
+      docsPerShard: Long, cap: Int, nPart: Int = 0)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(docsPerShard >= 1, "docsPerShard must be >= 1")
+    require(cap >= 1, "cap must be >= 1")
+    val parts =
+      if (nPart > 0) nPart
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxLen = docs
+      .agg(coalesce(max(length(col(textCol))), lit(0))).head().getInt(0)
+
+    // ---- per-shard suffix array: the [[build]] loop with `shard`
+    // prepended to the re-rank key (per-doc windows need no change —
+    // a doc lives in exactly one shard)
+    var cur: DataFrame = docs
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("__t"))
+      .as[(Long, String)].flatMap { case (doc, t) =>
+        val n = if (t == null) 0 else t.length
+        val shard = doc / docsPerShard
+        (0 until n).iterator.map { p =>
+          val c0 = t.charAt(p).toLong + 1
+          val c1 = if (p + 1 < n) t.charAt(p + 1).toLong + 1 else 0L
+          val c2 = if (p + 2 < n) t.charAt(p + 2).toLong + 1 else 0L
+          (shard, doc, p, (c0 << 34) | (c1 << 17) | c2)
+        }
+      }.toDF("shard", "doc", "pos", "r")
+    var coverage = 3L
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "r", "r2")
+    while (coverage < maxLen) {
+      val cc = coverage.toInt
+      cur = cur
+        .withColumn("r2", lead(col("r"), cc, -1L).over(wDoc))
+        .repartitionByRange(parts, col("shard"), col("r"), col("r2"))
+        .sortWithinPartitions("shard", "r", "r2")
+        .withColumn("__mid", monotonically_increasing_id())
+        .select(col("shard"), col("doc"), col("pos"),
+          min(col("__mid")).over(wGrp).as("r"))
+      coverage *= 2
+    }
+
+    // ---- intra-shard adjacency + exact LCP (the [[adjacentLcp]]
+    // stitch, pairs dropped at shard boundaries)
+    val sorted = cur
+      .repartitionByRange(parts, col("shard"), col("r"), col("doc"), col("pos"))
+      .sortWithinPartitions("shard", "r", "doc", "pos")
+      .as[(Long, Long, Int, Long)]
+      .persist()
+    val firsts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.hasNext) Iterator((i, it.next())) else Iterator.empty
+    }.collect().toMap
+    val nPartActual = sorted.rdd.getNumPartitions
+    val nextFirst: Map[Int, (Long, Long, Int, Long)] =
+      (0 until nPartActual).flatMap { i =>
+        ((i + 1) until nPartActual).collectFirst {
+          case j if firsts.contains(j) => i -> firsts(j)
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(nextFirst)
+    val pairs = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var prev: (Long, Long, Int, Long) = null
+      val within = it.flatMap { c =>
+        val out =
+          if (prev == null || prev._1 != c._1) Iterator.empty
+          else Iterator((prev._2, prev._3, c._2, c._3))
+        prev = c
+        out
+      }
+      within ++ (if (prev == null) Iterator.empty
+      else bc.value.get(i) match {
+        case Some(nf) if nf._1 == prev._1 =>
+          Iterator((prev._2, prev._3, nf._2, nf._3))
+        case _ => Iterator.empty
+      })
+    }
+    val ta = docs.select(col(idCol).cast("long").as("a_doc"),
+      col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).cast("long").as("b_doc"),
+      col(textCol).as("__tb"))
+    val intraLcp = spark.createDataset(pairs)
+      .toDF("a_doc", "a_pos", "b_doc", "b_pos")
+      .join(ta, "a_doc")
+      .join(tb, "b_doc")
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+        graft.exprs.SuffixLcp(col("__ta"), col("a_pos").cast("long"),
+          col("__tb"), col("b_pos").cast("long")).as("lcp"))
+    val intra = intraLcp
+      .select(col("a_doc").as("doc"), col("a_pos").as("pos"), col("lcp"))
+      .unionByName(intraLcp
+        .select(col("b_doc").as("doc"), col("b_pos").as("pos"), col("lcp")))
+
+    // ---- boundary merge: one bounded record per position (its first
+    // `cap` chars), corpus-wide range sort, neighbor LCP in-row. Same-
+    // shard neighbors are harmless (their capped LCP never exceeds the
+    // exact intra value), so no shard filter is needed.
+    val prefixed = docs
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("__t"))
+      .as[(Long, String)].flatMap { case (doc, t) =>
+        val n = if (t == null) 0 else t.length
+        (0 until n).iterator.map(p =>
+          (doc, p, t.substring(p, math.min(p + cap, n))))
+      }.toDF("doc", "pos", "pfx")
+      .repartitionByRange(parts, col("pfx"), col("doc"), col("pos"))
+      .sortWithinPartitions("pfx", "doc", "pos")
+      .as[(Long, Int, String)]
+      .persist()
+    val pFirsts = prefixed.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.hasNext) Iterator((i, it.next())) else Iterator.empty
+    }.collect().toMap
+    val pParts = prefixed.rdd.getNumPartitions
+    val pNext: Map[Int, (Long, Int, String)] = (0 until pParts).flatMap { i =>
+      ((i + 1) until pParts).collectFirst {
+        case j if pFirsts.contains(j) => i -> pFirsts(j)
+      }
+    }.toMap
+    val pBc = spark.sparkContext.broadcast(pNext)
+    def strLcp(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    val cross = spark.createDataset(
+      prefixed.rdd.mapPartitionsWithIndex { (i, it) =>
+        var prev: (Long, Int, String) = null
+        val within = it.flatMap { c =>
+          val out =
+            if (prev == null) Iterator.empty
+            else {
+              val l = strLcp(prev._3, c._3).toLong
+              Iterator((prev._1, prev._2, l), (c._1, c._2, l))
+            }
+          prev = c
+          out
+        }
+        within ++ (if (prev == null) Iterator.empty
+        else pBc.value.get(i) match {
+          case Some(nf) =>
+            val l = strLcp(prev._3, nf._3).toLong
+            Iterator((prev._1, prev._2, l), (nf._1, nf._2, l))
+          case None => Iterator.empty
+        })
+      }).toDF("doc", "pos", "lcp")
+
+    val out = intra.unionByName(cross)
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(col("lcp")).as("rep_len"))
+      .localCheckpoint(eager = true) // sever lineage before releasing caches
+    sorted.unpersist()
+    prefixed.unpersist()
+    out
+  }
 }

@@ -72,9 +72,9 @@ object ShipWire {
         {"name": "last_irreversible", "type": "block_position"},
         {"name": "this_block", "type": "block_position?"},
         {"name": "prev_block", "type": "block_position?"},
+        {"name": "block", "type": "bytes?"},
         {"name": "traces", "type": "bytes?"},
-        {"name": "deltas", "type": "bytes?"},
-        {"name": "block", "type": "bytes?"}]},
+        {"name": "deltas", "type": "bytes?"}]},
       {"name": "row", "base": "", "fields": [
         {"name": "present", "type": "bool"},
         {"name": "data", "type": "bytes"}]},
@@ -203,6 +203,17 @@ object ShipWire {
   /** Parsed once per JVM — the ABI is metadata-sized and immutable. */
   lazy val abi: AntelopeAbi.Abi = AntelopeAbi.parseAbi(ShipAbi)
 
+  /** Parse the node's FIRST websocket frame (the protocol ABI as JSON
+    * text) into the decode ABI. A live reader should prefer this over
+    * the bundled [[ShipAbi]] copy: binary field order is
+    * wire-significant, so decoding against the ABI the node actually
+    * shipped is immune to protocol revisions (the reference does the
+    * same — state-reader.ts feeds the first frame's ABI to its
+    * deserializer).
+    */
+  def abiFromFirstFrame(abiJson: String): AntelopeAbi.Abi =
+    AntelopeAbi.parseAbi(abiJson)
+
   /** Decode one binary `result` frame to its JSON form
     * (`["get_blocks_result_v0", {…}]`) — step 2 of the protocol.
     */
@@ -263,9 +274,14 @@ object ShipWire {
     * idle frames without `this_block`) yields None; an undecodable
     * frame yields a corrupt row.
     */
-  def blockRow(frame: Array[Byte]): Option[BlockRow] = {
+  def blockRow(frame: Array[Byte]): Option[BlockRow] = blockRow(frame, abi)
+
+  /** As [[blockRow]], decoding against a caller-supplied ABI (e.g. the
+    * one the node shipped in its first frame — [[abiFromFirstFrame]]).
+    */
+  def blockRow(frame: Array[Byte], abi: AntelopeAbi.Abi): Option[BlockRow] = {
     try {
-      val parsed = JsonMethods.parse(decodeResult(frame))
+      val parsed = JsonMethods.parse(AntelopeAbi.binToJson(abi, "result", frame))
       val JArray(List(JString(kind), res)) = parsed: @unchecked
       if (kind != "get_blocks_result_v0") return None
       if (res \ "this_block" == JNull) return None // idle frame
@@ -346,12 +362,20 @@ object ShipWire {
     }
   }
 
-  /** Partition-parallel wire walk over (frame) rows. */
-  def parseFrames(frames: org.apache.spark.sql.DataFrame)(
+  /** Partition-parallel wire walk over (frame) rows. When `abiJson`
+    * is given (the node's first frame), every partition decodes
+    * against THAT ABI — parsed once per partition, metadata-sized —
+    * instead of the bundled copy.
+    */
+  def parseFrames(frames: org.apache.spark.sql.DataFrame,
+      abiJson: Option[String] = None)(
       implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[BlockRow] = {
     import spark.implicits._
     frames.select("frame").as[Array[Byte]]
-      .mapPartitions(_.flatMap(blockRow))
+      .mapPartitions { it =>
+        val a = abiJson.map(abiFromFirstFrame).getOrElse(abi)
+        it.flatMap(blockRow(_, a))
+      }
   }
 
   // ---------------------------------------------------------- fixtures
@@ -432,9 +456,9 @@ object ShipWire {
       .append(s""""last_irreversible":${pos(math.max(1L, blockNum - 10))},""")
       .append(s""""this_block":${pos(blockNum)},""")
       .append(s""""prev_block":${pos(blockNum - 1)},""")
+      .append(s""""block":"$blockBin",""")
       .append(s""""traces":"$tracesBin",""")
-      .append(s""""deltas":"$deltasBin",""")
-      .append(s""""block":"$blockBin"}]""")
+      .append(s""""deltas":"$deltasBin"}]""")
     encodeResult(sb.toString)
   }
 }

@@ -167,4 +167,24 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(Array[Byte](1, 2, 3)) === None)
     assert(JpegCodec.decode(null) === None)
   }
+
+  test("allocation guard: crafted huge SOF dims quarantine, not OOM") {
+    // a TINY file whose SOF declares 20000x20000 would allocate ~1.6 GB
+    // (ARGB) before reading any entropy data; the 64M-pixel cap must
+    // reject it as a quarantine (None), not an executor-killing Error
+    val bytes = JpegCodec.uniformBlockFixture(2, 2, (_, _) => 42)
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i < bytes.length - 1) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "fixture has no SOF0")
+    val huge = bytes.clone()
+    // FF C0 len2 prec h2 w2: height at sof+5, width at sof+7 (big-endian)
+    huge(sof + 5) = 0x4e.toByte; huge(sof + 6) = 0x20.toByte // 20000
+    huge(sof + 7) = 0x4e.toByte; huge(sof + 8) = 0x20.toByte
+    assert(JpegCodec.decode(huge) === None)
+    assert(JpegCodec.decode(bytes).isDefined) // the unpatched twin still decodes
+  }
 }

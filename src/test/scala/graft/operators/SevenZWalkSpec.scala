@@ -43,6 +43,40 @@ class SevenZWalkSpec extends SparkSpec {
     assert(es.forall(!_.corrupt))
   }
 
+  test("kEmptyFile BEFORE kEmptyStream still parses (order not mandated)") {
+    // swap the two adjacent property records (0e 01 es / 0f 01 ef) in
+    // the next header of a real fixture and re-patch both CRCs — a
+    // parser that sizes kEmptyFile from a not-yet-seen kEmptyStream
+    // would desync on this archive
+    val a = SevenZWalk.fixture(
+      Seq(("full.txt", bytes("payload")), ("empty.txt", Array.empty[Byte])),
+      "lzma2").clone()
+    def u64le(off: Int): Long = (0 until 8).map(i => (a(off + i) & 0xffL) << (8 * i)).sum
+    val hOff = (32L + u64le(12)).toInt
+    val hSize = u64le(20).toInt
+    var p = -1
+    var i = hOff
+    while (p < 0 && i < hOff + hSize - 5) {
+      if ((a(i) & 0xff) == 0x0e && a(i + 1) == 1 &&
+          (a(i + 3) & 0xff) == 0x0f && a(i + 4) == 1) p = i
+      i += 1
+    }
+    assert(p > 0, "fixture header lacks adjacent EmptyStream/EmptyFile records")
+    val es = a(p + 2); val ef = a(p + 5)
+    a(p) = 0x0f; a(p + 2) = ef // kEmptyFile first
+    a(p + 3) = 0x0e; a(p + 5) = es
+    def putCrc(off: Int, crc: Long): Unit =
+      (0 until 4).foreach(i => a(off + i) = ((crc >> (8 * i)) & 0xff).toByte)
+    val c1 = new java.util.zip.CRC32(); c1.update(a, hOff, hSize)
+    putCrc(28, c1.getValue)
+    val c2 = new java.util.zip.CRC32(); c2.update(a, 12, 20)
+    putCrc(8, c2.getValue)
+    val out = SevenZWalk.entries(a)
+    assert(out.map(e => (e.name, e.emptyStream, e.isDir, e.size)) ===
+      Seq(("full.txt", false, false, 7L), ("empty.txt", true, false, 0L)))
+    assert(out.forall(!_.corrupt))
+  }
+
   test("directory entries: kEmptyStream without kEmptyFile = isDir") {
     import org.apache.commons.compress.archivers.sevenz.{SevenZArchiveEntry, SevenZOutputFile}
     val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()

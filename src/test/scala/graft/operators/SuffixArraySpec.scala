@@ -112,4 +112,61 @@ class SuffixArraySpec extends SparkSpec {
     // a single corpus position has no order-neighbor: absent by contract
     assert(repeats(Seq((1L, "q"))) === Map.empty)
   }
+
+  private def sharded(docs: Seq[(Long, String)], docsPerShard: Long,
+      cap: Int): Map[(Long, Int), Long] = {
+    val df = docs.toDF("doc_id", "text")
+    SuffixArray.repeatLengthsSharded(df, "doc_id", "text",
+      docsPerShard, cap)(spark)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+  }
+
+  test("sharded: cross-shard repeats found exactly up to the cap") {
+    // docsPerShard = 3 => shard 0 = {1, 2}, shard 1 = {3, 4, 5}:
+    // HELLOWORLD repeats within shard 0 AND cross-shard into doc 3
+    // (true rep 10 > cap 8 — the cross merge must saturate at 8);
+    // LONGREPEATEDPASSAGE repeats within shard 1 (intra stays exact
+    // beyond the cap)
+    val docs = Seq(
+      (1L, "xxHELLOWORLDxx"),
+      (2L, "yyHELLOWORLDyy"),
+      (3L, "zzHELLOWORLDzz"),
+      (4L, "LONGREPEATEDPASSAGE"),
+      (5L, "qqLONGREPEATEDPASSAGEqq"))
+    val g = brute(docs)
+    val s = sharded(docs, docsPerShard = 3L, cap = 8)
+    assert(s.keySet === g.keySet)
+    // exact wherever the true rep_len < cap; saturated >= cap otherwise
+    s.foreach { case (k, v) =>
+      if (g(k) < 8) assert(v === g(k), s"pos $k")
+      else assert(v >= 8L && v <= g(k), s"pos $k: got $v true ${g(k)}")
+    }
+    // min(rep, cap) equality — the predicate the dedup readouts use
+    assert(s.map { case (k, v) => k -> math.min(v, 8L) } ===
+      g.map { case (k, v) => k -> math.min(v, 8L) })
+    // doc 3's only partners live in the other shard: capped exactly
+    assert(g((3L, 2)) === 10L && s((3L, 2)) === 8L)
+    // docs 4/5 share a shard: intra-shard rep stays exact past the cap
+    assert(g((5L, 2)) === 19L && s((5L, 2)) === 19L)
+  }
+
+  test("sharded: randomized corpora match brute force under the cap") {
+    val rnd = new scala.util.Random(20260817)
+    val alphabet = "abc"
+    for (trial <- 1 to 3) {
+      val docs = (1L to 9L).map { id =>
+        val n = 5 + rnd.nextInt(25)
+        (id, Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val g = brute(docs)
+      val s = sharded(docs, docsPerShard = 3L, cap = 12)
+      assert(s.map { case (k, v) => k -> math.min(v, 12L) } ===
+        g.map { case (k, v) => k -> math.min(v, 12L) }, s"trial $trial: $docs")
+    }
+  }
+
+  test("sharded: single shard degenerates to the global result") {
+    val docs = Seq((1L, "banana"), (2L, "bandana"))
+    assert(sharded(docs, docsPerShard = 100L, cap = 64) === brute(docs))
+  }
 }

@@ -56,6 +56,65 @@ class ShipWireSpec extends SparkSpec {
     assert(row.n_delta_rows === 3L && row.n_deltas_present === 2L)
   }
 
+  test("result field order pinned by hand: block BEFORE traces/deltas") {
+    // The real state_history_plugin ABI (and the reference's
+    // GetBlocksResultV0, state-reader.ts:20-28) orders the optional
+    // binaries block, traces, deltas — wire-significant, so this frame
+    // is built BYTE BY HAND, not through the repo's own encoder. The
+    // tail is 00 (block absent) 01 01 00 (traces present = the 1-byte
+    // empty transaction_trace[]) 00 (deltas absent): a traces-first ABI
+    // would misread it as traces absent + deltas present.
+    def u32(n: Long) = Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def id(b: Int) = Array.fill[Byte](32)(b.toByte)
+    val frame: Array[Byte] =
+      Array[Byte](1) ++ // result variant arm 1 = get_blocks_result_v0
+        u32(100) ++ id(0xAA) ++ // head
+        u32(90) ++ id(0xBB) ++ // last_irreversible
+        Array[Byte](1) ++ u32(100) ++ id(0xCC) ++ // this_block?
+        Array[Byte](1) ++ u32(99) ++ id(0xDD) ++ // prev_block?
+        Array[Byte](0) ++ // block? absent
+        Array[Byte](1, 1, 0) ++ // traces? = bytes[1] {00}: empty trace[]
+        Array[Byte](0) // deltas? absent
+    import org.json4s._
+    val json = org.json4s.jackson.JsonMethods.parse(ShipWire.decodeResult(frame))
+    val JArray(List(JString(kind), res)) = json: @unchecked
+    assert(kind === "get_blocks_result_v0")
+    assert((res \ "block") === JNull)
+    assert((res \ "traces") === JString("00"))
+    assert((res \ "deltas") === JNull)
+    val row = ShipWire.blockRow(frame).get
+    assert(!row.corrupt && row.block_num === 100L && row.prev_id === "DD" * 32)
+    assert(row.n_traces === 0L && row.producer === null)
+  }
+
+  test("decode follows the node-shipped ABI, not the bundled copy") {
+    // a 'node' that revises the protocol: its first frame orders the
+    // result's optionals deltas, traces, block — decoding its frames
+    // against the bundled ABI would swap fields, against ITS abi works
+    val revised = ShipWire.ShipAbi.replace(
+      """{"name": "block", "type": "bytes?"},
+        {"name": "traces", "type": "bytes?"},
+        {"name": "deltas", "type": "bytes?"}]}""",
+      """{"name": "deltas", "type": "bytes?"},
+        {"name": "traces", "type": "bytes?"},
+        {"name": "block", "type": "bytes?"}]}""")
+    assert(revised != ShipWire.ShipAbi) // the replace actually matched
+    val nodeAbi = ShipWire.abiFromFirstFrame(revised)
+    val json = s"""["get_blocks_result_v0",{
+        "head":{"block_num":7,"block_id":"${"00" * 32}"},
+        "last_irreversible":{"block_num":5,"block_id":"${"00" * 32}"},
+        "this_block":{"block_num":7,"block_id":"${"0A" * 32}"},
+        "prev_block":null,"block":null,"traces":"00","deltas":null}]"""
+    val frame = AntelopeAbi.jsonToBin(nodeAbi, "result", json)
+    val row = ShipWire.blockRow(frame, nodeAbi).get
+    assert(!row.corrupt && row.block_num === 7L && row.n_traces === 0L)
+    import spark.implicits._
+    val df = Seq(frame).toDF("frame")
+    val rows = ShipWire.parseFrames(df, Some(revised)).collect()
+    assert(rows.length === 1 && rows.head.block_num === 7L)
+  }
+
   test("idle frame (no this_block) and status results are skipped") {
     val idle = ShipWire.encodeResult(
       """["get_blocks_result_v0",{
