@@ -983,12 +983,15 @@ object SparkEntry {
       Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 4)
       .orderBy(col("node"))
 
-  /** 5-round k-core peel ([[graft.operators.Graph.kCore]], k = 25)
-    * over the symmetric trade graph — the link-graph density gate;
-    * the oracle unrolls the identical synchronous peel as CTEs.
+  /** 5-round k-core peel (k = 25) over the symmetric trade graph —
+    * the link-graph density gate; the oracle unrolls the identical
+    * synchronous peel as CTEs. Runs the CHECKED variant
+    * ([[graft.operators.Graph.kCoreChecked]]): an under-budgeted round
+    * schedule now throws (one extra peel + two metadata-sized counts)
+    * instead of silently returning a superset of the core.
     */
   private def qKcore(s: SparkSession, d: String): DataFrame =
-    graft.operators.Graph.kCore(
+    graft.operators.Graph.kCoreChecked(
       Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 25, 5)
       .orderBy(col("node"))
 
@@ -1652,6 +1655,13 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(coalesce(length(col("text")), lit(0))).cast("long").as("sum_chars"),
+        // nested-column witness: sum over the list<int64> cells plus
+        // the null-list tally ([id%7, id%5, id%3], NULL on id % 9 = 0)
+        sum(when(col("marks").isNull, 0L)
+          .otherwise(aggregate(col("marks"), lit(0L), (a, x) => a + x)))
+          .as("sum_marks"),
+        sum(when(col("marks").isNull && !col("corrupt"), 1L).otherwise(0L))
+          .as("n_marks_null"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"))
@@ -4869,6 +4879,15 @@ object SparkEntry {
     jsonSafe(AccountEndpoints.getTransaction(fixtureActions(s), "trx00000003",
       lib = 150L, blockHint = Some(103L), partitionSize = 100L))
 
+  /** The LAST v1 route: POST /v1/history/get_transaction — the oracled
+    * v2 lookup reshaped to the eosio v1 trace fan-out (one row per
+    * receipt, act_digest appended into each receipt, the constant v1
+    * scaffold columns) — get_transaction.ts:123-168.
+    */
+  private def qHypV1Transaction(s: SparkSession, d: String): DataFrame =
+    jsonSafe(AccountEndpoints.getTransactionV1(fixtureActions(s), "trx00000003",
+      lib = 150L, blockHint = Some(103L), partitionSize = 100L))
+
   /** v1 trace reshape: block header + per-receipt grouped traces
     * (get_block.ts:20-126 — the header join, the per-receipt action
     * fan-out, the authorization re-key, the trx grouping).
@@ -5882,6 +5901,7 @@ object SparkEntry {
     "q_hyperion_controlled_accounts" -> (qHypControlledAccounts _),
     "q_hyperion_account" -> (qHypAccount _),
     "q_hyperion_transaction" -> (qHypTransaction _),
+    "q_hyperion_v1_transaction" -> (qHypV1Transaction _),
     "q_hyperion_block_trace" -> (qHypBlockTrace _),
     "q_hyperion_check_trx" -> (qHypCheckTrx _),
     "q_hyperion_get_filters" -> (qHypGetFilters _),
@@ -9295,15 +9315,20 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, source, text, doc_id // 25 AS chunk
                     FROM documents),
          ok AS (SELECT CASE WHEN doc_id % 7 = 0 THEN '(null)' ELSE source END
-                  AS source, doc_id, length(text) AS len
+                  AS source, doc_id, length(text) AS len,
+                  CASE WHEN doc_id % 9 = 0 THEN 0
+                       ELSE doc_id % 7 + doc_id % 5 + doc_id % 3 END AS msum,
+                  CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS mnull
                 FROM d WHERE chunk % 5 <> 4)
          SELECT source, count(*) AS n_rows,
            CAST(sum(len) AS BIGINT) AS sum_chars,
+           CAST(sum(msum) AS BIGINT) AS sum_marks,
+           CAST(sum(mnull) AS BIGINT) AS n_marks_null,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM ok GROUP BY source
          UNION ALL
          SELECT '(corrupt)', count(DISTINCT chunk), CAST(0 AS BIGINT),
-           NULL, NULL
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), NULL, NULL
          FROM d WHERE chunk % 5 = 4
          ORDER BY source""",
     // robots.txt policy: the oracle writes the ANALYTIC RFC 9309
@@ -10555,6 +10580,55 @@ object SparkEntry {
            block_num <= 150 AS irreversible
          FROM tr WHERE trx_id = 'trx00000003'
          ORDER BY gs0""",
+    // v1 get_transaction: the SAME fixture trx fanned out one trace per
+    // receipt (gs order), act_digest appended LAST inside each receipt
+    // (the reference's property-insertion order), constant v1 scaffold
+    "q_hyperion_v1_transaction" ->
+      """WITH tr AS (
+           SELECT i, 1000000 + 3 * i + 1 AS gs0, 100 + i AS block_num,
+             ['alice','bob','carol','dave'][(i % 4) + 1] AS f,
+             ['alice','bob','carol','dave'][((i + 1) % 4) + 1] AS t,
+             printf('trx%08d', i) AS trx_id,
+             printf('digest-transfer-%05d', i) AS dig,
+             '{"from":"' || ['alice','bob','carol','dave'][(i % 4) + 1]
+               || '","to":"' || ['alice','bob','carol','dave'][((i + 1) % 4) + 1]
+               || '","quantity":"' || ((i % 50) + 1)
+               || '.0000 TST","memo":"payment ' || i || '"}' AS dat
+           FROM (SELECT unnest(range(100)) AS i)),
+         hit AS (SELECT * FROM tr WHERE trx_id = 'trx00000003'),
+         rec AS (
+           SELECT *, gs0 AS gs,
+             '{"receiver":"eosio.token","global_sequence":' || gs0
+               || ',"recv_sequence":' || (10 + i)
+               || ',"auth_sequence":[{"account":"' || f || '","sequence":' || i
+               || '}],"act_digest":"' || dig || '"}' AS receipt
+           FROM hit
+           UNION ALL
+           SELECT *, gs0 + 1 AS gs,
+             '{"receiver":"' || f || '","global_sequence":' || (gs0 + 1)
+               || ',"recv_sequence":' || (11 + i)
+               || ',"auth_sequence":[],"act_digest":"' || dig || '"}'
+           FROM hit
+           UNION ALL
+           SELECT *, gs0 + 2 AS gs,
+             '{"receiver":"' || t || '","global_sequence":' || (gs0 + 2)
+               || ',"recv_sequence":' || (12 + i)
+               || ',"auth_sequence":[],"act_digest":"' || dig || '"}'
+           FROM hit)
+         SELECT trx_id, block_num,
+           epoch_ms(1700000000000 + block_num * 500) AS block_time,
+           receipt,
+           '{"account":"eosio.token","name":"transfer","authorization":[{"actor":"'
+             || f || '","permission":"active"}],"data":' || to_json(dat) || '}' AS act,
+           '[]' AS account_ram_deltas,
+           FALSE AS context_free,
+           '' AS console,
+           CAST(0 AS BIGINT) AS elapsed,
+           CAST(NULL AS VARCHAR) AS "except",
+           '[]' AS inline_traces,
+           '' AS producer_block_id,
+           CAST(150 AS BIGINT) AS last_irreversible_block
+         FROM rec ORDER BY gs""",
     // v1 get_block trace: ONE transfer trx in block 103 (i=3: dave →
     // alice), its merged action fanned back out per receipt in gs
     // order; header columns from the blocks fixture; data re-escaped

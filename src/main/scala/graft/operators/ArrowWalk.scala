@@ -170,9 +170,26 @@ object ArrowWalk {
     (0 until fb.vecLen(fieldsVec)).map { i =>
       val f = fb.vecTable(fieldsVec, i)
       val children = fb.fieldOffset(f, 5)
-      require(children < 0 || fb.vecLen(children) == 0, "nested types unsupported")
+      val tt = { val p = fb.field(f, 2); if (p < 0) 0 else fb.u8(p) }
+      val typ =
+        if (tt == 12) { // List: one child field carrying the element type
+          require(children >= 0 && fb.vecLen(children) == 1,
+            "list without exactly one child")
+          val ch = fb.vecTable(children, 0)
+          val chChildren = fb.fieldOffset(ch, 5)
+          require(chChildren < 0 || fb.vecLen(chChildren) == 0,
+            "nested list elements unsupported")
+          require(fb.fieldOffset(ch, 4) < 0,
+            "dictionary-encoded list elements unsupported")
+          s"list<${fieldType(fb, ch)}>"
+        } else {
+          require(children < 0 || fb.vecLen(children) == 0, "nested types unsupported")
+          fieldType(fb, f)
+        }
       val name = { val p = fb.fieldOffset(f, 0); if (p < 0) "" else fb.string(p) }
-      val col = ColSpec(name, fieldType(fb, f), fb.fieldBool(f, 1, dflt = false))
+      val col = ColSpec(name, typ, fb.fieldBool(f, 1, dflt = false))
+      if (tt == 12)
+        require(fb.fieldOffset(f, 4) < 0, "dictionary-encoded lists unsupported")
       val dictT = fb.fieldOffset(f, 4) // DictionaryEncoding
       if (dictT < 0) FieldSpec(col, -1L, 0)
       else {
@@ -221,7 +238,15 @@ object ArrowWalk {
     val nodesVec = fb.fieldOffset(batchT, 1)
     val bufsVec = fb.fieldOffset(batchT, 2)
     require(nodesVec >= 0 && bufsVec >= 0, "record batch missing nodes/buffers")
-    require(fb.vecLen(nodesVec) == cols.size, "node count != column count")
+    // FieldNodes walk the field TREE depth-first: a list column owns
+    // two nodes (itself + its element field)
+    val expectedNodes = cols.map(s => if (s.col.typ.startsWith("list<")) 2 else 1).sum
+    require(fb.vecLen(nodesVec) == expectedNodes, "node count != field-tree size")
+    var ni = 0
+    def nextNode(): (Int, Long) = {
+      val p = fb.vecElem(nodesVec, ni, 16); ni += 1
+      (fb.i64(p).toInt, fb.i64(p + 8))
+    }
     val bufs = (0 until fb.vecLen(bufsVec)).map { i =>
       val p = fb.vecElem(bufsVec, i, 16)
       Buf(fb.i64(p), fb.i64(p + 8))
@@ -253,23 +278,59 @@ object ArrowWalk {
     }
     def bit(v: View, i: Int): Boolean =
       v.len == 0 || (v.arr(v.off + (i >> 3)) & (1 << (i & 7))) != 0
-    def ints(d: View, w: Int, n: Int, valid: Int => Boolean,
-        out: java.lang.Long => AnyRef, ci: Int): Unit =
-      (0 until n).foreach { i =>
-        acc(ci) += (if (!valid(i)) null
-        else {
-          var v = 0L
-          var k = 0
-          while (k < w) { v |= (d.arr(d.off + w * i + k) & 0xffL) << (8 * k); k += 1 }
-          val sh = 64 - 8 * w
-          out(java.lang.Long.valueOf((v << sh) >> sh))
-        })
-      }
+    def longAt(d: View, w: Int, i: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < w) { v |= (d.arr(d.off + w * i + k) & 0xffL) << (8 * k); k += 1 }
+      val sh = 64 - 8 * w
+      (v << sh) >> sh
+    }
+    /** Decode one primitive field's VALUE buffers (validity already
+      * consumed by the caller) into boxed values.
+      */
+    def readPrim(typ: String, n: Int,
+        valid: Int => Boolean): IndexedSeq[AnyRef] = typ match {
+      case "utf8" =>
+        val o = nextBuf()
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null
+          else {
+            val s = le32(o.arr, o.off + 4 * i)
+            val e = le32(o.arr, o.off + 4 * (i + 1))
+            new String(d.arr, d.off + s, e - s, "UTF-8")
+          }
+        }
+      case "bool" =>
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null else java.lang.Boolean.valueOf(bit(d, i))
+        }
+      case t if t.startsWith("int") =>
+        val w = t.drop(3).toInt / 8
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null else java.lang.Long.valueOf(longAt(d, w, i))
+        }
+      case "float64" =>
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null
+          else java.lang.Double.valueOf(
+            java.lang.Double.longBitsToDouble(longAt(d, 8, i)))
+        }
+      case "float32" =>
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null
+          else java.lang.Double.valueOf(
+            java.lang.Float.intBitsToFloat(le32(d.arr, d.off + 4 * i)).toDouble)
+        }
+      case other => throw new IllegalArgumentException(s"type $other unsupported")
+    }
     cols.zipWithIndex.foreach { case (spec, ci) =>
       val c = spec.col
-      val node = fb.vecElem(nodesVec, ci, 16)
-      val n = fb.i64(node).toInt
-      val nullCount = fb.i64(node + 8)
+      val (n, nullCount) = nextNode()
       val vv = nextBuf()
       val valid: Int => Boolean =
         if (nullCount == 0L) _ => true else i => bit(vv, i)
@@ -279,52 +340,34 @@ object ArrowWalk {
         val dict = dicts.getOrElse(spec.dictId,
           throw new IllegalArgumentException(s"dictionary ${spec.dictId} not seen"))
         val d = nextBuf()
-        ints(d, spec.idxWidth, n, valid, v => {
-          val ix = v.toInt
-          require(ix >= 0 && ix < dict.length, s"dictionary index $ix out of range")
-          dict(ix)
-        }, ci)
-      } else c.typ match {
-        case "utf8" =>
-          val o = nextBuf()
-          val d = nextBuf()
-          (0 until n).foreach { i =>
-            acc(ci) += (if (!valid(i)) null
-            else {
-              val s = le32(o.arr, o.off + 4 * i)
-              val e = le32(o.arr, o.off + 4 * (i + 1))
-              new String(d.arr, d.off + s, e - s, "UTF-8")
-            })
-          }
-        case "bool" =>
-          val d = nextBuf()
-          (0 until n).foreach { i =>
-            acc(ci) += (if (!valid(i)) null
-            else java.lang.Boolean.valueOf(bit(d, i)))
-          }
-        case t if t.startsWith("int") =>
-          val w = t.drop(3).toInt / 8
-          val d = nextBuf()
-          ints(d, w, n, valid, identity, ci)
-        case "float64" =>
-          val d = nextBuf()
-          (0 until n).foreach { i =>
-            acc(ci) += (if (!valid(i)) null
-            else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble({
-              var v = 0L; var k = 0
-              while (k < 8) { v |= (d.arr(d.off + 8 * i + k) & 0xffL) << (8 * k); k += 1 }
-              v
-            })))
-          }
-        case "float32" =>
-          val d = nextBuf()
-          (0 until n).foreach { i =>
-            acc(ci) += (if (!valid(i)) null
-            else java.lang.Double.valueOf(
-              java.lang.Float.intBitsToFloat(le32(d.arr, d.off + 4 * i)).toDouble))
-          }
-        case other => throw new IllegalArgumentException(s"type $other unsupported")
-      }
+        (0 until n).foreach { i =>
+          acc(ci) += (if (!valid(i)) null
+          else {
+            val ix = longAt(d, spec.idxWidth, i).toInt
+            require(ix >= 0 && ix < dict.length, s"dictionary index $ix out of range")
+            dict(ix)
+          })
+        }
+      } else if (c.typ.startsWith("list<")) {
+        // list layout: validity + int32 offsets on the list node, then
+        // the element field's node and buffers
+        val inner = c.typ.drop(5).dropRight(1)
+        val o = nextBuf()
+        val (cn, cNull) = nextNode()
+        val cvv = nextBuf()
+        val cvalid: Int => Boolean =
+          if (cNull == 0L) _ => true else i => bit(cvv, i)
+        val elems = readPrim(inner, cn, cvalid)
+        (0 until n).foreach { i =>
+          acc(ci) += (if (!valid(i)) null
+          else {
+            val s = le32(o.arr, o.off + 4 * i)
+            val e = le32(o.arr, o.off + 4 * (i + 1))
+            require(s >= 0 && e >= s && e <= cn, "list offsets out of range")
+            elems.slice(s, e).toVector
+          })
+        }
+      } else acc(ci) ++= readPrim(c.typ, n, valid)
     }
   }
 
@@ -433,15 +476,19 @@ object ArrowWalk {
   // --------------------------------------------------------- fixtures
 
   /** Real-encoder fixture: (doc_id int64, source utf8 nullable,
-    * text utf8) written by the Arrow Java `ArrowFileWriter` from the
-    * Spark classpath — an independent implementation — split into
-    * `batchRows`-row record batches. `nullSourceEvery` > 0 nulls
-    * `source` on every k-th row (validity-bitmap witness).
+    * text utf8, marks list<int64>) written by the Arrow Java
+    * `ArrowFileWriter` from the Spark classpath — an independent
+    * implementation — split into `batchRows`-row record batches.
+    * `nullSourceEvery` > 0 nulls `source` on every k-th row
+    * (validity-bitmap witness). `marks` is closed-form per doc:
+    * NULL when doc_id ≡ 0 (mod 9), else [id%7, id%5, id%3] — the
+    * nested-column witness an oracle can replay.
     */
   def fixture(recs: Seq[(Long, String, String)], batchRows: Int,
       nullSourceEvery: Int = 0, compress: String = "none"): Array[Byte] = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.ListVector
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
     import org.apache.arrow.vector.ipc.ArrowFileWriter
     import scala.jdk.CollectionConverters._
@@ -450,7 +497,10 @@ object ArrowWalk {
       val fields = List(
         new Field("doc_id", FieldType.nullable(new ArrowType.Int(64, true)), null),
         new Field("source", FieldType.nullable(new ArrowType.Utf8()), null),
-        new Field("text", FieldType.nullable(new ArrowType.Utf8()), null))
+        new Field("text", FieldType.nullable(new ArrowType.Utf8()), null),
+        new Field("marks", FieldType.nullable(new ArrowType.List()),
+          List(new Field("item",
+            FieldType.nullable(new ArrowType.Int(64, true)), null)).asJava))
       val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
       val bos = new java.io.ByteArrayOutputStream()
       val ch = java.nio.channels.Channels.newChannel(bos)
@@ -476,11 +526,19 @@ object ArrowWalk {
         val ids = root.getVector("doc_id").asInstanceOf[BigIntVector]
         val srcs = root.getVector("source").asInstanceOf[VarCharVector]
         val txts = root.getVector("text").asInstanceOf[VarCharVector]
+        val marks = root.getVector("marks").asInstanceOf[ListVector]
+        val lw = marks.getWriter
         group.zipWithIndex.foreach { case ((id, src, text), i) =>
           ids.setSafe(i, id)
           if (nullSourceEvery > 0 && id % nullSourceEvery == 0) srcs.setNull(i)
           else srcs.setSafe(i, src.getBytes("UTF-8"))
           txts.setSafe(i, text.getBytes("UTF-8"))
+          if (id % 9 != 0) { // id % 9 == 0 rows stay NULL (never started)
+            lw.setPosition(i)
+            lw.startList()
+            Seq(id % 7, id % 5, id % 3).foreach(v => lw.bigInt().writeBigInt(v))
+            lw.endList()
+          }
         }
         root.setRowCount(group.size)
         w.writeBatch()
@@ -497,11 +555,13 @@ object ArrowWalk {
       doc_id: java.lang.Long,
       source: String,
       text: String,
+      marks: Seq[java.lang.Long],
       corrupt: Boolean)
 
   /** Partition-parallel walk of (chunk, payload) rows carrying
-    * (doc_id, source, text) Arrow files; a quarantined file yields one
-    * corrupt row for its chunk.
+    * (doc_id, source, text[, marks list<int64>]) Arrow files; a
+    * quarantined file yields one corrupt row for its chunk. `marks`
+    * is null when the column is absent or the cell is null.
     */
   def parseDocs(media: org.apache.spark.sql.DataFrame)(
       implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[DocRow] = {
@@ -514,17 +574,23 @@ object ArrowWalk {
             val id = name.indexOf("doc_id")
             val so = name.indexOf("source")
             val tx = name.indexOf("text")
+            val mk = name.indexOf("marks")
             if (id < 0 || so < 0 || tx < 0)
-              Iterator(DocRow(chunk, null, null, null, corrupt = true))
+              Iterator(DocRow(chunk, null, null, null, null, corrupt = true))
             else (0 until t.nRows).iterator.map { i =>
+              val marks =
+                if (mk < 0 || t.values(mk)(i) == null) null
+                else t.values(mk)(i).asInstanceOf[Seq[AnyRef]]
+                  .map(_.asInstanceOf[java.lang.Long])
               DocRow(chunk,
                 t.values(id)(i).asInstanceOf[java.lang.Long],
                 t.values(so)(i).asInstanceOf[String],
                 t.values(tx)(i).asInstanceOf[String],
+                marks,
                 corrupt = false)
             }
           case Left(_) =>
-            Iterator(DocRow(chunk, null, null, null, corrupt = true))
+            Iterator(DocRow(chunk, null, null, null, null, corrupt = true))
         }
       })
   }

@@ -472,6 +472,35 @@ object Graph {
     deg.filter(col("deg") >= k)
   }
 
+  /** [[kCore]] plus a convergence WITNESS — the fixed-schedule
+    * contract's failure mode is silent (rounds below the true peel
+    * depth return a SUPERSET of the k-core), so this variant
+    * materializes the final frame once (eager local checkpoint — the
+    * consumer was going to pay that evaluation anyway), runs ONE extra
+    * peel round, and compares survivor counts: the peel is monotone,
+    * so count equality ⟺ fixed point ⟺ the result IS the k-core.
+    * Two metadata-sized `count()` actions total, still zero per-round
+    * driver actions. Throws when under-budgeted instead of returning
+    * the superset.
+    */
+  def kCoreChecked(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val core = kCore(edges, k, rounds).localCheckpoint(eager = true)
+    val next = edges
+      .join(core.select(col("node").as("src")), "src")
+      .join(core.select(col("node").as("dst")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+    val before = core.count()
+    val after = next.count()
+    if (after != before)
+      throw new IllegalStateException(
+        s"kCore(k=$k, rounds=$rounds) has not converged: one more peel " +
+          s"removes ${before - after} of $before survivors — rounds is " +
+          "below the graph's true peel depth; raise it")
+    core
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))

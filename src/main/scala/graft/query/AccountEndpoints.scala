@@ -65,6 +65,55 @@ object AccountEndpoints {
       .orderBy(col("global_sequence"))
   }
 
+  /** POST /v1/history/get_transaction — the eosio-v1 reshape of
+    * [[getTransaction]] (reference `v1-history/get_transaction/
+    * get_transaction.ts:123-168`): the trx's merged actions fan back
+    * out into one TRACE per receipt, receipts in global-sequence
+    * order; each receipt carries the action's lowercased `act_digest`
+    * (appended last, the reference's property-insertion order), `act`
+    * and block linkage copy through, and the constant v1 scaffold
+    * (`context_free`/`console`/`elapsed`/`except`/`inline_traces`/
+    * `producer_block_id`) fills the rest. The LIB scalar rides every
+    * row — the reference's parallel `get_info`.
+    *
+    * Plan: inherits [[getTransaction]]'s block-hint partition pruning;
+    * the explode is narrow (one trx's receipts), so the whole route
+    * stays one pruned scan + a broadcast of the 1-row LIB frame.
+    */
+  def getTransactionV1(
+      actions: DataFrame,
+      trxId: String,
+      lib: Long,
+      blockHint: Option[Long] = None,
+      partitionSize: Long = 1000000L): DataFrame = {
+    val hits = getTransaction(actions, trxId, lib, blockHint, partitionSize)
+    hits
+      .select(col("trx_id"), col("block_num"),
+        col("timestamp").as("block_time"), col("act"),
+        col("act_digest"), col("last_irreversible_block"),
+        explode(col("receipts")).as("r"))
+      .select(
+        col("trx_id"),
+        col("block_num"),
+        col("block_time"),
+        struct(
+          col("r.receiver").as("receiver"),
+          col("r.global_sequence").as("global_sequence"),
+          col("r.recv_sequence").as("recv_sequence"),
+          col("r.auth_sequence").as("auth_sequence"),
+          lower(col("act_digest")).as("act_digest")).as("receipt"),
+        col("act"),
+        array().cast("array<string>").as("account_ram_deltas"),
+        lit(false).as("context_free"),
+        lit("").as("console"),
+        lit(0L).as("elapsed"),
+        lit(null).cast("string").as("except"),
+        array().cast("array<string>").as("inline_traces"),
+        lit("").as("producer_block_id"),
+        col("last_irreversible_block"))
+      .orderBy(col("receipt.global_sequence"))
+  }
+
   /** POST /v1/trace/get_block — per-block transaction-trace reshaping
     * (reference: `v1-trace/get_block/get_block.ts:20-126`): the block
     * header joined with the block's actions, grouped into the v1

@@ -19,11 +19,35 @@ class ArrowWalkSpec extends SparkSpec {
         case Right(v) => v
         case Left(e) => fail(s"batchRows=$batchRows quarantined: $e")
       }
-      assert(t.cols.map(_.name) === Seq("doc_id", "source", "text"), s"b=$batchRows")
-      assert(t.cols.map(_.typ) === Seq("int64", "utf8", "utf8"))
+      assert(t.cols.map(_.name) === Seq("doc_id", "source", "text", "marks"),
+        s"b=$batchRows")
+      assert(t.cols.map(_.typ) === Seq("int64", "utf8", "utf8", "list<int64>"))
       assert(t.nRows === 25, s"b=$batchRows")
       assert((0 until 25).map(i => t.values(0)(i)) === recs.map(r => java.lang.Long.valueOf(r._1)))
       assert((0 until 25).map(i => t.values(2)(i)) === recs.map(_._3))
+    }
+  }
+
+  test("list<int64> column: offsets + child values decode per cell") {
+    for (batchRows <- Seq(25, 7)) {
+      val t = ArrowWalk.table(ArrowWalk.fixture(recs, batchRows))
+        .getOrElse(fail(s"quarantined at b=$batchRows"))
+      val mk = t.cols.map(_.name).indexOf("marks")
+      (0 until 25).foreach { i =>
+        if (i % 9 == 0) assert(t.values(mk)(i) == null, s"row $i b=$batchRows")
+        else assert(t.values(mk)(i) ===
+          Vector(i % 7, i % 5, i % 3).map(v => java.lang.Long.valueOf(v.toLong)),
+          s"row $i b=$batchRows")
+      }
+    }
+    // compressed bodies run the same list path through the codecs
+    for (codec <- Seq("lz4", "zstd")) {
+      val t = ArrowWalk.table(ArrowWalk.fixture(recs, 7, compress = codec))
+        .getOrElse(fail(s"quarantined at $codec"))
+      val mk = t.cols.map(_.name).indexOf("marks")
+      assert(t.values(mk)(1) ===
+        Vector(1L, 1L, 1L).map(java.lang.Long.valueOf), codec)
+      assert(t.values(mk)(9) == null, codec)
     }
   }
 

@@ -271,6 +271,21 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(g, 3, 4).count() === 0L)
   }
 
+  test("kCoreChecked: under-budgeted rounds are DETECTED, not silent") {
+    // the cascade graph again: true peel depth is 3 (tail falls one
+    // node per round), so rounds = 1 returns a SUPERSET from kCore —
+    // kCoreChecked must throw instead
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val e = intercept[IllegalStateException] {
+      Graph.kCoreChecked(g, 2, 1).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // at/above the peel depth it returns exactly the core
+    val ok = Graph.kCoreChecked(g, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(ok === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("kCore: deterministic under repartition") {
     val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
       (2L, 4L), (5L, 6L), (1L, 4L))
