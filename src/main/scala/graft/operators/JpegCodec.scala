@@ -1,8 +1,8 @@
 package graft.operators
 
-/** Baseline JPEG decode (ITU-T T.81 sequential DCT, Huffman) — the
-  * format hub image corpora overwhelmingly ship in. From-spec, pure
-  * Scala, like the sibling [[Vp8lCodec]]/[[FlacCodec]]:
+/** JPEG decode (ITU-T T.81 — sequential baseline AND progressive DCT,
+  * Huffman) — the format hub image corpora overwhelmingly ship in.
+  * From-spec, pure Scala, like the sibling [[Vp8lCodec]]/[[FlacCodec]]:
   *
   *  - marker segments: SOI, APPn/COM (skipped), DQT (8/16-bit tables,
   *    zig-zag order), SOF0/SOF1 (baseline + extended sequential
@@ -22,9 +22,13 @@ package graft.operators
   *  - color: 1-component grayscale and 3-component JFIF YCbCr
   *    (BT.601 inverse, rounded + clamped).
   *
+  * Progressive (SOF2) decodes via [[decodeProgressive]] — Annex G
+  * spectral selection + successive approximation accumulated per
+  * block, one IDCT pass at EOI.
+  *
   * Honest subset, quarantined loudly (None, never a misread):
-  * progressive (SOF2), arithmetic coding (SOF9+), hierarchical,
-  * 12-bit precision, and 4-component CMYK/Adobe files.
+  * arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
+  * 4-component CMYK/Adobe files.
   *
   * Witnesses: the JDK's ImageIO JPEG decoder — an INDEPENDENT
   * implementation — must agree within the spec's IDCT tolerance on
@@ -273,7 +277,7 @@ object JpegCodec {
               c
             }
             p += len
-          case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
+          case 0xc2 => return decodeProgressive(bytes)
           case mk if mk >= 0xc3 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 =>
             throw new IllegalArgumentException(f"jpeg: SOF $mk%02x unsupported")
           case 0xdd => // DRI
@@ -369,44 +373,382 @@ object JpegCodec {
         my += 1
       }
 
-      // assemble ARGB
-      val out = new Array[Int](width * height)
-      if (comps.length == 1) {
-        val pl = planes(0); val st = strides(0)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            val g = pl(y * st + x) & 0xff
-            out(y * width + x) = 0xff000000 | (g << 16) | (g << 8) | g
-            x += 1
-          }
-          y += 1
+      Some(Decoded(width, height, comps.length,
+        assemble(width, height, comps, planes, strides, hMax, vMax)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Upsample + color-convert decoded planes into ARGB (shared by the
+    * sequential and progressive paths).
+    */
+  private def assemble(width: Int, height: Int, comps: Array[Comp],
+      planes: Array[Array[Byte]], strides: Array[Int],
+      hMax: Int, vMax: Int): Array[Int] = {
+    val out = new Array[Int](width * height)
+    if (comps.length == 1) {
+      val pl = planes(0); val st = strides(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = pl(y * st + x) & 0xff
+          out(y * width + x) = 0xff000000 | (g << 16) | (g << 8) | g
+          x += 1
         }
-      } else {
-        val cy = comps(0); val cb = comps(1); val cr = comps(2)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            val yy = planes(0)((y * cy.v / vMax) * strides(0) + x * cy.h / hMax) & 0xff
-            val b0 = (planes(1)((y * cb.v / vMax) * strides(1) + x * cb.h / hMax) & 0xff) - 128
-            val r0 = (planes(2)((y * cr.v / vMax) * strides(2) + x * cr.h / hMax) & 0xff) - 128
-            def cl(d: Double): Int = {
-              val v = math.round(d).toInt
-              if (v < 0) 0 else if (v > 255) 255 else v
-            }
-            val rr = cl(yy + 1.402 * r0)
-            val gg = cl(yy - 0.344136 * b0 - 0.714136 * r0)
-            val bb = cl(yy + 1.772 * b0)
-            out(y * width + x) = 0xff000000 | (rr << 16) | (gg << 8) | bb
-            x += 1
+        y += 1
+      }
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = planes(0)((y * cy.v / vMax) * strides(0) + x * cy.h / hMax) & 0xff
+          val b0 = (planes(1)((y * cb.v / vMax) * strides(1) + x * cb.h / hMax) & 0xff) - 128
+          val r0 = (planes(2)((y * cr.v / vMax) * strides(2) + x * cr.h / hMax) & 0xff) - 128
+          def cl(d: Double): Int = {
+            val v = math.round(d).toInt
+            if (v < 0) 0 else if (v > 255) 255 else v
           }
-          y += 1
+          val rr = cl(yy + 1.402 * r0)
+          val gg = cl(yy - 0.344136 * b0 - 0.714136 * r0)
+          val bb = cl(yy + 1.772 * b0)
+          out(y * width + x) = 0xff000000 | (rr << 16) | (gg << 8) | bb
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  // -------------------------------------------------------- progressive
+
+  /** Progressive JPEG (SOF2) — T.81 Annex G spectral selection +
+    * successive approximation over the same Huffman/IDCT machinery:
+    * coefficients accumulate per block across scans (DC first/refine,
+    * AC first with EOB runs, AC refinement with correction bits), and
+    * ONE dequantize + IDCT pass reconstructs the planes after EOI.
+    * Real hub image corpora are majority-progressive, so this is the
+    * format's main path, not an exotic one.
+    *
+    * Non-interleaved scans (ns = 1 — mandatory for AC) traverse the
+    * component's OWN ceil(w·h/hMax/8)-block grid; interleaved DC scans
+    * traverse the MCU grid. Restart markers byte-align, reset DC
+    * predictors AND the EOB run.
+    */
+  private def decodeProgressive(bytes: Array[Byte]): Option[Decoded] = {
+    try {
+      var p = 2
+      def u8(i: Int) = bytes(i) & 0xff
+      def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      val qtabs = new Array[Array[Int]](4)
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var comps: Array[Comp] = null
+      var width = 0
+      var height = 0
+      var restartInterval = 0
+      var hMax = 0; var vMax = 0
+      var mcusX = 0; var mcusY = 0
+      var blocksW: Array[Int] = null // padded (MCU-grid) block dims
+      var blocksH: Array[Int] = null
+      var compBW: Array[Int] = null // non-interleaved grid dims
+      var compBH: Array[Int] = null
+      var coefs: Array[Array[Int]] = null // per comp: blocks × 64, natural order
+
+      /** One entropy-coded scan; returns the position after its data. */
+      def decodeScan(scanCis: Array[Int], ss: Int, se: Int, ah: Int,
+          al: Int, start: Int): Int = {
+        val r = new BitReader(bytes, start)
+        val dcPred = new Array[Int](comps.length)
+        var eobrun = 0
+        var rstIdx = 0
+        var sinceRst = 0
+        def maybeRestart(): Unit =
+          if (restartInterval > 0 && sinceRst == restartInterval) {
+            r.restart(rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            sinceRst = 0
+            java.util.Arrays.fill(dcPred, 0)
+            eobrun = 0
+          }
+        def dcBlock(ci: Int, base: Int): Unit =
+          if (ah == 0) {
+            val t = dcTabs(comps(ci).td)
+            require(t != null, "jpeg: missing DC table")
+            val s = r.decode(t)
+            require(s <= 15, "jpeg: bad DC category")
+            dcPred(ci) += extend(r.bits(s), s)
+            coefs(ci)(base) = dcPred(ci) << al
+          } else { // refinement: one raw bit per block
+            if (r.bit() == 1) coefs(ci)(base) |= (1 << al)
+          }
+        def acFirst(ci: Int, base: Int): Unit = {
+          val t = acTabs(comps(ci).ta)
+          require(t != null, "jpeg: missing AC table")
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          while (k <= se) {
+            val rs = r.decode(t)
+            val run = rs >> 4; val s = rs & 15
+            if (s == 0) {
+              if (run == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+                k = se + 1
+              }
+            } else {
+              k += run
+              require(k <= se, "jpeg: AC run past band")
+              coefs(ci)(base + ZigZag(k)) = extend(r.bits(s), s) << al
+              k += 1
+            }
+          }
+        }
+        def acRefine(ci: Int, base: Int): Unit = {
+          val t = acTabs(comps(ci).ta)
+          require(t != null, "jpeg: missing AC table")
+          val p1 = 1 << al
+          val m1 = -1 << al
+          def correct(nat: Int): Unit =
+            if (r.bit() == 1 && (coefs(ci)(base + nat) & p1) == 0)
+              coefs(ci)(base + nat) +=
+                (if (coefs(ci)(base + nat) >= 0) p1 else m1)
+          var k = ss
+          if (eobrun == 0) {
+            var inBand = true
+            while (inBand && k <= se) {
+              val rs = r.decode(t)
+              var run = rs >> 4; val s = rs & 15
+              var value = 0
+              if (s == 0) {
+                if (run < 15) {
+                  // NO −1 here (unlike acFirst): the EOB phase below
+                  // handles the CURRENT block too and decrements then
+                  eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+                  inBand = false
+                } // run == 15: skip 16 zero-history coeffs, corrections en route
+              } else {
+                require(s == 1, "jpeg: refinement size != 1")
+                value = if (r.bit() == 1) p1 else m1
+              }
+              if (inBand) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val nat = ZigZag(k)
+                  if (coefs(ci)(base + nat) != 0) correct(nat)
+                  else if (run == 0) {
+                    if (value != 0) coefs(ci)(base + nat) = value
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+                require(placed || value == 0, "jpeg: refinement past band")
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB phase: corrections for the rest of the band
+            while (k <= se) {
+              val nat = ZigZag(k)
+              if (coefs(ci)(base + nat) != 0) correct(nat)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        def block(ci: Int, base: Int): Unit =
+          if (ss == 0) dcBlock(ci, base) else acFirst(ci, base)
+
+        if (scanCis.length > 1) {
+          // interleaved (DC only): MCU traversal over the padded grid
+          require(ss == 0 && se == 0, "jpeg: interleaved AC scan")
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              scanCis.foreach { ci =>
+                val c = comps(ci)
+                var by = 0
+                while (by < c.v) {
+                  var bx = 0
+                  while (bx < c.h) {
+                    val row = my * c.v + by; val col = mx * c.h + bx
+                    block(ci, (row * blocksW(ci) + col) * 64)
+                    bx += 1
+                  }
+                  by += 1
+                }
+              }
+              sinceRst += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          // non-interleaved: the component's own block grid, row-major
+          val ci = scanCis(0)
+          val wB = compBW(ci); val hB = compBH(ci)
+          var row = 0
+          while (row < hB) {
+            var col = 0
+            while (col < wB) {
+              maybeRestart()
+              val base = (row * blocksW(ci) + col) * 64
+              if (ss == 0) dcBlock(ci, base)
+              else if (ah == 0) acFirst(ci, base)
+              else acRefine(ci, base)
+              sinceRst += 1
+              col += 1
+            }
+            row += 1
+          }
+        }
+        // skip any trailing bits/RSTs to the next real marker
+        var q = r.pos
+        while (q + 1 < bytes.length && !((bytes(q) & 0xff) == 0xff && {
+          val mm = bytes(q + 1) & 0xff
+          mm != 0 && !(mm >= 0xd0 && mm <= 0xd7)
+        })) q += 1
+        q
+      }
+
+      var done = false
+      while (!done) {
+        require(p + 1 < bytes.length, "jpeg: truncated before EOI")
+        require(u8(p) == 0xff, f"jpeg: expected marker at $p")
+        var m = u8(p + 1)
+        p += 2
+        while (m == 0xff) { m = u8(p); p += 1 }
+        m match {
+          case 0xd9 => done = true // EOI
+          case 0x01 => ()
+          case mk if mk >= 0xd0 && mk <= 0xd7 => ()
+          case 0xdb => // DQT (same grammar as the sequential path)
+            val len = u16(p); val end = p + len
+            var q = p + 2
+            while (q < end) {
+              val pq = u8(q) >> 4; val tq = u8(q) & 15
+              require(pq <= 1 && tq < 4, "jpeg: bad DQT")
+              q += 1
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                tab(ZigZag(k)) = if (pq == 0) u8(q + k) else u16(q + 2 * k)
+                k += 1
+              }
+              q += (if (pq == 0) 64 else 128)
+              qtabs(tq) = tab
+            }
+            p = end
+          case 0xc4 => // DHT
+            val len = u16(p); val end = p + len
+            var q = p + 2
+            while (q < end) {
+              val tc = u8(q) >> 4; val th = u8(q) & 15
+              require(tc <= 1 && th < 4, "jpeg: bad DHT")
+              val counts = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { counts(l) = u8(q + l); total += counts(l); l += 1 }
+              val vals = Array.tabulate(total)(i => u8(q + 17 + i))
+              val h = new Huff(counts, vals)
+              if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+              q += 17 + total
+            }
+            p = end
+          case 0xc2 => // SOF2
+            val len = u16(p)
+            require(comps == null, "jpeg: second frame")
+            require(u8(p + 2) == 8, "jpeg: 12-bit precision unsupported")
+            height = u16(p + 3); width = u16(p + 5)
+            require(width > 0 && height > 0, "jpeg: zero dimension")
+            // tighter cap than sequential: the coefficient store costs
+            // 256 B/block vs the plane's 64, so bound at 2^24 px
+            // (4096×4096 — beyond any sane web image) to keep worst-case
+            // 4:4:4 coefficient memory ~200 MB
+            require(width.toLong * height <= (1L << 24),
+              "jpeg: progressive image over 16M-pixel allocation cap")
+            val nf = u8(p + 7)
+            require(nf == 1 || nf == 3, s"jpeg: $nf components unsupported")
+            comps = Array.tabulate(nf) { i =>
+              val q = p + 8 + 3 * i
+              val c = Comp(u8(q), u8(q + 1) >> 4, u8(q + 1) & 15, u8(q + 2))
+              require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4, "jpeg: bad sampling")
+              c
+            }
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            blocksW = comps.map(c => mcusX * c.h)
+            blocksH = comps.map(c => mcusY * c.v)
+            compBW = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+            compBH = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+            coefs = comps.indices.map(i =>
+              new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+            p += len
+          case 0xc0 | 0xc1 =>
+            throw new IllegalArgumentException("jpeg: mixed frame types")
+          case mk if mk >= 0xc3 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 =>
+            throw new IllegalArgumentException(f"jpeg: SOF $mk%02x unsupported")
+          case 0xdd => // DRI
+            restartInterval = u16(p + 2)
+            p += u16(p)
+          case 0xda => // SOS: decode this scan, continue the marker loop
+            require(comps != null, "jpeg: SOS before SOF")
+            val ns = u8(p + 2)
+            require(ns >= 1 && ns <= comps.length, "jpeg: bad scan component count")
+            val scanCis = Array.tabulate(ns) { i =>
+              val cs = u8(p + 3 + 2 * i)
+              val ci = comps.indexWhere(_.id == cs)
+              require(ci >= 0, "jpeg: SOS component not in SOF")
+              comps(ci).td = u8(p + 4 + 2 * i) >> 4
+              comps(ci).ta = u8(p + 4 + 2 * i) & 15
+              ci
+            }
+            val ss = u8(p + 3 + 2 * ns)
+            val se = u8(p + 4 + 2 * ns)
+            val ahAl = u8(p + 5 + 2 * ns)
+            val ah = ahAl >> 4; val al = ahAl & 15
+            require(ss <= 63 && se <= 63 && ss <= se, "jpeg: bad spectral band")
+            require(ss == 0 || ns == 1, "jpeg: interleaved AC scan")
+            require(ss > 0 || se == 0, "jpeg: DC scan with AC band")
+            p = decodeScan(scanCis, ss, se, ah, al, p + u16(p))
+          case _ => p += u16(p)
         }
       }
-      Some(Decoded(width, height, comps.length, out))
-    } catch { case _: Exception => None }
+      require(comps != null, "jpeg: no frame")
+
+      // one dequantize + IDCT pass over the accumulated coefficients
+      val planes = comps.indices.map(i =>
+        new Array[Byte](blocksW(i) * 8 * blocksH(i) * 8)).toArray
+      val strides = comps.indices.map(i => blocksW(i) * 8).toArray
+      comps.indices.foreach { ci =>
+        val q = qtabs(comps(ci).tq)
+        require(q != null, "jpeg: missing quant table")
+        val cf = new Array[Int](64)
+        var row = 0
+        while (row < blocksH(ci)) {
+          var col = 0
+          while (col < blocksW(ci)) {
+            val base = (row * blocksW(ci) + col) * 64
+            var k = 0
+            while (k < 64) { cf(k) = coefs(ci)(base + k) * q(k); k += 1 }
+            idctBlock(cf, planes(ci), col * 8, row * 8,
+              strides(ci), strides(ci), blocksH(ci) * 8)
+            col += 1
+          }
+          row += 1
+        }
+      }
+      Some(Decoded(width, height, comps.length,
+        assemble(width, height, comps, planes, strides, hMax, vMax)))
+    } catch { case e: Exception =>
+      if (sys.env.contains("GRAFT_JPEG_DEBUG")) e.printStackTrace()
+      None
+    }
   }
 
   // ---------------------------------------------------------- fixtures

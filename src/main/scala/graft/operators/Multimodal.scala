@@ -157,8 +157,9 @@ object Multimodal {
             bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
             bytes(10) == 'B' && bytes(11) == 'P'
           // JPEG: the in-repo baseline decoder first (ITU T.81
-          // from-spec, [[JpegCodec]]); progressive/arithmetic files
-          // fall through to the JDK reader below. Behavior note: the
+          // from-spec, [[JpegCodec]], baseline AND progressive);
+          // arithmetic/12-bit/CMYK files fall through to the JDK
+          // reader below. Behavior note: the
           // from-spec path upsamples chroma nearest-neighbor where the
           // JDK reader interpolates, so mean_r/g/b on real 4:2:0
           // content shift a few LSBs vs a JDK-decoded feature run

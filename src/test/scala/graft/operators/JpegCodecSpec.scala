@@ -146,20 +146,85 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"max diff with restarts $maxDiff")
   }
 
-  test("quarantine: progressive, truncation, bad magic, garbage") {
-    val img = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+  private def encodeProgressive(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val param = w.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     w.setOutput(ios)
     w.write(null, new javax.imageio.IIOImage(img, null, null), param)
     ios.close(); w.dispose()
-    val progressive = bos.toByteArray
-    assert(JpegCodec.decode(progressive) === None) // SOF2
+    bos.toByteArray
+  }
+
+  test("progressive: ImageIO's multi-scan grayscale decodes and agrees") {
+    // the JDK writer's default progressive script uses spectral
+    // selection AND successive approximation (DC refine, AC refine) —
+    // an independent encoder exercising every Annex G scan kind
+    val rnd = new scala.util.Random(31)
+    for ((w, h, q) <- Seq((37, 23, 0.9f), (64, 64, 0.5f), (16, 16, 1.0f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        raster.setSample(x, y, 0, rnd.nextInt(256))
+      val bytes = encodeProgressive(img, q)
+      assert(bytes.containsSlice(Array[Byte](0xff.toByte, 0xc2.toByte)),
+        "fixture is not SOF2")
+      val mine = JpegCodec.decode(bytes).get
+      assert(mine.width === w && mine.height === h && mine.nComp === 1)
+      val ref = imageioDecode(bytes).getRaster
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = mine.argb(y * w + x) & 0xff
+        val b = ref.getSample(x, y, 0)
+        maxDiff = math.max(maxDiff, math.abs(a - b))
+      }
+      assert(maxDiff <= 2, s"progressive $w x $h q=$q: max diff $maxDiff")
+    }
+  }
+
+  test("progressive: color tiles agree with ImageIO on tile interiors") {
+    val rnd = new scala.util.Random(17)
+    val img = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (j <- 0 until 4; i <- 0 until 6) {
+      val c = rnd.nextInt(0xffffff)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(i * 8 + x, j * 8 + y, c)
+    }
+    val bytes = encodeProgressive(img, 0.95f)
+    val mine = JpegCodec.decode(bytes).get
+    assert(mine.nComp === 3)
+    val ref = imageioDecode(bytes)
+    var maxDiff = 0
+    for (y <- 0 until 32; x <- 0 until 48
+         if x % 8 >= 2 && x % 8 <= 5 && y % 8 >= 2 && y % 8 <= 5;
+         sh <- Seq(16, 8, 0)) {
+      val d = math.abs(((mine.argb(y * 48 + x) >> sh) & 0xff) -
+        ((ref.getRGB(x, y) >> sh) & 0xff))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 8, s"progressive max interior channel diff $maxDiff")
+  }
+
+  test("progressive: truncated scan data quarantines") {
+    val img = new java.awt.image.BufferedImage(24, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until 24; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bytes = encodeProgressive(img, 0.9f)
+    assert(JpegCodec.decode(java.util.Arrays.copyOf(bytes, bytes.length / 3)) === None)
+    assert(JpegCodec.decode(java.util.Arrays.copyOf(bytes, bytes.length - 3)) === None)
+  }
+
+  test("quarantine: truncation, bad magic, garbage") {
     val ok = JpegCodec.uniformBlockFixture(2, 2, (_, _) => 99)
     assert(JpegCodec.decode(java.util.Arrays.copyOf(ok, ok.length / 2)) === None)
     val bad = ok.clone(); bad(1) = 0x00
