@@ -51,6 +51,31 @@ object Bench {
     }
     val probeStart = (1 to 3).map(_ => probe()).min
 
+    // Memory-BANDWIDTH probe: the CPU probe above is compute-bound and
+    // was measured blind to a cross-round machine-state drift that moved
+    // memory-heavy queries 1.6-2x while it stayed flat (round 15,
+    // BENCH_r15_drift_ab_100x.json). One thread streaming over 256 MB —
+    // reported in GB/s so artifacts from different rounds/hosts are
+    // comparable on the axis that actually moved.
+    def bwProbe(): Double = {
+      val n = 256 * 1024 * 1024 / 8
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = i.toLong; i += 1 }
+      val t0 = System.nanoTime()
+      var s = 0L
+      var r = 0
+      while (r < 4) {
+        var j = 0
+        while (j < n) { s ^= a(j); j += 1 }
+        r += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (s == 42L) println("") // keep the reduction observable
+      4.0 * n * 8 / dt / 1e9
+    }
+    val bwStart = (1 to 2).map(_ => bwProbe()).max
+
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep (the driver
     // never sets it, so recorded artifacts always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -122,8 +147,9 @@ object Bench {
     val contended = math.max(probeStart, probeEnd) > 0.2
     val passesInfo =
       s""","passes":2,"total_pass1":${fmt(firstPass.map(_._2).sum)},"total_pass2":${fmt(secondPass.map(_._2).sum)}"""
+    val bwEnd = (1 to 2).map(_ => bwProbe()).max
     val line =
-      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_end_sec":${fmt(probeEnd)},"contended":$contended$passesInfo,"sf":"$sfDir"}"""
+      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_end_sec":${fmt(probeEnd)},"bw_probe_start_gbs":${fmt(bwStart)},"bw_probe_end_gbs":${fmt(bwEnd)},"contended":$contended$passesInfo,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),

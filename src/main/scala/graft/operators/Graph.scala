@@ -417,26 +417,6 @@ object Graph {
       .orderBy(col("k"))
   }
 
-  /** Synchronous label propagation (Raghavan et al. 2007's community
-    * detection, made DETERMINISTIC): every node starts labeled with
-    * itself; each round every node adopts the label held by the
-    * PLURALITY of its neighbors, ties broken by the SMALLEST label —
-    * the determinism the asynchronous original lacks, so the result is
-    * engine-reproducible and the oracle can unroll the identical
-    * rounds as SQL CTEs. Fixed round count by design: synchronous LPA
-    * can 2-cycle on bipartite structure, so convergence detection
-    * would not terminate anyway, and a fixed schedule keeps the whole
-    * run one lazy DAG (no per-round driver action).
-    *
-    * Per round: one edge⋈labels shuffle join, one (node, label) count
-    * aggregate, one struct-argmax aggregate — `max(struct(cnt,
-    * −label))` picks (max count, min label) with NO window, so the
-    * round cost is three bounded exchanges at any scale. Plans are
-    * lazily checkpointed per round (the PageRank lineage lesson).
-    *
-    * `edges` must already contain both directions for undirected
-    * semantics ([[Rank.tradeGraph]] does).
-    */
   /** k-core decomposition by synchronous PEELING (the Matula–Beck /
     * Batagelj–Zaversnik core idea, batched into deterministic
     * rounds): each round removes every node whose CURRENT induced
@@ -501,6 +481,26 @@ object Graph {
     core
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007's community
+    * detection, made DETERMINISTIC): every node starts labeled with
+    * itself; each round every node adopts the label held by the
+    * PLURALITY of its neighbors, ties broken by the SMALLEST label —
+    * the determinism the asynchronous original lacks, so the result is
+    * engine-reproducible and the oracle can unroll the identical
+    * rounds as SQL CTEs. Fixed round count by design: synchronous LPA
+    * can 2-cycle on bipartite structure, so convergence detection
+    * would not terminate anyway, and a fixed schedule keeps the whole
+    * run one lazy DAG (no per-round driver action).
+    *
+    * Per round: one edge⋈labels shuffle join, one (node, label) count
+    * aggregate, one struct-argmax aggregate — `max(struct(cnt,
+    * −label))` picks (max count, min label) with NO window, so the
+    * round cost is three bounded exchanges at any scale. Plans are
+    * lazily checkpointed per round (the PageRank lineage lesson).
+    *
+    * `edges` must already contain both directions for undirected
+    * semantics ([[Rank.tradeGraph]] does).
+    */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))

@@ -200,6 +200,40 @@ object StateEndpoints {
       .orderBy(col("block_num").asc)
       .limit(1)
 
+  /** GET /v2/health — the ANALYTICS slice of the reference's health
+    * readout (health.ts:11-19, 220-270): first/last indexed block,
+    * total indexed, missing count + pct over the indexed span, and the
+    * LIB head offset. The service-plumbing slices (ES shard health,
+    * RabbitMQ connect, nodeos RPC timings) are outside the engine per
+    * SURVEY §2.1 — this is the part a user of the route actually
+    * queries history for.
+    *
+    * Plan: ONE scan — a single global aggregate computes min/max/count
+    * together (the reference's three ES round-trips collapse); the
+    * arithmetic is a 1-row projection. At any scale this is the
+    * cheapest query in the registry.
+    */
+  def getHealth(blocks: DataFrame, lib: Long): DataFrame =
+    blocks
+      .agg(
+        min(col("block_num")).as("first_indexed_block"),
+        max(col("block_num")).as("last_indexed_block"),
+        count(lit(1)).as("total_indexed_blocks"))
+      .select(
+        col("first_indexed_block"),
+        col("last_indexed_block"),
+        col("total_indexed_blocks"),
+        (col("last_indexed_block") - col("first_indexed_block") + 1L -
+          col("total_indexed_blocks")).as("missing_blocks"),
+        // raw deterministic division (identical integer operands give
+        // identical IEEE doubles on any engine — never round this)
+        ((col("last_indexed_block") - col("first_indexed_block") + 1L -
+          col("total_indexed_blocks")) * lit(100.0) /
+          (col("last_indexed_block") - col("first_indexed_block") + 1L))
+          .as("missing_pct"),
+        (lit(lib) - col("last_indexed_block")).as("head_offset"),
+        lit(lib).as("last_irreversible_block"))
+
   def getTrxCountByProducer(blocks: DataFrame, topN: Int = 1000): DataFrame =
     blocks.groupBy(col("producer"))
       .agg(sum(col("trx_count")).as("total_trx"), count(lit(1)).as("blocks"))
