@@ -3639,6 +3639,31 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** The THRESHOLD-dedup fast path
+    * ([[graft.operators.SuffixArray.boundedRepeatLengths]]): the same
+    * 10/20/40 readout from ONE cap-prefix range sort — no doubling
+    * rounds, no doc-table join. min(rep, 40) is indistinguishable from
+    * rep at every tested threshold, so the SAME oracle gates all three
+    * suffix layouts (global / sharded / bounded).
+    */
+  private def qSuffixDedupBounded(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val rep = graft.operators.SuffixArray.boundedRepeatLengths(
+      docs, "doc_id", "text", cap = 40)
+    val counts = rep
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      .groupBy("source").agg(
+        sum(when(col("rep_len") >= 10, 1L).otherwise(0L)).as("pos10"),
+        sum(when(col("rep_len") >= 20, 1L).otherwise(0L)).as("pos20"),
+        sum(when(col("rep_len") >= 40, 1L).otherwise(0L)).as("pos40"),
+        countDistinct(when(col("rep_len") >= 20, col("doc"))).as("docs20"))
+    docs.select("source").distinct()
+      .join(counts, Seq("source"), "left")
+      .na.fill(0L, Seq("pos10", "pos20", "pos40", "docs20"))
+      .orderBy("source")
+  }
+
   /** Exact removal spans ([[graft.operators.SuffixArray
     * .duplicatedSpans]]): the union of all duplicated substrings of
     * length ≥ 20 per document, merged to maximal spans — the precise
@@ -5855,6 +5880,7 @@ object SparkEntry {
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_suffix_dedup" -> (qSuffixDedup _),
     "q_suffix_dedup_sharded" -> (qSuffixDedupSharded _),
+    "q_suffix_dedup_bounded" -> (qSuffixDedupBounded _),
     "q_suffix_spans" -> (qSuffixSpans _),
     "q_rare_token_docs" -> (qRareTokenDocs _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -8271,6 +8297,38 @@ object SparkEntry {
     // The sharded twin shares the oracle VERBATIM: the boundary merge is
     // exact for every threshold <= its 40-char cap, so ONE ground truth
     // gates both the global and the shard-then-merge layouts.
+    "q_suffix_dedup_bounded" ->
+      """WITH p10 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 9)) AS g
+           FROM documents),
+         g10 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 10) AS gram FROM p10),
+         d10 AS (SELECT source, count(*) AS c FROM g10
+                 WHERE gram IN (SELECT gram FROM g10 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source),
+         p20 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS g
+           FROM documents),
+         g20 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 20) AS gram FROM p20),
+         d20 AS (SELECT source, count(*) AS c, count(DISTINCT doc_id) AS nd FROM g20
+                 WHERE gram IN (SELECT gram FROM g20 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source),
+         p40 AS (SELECT source, doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS g
+           FROM documents),
+         g40 AS (SELECT source, doc_id, substr(text, CAST(g AS INT), 40) AS gram FROM p40),
+         d40 AS (SELECT source, count(*) AS c FROM g40
+                 WHERE gram IN (SELECT gram FROM g40 GROUP BY gram HAVING count(*) >= 2)
+                 GROUP BY source)
+         SELECT s.source,
+           CAST(COALESCE(d10.c, 0) AS BIGINT) AS pos10,
+           CAST(COALESCE(d20.c, 0) AS BIGINT) AS pos20,
+           CAST(COALESCE(d40.c, 0) AS BIGINT) AS pos40,
+           CAST(COALESCE(d20.nd, 0) AS BIGINT) AS docs20
+         FROM (SELECT DISTINCT source FROM documents) s
+         LEFT JOIN d10 ON s.source = d10.source
+         LEFT JOIN d20 ON s.source = d20.source
+         LEFT JOIN d40 ON s.source = d40.source
+         ORDER BY s.source""",
     "q_suffix_dedup_sharded" ->
       """WITH p10 AS (SELECT source, doc_id, text,
              unnest(generate_series(1, length(text) - 9)) AS g

@@ -169,4 +169,41 @@ class SuffixArraySpec extends SparkSpec {
     val docs = Seq((1L, "banana"), (2L, "bandana"))
     assert(sharded(docs, docsPerShard = 100L, cap = 64) === brute(docs))
   }
+
+  private def bounded(docs: Seq[(Long, String)], cap: Int): Map[(Long, Int), Long] = {
+    val df = docs.toDF("doc_id", "text")
+    SuffixArray.boundedRepeatLengths(df, "doc_id", "text", cap)(spark)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+  }
+
+  test("bounded: min(rep_len, cap) exactly, from the prefix sort alone") {
+    val docs = Seq(
+      (1L, "xxHELLOWORLDxx"),
+      (2L, "yyHELLOWORLDyy"),
+      (3L, "zzHELLOWORLDzz"),
+      (4L, "LONGREPEATEDPASSAGE"),
+      (5L, "qqLONGREPEATEDPASSAGEqq"))
+    val g = brute(docs)
+    for (cap <- Seq(4, 8, 64)) {
+      val b = bounded(docs, cap)
+      assert(b.keySet === g.keySet, s"cap $cap")
+      assert(b === g.map { case (k, v) => k -> math.min(v, cap.toLong) },
+        s"cap $cap")
+    }
+  }
+
+  test("bounded: randomized corpora match min(brute, cap)") {
+    val rnd = new scala.util.Random(20260818)
+    val alphabet = "ab"
+    for (trial <- 1 to 3) {
+      val docs = (1L to 7L).map { id =>
+        val n = 4 + rnd.nextInt(28)
+        (id, Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val g = brute(docs)
+      val b = bounded(docs, 9)
+      assert(b === g.map { case (k, v) => k -> math.min(v, 9L) },
+        s"trial $trial: $docs")
+    }
+  }
 }
