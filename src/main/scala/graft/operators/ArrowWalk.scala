@@ -24,15 +24,21 @@ package graft.operators
   *    width-typed data for Int/Float, bit-packed Bool.
   *
   * Dictionary-encoded columns DECODE (DictionaryBatch values +
-  * signed-index mapping — the categorical-column norm in hub files).
-  * Compressed bodies DECODE (BodyCompression method BUFFER, codecs
-  * LZ4_FRAME and ZSTD — the layouts hub-distributed Feather files
-  * ship routinely): each body buffer is
+  * signed-index mapping — the categorical-column norm in hub files),
+  * including DELTA dictionary batches (isDelta=true appends to the
+  * registered values — the incremental-writer shape). Nested columns
+  * DECODE one level deep: `list<primitive>` (validity + int32
+  * offsets + element field) and `struct<primitives>` (validity on
+  * the struct node; each member a full-length child array) — the two
+  * shapes real Feather corpora carry for token lists and metadata
+  * records. Compressed bodies DECODE (BodyCompression method BUFFER,
+  * codecs LZ4_FRAME and ZSTD — the layouts hub-distributed Feather
+  * files ship routinely): each body buffer is
   * `[int64 uncompressed-length][frame]`, length -1 = stored raw;
   * decompression goes through the repo's own from-spec [[Lz4Codec]] /
   * [[ZstdCodec]]. Honest subset, quarantined LOUDLY (never silently
-  * misread): delta dictionaries, nested types (List/Struct/Map),
-  * Decimal/Date/Time/Timestamp, and big-endian schemas. Arrow
+  * misread): deeper nesting (list-of-list, struct-of-struct), Map,
+  * Union, Decimal/Date/Time/Timestamp, and big-endian schemas. Arrow
   * carries NO data checksums,
   * so corruption detection is structural (magic, framing, footer
   * length, buffer bounds) — a flipped body byte is undetectable by
@@ -182,14 +188,32 @@ object ArrowWalk {
           require(fb.fieldOffset(ch, 4) < 0,
             "dictionary-encoded list elements unsupported")
           s"list<${fieldType(fb, ch)}>"
+        } else if (tt == 13) { // Struct_: children carry the member fields
+          require(children >= 0 && fb.vecLen(children) >= 1,
+            "struct without children")
+          val members = (0 until fb.vecLen(children)).map { k =>
+            val ch = fb.vecTable(children, k)
+            val chChildren = fb.fieldOffset(ch, 5)
+            require(chChildren < 0 || fb.vecLen(chChildren) == 0,
+              "nested struct members unsupported")
+            require(fb.fieldOffset(ch, 4) < 0,
+              "dictionary-encoded struct members unsupported")
+            val nm = { val p = fb.fieldOffset(ch, 0); if (p < 0) "" else fb.string(p) }
+            // the member list round-trips through the type string —
+            // a separator in a member name would corrupt it
+            require(!nm.exists(c => c == ':' || c == ',' || c == '<' || c == '>'),
+              s"struct member name '$nm' unsupported")
+            s"$nm:${fieldType(fb, ch)}"
+          }
+          s"struct<${members.mkString(",")}>"
         } else {
           require(children < 0 || fb.vecLen(children) == 0, "nested types unsupported")
           fieldType(fb, f)
         }
       val name = { val p = fb.fieldOffset(f, 0); if (p < 0) "" else fb.string(p) }
       val col = ColSpec(name, typ, fb.fieldBool(f, 1, dflt = false))
-      if (tt == 12)
-        require(fb.fieldOffset(f, 4) < 0, "dictionary-encoded lists unsupported")
+      if (tt == 12 || tt == 13)
+        require(fb.fieldOffset(f, 4) < 0, "dictionary-encoded nested columns unsupported")
       val dictT = fb.fieldOffset(f, 4) // DictionaryEncoding
       if (dictT < 0) FieldSpec(col, -1L, 0)
       else {
@@ -239,8 +263,14 @@ object ArrowWalk {
     val bufsVec = fb.fieldOffset(batchT, 2)
     require(nodesVec >= 0 && bufsVec >= 0, "record batch missing nodes/buffers")
     // FieldNodes walk the field TREE depth-first: a list column owns
-    // two nodes (itself + its element field)
-    val expectedNodes = cols.map(s => if (s.col.typ.startsWith("list<")) 2 else 1).sum
+    // two nodes (itself + its element field), a struct one per member
+    // plus itself
+    def nNodes(typ: String): Int =
+      if (typ.startsWith("list<")) 2
+      else if (typ.startsWith("struct<"))
+        1 + typ.drop(7).dropRight(1).split(",").length
+      else 1
+    val expectedNodes = cols.map(s => nNodes(s.col.typ)).sum
     require(fb.vecLen(nodesVec) == expectedNodes, "node count != field-tree size")
     var ni = 0
     def nextNode(): (Int, Long) = {
@@ -367,6 +397,24 @@ object ArrowWalk {
             elems.slice(s, e).toVector
           })
         }
+      } else if (c.typ.startsWith("struct<")) {
+        // struct layout: ONLY a validity buffer on the struct node
+        // (already consumed above); each member is a full-length child
+        // array with its own node + buffers. Cell = member-value Vector
+        // in declaration order.
+        val members = c.typ.drop(7).dropRight(1).split(",").toSeq
+        val memberVals = members.map { m =>
+          val inner = m.substring(m.indexOf(':') + 1)
+          val (cn, cNull) = nextNode()
+          require(cn == n, "struct member length != struct length")
+          val cvv = nextBuf()
+          val cvalid: Int => Boolean =
+            if (cNull == 0L) _ => true else i => bit(cvv, i)
+          readPrim(inner, cn, cvalid)
+        }
+        (0 until n).foreach { i =>
+          acc(ci) += (if (!valid(i)) null else memberVals.map(_(i)).toVector)
+        }
       } else acc(ci) ++= readPrim(c.typ, n, valid)
     }
   }
@@ -411,11 +459,10 @@ object ArrowWalk {
           case 3 => // RecordBatch
             require(schema != null, "record batch before schema")
             readBatch(fb, headerT, bytes, bodyStart, schema, acc, dicts)
-          case 2 => // DictionaryBatch: one REPLACEMENT dictionary's values
+          case 2 => // DictionaryBatch: REPLACEMENT or DELTA values
             require(schema != null, "dictionary batch before schema")
             val id = fb.fieldI64(headerT, 0, 0L)
-            require(!fb.fieldBool(headerT, 2, dflt = false),
-              "delta dictionaries unsupported")
+            val isDelta = fb.fieldBool(headerT, 2, dflt = false)
             val spec = schema.find(_.dictId == id).getOrElse(
               throw new IllegalArgumentException(s"dictionary $id not in schema"))
             val dataT = fb.fieldOffset(headerT, 1)
@@ -423,7 +470,14 @@ object ArrowWalk {
             val one = Array.fill(1)(scala.collection.mutable.ArrayBuffer.empty[AnyRef])
             readBatch(fb, dataT, bytes, bodyStart,
               Seq(FieldSpec(spec.col, -1L, 0)), one, dicts)
-            dicts(id) = one(0).toArray
+            if (isDelta) {
+              // Format.md "delta dictionaries": values APPEND to the id's
+              // existing entries — indices written before the delta stay
+              // valid, later batches may index the extended range
+              val prev = dicts.getOrElse(id, throw new IllegalArgumentException(
+                s"delta batch for unseen dictionary $id"))
+              dicts(id) = prev ++ one(0)
+            } else dicts(id) = one(0).toArray
           case _ => () // ignorable message
         }
       }
@@ -476,19 +530,21 @@ object ArrowWalk {
   // --------------------------------------------------------- fixtures
 
   /** Real-encoder fixture: (doc_id int64, source utf8 nullable,
-    * text utf8, marks list<int64>) written by the Arrow Java
-    * `ArrowFileWriter` from the Spark classpath — an independent
-    * implementation — split into `batchRows`-row record batches.
-    * `nullSourceEvery` > 0 nulls `source` on every k-th row
-    * (validity-bitmap witness). `marks` is closed-form per doc:
-    * NULL when doc_id ≡ 0 (mod 9), else [id%7, id%5, id%3] — the
-    * nested-column witness an oracle can replay.
+    * text utf8, marks list<int64>, meta struct<rank:int64,tag:utf8>)
+    * written by the Arrow Java `ArrowFileWriter` from the Spark
+    * classpath — an independent implementation — split into
+    * `batchRows`-row record batches. `nullSourceEvery` > 0 nulls
+    * `source` on every k-th row (validity-bitmap witness). Nested
+    * cells are closed-form per doc so an oracle can replay them:
+    * `marks` NULL when doc_id ≡ 0 (mod 9) else [id%7, id%5, id%3];
+    * `meta` NULL when doc_id ≡ 5 (mod 13) else
+    * (rank = id%11, tag = "t" + id%4).
     */
   def fixture(recs: Seq[(Long, String, String)], batchRows: Int,
       nullSourceEvery: Int = 0, compress: String = "none"): Array[Byte] = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
-    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.complex.{ListVector, StructVector}
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
     import org.apache.arrow.vector.ipc.ArrowFileWriter
     import scala.jdk.CollectionConverters._
@@ -500,7 +556,11 @@ object ArrowWalk {
         new Field("text", FieldType.nullable(new ArrowType.Utf8()), null),
         new Field("marks", FieldType.nullable(new ArrowType.List()),
           List(new Field("item",
-            FieldType.nullable(new ArrowType.Int(64, true)), null)).asJava))
+            FieldType.nullable(new ArrowType.Int(64, true)), null)).asJava),
+        new Field("meta", FieldType.nullable(new ArrowType.Struct()),
+          List(
+            new Field("rank", FieldType.nullable(new ArrowType.Int(64, true)), null),
+            new Field("tag", FieldType.nullable(new ArrowType.Utf8()), null)).asJava))
       val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
       val bos = new java.io.ByteArrayOutputStream()
       val ch = java.nio.channels.Channels.newChannel(bos)
@@ -528,6 +588,9 @@ object ArrowWalk {
         val txts = root.getVector("text").asInstanceOf[VarCharVector]
         val marks = root.getVector("marks").asInstanceOf[ListVector]
         val lw = marks.getWriter
+        val meta = root.getVector("meta").asInstanceOf[StructVector]
+        val rankV = meta.getChild("rank").asInstanceOf[BigIntVector]
+        val tagV = meta.getChild("tag").asInstanceOf[VarCharVector]
         group.zipWithIndex.foreach { case ((id, src, text), i) =>
           ids.setSafe(i, id)
           if (nullSourceEvery > 0 && id % nullSourceEvery == 0) srcs.setNull(i)
@@ -538,6 +601,11 @@ object ArrowWalk {
             lw.startList()
             Seq(id % 7, id % 5, id % 3).foreach(v => lw.bigInt().writeBigInt(v))
             lw.endList()
+          }
+          if (id % 13 != 5) { // id % 13 == 5 rows: NULL struct
+            meta.setIndexDefined(i)
+            rankV.setSafe(i, id % 11)
+            tagV.setSafe(i, s"t${id % 4}".getBytes("UTF-8"))
           }
         }
         root.setRowCount(group.size)
@@ -556,12 +624,15 @@ object ArrowWalk {
       source: String,
       text: String,
       marks: Seq[java.lang.Long],
+      meta_rank: java.lang.Long,
+      meta_tag: String,
       corrupt: Boolean)
 
   /** Partition-parallel walk of (chunk, payload) rows carrying
-    * (doc_id, source, text[, marks list<int64>]) Arrow files; a
-    * quarantined file yields one corrupt row for its chunk. `marks`
-    * is null when the column is absent or the cell is null.
+    * (doc_id, source, text[, marks list<int64>][, meta
+    * struct<rank:int64,tag:utf8>]) Arrow files; a quarantined file
+    * yields one corrupt row for its chunk. `marks` / `meta_*` are
+    * null when the column is absent or the cell is null.
     */
   def parseDocs(media: org.apache.spark.sql.DataFrame)(
       implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[DocRow] = {
@@ -575,22 +646,41 @@ object ArrowWalk {
             val so = name.indexOf("source")
             val tx = name.indexOf("text")
             val mk = name.indexOf("marks")
+            val mt = name.indexOf("meta")
+            // member positions inside the struct cell, from the decoded
+            // type string (declaration order, writer-independent)
+            val (rankIx, tagIx) =
+              if (mt < 0) (-1, -1)
+              else {
+                val ms = t.cols(mt).typ.drop(7).dropRight(1)
+                  .split(",").map(_.takeWhile(_ != ':'))
+                (ms.indexOf("rank"), ms.indexOf("tag"))
+              }
             if (id < 0 || so < 0 || tx < 0)
-              Iterator(DocRow(chunk, null, null, null, null, corrupt = true))
+              Iterator(DocRow(chunk, null, null, null, null, null, null,
+                corrupt = true))
             else (0 until t.nRows).iterator.map { i =>
               val marks =
                 if (mk < 0 || t.values(mk)(i) == null) null
                 else t.values(mk)(i).asInstanceOf[Seq[AnyRef]]
                   .map(_.asInstanceOf[java.lang.Long])
+              val metaCell =
+                if (mt < 0 || t.values(mt)(i) == null) null
+                else t.values(mt)(i).asInstanceOf[Vector[AnyRef]]
               DocRow(chunk,
                 t.values(id)(i).asInstanceOf[java.lang.Long],
                 t.values(so)(i).asInstanceOf[String],
                 t.values(tx)(i).asInstanceOf[String],
                 marks,
+                if (metaCell == null || rankIx < 0) null
+                else metaCell(rankIx).asInstanceOf[java.lang.Long],
+                if (metaCell == null || tagIx < 0) null
+                else metaCell(tagIx).asInstanceOf[String],
                 corrupt = false)
             }
           case Left(_) =>
-            Iterator(DocRow(chunk, null, null, null, null, corrupt = true))
+            Iterator(DocRow(chunk, null, null, null, null, null, null,
+              corrupt = true))
         }
       })
   }

@@ -19,8 +19,10 @@ package graft.operators
   *  - sampling: arbitrary H/V factors 1..4 with nearest-neighbor
   *    chroma upsampling (T.81 leaves the filter to the decoder;
   *    uniform chroma planes reconstruct exactly under any filter);
-  *  - color: 1-component grayscale and 3-component JFIF YCbCr
-  *    (BT.601 inverse, rounded + clamped).
+  *  - color: 1-component grayscale, 3-component JFIF YCbCr (BT.601
+  *    inverse, rounded + clamped), and 4-component Adobe CMYK/YCCK
+  *    (APP14 transform flag; inverted-sample multiply — the
+  *    libjpeg/browser rendering, see [[assemble]]).
   *
   * Progressive (SOF2) decodes via [[decodeProgressive]] — Annex G
   * spectral selection + successive approximation accumulated per
@@ -28,7 +30,9 @@ package graft.operators
   *
   * Honest subset, quarantined loudly (None, never a misread):
   * arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
-  * 4-component CMYK/Adobe files.
+  * progressive 4-component files (sequential CMYK decodes; the
+  * progressive CMYK combination is vanishingly rare in crawl
+  * corpora).
   *
   * Witnesses: the JDK's ImageIO JPEG decoder — an INDEPENDENT
   * implementation — must agree within the spec's IDCT tolerance on
@@ -208,6 +212,7 @@ object JpegCodec {
       var width = 0
       var height = 0
       var restartInterval = 0
+      var adobeTransform = -1 // APP14 color transform; -1 = no marker
       var sosAt = -1
       var done = false
       while (!done) {
@@ -269,7 +274,8 @@ object JpegCodec {
             require(width.toLong * height <= (1L << 26),
               "jpeg: image over 64M-pixel allocation cap")
             val nf = u8(p + 7)
-            require(nf == 1 || nf == 3, s"jpeg: $nf components unsupported")
+            require(nf == 1 || nf == 3 || nf == 4,
+              s"jpeg: $nf components unsupported")
             comps = Array.tabulate(nf) { i =>
               val q = p + 8 + 3 * i
               val c = Comp(u8(q), u8(q + 1) >> 4, u8(q + 1) & 15, u8(q + 2))
@@ -280,6 +286,13 @@ object JpegCodec {
           case 0xc2 => return decodeProgressive(bytes)
           case mk if mk >= 0xc3 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 =>
             throw new IllegalArgumentException(f"jpeg: SOF $mk%02x unsupported")
+          case 0xee => // APP14: Adobe color-transform flag (0=none/CMYK,
+            // 1=YCbCr, 2=YCCK) — the marker every real CMYK JPEG carries
+            val len = u16(p)
+            if (len >= 14 && u8(p + 2) == 'A' && u8(p + 3) == 'd' &&
+              u8(p + 4) == 'o' && u8(p + 5) == 'b' && u8(p + 6) == 'e')
+              adobeTransform = u8(p + 13)
+            p += len
           case 0xdd => // DRI
             restartInterval = u16(p + 2)
             p += u16(p)
@@ -374,16 +387,18 @@ object JpegCodec {
       }
 
       Some(Decoded(width, height, comps.length,
-        assemble(width, height, comps, planes, strides, hMax, vMax)))
+        assemble(width, height, comps, planes, strides, hMax, vMax,
+          adobeTransform)))
     } catch { case _: Exception => None }
   }
 
   /** Upsample + color-convert decoded planes into ARGB (shared by the
-    * sequential and progressive paths).
+    * sequential and progressive paths). `adobeTransform` is the APP14
+    * flag; it only matters for 4-component (CMYK-family) frames.
     */
   private def assemble(width: Int, height: Int, comps: Array[Comp],
       planes: Array[Array[Byte]], strides: Array[Int],
-      hMax: Int, vMax: Int): Array[Int] = {
+      hMax: Int, vMax: Int, adobeTransform: Int = -1): Array[Int] = {
     val out = new Array[Int](width * height)
     if (comps.length == 1) {
       val pl = planes(0); val st = strides(0)
@@ -398,25 +413,63 @@ object JpegCodec {
         y += 1
       }
     } else {
-      val cy = comps(0); val cb = comps(1); val cr = comps(2)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val yy = planes(0)((y * cy.v / vMax) * strides(0) + x * cy.h / hMax) & 0xff
-          val b0 = (planes(1)((y * cb.v / vMax) * strides(1) + x * cb.h / hMax) & 0xff) - 128
-          val r0 = (planes(2)((y * cr.v / vMax) * strides(2) + x * cr.h / hMax) & 0xff) - 128
-          def cl(d: Double): Int = {
-            val v = math.round(d).toInt
-            if (v < 0) 0 else if (v > 255) 255 else v
+      def cl(d: Double): Int = {
+        val v = math.round(d).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v
+      }
+      // per-component upsampled sample at (x, y)
+      def sample(ci: Int, x: Int, y: Int): Int = {
+        val c = comps(ci)
+        planes(ci)((y * c.v / vMax) * strides(ci) + x * c.h / hMax) & 0xff
+      }
+      if (comps.length == 4) {
+        // Adobe 4-component (CMYK family): samples are INVERTED CMYK
+        // (255 = no ink), the convention every real CMYK JPEG follows;
+        // APP14 transform 2 (YCCK) additionally routes the first three
+        // planes through the YCbCr transform. Output is the
+        // domain-standard inverted multiply R = c'·k'/255
+        // (libjpeg/browser rendering) — deliberately NOT the JDK
+        // reader's gamma-managed colorimetric variant, so the spec's
+        // foreign witness checks the entropy/IDCT layer via readRaster
+        // and the color step against this closed form.
+        val ycck = adobeTransform == 2
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val s0 = sample(0, x, y); val s1 = sample(1, x, y)
+            val s2 = sample(2, x, y); val k = sample(3, x, y)
+            var c0 = s0.toDouble; var m0 = s1.toDouble; var y0 = s2.toDouble
+            if (ycck) {
+              val b0 = s1 - 128; val r0 = s2 - 128
+              c0 = cl(s0 + 1.402 * r0).toDouble
+              m0 = cl(s0 - 0.344136 * b0 - 0.714136 * r0).toDouble
+              y0 = cl(s0 + 1.772 * b0).toDouble
+            }
+            val rr = cl(c0 * k / 255.0)
+            val gg = cl(m0 * k / 255.0)
+            val bb = cl(y0 * k / 255.0)
+            out(y * width + x) = 0xff000000 | (rr << 16) | (gg << 8) | bb
+            x += 1
           }
-          val rr = cl(yy + 1.402 * r0)
-          val gg = cl(yy - 0.344136 * b0 - 0.714136 * r0)
-          val bb = cl(yy + 1.772 * b0)
-          out(y * width + x) = 0xff000000 | (rr << 16) | (gg << 8) | bb
-          x += 1
+          y += 1
         }
-        y += 1
+      } else {
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val yy = sample(0, x, y)
+            val b0 = sample(1, x, y) - 128
+            val r0 = sample(2, x, y) - 128
+            val rr = cl(yy + 1.402 * r0)
+            val gg = cl(yy - 0.344136 * b0 - 0.714136 * r0)
+            val bb = cl(yy + 1.772 * b0)
+            out(y * width + x) = 0xff000000 | (rr << 16) | (gg << 8) | bb
+            x += 1
+          }
+          y += 1
+        }
       }
     }
     out

@@ -105,6 +105,45 @@ object Multimodal {
         length(col(payloadCol)).cast("long").as("byte_len"),
         lit("application/octet-stream").as("mime")).as("meta"))
 
+  /** The [[JpegCodec]] 64M-pixel allocation cap, shared by the JDK
+    * `ImageIO` fallback: header dims are attacker-controlled, and a raster
+    * allocation driven by them must be bounded BEFORE it happens.
+    */
+  private[operators] val MaxDecodePixels: Long = 1L << 26
+
+  /** Allocation-guarded `ImageIO` decode. `ImageIO.read` allocates the
+    * full raster from header-declared dimensions, so a crafted 65k×65k
+    * header OOMs the executor — and `OutOfMemoryError` is an Error, so it
+    * ESCAPES the callers' `catch { case _: Exception }` quarantine (the
+    * exact failure mode [[JpegCodec]]'s cap closes for the from-spec
+    * path). Probe width/height from the stream via the format reader
+    * (header-only, no raster) and skip the decode when w·h exceeds the
+    * same 64M-pixel cap. Undecodable/oversized payloads return null —
+    * data, not exceptions, same ladder as every caller.
+    */
+  private[operators] def safeImageRead(
+      bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null }
+
+  private[operators] def safeImageRead(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null else safeImageRead(bytes, 0, bytes.length)
+
   /** ===== STUB DECODER =====
     * Deterministic fake of an image/video decode: dimensions and frame
     * count derived arithmetically from payload length; a real deployment
@@ -157,9 +196,9 @@ object Multimodal {
             bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
             bytes(10) == 'B' && bytes(11) == 'P'
           // JPEG: the in-repo baseline decoder first (ITU T.81
-          // from-spec, [[JpegCodec]], baseline AND progressive);
-          // arithmetic/12-bit/CMYK files fall through to the JDK
-          // reader below. Behavior note: the
+          // from-spec, [[JpegCodec]], baseline AND progressive AND
+          // sequential CMYK/YCCK); arithmetic/12-bit files fall
+          // through to the JDK reader below. Behavior note: the
           // from-spec path upsamples chroma nearest-neighbor where the
           // JDK reader interpolates, so mean_r/g/b on real 4:2:0
           // content shift a few LSBs vs a JDK-decoded feature run
@@ -199,10 +238,7 @@ object Multimodal {
               sr / n, sg / n, sb / n, decode_ok = true)
           } else {
           // a null payload is as much data as an undecodable one
-          val img =
-            if (bytes == null) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = safeImageRead(bytes)
           if (img == null)
             ImageFeatures(id, if (bytes == null) 0L else bytes.length.toLong,
               -1, -1, 0, 0.0, 0.0, 0.0, decode_ok = false)
@@ -245,10 +281,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img =
-            if (bytes == null) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = safeImageRead(bytes)
           if (img == null || img.getWidth < 9 || img.getHeight < 8)
             ImageHash(id, 0L, hash_ok = false)
           else ImageHash(id, dhashOf(img), hash_ok = true)
@@ -525,10 +558,7 @@ object Multimodal {
                     sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decode_ok = true)
                 }
               } else {
-                val img =
-                  try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes, off, len))
-                  catch { case _: Exception => null }
+                val img = safeImageRead(bytes, off, len)
                 if (img == null) bad
                 else {
                   val (mr, mg, mb) = rgbMeans(img)
@@ -576,6 +606,11 @@ object Multimodal {
                 if (n <= 0) Seq(bad)
                 else (0 until n by everyK).map { i =>
                   try {
+                    // same header-dims allocation guard as safeImageRead —
+                    // per frame, since each GIF frame declares its own dims
+                    val fw = reader.getWidth(i); val fh = reader.getHeight(i)
+                    require(fw > 0 && fh > 0 && fw.toLong * fh <= MaxDecodePixels,
+                      "gif frame over 64M-pixel allocation cap")
                     val img = reader.read(i)
                     val (mr, mg, mb) = rgbMeans(img)
                     VideoFrameFeatures(id, i, img.getWidth, img.getHeight,
@@ -940,10 +975,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img =
-            if (bytes == null) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = safeImageRead(bytes)
           if (img == null || img.getWidth < tw || img.getHeight < th)
             ResizedImage(id, ok = false, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L)
           else {

@@ -202,37 +202,60 @@ object StateEndpoints {
 
   /** GET /v2/health — the ANALYTICS slice of the reference's health
     * readout (health.ts:11-19, 220-270): first/last indexed block,
-    * total indexed, missing count + pct over the indexed span, and the
-    * LIB head offset. The service-plumbing slices (ES shard health,
-    * RabbitMQ connect, nodeos RPC timings) are outside the engine per
-    * SURVEY §2.1 — this is the part a user of the route actually
-    * queries history for.
+    * total indexed, missing count + pct over the indexed span, the
+    * stream-head lag, and the LIB offset. The service-plumbing slices
+    * (ES shard health, RabbitMQ connect, nodeos RPC timings) are
+    * outside the engine per SURVEY §2.1 — this is the part a user of
+    * the route actually queries history for.
+    *
+    * The arithmetic is the reference's own (quirky) math, ported
+    * faithfully (health.ts:259-263): `total_indexed = count - 1`,
+    * `expectedBlocks = last - first` (no +1), `missing = expected -
+    * total`, and `missing_pct` is the `toFixed(2) + "%"` STRING. The
+    * head slice follows health.ts:344: `head_offset =
+    * head_block_num - last_indexed_block` where `head_block_num` is
+    * the stream source's head (nodeos `get_info` in the reference; the
+    * ingest checkpoint's high-water mark here — [[
+    * graft.streaming.Ingest.checkpointHead]]). `lib_offset` keeps the
+    * LIB-relative readout under its honest name.
     *
     * Plan: ONE scan — a single global aggregate computes min/max/count
     * together (the reference's three ES round-trips collapse); the
-    * arithmetic is a 1-row projection. At any scale this is the
+    * head and LIB are scalars (RPC-shaped inputs, not table scans);
+    * the arithmetic is a 1-row projection. At any scale this is the
     * cheapest query in the registry.
     */
-  def getHealth(blocks: DataFrame, lib: Long): DataFrame =
+  def getHealth(blocks: DataFrame, lib: Long, streamHead: Long): DataFrame =
     blocks
       .agg(
         min(col("block_num")).as("first_indexed_block"),
         max(col("block_num")).as("last_indexed_block"),
-        count(lit(1)).as("total_indexed_blocks"))
+        // the reference's totalIndexed = hit count - 1 (health.ts:260)
+        (count(lit(1)) - 1L).as("total_indexed_blocks"))
       .select(
         col("first_indexed_block"),
         col("last_indexed_block"),
         col("total_indexed_blocks"),
-        (col("last_indexed_block") - col("first_indexed_block") + 1L -
+        // expectedBlocks = last - first, NOT +1 (health.ts:261-262)
+        (col("last_indexed_block") - col("first_indexed_block") -
           col("total_indexed_blocks")).as("missing_blocks"),
-        // raw deterministic division (identical integer operands give
-        // identical IEEE doubles on any engine — never round this)
-        ((col("last_indexed_block") - col("first_indexed_block") + 1L -
-          col("total_indexed_blocks")) * lit(100.0) /
-          (col("last_indexed_block") - col("first_indexed_block") + 1L))
+        // toFixed(2) + "%" — a formatted string, like the route emits
+        format_string("%.2f%%",
+          (col("last_indexed_block") - col("first_indexed_block") -
+            col("total_indexed_blocks")) * lit(100.0) /
+            (col("last_indexed_block") - col("first_indexed_block")))
           .as("missing_pct"),
-        (lit(lib) - col("last_indexed_block")).as("head_offset"),
-        lit(lib).as("last_irreversible_block"))
+        lit(streamHead).as("head_block_num"),
+        // health.ts:344 — the stream-head lag of the indexer
+        (lit(streamHead) - col("last_indexed_block")).as("head_offset"),
+        lit(lib).as("last_irreversible_block"),
+        (lit(lib) - col("last_indexed_block")).as("lib_offset"))
+
+  /** Back-compat shape: a health readout with no stream source attached
+    * reports the LIB as the best-known head (head_offset == lib_offset).
+    */
+  def getHealth(blocks: DataFrame, lib: Long): DataFrame =
+    getHealth(blocks, lib, streamHead = lib)
 
   def getTrxCountByProducer(blocks: DataFrame, topN: Int = 1000): DataFrame =
     blocks.groupBy(col("producer"))

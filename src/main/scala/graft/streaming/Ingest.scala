@@ -51,8 +51,12 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val merged = graft.etl.ActionDedup.mergeReceipts(batch.as[RawTrace])
+        // head high-water mark observed on the SAME scan as the write —
+        // the health route's nodeos-head analog, at zero extra passes
+        val obs = org.apache.spark.sql.Observation()
         merged
           .dropDuplicates("global_sequence")
+          .observe(obs, max(col("block_num")).as("head"))
           .withColumn("block_bucket", blockBucket(partitionSize))
           // write-time sort (the reference's index.sort on global_sequence,
           // index-templates.ts:35-38): parquet row-group min/max stats then
@@ -61,8 +65,49 @@ object Ingest {
           .write.mode("append")
           .partitionBy("block_bucket")
           .parquet(outDir)
+        obs.get.get("head") match {
+          case Some(h: Long) => stampHead(checkpointDir, h)
+          case _             => () // empty batch — no head advance
+        }
       }
       .start()
+  }
+
+  /** The stream head the ingest has ACKNOWLEDGED — the engine's analog of
+    * nodeos `head_block_num` in the reference's health readout
+    * (health.ts:344, `head_offset = head_block_num - last_indexed_block`).
+    * [[startActionIngest]] stamps it per micro-batch as a sidecar
+    * high-water mark next to the Spark checkpoint; reading it back here
+    * costs one metadata-sized file read, never a table scan — the same
+    * scalar shape as the reference's cached `get_info` RPC. Returns None
+    * before the first non-empty batch commits.
+    */
+  def checkpointHead(checkpointDir: String)(
+      implicit spark: SparkSession): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(checkpointDir, "__graft_head")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Monotonic head stamp: a replayed batch (idempotent re-run after a
+    * checkpoint recovery) must never move the head BACKWARD.
+    */
+  private def stampHead(checkpointDir: String, head: Long)(
+      implicit spark: SparkSession): Unit = {
+    import org.apache.hadoop.fs.Path
+    val current = checkpointHead(checkpointDir)
+    if (!current.exists(_ >= head)) {
+      val marker = new Path(checkpointDir, "__graft_head")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(marker, true)
+      try out.write(head.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Action ingest with the DECODE ladder wired end-to-end — the Spark

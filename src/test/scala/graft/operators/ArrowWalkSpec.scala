@@ -19,9 +19,10 @@ class ArrowWalkSpec extends SparkSpec {
         case Right(v) => v
         case Left(e) => fail(s"batchRows=$batchRows quarantined: $e")
       }
-      assert(t.cols.map(_.name) === Seq("doc_id", "source", "text", "marks"),
+      assert(t.cols.map(_.name) === Seq("doc_id", "source", "text", "marks", "meta"),
         s"b=$batchRows")
-      assert(t.cols.map(_.typ) === Seq("int64", "utf8", "utf8", "list<int64>"))
+      assert(t.cols.map(_.typ) ===
+        Seq("int64", "utf8", "utf8", "list<int64>", "struct<rank:int64,tag:utf8>"))
       assert(t.nRows === 25, s"b=$batchRows")
       assert((0 until 25).map(i => t.values(0)(i)) === recs.map(r => java.lang.Long.valueOf(r._1)))
       assert((0 until 25).map(i => t.values(2)(i)) === recs.map(_._3))
@@ -49,6 +50,113 @@ class ArrowWalkSpec extends SparkSpec {
         Vector(1L, 1L, 1L).map(java.lang.Long.valueOf), codec)
       assert(t.values(mk)(9) == null, codec)
     }
+  }
+
+  test("struct<rank:int64,tag:utf8> column: validity + member arrays decode per cell") {
+    for (batchRows <- Seq(25, 7)) {
+      val t = ArrowWalk.table(ArrowWalk.fixture(recs, batchRows))
+        .getOrElse(fail(s"quarantined at b=$batchRows"))
+      val mt = t.cols.map(_.name).indexOf("meta")
+      assert(t.cols(mt).typ === "struct<rank:int64,tag:utf8>")
+      (0 until 25).foreach { i =>
+        if (i % 13 == 5) assert(t.values(mt)(i) == null, s"row $i b=$batchRows")
+        else assert(t.values(mt)(i) ===
+          Vector(java.lang.Long.valueOf(i % 11L), s"t${i % 4}"),
+          s"row $i b=$batchRows")
+      }
+    }
+    // compressed bodies run the same struct path through the codecs
+    for (codec <- Seq("lz4", "zstd")) {
+      val t = ArrowWalk.table(ArrowWalk.fixture(recs, 7, compress = codec))
+        .getOrElse(fail(s"quarantined at $codec"))
+      val mt = t.cols.map(_.name).indexOf("meta")
+      assert(t.values(mt)(1) === Vector(java.lang.Long.valueOf(1L), "t1"), codec)
+      assert(t.values(mt)(18) == null, codec) // 18 % 13 == 5
+    }
+  }
+
+  test("delta dictionary batches append to the registered values") {
+    // stream hand-orchestrated through the REAL Arrow Java serializer:
+    // schema → dict(7: alpha,beta) → batch[1,0] → DELTA dict(+gamma)
+    // → batch[2,0] → EOS. Indices before the delta stay valid; the
+    // second batch indexes the extended range.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.util.DictionaryUtility
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch, MessageSerializer}
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val enc = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+    def dictBatchBytes(values: Seq[String]): VarCharVector = {
+      val v = new VarCharVector("dictv", alloc)
+      v.allocateNew()
+      values.zipWithIndex.foreach { case (s, i) => v.setSafe(i, s.getBytes("UTF-8")) }
+      v.setValueCount(values.size)
+      v
+    }
+    val dictVec = dictBatchBytes(Seq("alpha", "beta"))
+    val provider = new DictionaryProvider.MapDictionaryProvider(
+      new Dictionary(dictVec, enc))
+    val indexField = new Field("code",
+      new FieldType(true, new ArrowType.Int(32, true), enc), null)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ch = new WriteChannel(java.nio.channels.Channels.newChannel(bos))
+    // schema message: index field converted to its VALUE-typed form
+    val msgField = DictionaryUtility.toMessageFormat(
+      indexField, provider, new java.util.HashSet[java.lang.Long]())
+    MessageSerializer.serialize(ch, new ASchema(List(msgField).asJava))
+    def writeDict(values: Seq[String], isDelta: Boolean): Unit = {
+      val v = dictBatchBytes(values)
+      val root = new VectorSchemaRoot(
+        List(v.getField).asJava, List[FieldVector](v).asJava, values.size)
+      val rb = new VectorUnloader(root).getRecordBatch
+      try MessageSerializer.serialize(ch, new ArrowDictionaryBatch(7L, rb, isDelta))
+      finally { rb.close(); root.close() }
+    }
+    def writeBatch(indices: Seq[Integer]): Unit = {
+      val iv = new IntVector(indexField, alloc)
+      iv.allocateNew(indices.size)
+      indices.zipWithIndex.foreach { case (x, i) =>
+        if (x == null) iv.setNull(i) else iv.setSafe(i, x.intValue())
+      }
+      iv.setValueCount(indices.size)
+      val root = new VectorSchemaRoot(
+        List(msgField).asJava, List[FieldVector](iv).asJava, indices.size)
+      val rb = new VectorUnloader(root).getRecordBatch
+      try MessageSerializer.serialize(ch, rb)
+      finally { rb.close(); root.close() }
+    }
+    writeDict(Seq("alpha", "beta"), isDelta = false)
+    writeBatch(Seq(1, 0))
+    writeDict(Seq("gamma"), isDelta = true) // APPEND, not replace
+    writeBatch(Seq(2, 0))
+    ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
+    ch.writeIntLittleEndian(0) // end-of-stream
+    dictVec.close(); alloc.close()
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.cols.head.typ === "utf8")
+    assert((0 until 4).map(i => t.values(0)(i)) ===
+      Seq("beta", "alpha", "gamma", "alpha"))
+    // a delta for an id never registered must quarantine, not decode
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ch2 = new WriteChannel(java.nio.channels.Channels.newChannel(bos2))
+    val alloc2 = new RootAllocator()
+    MessageSerializer.serialize(ch2, new ASchema(List(msgField).asJava))
+    locally {
+      val v = new VarCharVector("dictv", alloc2)
+      v.allocateNew(); v.setSafe(0, "zeta".getBytes("UTF-8")); v.setValueCount(1)
+      val root = new VectorSchemaRoot(
+        List(v.getField).asJava, List[FieldVector](v).asJava, 1)
+      val rb = new VectorUnloader(root).getRecordBatch
+      try MessageSerializer.serialize(ch2, new ArrowDictionaryBatch(7L, rb, true))
+      finally { rb.close(); root.close(); alloc2.close() }
+    }
+    ch2.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
+    ch2.writeIntLittleEndian(0)
+    assert(ArrowWalk.table(bos2.toByteArray).isLeft)
   }
 
   test("compressed bodies: LZ4_FRAME and ZSTD buffer compression round trip") {

@@ -252,4 +252,108 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(huge) === None)
     assert(JpegCodec.decode(bytes).isDefined) // the unpatched twin still decodes
   }
+
+  // 4-band JPEG through the JDK writer's RASTER path: samples stored
+  // RAW (no color transform, no APP14 — verified by readRaster), so the
+  // foreign encoder pins the entropy/Huffman/IDCT layer and the color
+  // step checks against the documented closed form.
+  private def write4(f: (Int, Int) => (Int, Int, Int, Int), w: Int, h: Int,
+      q: Float): Array[Byte] = {
+    val raster = java.awt.image.Raster.createInterleavedRaster(
+      java.awt.image.DataBuffer.TYPE_BYTE, w, h, 4, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (a, b, c, d) = f(x, y)
+      raster.setSample(x, y, 0, a); raster.setSample(x, y, 1, b)
+      raster.setSample(x, y, 2, c); raster.setSample(x, y, 3, d)
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(q)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(raster, null, null), param)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Splice an Adobe APP14 with the given transform right after SOI. */
+  private def withApp14(b: Array[Byte], transform: Int): Array[Byte] = {
+    val seg = Array[Byte](0xFF.toByte, 0xEE.toByte, 0, 14,
+      'A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, transform.toByte)
+    val out = new Array[Byte](b.length + seg.length)
+    System.arraycopy(b, 0, out, 0, 2)
+    System.arraycopy(seg, 0, out, 2, seg.length)
+    System.arraycopy(b, 2, out, 2 + seg.length, b.length - 2)
+    out
+  }
+
+  test("CMYK: uniform 4-component decodes exactly (inverted multiply)") {
+    // uniform blocks at q=1.0 are lossless → stored samples recover
+    // exactly (readRaster witness), and the inverted-CMYK multiply has
+    // a closed form: ch = s_ch · s_k / 255, rounded
+    val plain = write4((_, _) => (200, 150, 100, 250), 16, 16, 1.0f)
+    val d = JpegCodec.decode(plain).get
+    assert(d.width === 16 && d.height === 16 && d.nComp === 4)
+    val p = d.argb(3 * 16 + 3)
+    assert(((p >> 16) & 0xff) === math.round(200.0 * 250 / 255).toInt)
+    assert(((p >> 8) & 0xff) === math.round(150.0 * 250 / 255).toInt)
+    assert((p & 0xff) === math.round(100.0 * 250 / 255).toInt)
+    // APP14 transform 0 = same plain-CMYK interpretation
+    val d0 = JpegCodec.decode(withApp14(plain, 0)).get
+    assert(d0.argb.toSeq === d.argb.toSeq)
+    // APP14 transform 2 = YCCK: BT.601 inverse on the first three
+    // planes, then the same multiply — closed form on uniform data
+    val d2 = JpegCodec.decode(withApp14(plain, 2)).get
+    val c0 = math.round(200 + 1.402 * (100 - 128)).toInt
+    val m0 = math.round(200 - 0.344136 * (150 - 128) - 0.714136 * (100 - 128)).toInt
+    val y0 = 255.min(math.round(200 + 1.772 * (150 - 128)).toInt)
+    val p2 = d2.argb(5 * 16 + 7)
+    assert(((p2 >> 16) & 0xff) === math.round(c0 * 250.0 / 255).toInt)
+    assert(((p2 >> 8) & 0xff) === math.round(m0 * 250.0 / 255).toInt)
+    assert((p2 & 0xff) === math.round(y0 * 250.0 / 255).toInt)
+  }
+
+  test("CMYK: random 4-component agrees with the JDK raster decode") {
+    // the foreign witness for the non-uniform path: decode the SAME
+    // file with the JDK reader's raster API (its own Huffman + IDCT),
+    // push those samples through the documented color form, and demand
+    // per-channel agreement within the IDCT tolerance
+    val rnd = new scala.util.Random(23)
+    val w = 37; val h = 21
+    val bytes = write4((_, _) =>
+      (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)),
+      w, h, 0.95f)
+    for (transform <- Seq(-1, 2)) {
+      val file = if (transform < 0) bytes else withApp14(bytes, transform)
+      val mine = JpegCodec.decode(file).get
+      assert(mine.nComp === 4 && mine.width === w && mine.height === h)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(file))
+      val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+      rd.setInput(iis)
+      val ref = rd.readRaster(0, null)
+      rd.dispose(); iis.close()
+      def cl(v: Double): Int =
+        math.round(v).toInt.max(0).min(255)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val s0 = ref.getSample(x, y, 0); val s1 = ref.getSample(x, y, 1)
+        val s2 = ref.getSample(x, y, 2); val k = ref.getSample(x, y, 3)
+        val (c0, m0, y0) =
+          if (transform == 2)
+            (cl(s0 + 1.402 * (s2 - 128)),
+             cl(s0 - 0.344136 * (s1 - 128) - 0.714136 * (s2 - 128)),
+             cl(s0 + 1.772 * (s1 - 128)))
+          else (s0, s1, s2)
+        val p = mine.argb(y * w + x)
+        maxDiff = maxDiff.max(math.abs(((p >> 16) & 0xff) - cl(c0 * k / 255.0)))
+          .max(math.abs(((p >> 8) & 0xff) - cl(m0 * k / 255.0)))
+          .max(math.abs((p & 0xff) - cl(y0 * k / 255.0)))
+      }
+      assert(maxDiff <= 3, s"transform=$transform maxDiff=$maxDiff")
+    }
+  }
 }

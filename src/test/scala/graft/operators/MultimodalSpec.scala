@@ -335,6 +335,37 @@ class MultimodalSpec extends SparkSpec {
       "doc_id", "payload")
     assert(!Multimodal.resizePixels(m2, 2, 1)(spark).collect().head.ok)
   }
+
+  test("oversized header dims skip the ImageIO raster allocation") {
+    // a valid PNG IHDR claiming 60000x60000 (3.6G px): ImageIO.read
+    // allocates the raster from the header dims BEFORE any pixel data,
+    // and the resulting OutOfMemoryError is an Error — it escapes a
+    // `catch { case _: Exception }` quarantine and kills the executor.
+    // The dims probe must turn it into a decode_ok=false DATA row.
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    ihdr.write(be32(60000)); ihdr.write(be32(60000))
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // 8-bit RGB, no interlace
+    val body = ihdr.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    bos.write(be32(13)); bos.write(body); bos.write(be32(crc.getValue.toInt))
+    val huge = bos.toByteArray
+    assert(Multimodal.safeImageRead(huge) === null)
+    val media = Multimodal.toMediaTable(
+      Seq((9L, huge)).toDF("doc_id", "payload"), "doc_id", "payload")
+    val f = Multimodal.decodeImages(media).collect().head
+    assert(!f.decode_ok && f.width === -1)
+    assert(!Multimodal.dhash64(media).collect().head.hash_ok)
+    assert(!Multimodal.resizePixels(media, 8, 8)(spark).collect().head.ok)
+    // the guard must not break real decodes: a legit 16x8 PNG still reads
+    val ok = Multimodal.safeImageRead(Multimodal.syntheticImage(16, 8, "png"))
+    assert(ok != null && ok.getWidth === 16 && ok.getHeight === 8)
+  }
 }
 
 class ApproxSpec extends SparkSpec {

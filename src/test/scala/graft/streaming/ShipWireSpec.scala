@@ -115,6 +115,32 @@ class ShipWireSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.block_num === 7L)
   }
 
+  test("node ABI with an EXTRA field decodes via the first-frame path") {
+    // forward protocol revision: the node's get_blocks_result_v0 grows a
+    // trailing optional `proof` field. Frames from that node carry one
+    // more optional flag (+payload) than the pinned transcription knows,
+    // so they MUST decode against the ABI the node shipped in its first
+    // frame — the pinned copy is only the no-first-frame fallback.
+    val revised = ShipWire.ShipAbi.replace(
+      """{"name": "deltas", "type": "bytes?"}]}""",
+      """{"name": "deltas", "type": "bytes?"},
+         {"name": "proof", "type": "bytes?"}]}""")
+    assert(revised != ShipWire.ShipAbi) // the replace actually matched
+    val nodeAbi = ShipWire.abiFromFirstFrame(revised)
+    val json = s"""["get_blocks_result_v0",{
+        "head":{"block_num":9,"block_id":"${"00" * 32}"},
+        "last_irreversible":{"block_num":5,"block_id":"${"00" * 32}"},
+        "this_block":{"block_num":9,"block_id":"${"0B" * 32}"},
+        "prev_block":null,"block":null,"traces":null,"deltas":null,
+        "proof":"AB12"}]"""
+    val frame = AntelopeAbi.jsonToBin(nodeAbi, "result", json)
+    val row = ShipWire.blockRow(frame, nodeAbi).get
+    assert(!row.corrupt && row.block_num === 9L && row.head_num === 9L)
+    import spark.implicits._
+    val rows = ShipWire.parseFrames(Seq(frame).toDF("frame"), Some(revised)).collect()
+    assert(rows.length === 1 && rows.head.block_num === 9L && !rows.head.corrupt)
+  }
+
   test("idle frame (no this_block) and status results are skipped") {
     val idle = ShipWire.encodeResult(
       """["get_blocks_result_v0",{

@@ -98,6 +98,34 @@ class IngestSpec extends SparkSpec {
     assert(written.select($"global_sequence").distinct().count() === written.count())
   }
 
+  test("checkpoint head high-water mark feeds the health readout (health.ts:344)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_head").toString
+    val rawDir = s"$tmp/raw"; val outDir = s"$tmp/actions"; val ckpt = s"$tmp/ckpt"
+    Fixtures.rawTraces(spark, 30, 10, 2).write.parquet(rawDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(rawDir).schema)
+      .parquet(rawDir)
+    Ingest.startActionIngest(stream, outDir, ckpt, partitionSize = 100L)
+      .awaitTermination(60000)
+    val maxWritten = spark.read.parquet(outDir).agg(max($"block_num")).as[Long].head()
+    val head = Ingest.checkpointHead(ckpt)
+    assert(head === Some(maxWritten))
+    // the health route consumes it as its nodeos-head scalar: indexed
+    // table fully caught up → head_offset 0; LIB trails by 5
+    val blocks = spark.read.parquet(outDir).select($"block_num").distinct()
+    val h = graft.query.StateEndpoints
+      .getHealth(blocks, lib = maxWritten - 5, streamHead = head.get)
+      .collect().head
+    assert(h.getAs[Long]("head_block_num") === maxWritten)
+    assert(h.getAs[Long]("head_offset") === 0L)
+    assert(h.getAs[Long]("lib_offset") === -5L)
+    // monotonic: re-running the bounded stream replays nothing and a
+    // stale stamp must never move the head backward
+    Ingest.startActionIngest(stream, outDir, ckpt, partitionSize = 100L)
+      .awaitTermination(60000)
+    assert(Ingest.checkpointHead(ckpt) === Some(maxWritten))
+  }
+
   test("retention: Layout.expire ages out an old range; ingest history unchanged above it") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_exp").toString
     val rawDir = s"$tmp/raw"; val outDir = s"$tmp/actions"; val ckpt = s"$tmp/ckpt"
