@@ -1670,6 +1670,10 @@ object SparkEntry {
           .as("sum_tag"),
         sum(when(col("meta_rank").isNull && !col("corrupt"), 1L).otherwise(0L))
           .as("n_meta_null"),
+        // map-column witness: props map<utf8,int64>, NULL on
+        // id % 17 = 3, else {"a" -> id%6} plus {"b" -> id%10} on evens
+        sum(coalesce(col("props_n"), lit(0L))).as("n_props"),
+        sum(coalesce(col("props_sum"), lit(0L))).as("sum_props"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"))
@@ -9404,7 +9408,8 @@ object SparkEntry {
     // source is nulled via the validity bitmap; char semantics both
     // sides via length(); nested witnesses replay closed-form (marks
     // list NULL on id%9=0; meta struct NULL on id%13=5, else rank =
-    // id%11 and tag digit = id%4)
+    // id%11 and tag digit = id%4; props map NULL on id%17=3, else
+    // {a→id%6} plus {b→id%10} on evens)
     "q_arrow_ingest" ->
       """WITH d AS (SELECT doc_id, source, text, doc_id // 25 AS chunk
                     FROM documents),
@@ -9415,7 +9420,13 @@ object SparkEntry {
                   CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS mnull,
                   CASE WHEN doc_id % 13 = 5 THEN 0 ELSE doc_id % 11 END AS rank_v,
                   CASE WHEN doc_id % 13 = 5 THEN 0 ELSE doc_id % 4 END AS tag_v,
-                  CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END AS metanull
+                  CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END AS metanull,
+                  CASE WHEN doc_id % 17 = 3 THEN 0
+                       ELSE 2 - doc_id % 2 END AS pn,
+                  CASE WHEN doc_id % 17 = 3 THEN 0
+                       ELSE doc_id % 6 +
+                         CASE WHEN doc_id % 2 = 0 THEN doc_id % 10 ELSE 0 END
+                  END AS psum
                 FROM d WHERE chunk % 5 <> 4)
          SELECT source, count(*) AS n_rows,
            CAST(sum(len) AS BIGINT) AS sum_chars,
@@ -9424,12 +9435,15 @@ object SparkEntry {
            CAST(sum(rank_v) AS BIGINT) AS sum_rank,
            CAST(sum(tag_v) AS BIGINT) AS sum_tag,
            CAST(sum(metanull) AS BIGINT) AS n_meta_null,
+           CAST(sum(pn) AS BIGINT) AS n_props,
+           CAST(sum(psum) AS BIGINT) AS sum_props,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM ok GROUP BY source
          UNION ALL
          SELECT '(corrupt)', count(DISTINCT chunk), CAST(0 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT), NULL, NULL
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), NULL, NULL
          FROM d WHERE chunk % 5 = 4 GROUP BY 1
          ORDER BY source""",
     // robots.txt policy: the oracle writes the ANALYTIC RFC 9309

@@ -28,18 +28,23 @@ package graft.operators
   * including DELTA dictionary batches (isDelta=true appends to the
   * registered values — the incremental-writer shape). Nested columns
   * DECODE one level deep: `list<primitive>` (validity + int32
-  * offsets + element field) and `struct<primitives>` (validity on
-  * the struct node; each member a full-length child array) — the two
-  * shapes real Feather corpora carry for token lists and metadata
-  * records. Compressed bodies DECODE (BodyCompression method BUFFER,
-  * codecs LZ4_FRAME and ZSTD — the layouts hub-distributed Feather
-  * files ship routinely): each body buffer is
+  * offsets + element field), `struct<primitives>` (validity on the
+  * struct node; each member a full-length child array), and
+  * `map<primitive,primitive>` (list-shaped offsets over a
+  * non-nullable entries struct) — the shapes real Feather corpora
+  * carry for token lists, metadata records, and key-value
+  * properties. Compressed bodies DECODE (BodyCompression method
+  * BUFFER, codecs LZ4_FRAME and ZSTD — the layouts hub-distributed
+  * Feather files ship routinely): each body buffer is
   * `[int64 uncompressed-length][frame]`, length -1 = stored raw;
   * decompression goes through the repo's own from-spec [[Lz4Codec]] /
-  * [[ZstdCodec]]. Honest subset, quarantined LOUDLY (never silently
-  * misread): deeper nesting (list-of-list, struct-of-struct), Map,
-  * Union, Decimal/Date/Time/Timestamp, and big-endian schemas. Arrow
-  * carries NO data checksums,
+  * [[ZstdCodec]]. Calendar columns decode as their RAW wire integers
+  * (date32 = days, date64 = millis, timestamp_{s,ms,us,ns} = the
+  * declared unit; tz is metadata) — the caller owns the calendar.
+  * Honest subset, quarantined LOUDLY (never silently misread): deeper
+  * nesting (list-of-list, struct-of-struct, nested map values),
+  * Union, Decimal, Time-of-day, Interval/Duration, and big-endian
+  * schemas. Arrow carries NO data checksums,
   * so corruption detection is structural (magic, framing, footer
   * length, buffer bounds) — a flipped body byte is undetectable by
   * design; noted where the ZIP/7z walks advertise CRC gates.
@@ -165,6 +170,23 @@ object ArrowWalk {
         }
       case 5 => "utf8"
       case 6 => "bool"
+      case 8 => // Date: DAY = int32 days, MILLISECOND = int64 millis.
+        // Schema.fbs declares `unit: DateUnit = MILLISECOND`, so the
+        // flatbuffer OMITS the field at its default — absent means 1
+        fb.fieldI16(tv, 0, 1) match {
+          case 0 => "date32"
+          case 1 => "date64"
+          case u => throw new IllegalArgumentException(s"date unit $u unsupported")
+        }
+      case 10 => // Timestamp: int64 in the declared unit (tz is metadata
+        // only — values stay raw units, the caller owns the calendar)
+        fb.fieldI16(tv, 0, 0) match {
+          case 0 => "timestamp_s"
+          case 1 => "timestamp_ms"
+          case 2 => "timestamp_us"
+          case 3 => "timestamp_ns"
+          case u => throw new IllegalArgumentException(s"timestamp unit $u unsupported")
+        }
       case other => throw new IllegalArgumentException(s"arrow type ordinal $other unsupported")
     }
   }
@@ -188,6 +210,23 @@ object ArrowWalk {
           require(fb.fieldOffset(ch, 4) < 0,
             "dictionary-encoded list elements unsupported")
           s"list<${fieldType(fb, ch)}>"
+        } else if (tt == 17) { // Map: one "entries" child, a non-nullable
+          // struct<key, value> under list-shaped offsets (Schema.fbs Map)
+          require(children >= 0 && fb.vecLen(children) == 1,
+            "map without exactly one entries child")
+          val entries = fb.vecTable(children, 0)
+          val kv = fb.fieldOffset(entries, 5)
+          require(kv >= 0 && fb.vecLen(kv) == 2, "map entries without key+value")
+          val parts = (0 until 2).map { k =>
+            val ch = fb.vecTable(kv, k)
+            val chChildren = fb.fieldOffset(ch, 5)
+            require(chChildren < 0 || fb.vecLen(chChildren) == 0,
+              "nested map keys/values unsupported")
+            require(fb.fieldOffset(ch, 4) < 0,
+              "dictionary-encoded map keys/values unsupported")
+            fieldType(fb, ch)
+          }
+          s"map<${parts(0)},${parts(1)}>"
         } else if (tt == 13) { // Struct_: children carry the member fields
           require(children >= 0 && fb.vecLen(children) >= 1,
             "struct without children")
@@ -212,7 +251,7 @@ object ArrowWalk {
         }
       val name = { val p = fb.fieldOffset(f, 0); if (p < 0) "" else fb.string(p) }
       val col = ColSpec(name, typ, fb.fieldBool(f, 1, dflt = false))
-      if (tt == 12 || tt == 13)
+      if (tt == 12 || tt == 13 || tt == 17)
         require(fb.fieldOffset(f, 4) < 0, "dictionary-encoded nested columns unsupported")
       val dictT = fb.fieldOffset(f, 4) // DictionaryEncoding
       if (dictT < 0) FieldSpec(col, -1L, 0)
@@ -267,6 +306,7 @@ object ArrowWalk {
     // plus itself
     def nNodes(typ: String): Int =
       if (typ.startsWith("list<")) 2
+      else if (typ.startsWith("map<")) 4 // map + entries struct + key + value
       else if (typ.startsWith("struct<"))
         1 + typ.drop(7).dropRight(1).split(",").length
       else 1
@@ -342,6 +382,14 @@ object ArrowWalk {
         (0 until n).map { i =>
           if (!valid(i)) null else java.lang.Long.valueOf(longAt(d, w, i))
         }
+      case t if t == "date32" || t == "date64" || t.startsWith("timestamp_") =>
+        // calendar types are raw integers on the wire: date32 = int32
+        // days, date64 = int64 millis, timestamp = int64 declared units
+        val w = if (t == "date32") 4 else 8
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null else java.lang.Long.valueOf(longAt(d, w, i))
+        }
       case "float64" =>
         val d = nextBuf()
         (0 until n).map { i =>
@@ -395,6 +443,37 @@ object ArrowWalk {
             val e = le32(o.arr, o.off + 4 * (i + 1))
             require(s >= 0 && e >= s && e <= cn, "list offsets out of range")
             elems.slice(s, e).toVector
+          })
+        }
+      } else if (c.typ.startsWith("map<")) {
+        // map layout = list over a non-nullable entries struct: validity
+        // (consumed above) + int32 offsets on the map node, then the
+        // entries struct node (its own validity buffer) and the key and
+        // value fields, each a full entries-length child array. Cell =
+        // Vector of (key, value) pairs in entry order.
+        val Array(kt, vt) = c.typ.drop(4).dropRight(1).split(",", 2)
+        val o = nextBuf()
+        val (en, _) = nextNode() // entries struct (non-nullable per spec)
+        val evv = nextBuf()
+        val evalid: Int => Boolean =
+          if (evv.len == 0) _ => true else i => bit(evv, i)
+        def part(typ: String): IndexedSeq[AnyRef] = {
+          val (cn, cNull) = nextNode()
+          require(cn == en, "map key/value length != entries length")
+          val cvv = nextBuf()
+          val cvalid: Int => Boolean =
+            if (cNull == 0L) _ => true else i => bit(cvv, i)
+          readPrim(typ, cn, i => evalid(i) && cvalid(i))
+        }
+        val keys = part(kt)
+        val vals = part(vt)
+        (0 until n).foreach { i =>
+          acc(ci) += (if (!valid(i)) null
+          else {
+            val s = le32(o.arr, o.off + 4 * i)
+            val e = le32(o.arr, o.off + 4 * (i + 1))
+            require(s >= 0 && e >= s && e <= en, "map offsets out of range")
+            (s until e).map(j => (keys(j), vals(j))).toVector
           })
         }
       } else if (c.typ.startsWith("struct<")) {
@@ -530,15 +609,18 @@ object ArrowWalk {
   // --------------------------------------------------------- fixtures
 
   /** Real-encoder fixture: (doc_id int64, source utf8 nullable,
-    * text utf8, marks list<int64>, meta struct<rank:int64,tag:utf8>)
-    * written by the Arrow Java `ArrowFileWriter` from the Spark
-    * classpath — an independent implementation — split into
-    * `batchRows`-row record batches. `nullSourceEvery` > 0 nulls
-    * `source` on every k-th row (validity-bitmap witness). Nested
-    * cells are closed-form per doc so an oracle can replay them:
+    * text utf8, marks list<int64>, meta struct<rank:int64,tag:utf8>,
+    * props map<utf8,int64>) written by the Arrow Java
+    * `ArrowFileWriter` from the Spark classpath — an independent
+    * implementation — split into `batchRows`-row record batches.
+    * `nullSourceEvery` > 0 nulls `source` on every k-th row
+    * (validity-bitmap witness). Nested cells are closed-form per doc
+    * so an oracle can replay them:
     * `marks` NULL when doc_id ≡ 0 (mod 9) else [id%7, id%5, id%3];
     * `meta` NULL when doc_id ≡ 5 (mod 13) else
-    * (rank = id%11, tag = "t" + id%4).
+    * (rank = id%11, tag = "t" + id%4);
+    * `props` NULL when doc_id ≡ 3 (mod 17) else
+    * ("a" → id%6, plus "b" → id%10 on even ids).
     */
   def fixture(recs: Seq[(Long, String, String)], batchRows: Int,
       nullSourceEvery: Int = 0, compress: String = "none"): Array[Byte] = {
@@ -560,7 +642,15 @@ object ArrowWalk {
         new Field("meta", FieldType.nullable(new ArrowType.Struct()),
           List(
             new Field("rank", FieldType.nullable(new ArrowType.Int(64, true)), null),
-            new Field("tag", FieldType.nullable(new ArrowType.Utf8()), null)).asJava))
+            new Field("tag", FieldType.nullable(new ArrowType.Utf8()), null)).asJava),
+        new Field("props", FieldType.nullable(new ArrowType.Map(false)),
+          List(new Field(org.apache.arrow.vector.complex.MapVector.DATA_VECTOR_NAME,
+            FieldType.notNullable(new ArrowType.Struct()),
+            List(
+              new Field(org.apache.arrow.vector.complex.MapVector.KEY_NAME,
+                FieldType.notNullable(new ArrowType.Utf8()), null),
+              new Field(org.apache.arrow.vector.complex.MapVector.VALUE_NAME,
+                FieldType.nullable(new ArrowType.Int(64, true)), null)).asJava)).asJava))
       val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
       val bos = new java.io.ByteArrayOutputStream()
       val ch = java.nio.channels.Channels.newChannel(bos)
@@ -591,6 +681,9 @@ object ArrowWalk {
         val meta = root.getVector("meta").asInstanceOf[StructVector]
         val rankV = meta.getChild("rank").asInstanceOf[BigIntVector]
         val tagV = meta.getChild("tag").asInstanceOf[VarCharVector]
+        val props = root.getVector("props")
+          .asInstanceOf[org.apache.arrow.vector.complex.MapVector]
+        val pw = props.getWriter
         group.zipWithIndex.foreach { case ((id, src, text), i) =>
           ids.setSafe(i, id)
           if (nullSourceEvery > 0 && id % nullSourceEvery == 0) srcs.setNull(i)
@@ -606,6 +699,20 @@ object ArrowWalk {
             meta.setIndexDefined(i)
             rankV.setSafe(i, id % 11)
             tagV.setSafe(i, s"t${id % 4}".getBytes("UTF-8"))
+          }
+          if (id % 17 != 3) { // id % 17 == 3 rows: NULL map
+            pw.setPosition(i)
+            pw.startMap()
+            def entry(k: String, v: Long): Unit = {
+              pw.startEntry()
+              pw.key().varChar().writeVarChar(
+                new org.apache.arrow.vector.util.Text(k))
+              pw.value().bigInt().writeBigInt(v)
+              pw.endEntry()
+            }
+            entry("a", id % 6)
+            if (id % 2 == 0) entry("b", id % 10)
+            pw.endMap()
           }
         }
         root.setRowCount(group.size)
@@ -626,13 +733,18 @@ object ArrowWalk {
       marks: Seq[java.lang.Long],
       meta_rank: java.lang.Long,
       meta_tag: String,
+      props_n: java.lang.Long,
+      props_sum: java.lang.Long,
       corrupt: Boolean)
 
   /** Partition-parallel walk of (chunk, payload) rows carrying
     * (doc_id, source, text[, marks list<int64>][, meta
-    * struct<rank:int64,tag:utf8>]) Arrow files; a quarantined file
-    * yields one corrupt row for its chunk. `marks` / `meta_*` are
-    * null when the column is absent or the cell is null.
+    * struct<rank:int64,tag:utf8>][, props map<utf8,int64>]) Arrow
+    * files; a quarantined file yields one corrupt row for its chunk.
+    * `marks` / `meta_*` / `props_*` are null when the column is
+    * absent or the cell is null; `props_n`/`props_sum` are the entry
+    * count and value sum of the map cell (the row-shaped witness —
+    * the full pair list stays in [[table]]'s generic output).
     */
   def parseDocs(media: org.apache.spark.sql.DataFrame)(
       implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[DocRow] = {
@@ -647,6 +759,7 @@ object ArrowWalk {
             val tx = name.indexOf("text")
             val mk = name.indexOf("marks")
             val mt = name.indexOf("meta")
+            val pr = name.indexOf("props")
             // member positions inside the struct cell, from the decoded
             // type string (declaration order, writer-independent)
             val (rankIx, tagIx) =
@@ -658,7 +771,7 @@ object ArrowWalk {
               }
             if (id < 0 || so < 0 || tx < 0)
               Iterator(DocRow(chunk, null, null, null, null, null, null,
-                corrupt = true))
+                null, null, corrupt = true))
             else (0 until t.nRows).iterator.map { i =>
               val marks =
                 if (mk < 0 || t.values(mk)(i) == null) null
@@ -667,6 +780,9 @@ object ArrowWalk {
               val metaCell =
                 if (mt < 0 || t.values(mt)(i) == null) null
                 else t.values(mt)(i).asInstanceOf[Vector[AnyRef]]
+              val propsCell =
+                if (pr < 0 || t.values(pr)(i) == null) null
+                else t.values(pr)(i).asInstanceOf[Vector[(AnyRef, AnyRef)]]
               DocRow(chunk,
                 t.values(id)(i).asInstanceOf[java.lang.Long],
                 t.values(so)(i).asInstanceOf[String],
@@ -676,11 +792,16 @@ object ArrowWalk {
                 else metaCell(rankIx).asInstanceOf[java.lang.Long],
                 if (metaCell == null || tagIx < 0) null
                 else metaCell(tagIx).asInstanceOf[String],
+                if (propsCell == null) null
+                else java.lang.Long.valueOf(propsCell.length.toLong),
+                if (propsCell == null) null
+                else java.lang.Long.valueOf(propsCell.map(
+                  _._2.asInstanceOf[java.lang.Long].longValue).sum),
                 corrupt = false)
             }
           case Left(_) =>
             Iterator(DocRow(chunk, null, null, null, null, null, null,
-              corrupt = true))
+              null, null, corrupt = true))
         }
       })
   }

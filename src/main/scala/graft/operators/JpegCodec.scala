@@ -28,10 +28,14 @@ package graft.operators
   * spectral selection + successive approximation accumulated per
   * block, one IDCT pass at EOI.
   *
+  * 12-bit samples (SOF1 extended sequential — the medical/archival
+  * precision) decode with level shift 2048 and clamp 4095, rendering
+  * the top byte into the 8-bit ARGB output.
+  *
   * Honest subset, quarantined loudly (None, never a misread):
-  * arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
-  * progressive 4-component files (sequential CMYK decodes; the
-  * progressive CMYK combination is vanishingly rare in crawl
+  * arithmetic coding (SOF9+), hierarchical, 12-bit progressive, and
+  * progressive 4-component files (sequential CMYK and 12-bit decode;
+  * those progressive combinations are vanishingly rare in crawl
   * corpora).
   *
   * Witnesses: the JDK's ImageIO JPEG decoder — an INDEPENDENT
@@ -159,10 +163,17 @@ object JpegCodec {
   // -------------------------------------------------------------- idct
 
   /** Reference separable float IDCT; writes level-shifted clamped
-    * samples into `out` at (ox, oy) with row `stride`.
+    * samples into `out` at (ox, oy) with row `stride`. `precision` is
+    * the frame sample precision (T.81 P): 8-bit writes samples as-is;
+    * 12-bit level-shifts by 2048, clamps to [0, 4095], and stores the
+    * TOP byte (>> 4) — the standard display downscale, documented on
+    * [[Decoded]] (ARGB is 8-bit per channel).
     */
   private def idctBlock(coef: Array[Int], out: Array[Byte], ox: Int, oy: Int,
-      stride: Int, outW: Int, outH: Int): Unit = {
+      stride: Int, outW: Int, outH: Int, precision: Int = 8): Unit = {
+    val shift = 1 << (precision - 1)
+    val maxV = (1 << precision) - 1
+    val down = precision - 8
     val tmp = new Array[Double](64)
     var v = 0
     while (v < 8) {
@@ -186,9 +197,9 @@ object JpegCodec {
           var s = 0.0
           var vv = 0
           while (vv < 8) { s += tmp(vv * 8 + x) * CosTab(y)(vv); vv += 1 }
-          val p = math.round(0.25 * s).toInt + 128
-          out(py * stride + px) =
-            (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+          val p = math.round(0.25 * s).toInt + shift
+          val c = if (p < 0) 0 else if (p > maxV) maxV else p
+          out(py * stride + px) = (c >> down).toByte
         }
         x += 1
       }
@@ -211,6 +222,7 @@ object JpegCodec {
       var comps: Array[Comp] = null
       var width = 0
       var height = 0
+      var precision = 8
       var restartInterval = 0
       var adobeTransform = -1 // APP14 color transform; -1 = no marker
       var sosAt = -1
@@ -258,9 +270,13 @@ object JpegCodec {
               q += 17 + total
             }
             p = end
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case mk @ (0xc0 | 0xc1) => // SOF0 baseline / SOF1 ext. sequential
             val len = u16(p)
-            require(u8(p + 2) == 8, "jpeg: 12-bit precision unsupported")
+            precision = u8(p + 2)
+            // T.81: baseline is 8-bit by definition; extended sequential
+            // (SOF1) allows 12-bit samples (medical/archival corpora)
+            require(precision == 8 || (precision == 12 && mk == 0xc1),
+              s"jpeg: $precision-bit precision unsupported for SOF${mk - 0xc0}")
             height = u16(p + 3); width = u16(p + 5)
             require(width > 0 && height > 0, "jpeg: zero dimension")
             // Allocation guard (the XzCodec 1 GiB rule): SOF dims are
@@ -373,7 +389,7 @@ object JpegCodec {
                 }
                 idctBlock(coef, planes(ci),
                   (mx * c.h + bx) * 8, (my * c.v + by) * 8,
-                  strides(ci), strides(ci), planeH(ci))
+                  strides(ci), strides(ci), planeH(ci), precision)
                 bx += 1
               }
               by += 1
@@ -833,6 +849,76 @@ object JpegCodec {
       j += 1
     }
     encodeImageIO(img, 1.0f)
+  }
+
+  /** Hand-assembled 12-bit grayscale SOF1 fixture: uniform 8×8 blocks,
+    * all-ones 16-bit DQT, DC-only entropy data — lossless by the same
+    * Q=1 argument as [[uniformBlockFixture]] (DC = 8·(v−2048) is an
+    * exact integer, every AC is 0), so the decode equals
+    * `cell(i,j) >> 4` exactly (12-bit samples render their top byte —
+    * see [[idctBlock]]). Assembled from T.81 directly because NO
+    * foreign 12-bit encoder ships with the JDK (its ImageIO writer is
+    * 8-bit only); the DC table is sixteen 5-bit codes (categories
+    * 0-15, value = code, the all-ones word unused per the standard)
+    * and the AC table one 2-bit EOB code.
+    */
+  def uniformBlock12Fixture(blocksW: Int, blocksH: Int,
+      cell: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int*): Unit = v.foreach(x => out.write(x & 0xff))
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    b(0xFF, 0xD8) // SOI
+    b(0xFF, 0xDB); u16(2 + 1 + 128); b(0x10) // DQT pq=1 tq=0, all ones
+    (0 until 64).foreach(_ => u16(1))
+    b(0xFF, 0xC1); u16(11); b(12); u16(blocksH * 8); u16(blocksW * 8)
+    b(1, 1, 0x11, 0) // one component, 1x1 sampling, q-table 0
+    b(0xFF, 0xC4); u16(2 + 1 + 16 + 16); b(0x00) // DHT DC 0
+    (1 to 16).foreach(l => out.write(if (l == 5) 16 else 0))
+    (0 until 16).foreach(out.write)
+    b(0xFF, 0xC4); u16(2 + 1 + 16 + 1); b(0x10) // DHT AC 0: EOB only
+    (1 to 16).foreach(l => out.write(if (l == 2) 1 else 0))
+    out.write(0x00)
+    b(0xFF, 0xDA); u16(8); b(1, 1, 0x00, 0, 63, 0) // SOS
+    // entropy: per block, 5-bit DC category code + magnitude + 2-bit EOB
+    var acc = 0; var nb = 0
+    val ent = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1); nb += 1
+        if (nb == 8) {
+          ent += acc.toByte
+          if ((acc & 0xff) == 0xff) ent += 0x00.toByte // FF stuffing
+          acc = 0; nb = 0
+        }
+        k -= 1
+      }
+    }
+    var pred = 0
+    var j = 0
+    while (j < blocksH) {
+      var i = 0
+      while (i < blocksW) {
+        val dc = 8 * ((cell(i, j) & 0xfff) - 2048)
+        val diff = dc - pred
+        pred = dc
+        val s =
+          if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(s, 5)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        putBits(0, 2) // EOB
+        i += 1
+      }
+      j += 1
+    }
+    if (nb > 0) { // pad the tail byte with 1-bits per F.1.2.3
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      ent += acc.toByte
+      if ((acc & 0xff) == 0xff) ent += 0x00.toByte
+    }
+    out.write(ent.toArray)
+    b(0xFF, 0xD9)
+    out.toByteArray
   }
 
   /** ImageIO JPEG encode at the given quality (the independent-encoder

@@ -197,8 +197,8 @@ object Multimodal {
             bytes(10) == 'B' && bytes(11) == 'P'
           // JPEG: the in-repo baseline decoder first (ITU T.81
           // from-spec, [[JpegCodec]], baseline AND progressive AND
-          // sequential CMYK/YCCK); arithmetic/12-bit files fall
-          // through to the JDK reader below. Behavior note: the
+          // sequential CMYK/YCCK AND 12-bit); arithmetic-coded files
+          // fall through to the JDK reader below. Behavior note: the
           // from-spec path upsamples chroma nearest-neighbor where the
           // JDK reader interpolates, so mean_r/g/b on real 4:2:0
           // content shift a few LSBs vs a JDK-decoded feature run

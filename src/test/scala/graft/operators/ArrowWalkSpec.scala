@@ -19,10 +19,12 @@ class ArrowWalkSpec extends SparkSpec {
         case Right(v) => v
         case Left(e) => fail(s"batchRows=$batchRows quarantined: $e")
       }
-      assert(t.cols.map(_.name) === Seq("doc_id", "source", "text", "marks", "meta"),
+      assert(t.cols.map(_.name) ===
+        Seq("doc_id", "source", "text", "marks", "meta", "props"),
         s"b=$batchRows")
       assert(t.cols.map(_.typ) ===
-        Seq("int64", "utf8", "utf8", "list<int64>", "struct<rank:int64,tag:utf8>"))
+        Seq("int64", "utf8", "utf8", "list<int64>",
+          "struct<rank:int64,tag:utf8>", "map<utf8,int64>"))
       assert(t.nRows === 25, s"b=$batchRows")
       assert((0 until 25).map(i => t.values(0)(i)) === recs.map(r => java.lang.Long.valueOf(r._1)))
       assert((0 until 25).map(i => t.values(2)(i)) === recs.map(_._3))
@@ -73,6 +75,33 @@ class ArrowWalkSpec extends SparkSpec {
       assert(t.values(mt)(1) === Vector(java.lang.Long.valueOf(1L), "t1"), codec)
       assert(t.values(mt)(18) == null, codec) // 18 % 13 == 5
     }
+  }
+
+  test("map<utf8,int64> column: offsets + entries struct decode per cell") {
+    for (batchRows <- Seq(25, 7)) {
+      val t = ArrowWalk.table(ArrowWalk.fixture(recs, batchRows))
+        .getOrElse(fail(s"quarantined at b=$batchRows"))
+      val pr = t.cols.map(_.name).indexOf("props")
+      assert(t.cols(pr).typ === "map<utf8,int64>")
+      (0 until 25).foreach { i =>
+        if (i % 17 == 3) assert(t.values(pr)(i) == null, s"row $i b=$batchRows")
+        else {
+          val expected =
+            if (i % 2 == 0)
+              Vector(("a", java.lang.Long.valueOf(i % 6L)),
+                ("b", java.lang.Long.valueOf(i % 10L)))
+            else Vector(("a", java.lang.Long.valueOf(i % 6L)))
+          assert(t.values(pr)(i) === expected, s"row $i b=$batchRows")
+        }
+      }
+    }
+    // compressed bodies run the same map path through the codecs
+    val t = ArrowWalk.table(ArrowWalk.fixture(recs, 7, compress = "zstd"))
+      .getOrElse(fail("quarantined at zstd"))
+    val pr = t.cols.map(_.name).indexOf("props")
+    assert(t.values(pr)(3) == null) // 3 % 17 == 3
+    assert(t.values(pr)(4) ===
+      Vector(("a", java.lang.Long.valueOf(4L)), ("b", java.lang.Long.valueOf(4L))))
   }
 
   test("delta dictionary batches append to the registered values") {
@@ -299,6 +328,42 @@ class ArrowWalkSpec extends SparkSpec {
     assert(t.cols.head.typ === "utf8")
     assert((0 until 4).map(i => t.values(0)(i)) ===
       Seq("gamma", "alpha", null, "beta"))
+  }
+
+  test("date32/date64/timestamp columns decode as raw wire integers") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val fields = List(
+      new Field("d32", FieldType.nullable(new ArrowType.Date(DateUnit.DAY)), null),
+      new Field("d64", FieldType.nullable(new ArrowType.Date(DateUnit.MILLISECOND)), null),
+      new Field("ts", FieldType.nullable(
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")), null))
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    root.allocateNew()
+    val d32 = root.getVector("d32").asInstanceOf[DateDayVector]
+    val d64 = root.getVector("d64").asInstanceOf[DateMilliVector]
+    val ts = root.getVector("ts").asInstanceOf[TimeStampMicroTZVector]
+    d32.setSafe(0, 19000); d32.setSafe(1, -3)
+    d64.setSafe(0, 1700000000000L); d64.setNull(1)
+    ts.setSafe(0, 1700000000000000L); ts.setSafe(1, 42L)
+    root.setRowCount(2)
+    w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.cols.map(_.typ) === Seq("date32", "date64", "timestamp_us"))
+    assert(t.values(0)(0) === java.lang.Long.valueOf(19000L))
+    assert(t.values(0)(1) === java.lang.Long.valueOf(-3L)) // sign extension
+    assert(t.values(1)(0) === java.lang.Long.valueOf(1700000000000L))
+    assert(t.values(1)(1) === null)
+    assert(t.values(2)(0) === java.lang.Long.valueOf(1700000000000000L))
+    assert(t.values(2)(1) === java.lang.Long.valueOf(42L))
   }
 
   test("STREAM encapsulation (no footer) walks sequentially to EOS") {

@@ -290,6 +290,24 @@ class JpegCodecSpec extends AnyFunSuite {
     out
   }
 
+  test("12-bit extended sequential (SOF1) decodes; sample renders its top byte") {
+    // multiples of 16 in [1728, 2368] → the >> 4 downscale is exact
+    val cell = (i: Int, j: Int) => 2048 + i * 160 - j * 320
+    val bytes = JpegCodec.uniformBlock12Fixture(3, 2, cell)
+    val d = JpegCodec.decode(bytes).get
+    assert(d.width === 24 && d.height === 16 && d.nComp === 1)
+    for (j <- 0 until 2; i <- 0 until 3; y <- 0 until 8; x <- 0 until 8) {
+      val p = d.argb((j * 8 + y) * 24 + (i * 8 + x)) & 0xff
+      assert(p === (cell(i, j) >> 4), s"block ($i,$j) px ($x,$y)")
+    }
+    // 12-bit under SOF0 must quarantine: baseline is 8-bit by spec
+    val bad = bytes.clone()
+    var k = 2
+    while (!((bad(k) & 0xff) == 0xff && (bad(k + 1) & 0xff) == 0xc1)) k += 1
+    bad(k + 1) = 0xc0.toByte
+    assert(JpegCodec.decode(bad) === None)
+  }
+
   test("CMYK: uniform 4-component decodes exactly (inverted multiply)") {
     // uniform blocks at q=1.0 are lossless → stored samples recover
     // exactly (readRaster witness), and the inverted-CMYK multiply has
