@@ -27,13 +27,13 @@ package graft.operators
   * signed-index mapping — the categorical-column norm in hub files),
   * including DELTA dictionary batches (isDelta=true appends to the
   * registered values — the incremental-writer shape). Nested columns
-  * DECODE one level deep: `list<primitive>` (validity + int32
-  * offsets + element field), `struct<primitives>` (validity on the
-  * struct node; each member a full-length child array), and
-  * `map<primitive,primitive>` (list-shaped offsets over a
-  * non-nullable entries struct) — the shapes real Feather corpora
-  * carry for token lists, metadata records, and key-value
-  * properties. Compressed bodies DECODE (BodyCompression method
+  * DECODE recursively to depth 16: `list<…>` (validity + int32
+  * offsets + element subtree), `struct<…>` (validity on the struct
+  * node; each member a full-length child subtree), and `map<…,…>`
+  * (list-shaped offsets over a non-nullable entries struct) compose
+  * freely (`list<list<int64>>`, `struct<a:list<int64>,b:utf8>`) —
+  * the shapes real Feather corpora carry for token lists, metadata
+  * records, and key-value properties. Compressed bodies DECODE (BodyCompression method
   * BUFFER, codecs LZ4_FRAME and ZSTD — the layouts hub-distributed
   * Feather files ship routinely): each body buffer is
   * `[int64 uncompressed-length][frame]`, length -1 = stored raw;
@@ -41,9 +41,9 @@ package graft.operators
   * [[ZstdCodec]]. Calendar columns decode as their RAW wire integers
   * (date32 = days, date64 = millis, timestamp_{s,ms,us,ns} = the
   * declared unit; tz is metadata) — the caller owns the calendar.
-  * Honest subset, quarantined LOUDLY (never silently misread): deeper
-  * nesting (list-of-list, struct-of-struct, nested map values),
-  * Union, Decimal, Time-of-day, Interval/Duration, and big-endian
+  * Honest subset, quarantined LOUDLY (never silently misread):
+  * Union, Decimal, Time-of-day, Interval/Duration, nesting past
+  * depth 16, dictionary encoding below the top level, and big-endian
   * schemas. Arrow carries NO data checksums,
   * so corruption detection is structural (magic, framing, footer
   * length, buffer bounds) — a flipped body byte is undetectable by
@@ -191,67 +191,89 @@ object ArrowWalk {
     }
   }
 
+  /** Forged metadata could nest types arbitrarily deep; the walkers
+    * recurse on the type tree, so bound it (real Feather rarely
+    * exceeds 3).
+    */
+  private val MaxNestDepth = 16
+
+  /** Recursive field type: nested list/struct/map compose to any depth
+    * up to [[MaxNestDepth]] (`list<list<int64>>`,
+    * `struct<a:list<int64>,b:utf8>`, `map<utf8,list<int64>>`).
+    * Dictionary encoding below the top level stays quarantined.
+    */
+  private def typeOf(fb: Fb, f: Int, depth: Int): String = {
+    require(depth <= MaxNestDepth, "arrow type nesting too deep")
+    if (depth > 0)
+      require(fb.fieldOffset(f, 4) < 0,
+        "dictionary-encoded nested children unsupported")
+    val children = fb.fieldOffset(f, 5)
+    val tt = { val p = fb.field(f, 2); if (p < 0) 0 else fb.u8(p) }
+    if (tt == 12) { // List: one child field carrying the element type
+      require(children >= 0 && fb.vecLen(children) == 1,
+        "list without exactly one child")
+      s"list<${typeOf(fb, fb.vecTable(children, 0), depth + 1)}>"
+    } else if (tt == 17) { // Map: one "entries" child, a non-nullable
+      // struct<key, value> under list-shaped offsets (Schema.fbs Map)
+      require(children >= 0 && fb.vecLen(children) == 1,
+        "map without exactly one entries child")
+      val entries = fb.vecTable(children, 0)
+      val kv = fb.fieldOffset(entries, 5)
+      require(kv >= 0 && fb.vecLen(kv) == 2, "map entries without key+value")
+      val kt = typeOf(fb, fb.vecTable(kv, 0), depth + 1)
+      val vt = typeOf(fb, fb.vecTable(kv, 1), depth + 1)
+      s"map<$kt,$vt>"
+    } else if (tt == 13) { // Struct_: children carry the member fields
+      require(children >= 0 && fb.vecLen(children) >= 1,
+        "struct without children")
+      val members = (0 until fb.vecLen(children)).map { k =>
+        val ch = fb.vecTable(children, k)
+        val nm = { val p = fb.fieldOffset(ch, 0); if (p < 0) "" else fb.string(p) }
+        // the member list round-trips through the type string — a
+        // separator in a member name would corrupt it
+        require(!nm.exists(c => c == ':' || c == ',' || c == '<' || c == '>'),
+          s"struct member name '$nm' unsupported")
+        s"$nm:${typeOf(fb, ch, depth + 1)}"
+      }
+      s"struct<${members.mkString(",")}>"
+    } else {
+      require(children < 0 || fb.vecLen(children) == 0, "nested types unsupported")
+      fieldType(fb, f)
+    }
+  }
+
+  /** Split a composite type's member list on top-level commas only
+    * (members may themselves be nested types carrying commas).
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' => depth += 1
+        case '>' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
   private def readSchema(fb: Fb, schemaT: Int): Seq[FieldSpec] = {
     require(fb.fieldI16(schemaT, 0, 0) == 0, "big-endian arrow unsupported")
     val fieldsVec = fb.fieldOffset(schemaT, 1)
     require(fieldsVec >= 0, "schema without fields")
     (0 until fb.vecLen(fieldsVec)).map { i =>
       val f = fb.vecTable(fieldsVec, i)
-      val children = fb.fieldOffset(f, 5)
-      val tt = { val p = fb.field(f, 2); if (p < 0) 0 else fb.u8(p) }
-      val typ =
-        if (tt == 12) { // List: one child field carrying the element type
-          require(children >= 0 && fb.vecLen(children) == 1,
-            "list without exactly one child")
-          val ch = fb.vecTable(children, 0)
-          val chChildren = fb.fieldOffset(ch, 5)
-          require(chChildren < 0 || fb.vecLen(chChildren) == 0,
-            "nested list elements unsupported")
-          require(fb.fieldOffset(ch, 4) < 0,
-            "dictionary-encoded list elements unsupported")
-          s"list<${fieldType(fb, ch)}>"
-        } else if (tt == 17) { // Map: one "entries" child, a non-nullable
-          // struct<key, value> under list-shaped offsets (Schema.fbs Map)
-          require(children >= 0 && fb.vecLen(children) == 1,
-            "map without exactly one entries child")
-          val entries = fb.vecTable(children, 0)
-          val kv = fb.fieldOffset(entries, 5)
-          require(kv >= 0 && fb.vecLen(kv) == 2, "map entries without key+value")
-          val parts = (0 until 2).map { k =>
-            val ch = fb.vecTable(kv, k)
-            val chChildren = fb.fieldOffset(ch, 5)
-            require(chChildren < 0 || fb.vecLen(chChildren) == 0,
-              "nested map keys/values unsupported")
-            require(fb.fieldOffset(ch, 4) < 0,
-              "dictionary-encoded map keys/values unsupported")
-            fieldType(fb, ch)
-          }
-          s"map<${parts(0)},${parts(1)}>"
-        } else if (tt == 13) { // Struct_: children carry the member fields
-          require(children >= 0 && fb.vecLen(children) >= 1,
-            "struct without children")
-          val members = (0 until fb.vecLen(children)).map { k =>
-            val ch = fb.vecTable(children, k)
-            val chChildren = fb.fieldOffset(ch, 5)
-            require(chChildren < 0 || fb.vecLen(chChildren) == 0,
-              "nested struct members unsupported")
-            require(fb.fieldOffset(ch, 4) < 0,
-              "dictionary-encoded struct members unsupported")
-            val nm = { val p = fb.fieldOffset(ch, 0); if (p < 0) "" else fb.string(p) }
-            // the member list round-trips through the type string —
-            // a separator in a member name would corrupt it
-            require(!nm.exists(c => c == ':' || c == ',' || c == '<' || c == '>'),
-              s"struct member name '$nm' unsupported")
-            s"$nm:${fieldType(fb, ch)}"
-          }
-          s"struct<${members.mkString(",")}>"
-        } else {
-          require(children < 0 || fb.vecLen(children) == 0, "nested types unsupported")
-          fieldType(fb, f)
-        }
+      val typ = typeOf(fb, f, 0)
       val name = { val p = fb.fieldOffset(f, 0); if (p < 0) "" else fb.string(p) }
       val col = ColSpec(name, typ, fb.fieldBool(f, 1, dflt = false))
-      if (tt == 12 || tt == 13 || tt == 17)
+      if (typ.startsWith("list<") || typ.startsWith("struct<") ||
+        typ.startsWith("map<"))
         require(fb.fieldOffset(f, 4) < 0, "dictionary-encoded nested columns unsupported")
       val dictT = fb.fieldOffset(f, 4) // DictionaryEncoding
       if (dictT < 0) FieldSpec(col, -1L, 0)
@@ -302,13 +324,17 @@ object ArrowWalk {
     val bufsVec = fb.fieldOffset(batchT, 2)
     require(nodesVec >= 0 && bufsVec >= 0, "record batch missing nodes/buffers")
     // FieldNodes walk the field TREE depth-first: a list column owns
-    // two nodes (itself + its element field), a struct one per member
-    // plus itself
+    // its node plus its element's subtree, a map its node + the entries
+    // struct + the key and value subtrees, a struct its node + one
+    // subtree per member — recursively to MaxNestDepth
     def nNodes(typ: String): Int =
-      if (typ.startsWith("list<")) 2
-      else if (typ.startsWith("map<")) 4 // map + entries struct + key + value
-      else if (typ.startsWith("struct<"))
-        1 + typ.drop(7).dropRight(1).split(",").length
+      if (typ.startsWith("list<")) 1 + nNodes(typ.drop(5).dropRight(1))
+      else if (typ.startsWith("map<")) {
+        val Seq(kt, vt) = splitTop(typ.drop(4).dropRight(1))
+        2 + nNodes(kt) + nNodes(vt)
+      } else if (typ.startsWith("struct<"))
+        1 + splitTop(typ.drop(7).dropRight(1))
+          .map(m => nNodes(m.substring(m.indexOf(':') + 1))).sum
       else 1
     val expectedNodes = cols.map(s => nNodes(s.col.typ)).sum
     require(fb.vecLen(nodesVec) == expectedNodes, "node count != field-tree size")
@@ -406,15 +432,78 @@ object ArrowWalk {
         }
       case other => throw new IllegalArgumentException(s"type $other unsupported")
     }
-    cols.zipWithIndex.foreach { case (spec, ci) =>
-      val c = spec.col
+    /** One field's full value array: consumes its FieldNode, validity
+      * buffer, and data/child buffers depth-first — exactly the
+      * RecordBatch serialization order — recursing through nested
+      * list/struct/map children.
+      */
+    def readField(typ: String): IndexedSeq[AnyRef] = {
       val (n, nullCount) = nextNode()
       val vv = nextBuf()
       val valid: Int => Boolean =
         if (nullCount == 0L) _ => true else i => bit(vv, i)
+      readValues(typ, n, valid)
+    }
+    def readValues(typ: String, n: Int,
+        valid: Int => Boolean): IndexedSeq[AnyRef] =
+      if (typ.startsWith("list<")) {
+        // list layout: int32 offsets on the list node, then the element
+        // field's subtree. Cell = element Vector.
+        val o = nextBuf()
+        val elems = readField(typ.drop(5).dropRight(1))
+        (0 until n).map { i =>
+          if (!valid(i)) null
+          else {
+            val s = le32(o.arr, o.off + 4 * i)
+            val e = le32(o.arr, o.off + 4 * (i + 1))
+            require(s >= 0 && e >= s && e <= elems.length,
+              "list offsets out of range")
+            elems.slice(s, e).toVector
+          }
+        }
+      } else if (typ.startsWith("map<")) {
+        // map layout = list over a non-nullable entries struct: int32
+        // offsets on the map node, then the entries struct node (its
+        // own validity buffer — all-set per spec) and the key and value
+        // subtrees, each entries-length. Cell = (key, value) Vector.
+        val Seq(kt, vt) = splitTop(typ.drop(4).dropRight(1))
+        val o = nextBuf()
+        val (en, _) = nextNode() // entries struct node
+        nextBuf() // entries validity (non-nullable: empty or all-set)
+        val keys = readField(kt)
+        val vals = readField(vt)
+        require(keys.length == en && vals.length == en,
+          "map key/value length != entries length")
+        (0 until n).map { i =>
+          if (!valid(i)) null
+          else {
+            val s = le32(o.arr, o.off + 4 * i)
+            val e = le32(o.arr, o.off + 4 * (i + 1))
+            require(s >= 0 && e >= s && e <= en, "map offsets out of range")
+            (s until e).map(j => (keys(j), vals(j))).toVector
+          }
+        }
+      } else if (typ.startsWith("struct<")) {
+        // struct layout: ONLY a validity buffer on the struct node
+        // (already consumed); each member a full-length child subtree.
+        // Cell = member-value Vector in declaration order.
+        val memberVals = splitTop(typ.drop(7).dropRight(1)).map { m =>
+          val mv = readField(m.substring(m.indexOf(':') + 1))
+          require(mv.length == n, "struct member length != struct length")
+          mv
+        }
+        (0 until n).map { i =>
+          if (!valid(i)) null else memberVals.map(_(i)).toVector
+        }
+      } else readPrim(typ, n, valid)
+    cols.zipWithIndex.foreach { case (spec, ci) =>
       if (spec.dictId >= 0) {
         // dictionary-encoded: signed int indices mapped through the
         // registered dictionary values
+        val (n, nullCount) = nextNode()
+        val vv = nextBuf()
+        val valid: Int => Boolean =
+          if (nullCount == 0L) _ => true else i => bit(vv, i)
         val dict = dicts.getOrElse(spec.dictId,
           throw new IllegalArgumentException(s"dictionary ${spec.dictId} not seen"))
         val d = nextBuf()
@@ -426,75 +515,7 @@ object ArrowWalk {
             dict(ix)
           })
         }
-      } else if (c.typ.startsWith("list<")) {
-        // list layout: validity + int32 offsets on the list node, then
-        // the element field's node and buffers
-        val inner = c.typ.drop(5).dropRight(1)
-        val o = nextBuf()
-        val (cn, cNull) = nextNode()
-        val cvv = nextBuf()
-        val cvalid: Int => Boolean =
-          if (cNull == 0L) _ => true else i => bit(cvv, i)
-        val elems = readPrim(inner, cn, cvalid)
-        (0 until n).foreach { i =>
-          acc(ci) += (if (!valid(i)) null
-          else {
-            val s = le32(o.arr, o.off + 4 * i)
-            val e = le32(o.arr, o.off + 4 * (i + 1))
-            require(s >= 0 && e >= s && e <= cn, "list offsets out of range")
-            elems.slice(s, e).toVector
-          })
-        }
-      } else if (c.typ.startsWith("map<")) {
-        // map layout = list over a non-nullable entries struct: validity
-        // (consumed above) + int32 offsets on the map node, then the
-        // entries struct node (its own validity buffer) and the key and
-        // value fields, each a full entries-length child array. Cell =
-        // Vector of (key, value) pairs in entry order.
-        val Array(kt, vt) = c.typ.drop(4).dropRight(1).split(",", 2)
-        val o = nextBuf()
-        val (en, _) = nextNode() // entries struct (non-nullable per spec)
-        val evv = nextBuf()
-        val evalid: Int => Boolean =
-          if (evv.len == 0) _ => true else i => bit(evv, i)
-        def part(typ: String): IndexedSeq[AnyRef] = {
-          val (cn, cNull) = nextNode()
-          require(cn == en, "map key/value length != entries length")
-          val cvv = nextBuf()
-          val cvalid: Int => Boolean =
-            if (cNull == 0L) _ => true else i => bit(cvv, i)
-          readPrim(typ, cn, i => evalid(i) && cvalid(i))
-        }
-        val keys = part(kt)
-        val vals = part(vt)
-        (0 until n).foreach { i =>
-          acc(ci) += (if (!valid(i)) null
-          else {
-            val s = le32(o.arr, o.off + 4 * i)
-            val e = le32(o.arr, o.off + 4 * (i + 1))
-            require(s >= 0 && e >= s && e <= en, "map offsets out of range")
-            (s until e).map(j => (keys(j), vals(j))).toVector
-          })
-        }
-      } else if (c.typ.startsWith("struct<")) {
-        // struct layout: ONLY a validity buffer on the struct node
-        // (already consumed above); each member is a full-length child
-        // array with its own node + buffers. Cell = member-value Vector
-        // in declaration order.
-        val members = c.typ.drop(7).dropRight(1).split(",").toSeq
-        val memberVals = members.map { m =>
-          val inner = m.substring(m.indexOf(':') + 1)
-          val (cn, cNull) = nextNode()
-          require(cn == n, "struct member length != struct length")
-          val cvv = nextBuf()
-          val cvalid: Int => Boolean =
-            if (cNull == 0L) _ => true else i => bit(cvv, i)
-          readPrim(inner, cn, cvalid)
-        }
-        (0 until n).foreach { i =>
-          acc(ci) += (if (!valid(i)) null else memberVals.map(_(i)).toVector)
-        }
-      } else acc(ci) ++= readPrim(c.typ, n, valid)
+      } else acc(ci) ++= readField(spec.col.typ)
     }
   }
 

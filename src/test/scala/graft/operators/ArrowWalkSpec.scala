@@ -104,6 +104,64 @@ class ArrowWalkSpec extends SparkSpec {
       Vector(("a", java.lang.Long.valueOf(4L)), ("b", java.lang.Long.valueOf(4L))))
   }
 
+  test("recursive nesting: list<list<int64>> and struct carrying a list member") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{ListVector, StructVector}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    def item(t: ArrowType) = new Field("item", FieldType.nullable(t), null)
+    val fields = List(
+      new Field("ll", FieldType.nullable(new ArrowType.List()),
+        List(new Field("item", FieldType.nullable(new ArrowType.List()),
+          List(item(new ArrowType.Int(64, true))).asJava)).asJava),
+      new Field("sl", FieldType.nullable(new ArrowType.Struct()),
+        List(
+          new Field("a", FieldType.nullable(new ArrowType.List()),
+            List(item(new ArrowType.Int(64, true))).asJava),
+          new Field("b", FieldType.nullable(new ArrowType.Utf8()), null)).asJava))
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    root.allocateNew()
+    val ll = root.getVector("ll").asInstanceOf[ListVector]
+    val lw = ll.getWriter
+    lw.setPosition(0); lw.startList()
+    lw.list().startList()
+    lw.list().bigInt().writeBigInt(1L); lw.list().bigInt().writeBigInt(2L)
+    lw.list().endList()
+    lw.list().startList(); lw.list().bigInt().writeBigInt(3L); lw.list().endList()
+    lw.endList()
+    // row 1 stays null; row 2 = [[]] (one empty inner list)
+    lw.setPosition(2); lw.startList()
+    lw.list().startList(); lw.list().endList()
+    lw.endList()
+    val sl = root.getVector("sl").asInstanceOf[StructVector]
+    val aw = sl.getChild("a").asInstanceOf[ListVector].getWriter
+    val bVec = sl.getChild("b").asInstanceOf[VarCharVector]
+    sl.setIndexDefined(0)
+    aw.setPosition(0); aw.startList(); aw.bigInt().writeBigInt(7L); aw.endList()
+    bVec.setSafe(0, "x".getBytes("UTF-8"))
+    sl.setIndexDefined(2)
+    aw.setPosition(2); aw.startList(); aw.endList()
+    bVec.setSafe(2, "yz".getBytes("UTF-8"))
+    root.setRowCount(3)
+    w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.cols.map(_.typ) ===
+      Seq("list<list<int64>>", "struct<a:list<int64>,b:utf8>"))
+    def L(v: Long) = java.lang.Long.valueOf(v)
+    assert(t.values(0)(0) === Vector(Vector(L(1), L(2)), Vector(L(3))))
+    assert(t.values(0)(1) === null)
+    assert(t.values(0)(2) === Vector(Vector()))
+    assert(t.values(1)(0) === Vector(Vector(L(7)), "x"))
+    assert(t.values(1)(1) === null)
+    assert(t.values(1)(2) === Vector(Vector(), "yz"))
+  }
+
   test("delta dictionary batches append to the registered values") {
     // stream hand-orchestrated through the REAL Arrow Java serializer:
     // schema → dict(7: alpha,beta) → batch[1,0] → DELTA dict(+gamma)
