@@ -41,10 +41,13 @@ package graft.operators
   * [[ZstdCodec]]. Calendar columns decode as their RAW wire integers
   * (date32 = days, date64 = millis, timestamp_{s,ms,us,ns} = the
   * declared unit; tz is metadata) — the caller owns the calendar.
-  * Honest subset, quarantined LOUDLY (never silently misread):
-  * Union, Decimal, Time-of-day, Interval/Duration, nesting past
-  * depth 16, dictionary encoding below the top level, and big-endian
-  * schemas. Arrow carries NO data checksums,
+  * Decimal128 decodes to exact BigDecimal (16-byte two's-complement
+  * LE unscaled + schema scale); Time32/Time64 and Duration decode as
+  * raw unit integers like the other calendar types. Honest subset,
+  * quarantined LOUDLY (never silently misread): Union, Decimal256,
+  * Interval, nesting past depth 16, dictionary encoding below the
+  * top level, and big-endian schemas. Arrow carries NO data
+  * checksums,
   * so corruption detection is structural (magic, framing, footer
   * length, buffer bounds) — a flipped body byte is undetectable by
   * design; noted where the ZIP/7z walks advertise CRC gates.
@@ -170,6 +173,33 @@ object ArrowWalk {
         }
       case 5 => "utf8"
       case 6 => "bool"
+      case 7 => // Decimal: 128-bit two's-complement LE + schema scale
+        val p = fb.fieldI32(tv, 0, 0)
+        val sc = fb.fieldI32(tv, 1, 0)
+        // Schema.fbs declares `bitWidth: int = 128` — absent means 128
+        val bw = fb.fieldI32(tv, 2, 128)
+        require(bw == 128, s"decimal$bw unsupported")
+        s"decimal($p,$sc)"
+      case 9 => // Time-of-day: raw integer in the declared unit.
+        // Schema.fbs: `unit: TimeUnit = MILLISECOND; bitWidth: int = 32`
+        val u = fb.fieldI16(tv, 0, 1)
+        val bw = fb.fieldI32(tv, 1, 32)
+        (u, bw) match {
+          case (0, 32) => "time32_s"
+          case (1, 32) => "time32_ms"
+          case (2, 64) => "time64_us"
+          case (3, 64) => "time64_ns"
+          case other => throw new IllegalArgumentException(
+            s"time unit/width $other unsupported")
+        }
+      case 18 => // Duration: int64 in the declared unit (default ms)
+        fb.fieldI16(tv, 0, 1) match {
+          case 0 => "duration_s"
+          case 1 => "duration_ms"
+          case 2 => "duration_us"
+          case 3 => "duration_ns"
+          case u => throw new IllegalArgumentException(s"duration unit $u unsupported")
+        }
       case 8 => // Date: DAY = int32 days, MILLISECOND = int64 millis.
         // Schema.fbs declares `unit: DateUnit = MILLISECOND`, so the
         // flatbuffer OMITS the field at its default — absent means 1
@@ -408,13 +438,30 @@ object ArrowWalk {
         (0 until n).map { i =>
           if (!valid(i)) null else java.lang.Long.valueOf(longAt(d, w, i))
         }
-      case t if t == "date32" || t == "date64" || t.startsWith("timestamp_") =>
-        // calendar types are raw integers on the wire: date32 = int32
-        // days, date64 = int64 millis, timestamp = int64 declared units
-        val w = if (t == "date32") 4 else 8
+      case t if t == "date32" || t == "date64" || t.startsWith("timestamp_") ||
+          t.startsWith("time32_") || t.startsWith("time64_") ||
+          t.startsWith("duration_") =>
+        // calendar types are raw integers on the wire: date32/time32 =
+        // int32, date64/time64/timestamp/duration = int64, all in the
+        // schema-declared unit
+        val w = if (t == "date32" || t.startsWith("time32_")) 4 else 8
         val d = nextBuf()
         (0 until n).map { i =>
           if (!valid(i)) null else java.lang.Long.valueOf(longAt(d, w, i))
+        }
+      case t if t.startsWith("decimal(") =>
+        // decimal128: 16-byte two's-complement little-endian unscaled
+        // value; the scale lives in the schema
+        val scale = t.dropRight(1).split(",")(1).toInt
+        val d = nextBuf()
+        (0 until n).map { i =>
+          if (!valid(i)) null
+          else {
+            val be = new Array[Byte](16)
+            var k = 0
+            while (k < 16) { be(k) = d.arr(d.off + 16 * i + (15 - k)); k += 1 }
+            new java.math.BigDecimal(new java.math.BigInteger(be), scale)
+          }
         }
       case "float64" =>
         val d = nextBuf()

@@ -424,6 +424,48 @@ class ArrowWalkSpec extends SparkSpec {
     assert(t.values(2)(1) === java.lang.Long.valueOf(42L))
   }
 
+  test("decimal128/time32/time64/duration columns decode exactly") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.TimeUnit
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val fields = List(
+      new Field("dec", FieldType.nullable(new ArrowType.Decimal(20, 4, 128)), null),
+      new Field("t32", FieldType.nullable(new ArrowType.Time(TimeUnit.MILLISECOND, 32)), null),
+      new Field("t64", FieldType.nullable(new ArrowType.Time(TimeUnit.MICROSECOND, 64)), null),
+      new Field("dur", FieldType.nullable(new ArrowType.Duration(TimeUnit.MILLISECOND)), null))
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    root.allocateNew()
+    val dec = root.getVector("dec").asInstanceOf[DecimalVector]
+    dec.setSafe(0, new java.math.BigDecimal("1234567890123456.7890"))
+    dec.setSafe(1, new java.math.BigDecimal("-0.0001"))
+    dec.setNull(2)
+    val t32 = root.getVector("t32").asInstanceOf[TimeMilliVector]
+    t32.setSafe(0, 86399999); t32.setSafe(1, 0); t32.setSafe(2, 1)
+    val t64 = root.getVector("t64").asInstanceOf[TimeMicroVector]
+    t64.setSafe(0, 86399999999999L); t64.setSafe(1, 7L); t64.setSafe(2, 8L)
+    val dur = root.getVector("dur").asInstanceOf[DurationVector]
+    dur.setSafe(0, -5000L); dur.setSafe(1, 0L); dur.setSafe(2, 123L)
+    root.setRowCount(3)
+    w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    val t = ArrowWalk.table(bos.toByteArray).getOrElse(fail("quarantined"))
+    assert(t.cols.map(_.typ) ===
+      Seq("decimal(20,4)", "time32_ms", "time64_us", "duration_ms"))
+    assert(t.values(0)(0) === new java.math.BigDecimal("1234567890123456.7890"))
+    assert(t.values(0)(1) === new java.math.BigDecimal("-0.0001"))
+    assert(t.values(0)(2) === null)
+    assert(t.values(1)(0) === java.lang.Long.valueOf(86399999L))
+    assert(t.values(2)(0) === java.lang.Long.valueOf(86399999999999L))
+    assert(t.values(3)(0) === java.lang.Long.valueOf(-5000L))
+    assert(t.values(3)(2) === java.lang.Long.valueOf(123L))
+  }
+
   test("STREAM encapsulation (no footer) walks sequentially to EOS") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
