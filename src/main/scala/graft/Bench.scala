@@ -76,6 +76,31 @@ object Bench {
     }
     val bwStart = (1 to 2).map(_ => bwProbe()).max
 
+    // Allocation-stall probe: the r16 cross-round A/B caught a machine
+    // state (reset by a reboot) that ran byte-identical queries 2-34x
+    // slower — allocation-heavy iteratives hit hardest (q_kcore
+    // 106.5 -> 7.1 s), streaming walks least — while BOTH existing
+    // probes stayed flat: the signature of memory-fragmentation /
+    // THP-compaction stalls, which tax page-granular heap growth and
+    // leave sequential streaming intact. Time 16 short-lived 64 MB
+    // allocations touched a page apart; report seconds so a stalled
+    // box is directly visible next to the flat bw number.
+    def allocProbe(): Double = {
+      val t0 = System.nanoTime()
+      var r = 0
+      var sink = 0L
+      while (r < 16) {
+        val a = new Array[Long](8 * 1024 * 1024) // 64 MB
+        var i = 0
+        while (i < a.length) { a(i) = i.toLong; i += 512 } // one touch per 4K page
+        sink ^= a(a.length - 1)
+        r += 1
+      }
+      if (sink == 42L) println("") // keep the allocation observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val allocStart = (1 to 2).map(_ => allocProbe()).min
+
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep (the driver
     // never sets it, so recorded artifacts always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -148,8 +173,9 @@ object Bench {
     val passesInfo =
       s""","passes":2,"total_pass1":${fmt(firstPass.map(_._2).sum)},"total_pass2":${fmt(secondPass.map(_._2).sum)}"""
     val bwEnd = (1 to 2).map(_ => bwProbe()).max
+    val allocEnd = (1 to 2).map(_ => allocProbe()).min
     val line =
-      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_end_sec":${fmt(probeEnd)},"bw_probe_start_gbs":${fmt(bwStart)},"bw_probe_end_gbs":${fmt(bwEnd)},"contended":$contended$passesInfo,"sf":"$sfDir"}"""
+      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_end_sec":${fmt(probeEnd)},"bw_probe_start_gbs":${fmt(bwStart)},"bw_probe_end_gbs":${fmt(bwEnd)},"alloc_probe_start_sec":${fmt(allocStart)},"alloc_probe_end_sec":${fmt(allocEnd)},"contended":$contended$passesInfo,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
