@@ -371,7 +371,13 @@ object ArrowWalk {
     var ni = 0
     def nextNode(): (Int, Long) = {
       val p = fb.vecElem(nodesVec, ni, 16); ni += 1
-      (fb.i64(p).toInt, fb.i64(p + 8))
+      val len = fb.i64(p)
+      // forged node lengths must not drive giant boxed allocations
+      // before a buffer bounds check fires: a batch cannot carry more
+      // values than the file has BITS (the all-null validity floor)
+      require(len >= 0 && len <= bytes.length.toLong * 8 + 64,
+        "field node length out of range")
+      (len.toInt, fb.i64(p + 8))
     }
     val bufs = (0 until fb.vecLen(bufsVec)).map { i =>
       val p = fb.vecElem(bufsVec, i, 16)

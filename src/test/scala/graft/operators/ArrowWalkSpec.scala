@@ -498,6 +498,41 @@ class ArrowWalkSpec extends SparkSpec {
     assert(t.values(1)(0) === "stream batch 0 row 0")
   }
 
+  test("fuzz: 300 hostile payloads quarantine or decode, never throw") {
+    // the contract is table()'s Either — pure random bytes, bit-flipped
+    // and truncated valid files (plain and compressed, with the nested
+    // struct/map/list columns in play) must come back Left or Right,
+    // never an escaping exception, hang, or giant allocation
+    val rnd = new scala.util.Random(0xa44c)
+    val valid = Seq(
+      ArrowWalk.fixture(recs, 7),
+      ArrowWalk.fixture(recs, 25, nullSourceEvery = 5, compress = "zstd"))
+    def mutate(b: Array[Byte]): Array[Byte] = {
+      val o = b.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8)) {
+        val i = rnd.nextInt(o.length)
+        o(i) = (o(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      o
+    }
+    var decoded = 0; var quarantined = 0
+    (0 until 300).foreach { i =>
+      val base = valid(i % valid.length)
+      val payload = i % 4 match {
+        case 0 => Array.fill(rnd.nextInt(300))(rnd.nextInt().toByte)
+        case 1 => mutate(base)
+        case 2 => base.take(rnd.nextInt(base.length))
+        case _ => mutate(mutate(base))
+      }
+      ArrowWalk.table(payload) match {
+        case Right(t) => decoded += 1; assert(t.nRows >= 0)
+        case Left(msg) => quarantined += 1; assert(msg != null)
+      }
+    }
+    assert(decoded + quarantined === 300)
+    assert(quarantined > 0) // the hostile set actually exercised rejects
+  }
+
   test("Spark fan-out: parseDocs walks files partition-parallel") {
     import spark.implicits._
     val files = (0L until 5L).map { c =>
