@@ -4763,6 +4763,25 @@ object SparkEntry {
       .orderBy(col("global_sequence"))
   }
 
+  /** X5: custom ABI overrides (ds-pool.ts:147-181,253-267) — the chain
+    * dim is restricted to eosio.token, so hyp.test actions must resolve
+    * through the custom defs' OPEN intervals (start < b < end), with the
+    * overlapping pair tie-breaking on latest startingBlock and the
+    * eosio.token custom def losing to the chain ABI (precedence).
+    */
+  private def qHypAbiOverride(s: SparkSession, d: String): DataFrame = {
+    val actions = fixtureActions(s).withColumn("account", col("act.account"))
+    val chainDim = Fixtures.abis(s).toDF().filter(col("account") === "eosio.token")
+    val chain = graft.operators.AsOf.join(actions, chainDim,
+      keys = Seq("account"), probeSeq = "block_num", dimSeq = "block",
+      payload = Seq("abi"))
+    graft.operators.AsOf.withCustomAbi(chain, Fixtures.customAbis(s),
+        keys = Seq("account"), blockCol = "block_num", chainAbiCol = "abi")
+      .select(col("global_sequence"), col("account"), col("block_num"),
+        col("abi_resolved"), col("abi_source"))
+      .orderBy(col("global_sequence"))
+  }
+
   /** S5-S7: last-writer-wins state from the delta history. */
   private def qHypStateMerge(s: SparkSession, d: String): DataFrame =
     graft.state.StateMerge.fromHistory(Fixtures.deltas(s, 120).toDF(),
@@ -5938,6 +5957,7 @@ object SparkEntry {
     "q_hyperion_get_actions" -> (qHypGetActions _),
     "q_hyperion_lightblocks" -> (qHypLightBlocks _),
     "q_hyperion_abi_asof" -> (qHypAbiAsof _),
+    "q_hyperion_abi_override" -> (qHypAbiOverride _),
     "q_hyperion_state_merge" -> (qHypStateMerge _),
     "q_hyperion_forks" -> (qHypForks _),
     "q_hyperion_router" -> (qHypRouter _),
@@ -10479,6 +10499,32 @@ object SparkEntry {
             WHERE x.account = a.account AND x.block <= a.block_num
             ORDER BY x.block DESC LIMIT 1) AS abi
          FROM acts a ORDER BY a.global_sequence""",
+    // X5 custom ABI overrides: eosio.token resolves from the chain dim
+    // (its custom def loses on precedence); hyp.test has no chain rows
+    // in this query, so every action falls through to the OPEN-interval
+    // custom match — def (250,400) everywhere, def (320,500) winning on
+    // latest start once 320 < block
+    "q_hyperion_abi_override" ->
+      """WITH acts AS (
+           SELECT 1000000 + 3 * i + 1 AS global_sequence,
+             'eosio.token' AS account, 100 + i AS block_num
+           FROM (SELECT unnest(range(100)) AS i)
+           UNION ALL
+           SELECT 1000300 + 4 * i + lvl + 1, 'hyp.test', 300 + i
+           FROM (SELECT unnest(range(50)) AS i), (SELECT unnest(range(4)) AS lvl))
+         SELECT global_sequence, account, block_num,
+           CASE WHEN account = 'eosio.token' THEN
+             CASE WHEN block_num >= 150
+               THEN '{"version":"eosio::abi/1.2","rev":2}'
+               ELSE '{"version":"eosio::abi/1.1","rev":1}' END
+           ELSE
+             CASE WHEN block_num > 320
+               THEN '{"version":"eosio::abi/1.1","rev":"custom-b"}'
+               ELSE '{"version":"eosio::abi/1.1","rev":"custom-a"}' END
+           END AS abi_resolved,
+           CASE WHEN account = 'eosio.token' THEN 'chain' ELSE 'custom' END
+             AS abi_source
+         FROM acts ORDER BY global_sequence""",
     "q_hyperion_abi_decode" ->
       """SELECT * FROM (
            SELECT 1000000 + 3 * i + 1 AS global_sequence,

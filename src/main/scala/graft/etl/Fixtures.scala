@@ -92,6 +92,21 @@ object Fixtures {
       AbiDoc(320L, "hyp.test", """{"version":"eosio::abi/1.2","rev":2}""", "0b12")))
   }
 
+  /** Custom-ABI override defs (X5): per-contract ABI valid over an OPEN
+    * block interval — the `custom-abi/<chain>/<code>-<start>-<end>`
+    * file drops of the reference (ds-pool.ts:147-181). The two
+    * overlapping hyp.test defs exercise the latest-start tie-break; the
+    * eosio.token def exercises chain-ABI precedence.
+    */
+  def customAbis(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("hyp.test", 250L, 400L, """{"version":"eosio::abi/1.1","rev":"custom-a"}"""),
+      ("hyp.test", 320L, 500L, """{"version":"eosio::abi/1.1","rev":"custom-b"}"""),
+      ("eosio.token", 10L, 9999L, """{"version":"eosio::abi/1.1","rev":"custom-c"}"""))
+      .toDF("account", "starting_block", "ending_block", "abi")
+  }
+
   /** Delta rows for a contract table with updates and a deletion —
     * exercises last-writer-wins + present==0 semantics.
     */

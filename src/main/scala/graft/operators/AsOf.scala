@@ -70,6 +70,44 @@ object AsOf {
       .select(probeCols.map(col) ++ payload.map(c => col(s"__carried_$c").as(c)): _*)
   }
 
+  /** Custom-ABI fallback (X5 — ds-pool.ts:147-181,253-267): deployments
+    * may drop per-contract ABI files valid over an OPEN block interval
+    * (`startingBlock < b < endingBlock`, both strict, per the
+    * reference's match), consulted when the chain ABI chain cannot
+    * serve the row. Spark-first: the defs are extra rows in a
+    * broadcast-sized dimension; the probe left-joins on key + open
+    * interval, overlapping defs resolve to the LATEST startingBlock
+    * (the reference's file-order `find` is load-order-dependent —
+    * pinned here so replays are deterministic), and the chain ABI
+    * keeps precedence: custom fills only where `chainAbiCol` is null,
+    * the try-custom-on-primary-failure order of the reference.
+    * Output adds `abi_resolved` and `abi_source` (chain/custom/none).
+    */
+  def withCustomAbi(
+      probe: DataFrame,
+      customs: DataFrame, // keys… + starting_block, ending_block, abi
+      keys: Seq[String],
+      blockCol: String,
+      chainAbiCol: String): DataFrame = {
+    val d = broadcast(customs.select(
+      keys.map(c => col(c).as(s"__k_$c")) ++ Seq(
+        col("starting_block").as("__start"),
+        col("ending_block").as("__end"),
+        col("abi").as("__custom_abi")): _*))
+    val cond = keys.map(c => col(c) === col(s"__k_$c")).reduce(_ && _) &&
+      col("__start") < col(blockCol) && col(blockCol) < col("__end")
+    val probeCols = probe.columns.toSeq
+    probe.join(d, cond, "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(max_by(col("__custom_abi"), col("__start")).as("__custom"))
+      .withColumn("abi_resolved", coalesce(col(chainAbiCol), col("__custom")))
+      .withColumn("abi_source",
+        when(col(chainAbiCol).isNotNull, "chain")
+          .when(col("__custom").isNotNull, "custom")
+          .otherwise("none"))
+      .drop("__custom")
+  }
+
   /** Broadcast variant for small dimensions (the ABI table): range-join
     * probe × dim on key with dim.seq <= probe.seq, then argmax per probe
     * row. Catalyst broadcasts the dim; the argmax is a cheap partial agg.

@@ -32,6 +32,31 @@ class AsOfSpec extends SparkSpec {
     assert(joined.count() === actions.count(), "probe rows preserved")
   }
 
+  test("custom-ABI overrides: open interval, precedence, latest-start tie-break (X5)") {
+    val probe = Seq(
+      (1L, "c1", 100L, "chainAbi"), // chain present → custom loses
+      (2L, "c1", 100L, null),       // chain null → custom (10,200) serves
+      (3L, "c1", 10L, null),        // b == start: STRICT, no match
+      (4L, "c1", 500L, null),       // b == end (of the later def): STRICT, no match
+      (5L, "c1", 150L, null),       // two defs cover → latest start wins
+      (6L, "c2", 100L, null))       // no defs for c2 → none
+      .toDF("gs", "account", "block_num", "abi")
+    val customs = Seq(
+      ("c1", 10L, 200L, "customA"),
+      ("c1", 120L, 500L, "customB"))
+      .toDF("account", "starting_block", "ending_block", "abi")
+    val out = AsOf.withCustomAbi(probe, customs,
+        keys = Seq("account"), blockCol = "block_num", chainAbiCol = "abi")
+      .select($"gs", $"abi_resolved", $"abi_source")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "chainAbi", "chain")))
+    assert(out(1) === ((2L, "customA", "custom")))
+    assert(out(2) === ((3L, null, "none")))
+    assert(out(3) === ((4L, null, "none")))
+    assert(out(4) === ((5L, "customB", "custom"))) // start 120 > 10
+    assert(out(5) === ((6L, null, "none")))
+  }
+
   test("probe rows before any dimension row carry null") {
     val probe = Seq(("a", 10L), ("a", 100L)).toDF("account", "block_num")
     val dim = Seq(("a", 50L, "v1")).toDF("account", "block", "abi")
