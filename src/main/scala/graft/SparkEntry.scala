@@ -651,10 +651,17 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1).parquet(in)
     val deduped = graft.streaming.StreamDedup.dedupStream(
       stream.select(Text.exactKey(col("text")).as("text_hash")), Seq("text_hash"))
-    val finished = deduped.writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .format("parquet").option("path", out)
-      .start().awaitTermination(180000)
+    // scale-adaptive stream width (StreamScale rationale): the dedup
+    // state store pays `width` partitions per micro-batch, no AQE inside
+    // a streaming query to coalesce them
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, in))
+    val finished = graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      deduped.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start().awaitTermination(180000)
+    }
     require(finished, "streaming dedup did not finish within 180s — " +
       "refusing to read a partial sink")
     s.read.parquet(out).orderBy(col("text_hash"))
@@ -687,13 +694,22 @@ object SparkEntry {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_shll").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    val ev = T.events(s, d).select(col("ts"), col("event_type"), col("user_id"))
     val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-    ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$tmp/c0")
-    ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$tmp/c1")
+    // ONE events pass stages both time-split chunks (was: two filtered
+    // scan+write jobs plus a max(ts) scan); the sentinel timestamp rides
+    // the same pass as an Observation. repartition(1): the harness needs
+    // file == chunk so maxFilesPerTrigger=1 keeps the documented
+    // one-batch-per-chunk arrival order.
+    val obs = org.apache.spark.sql.Observation()
+    T.events(s, d)
+      .select(col("ts"), col("event_type"), col("user_id"),
+        when(col("ts") < cut, "c0").otherwise("c1").as("chunk"))
+      .observe(obs, max(col("ts")).as("max_ts"))
+      .repartition(1)
+      .write.partitionBy("chunk").parquet(s"$tmp/staged")
     val sentinelTs = java.sql.Timestamp.from(
-      ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
-        .plusSeconds(40L * 86400))
+      (obs.get("max_ts") match { case t: java.sql.Timestamp => t })
+        .toInstant.plusSeconds(40L * 86400))
     s.range(1).select(
         lit(sentinelTs).as("ts"),
         lit("zz_sentinel").as("event_type"),
@@ -703,7 +719,8 @@ object SparkEntry {
     fs.mkdirs(new Path(in))
     Seq("c0" -> 1000000L, "c1" -> 2000000L, "c2" -> 3000000L).foreach {
       case (c, t) =>
-        fs.listStatus(new Path(s"$tmp/$c"))
+        val src = if (c == "c2") s"$tmp/c2" else s"$tmp/staged/chunk=$c"
+        fs.listStatus(new Path(src))
           .filter(_.getPath.getName.startsWith("part-"))
           .zipWithIndex.foreach { case (f, i) =>
             val dst = new Path(in, s"$c-$i.parquet")
@@ -720,10 +737,18 @@ object SparkEntry {
         bucket.as("bucket"), rank.as("r")),
       "ts", "6 hours", "0 seconds",
       Seq("event_type", "bucket"), Seq(max(col("r")).as("mr")))
-    val finished = regs.writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .format("parquet").option("path", out)
-      .start().awaitTermination(180000)
+    // scale-adaptive stream width: the windowed-HLL state store commits
+    // `width` partitions per stateful op per micro-batch with no AQE to
+    // coalesce them — size it to the staged input, not the session's
+    // batch constant
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, in))
+    val finished = graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      regs.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start().awaitTermination(180000)
+    }
     require(finished, "streaming HLL did not finish within 180s — " +
       "refusing to read a partial sink")
     Sketch.hllEstimate(
@@ -757,34 +782,46 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sjoin").toString
     val in1 = s"$tmp/views"; val in2 = s"$tmp/clicks"
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    val ev = T.events(s, d).select(col("event_id"), col("ts"),
-      col("user_id"), col("event_type"))
-    val sentinelTs = java.sql.Timestamp.from(
-      ev.agg(max(col("ts"))).head().getTimestamp(0).toInstant
-        .plusSeconds(40L * 86400))
     val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
     val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    // ONE events pass stages all six chunk files (was: a max(ts) scan
+    // plus 3 filtered scan+write jobs per side — 7 events jobs); the
+    // sentinel timestamp rides the same pass as an Observation. The
+    // sentinel only needs to out-run every streamed event's ts, so the
+    // max over the view+click slice is flush-equivalent to the old
+    // all-events max. repartition(1): the harness needs file == chunk
+    // (maxFilesPerTrigger=2 ⇒ {c0,c1} then {c2,sentinel} batches), and
+    // the dynamic-partition writer emits one file per directory per task.
+    val obs = org.apache.spark.sql.Observation()
+    T.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        when(col("ts") < cut1, "c0").when(col("ts") < cut2, "c1")
+          .otherwise("c2").as("chunk"))
+      .observe(obs, max(col("ts")).as("max_ts"))
+      .repartition(1)
+      .write.partitionBy("event_type", "chunk").parquet(s"$tmp/staged")
+    val sentinelTs = java.sql.Timestamp.from(
+      (obs.get("max_ts") match { case t: java.sql.Timestamp => t })
+        .toInstant.plusSeconds(40L * 86400))
     val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
     Seq("view" -> in1, "click" -> in2).foreach { case (etype, dir) =>
-      val side = ev.filter(col("event_type") === etype)
-        .select(col("event_id"), col("ts"), col("user_id"))
-      side.filter(col("ts") < cut1).coalesce(1).write.parquet(s"$dir-c0")
-      side.filter(col("ts") >= cut1 && col("ts") < cut2)
-        .coalesce(1).write.parquet(s"$dir-c1")
-      side.filter(col("ts") >= cut2).coalesce(1).write.parquet(s"$dir-c2")
       s.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
           lit(-1L).as("user_id"))
         .coalesce(1).write.parquet(s"$dir-c3")
       fs.mkdirs(new Path(dir))
-      Seq("c0" -> 1000000L, "c1" -> 2000000L, "c2" -> 3000000L,
-        "c3" -> 4000000L).foreach { case (c, t) =>
-        fs.listStatus(new Path(s"$dir-$c"))
-          .filter(_.getPath.getName.startsWith("part-"))
-          .zipWithIndex.foreach { case (f, i) =>
-            val dst = new Path(dir, s"$c-$i.parquet")
-            fs.rename(f.getPath, dst)
-            fs.setTimes(dst, t, -1)
-          }
+      val chunkDirs = Seq("c0", "c1", "c2").map(c =>
+        c -> s"$tmp/staged/event_type=$etype/chunk=$c") :+ ("c3" -> s"$dir-c3")
+      chunkDirs.zip(Seq(1000000L, 2000000L, 3000000L, 4000000L)).foreach {
+        case ((c, src), t) =>
+          fs.listStatus(new Path(src))
+            .filter(_.getPath.getName.startsWith("part-"))
+            .zipWithIndex.foreach { case (f, i) =>
+              val dst = new Path(dir, s"$c-$i.parquet")
+              fs.rename(f.getPath, dst)
+              fs.setTimes(dst, t, -1)
+            }
       }
     }
     val schema = s.read.parquet(in1).schema
@@ -796,15 +833,24 @@ object SparkEntry {
     // the batch count halves the harness wall at identical output.
     def stream(dir: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(dir)
-    val joined = graft.streaming.StreamJoin.attribute(
-      stream(in1), stream(in2), delay = "1 hour", withinSeconds = 21600L)
-    val query = joined.writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .format("parquet").option("path", out)
-      .start()
-    val finished =
+    // scale-adaptive stream width (StreamScale): AQE cannot coalesce
+    // inside a streaming query, so the static shuffle width is the
+    // state-store partition count per stateful op per batch — derive it
+    // from the staged input size instead of inheriting the batch-tuned
+    // session constant
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, in1) +
+        graft.streaming.StreamScale.dirBytes(s, in2))
+    val finished = graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      val joined = graft.streaming.StreamJoin.attribute(
+        stream(in1), stream(in2), delay = "1 hour", withinSeconds = 21600L)
+      val query = joined.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
       try query.awaitTermination(180000)
       finally if (query.isActive) query.stop() // don't pin executors past a timeout
+    }
     require(finished, "stream-stream join did not finish within 180s — " +
       "refusing to read a partial sink")
     s.read.parquet(out)
@@ -4776,7 +4822,8 @@ object SparkEntry {
       keys = Seq("account"), probeSeq = "block_num", dimSeq = "block",
       payload = Seq("abi"))
     graft.operators.AsOf.withCustomAbi(chain, Fixtures.customAbis(s),
-        keys = Seq("account"), blockCol = "block_num", chainAbiCol = "abi")
+        keys = Seq("account"), blockCol = "block_num", chainAbiCol = "abi",
+        rowKey = Seq("global_sequence"))
       .select(col("global_sequence"), col("account"), col("block_num"),
         col("abi_resolved"), col("abi_source"))
       .orderBy(col("global_sequence"))
@@ -5244,7 +5291,12 @@ object SparkEntry {
     val raw = s"$tmp/raw"; val hist = s"$tmp/hist"; val ckpt = s"$tmp/ckpt"
     Fixtures.rawTraces(s, 100, 50, 3).toDF().write.parquet(raw)
     val schema = s.read.parquet(raw).schema
-    def runOnce(): Unit = {
+    // scale-adaptive stream width: the foreachBatch body (receipts-merge
+    // groupBy + per-sequence dedup + bucketed write) plans each batch at
+    // the static width with no AQE — size it to the staged input
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, raw))
+    def runOnce(): Unit = graft.streaming.StreamScale.withShuffleWidth(s, width) {
       val finished = graft.streaming.Ingest.startActionIngest(
         s.readStream.schema(schema).parquet(raw), hist, ckpt,
         partitionSize = 100L).awaitTermination(180000)
@@ -5288,10 +5340,16 @@ object SparkEntry {
           fs.setTimes(dst, t, -1)
         }
     }
-    val finished = graft.streaming.Ingest.startStateMerge(
-      s.readStream.schema(all.schema).option("maxFilesPerTrigger", "1").parquet(raw),
-      state, ckpt, keys = Seq("code", "table", "scope", "primary_key"),
-      nBuckets = 8).awaitTermination(180000)
+    // scale-adaptive stream width (StreamScale rationale — the LWW merge
+    // batches plan at the static width, no AQE inside streaming)
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, raw))
+    val finished = graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      graft.streaming.Ingest.startStateMerge(
+        s.readStream.schema(all.schema).option("maxFilesPerTrigger", "1").parquet(raw),
+        state, ckpt, keys = Seq("code", "table", "scope", "primary_key"),
+        nBuckets = 8).awaitTermination(180000)
+    }
     require(finished, "state merge did not finish within 180s — " +
       "refusing to read a partial state")
     s.read.parquet(state)
@@ -5315,9 +5373,14 @@ object SparkEntry {
     all.coalesce(1).write.parquet(raw)
     val sink = new graft.streaming.BulkStateSink(
       s"$tmp/es", Seq("code", "table", "scope", "primary_key"))
-    val finished = graft.streaming.Ingest.startStateSink(
-      s.readStream.schema(all.schema).parquet(raw), sink, ckpt)
-      .awaitTermination(180000)
+    // scale-adaptive stream width (StreamScale rationale)
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, raw))
+    val finished = graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      graft.streaming.Ingest.startStateSink(
+        s.readStream.schema(all.schema).parquet(raw), sink, ckpt)
+        .awaitTermination(180000)
+    }
     require(finished, "bulk sink stream did not finish within 180s")
     val out = sink.read
       .select(col("scope"), col("primary_key"), col("block_num"), col("data"))
@@ -5372,11 +5435,16 @@ object SparkEntry {
           fs.setTimes(dst, t, -1)
         }
     }
-    val finished = graft.streaming.Ingest.startDecodedActionIngest(
-      s.readStream.schema(b1.toDF(cols: _*).schema)
-        .option("maxFilesPerTrigger", "1").parquet(raw),
-      s"$tmp/actions", s"$tmp/blacklist", s"$tmp/ckpt")
-      .awaitTermination(180000)
+    // scale-adaptive stream width (StreamScale rationale)
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, raw))
+    val finished = graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      graft.streaming.Ingest.startDecodedActionIngest(
+        s.readStream.schema(b1.toDF(cols: _*).schema)
+          .option("maxFilesPerTrigger", "1").parquet(raw),
+        s"$tmp/actions", s"$tmp/blacklist", s"$tmp/ckpt")
+        .awaitTermination(180000)
+    }
     require(finished, "decoded ingest did not finish within 180s")
     val rules = s.read.parquet(s"$tmp/blacklist").distinct()
     s.read.parquet(s"$tmp/actions")
@@ -5415,6 +5483,16 @@ object SparkEntry {
     val all = Fixtures.rawTraces(s, 100, 50, 3).toDF() // blocks 100-199, 300-349
     // pre-attach history: everything below block 320
     all.filter(col("block_num") < 320).write.parquet(raw)
+    // scale-adaptive stream width: the live-tail ingest plans each
+    // 100 ms micro-batch at the static width (no AQE inside streaming);
+    // the polling reads and the final replay/handoff evaluate OUTSIDE
+    // this function's conf scope at the session default. Width is set
+    // for the whole polling window because the concurrent stream thread
+    // plans batches throughout it.
+    val width = graft.streaming.StreamScale.partitionsFor(
+      graft.streaming.StreamScale.dirBytes(s, raw))
+    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
     val q = graft.streaming.Ingest.startActionIngest(
       s.readStream.schema(all.schema).parquet(raw), hist, ckpt,
       partitionSize = 100L, trigger = Trigger.ProcessingTime("100 milliseconds"))
@@ -5445,7 +5523,10 @@ object SparkEntry {
           histDf.filter(col("block_num") >= 310), liveStartBlock = attach + 1)
         .select(col("global_sequence"), col("block_num"))
         .orderBy(col("global_sequence"))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 
   /** X2 (actions): the full action-lift family — every handled system

@@ -368,20 +368,39 @@ object ArrowWalk {
       else 1
     val expectedNodes = cols.map(s => nNodes(s.col.typ)).sum
     require(fb.vecLen(nodesVec) == expectedNodes, "node count != field-tree size")
+    val bufs = (0 until fb.vecLen(bufsVec)).map { i =>
+      val p = fb.vecElem(bufsVec, i, 16)
+      Buf(fb.i64(p), fb.i64(p + 8))
+    }
+    // Capacity floor for the forged-node guard. Uncompressed bodies: a
+    // batch cannot carry more values than the file has BITS (all-null
+    // validity floor). Compressed bodies (codec >= 0): buffers
+    // re-materialize to their DECLARED uncompressed lengths (validated
+    // against the actual decode in nextBuf), so a highly compressible
+    // batch legitimately exceeds 8 x its on-disk bytes — bound by the
+    // sum of declared lengths instead, each clamped so a forged prefix
+    // cannot push the floor to effectively-unbounded.
+    val bitCapacity: Long =
+      if (codec < 0) bytes.length.toLong * 8
+      else bufs.foldLeft(0L) { (acc, b) =>
+        val s = bodyStart + b.off
+        val declared =
+          if (b.len >= 8 && s >= 0 && s + 8 <= bytes.length) {
+            var u = 0L; var k = 0
+            while (k < 8) { u |= (bytes(s.toInt + k) & 0xffL) << (8 * k); k += 1 }
+            if (u == -1L) b.len - 8 else u
+          } else b.len
+        acc + math.min(math.max(declared, 0L), 1L << 34) // 2 GiB/buffer clamp
+      } * 8
     var ni = 0
     def nextNode(): (Int, Long) = {
       val p = fb.vecElem(nodesVec, ni, 16); ni += 1
       val len = fb.i64(p)
       // forged node lengths must not drive giant boxed allocations
-      // before a buffer bounds check fires: a batch cannot carry more
-      // values than the file has BITS (the all-null validity floor)
-      require(len >= 0 && len <= bytes.length.toLong * 8 + 64,
+      // before a buffer bounds check fires
+      require(len >= 0 && len <= bitCapacity + 64,
         "field node length out of range")
       (len.toInt, fb.i64(p + 8))
-    }
-    val bufs = (0 until fb.vecLen(bufsVec)).map { i =>
-      val p = fb.vecElem(bufsVec, i, 16)
-      Buf(fb.i64(p), fb.i64(p + 8))
     }
     var bi = 0
     def nextBuf(): View = {
@@ -835,43 +854,57 @@ object ArrowWalk {
             val mt = name.indexOf("meta")
             val pr = name.indexOf("props")
             // member positions inside the struct cell, from the decoded
-            // type string (declaration order, writer-independent)
+            // type string (declaration order, writer-independent) —
+            // split on TOP-LEVEL commas only: a nested member (e.g.
+            // struct<x:map<utf8,int64>,rank:int64>) carries commas a
+            // naive split would mis-index members by
             val (rankIx, tagIx) =
               if (mt < 0) (-1, -1)
               else {
-                val ms = t.cols(mt).typ.drop(7).dropRight(1)
-                  .split(",").map(_.takeWhile(_ != ':'))
+                val ms = splitTop(t.cols(mt).typ.drop(7).dropRight(1))
+                  .map(_.takeWhile(_ != ':'))
                 (ms.indexOf("rank"), ms.indexOf("tag"))
               }
             if (id < 0 || so < 0 || tx < 0)
               Iterator(DocRow(chunk, null, null, null, null, null, null,
                 null, null, corrupt = true))
             else (0 until t.nRows).iterator.map { i =>
-              val marks =
-                if (mk < 0 || t.values(mk)(i) == null) null
-                else t.values(mk)(i).asInstanceOf[Seq[AnyRef]]
-                  .map(_.asInstanceOf[java.lang.Long])
-              val metaCell =
-                if (mt < 0 || t.values(mt)(i) == null) null
-                else t.values(mt)(i).asInstanceOf[Vector[AnyRef]]
-              val propsCell =
-                if (pr < 0 || t.values(pr)(i) == null) null
-                else t.values(pr)(i).asInstanceOf[Vector[(AnyRef, AnyRef)]]
-              DocRow(chunk,
-                t.values(id)(i).asInstanceOf[java.lang.Long],
-                t.values(so)(i).asInstanceOf[String],
-                t.values(tx)(i).asInstanceOf[String],
-                marks,
-                if (metaCell == null || rankIx < 0) null
-                else metaCell(rankIx).asInstanceOf[java.lang.Long],
-                if (metaCell == null || tagIx < 0) null
-                else metaCell(tagIx).asInstanceOf[String],
-                if (propsCell == null) null
-                else java.lang.Long.valueOf(propsCell.length.toLong),
-                if (propsCell == null) null
-                else java.lang.Long.valueOf(propsCell.map(
-                  _._2.asInstanceOf[java.lang.Long].longValue).sum),
-                corrupt = false)
+              // a shape mismatch between the declared member list and the
+              // decoded cell (wrong index, wrong member type) must land
+              // as the file's corrupt row, not escape as a task failure
+              try {
+                val marks =
+                  if (mk < 0 || t.values(mk)(i) == null) null
+                  else t.values(mk)(i).asInstanceOf[Seq[AnyRef]]
+                    .map(_.asInstanceOf[java.lang.Long])
+                val metaCell =
+                  if (mt < 0 || t.values(mt)(i) == null) null
+                  else t.values(mt)(i).asInstanceOf[Vector[AnyRef]]
+                val propsCell =
+                  if (pr < 0 || t.values(pr)(i) == null) null
+                  else t.values(pr)(i).asInstanceOf[Vector[(AnyRef, AnyRef)]]
+                DocRow(chunk,
+                  t.values(id)(i).asInstanceOf[java.lang.Long],
+                  t.values(so)(i).asInstanceOf[String],
+                  t.values(tx)(i).asInstanceOf[String],
+                  marks,
+                  if (metaCell == null || rankIx < 0 ||
+                    rankIx >= metaCell.length) null
+                  else metaCell(rankIx).asInstanceOf[java.lang.Long],
+                  if (metaCell == null || tagIx < 0 ||
+                    tagIx >= metaCell.length) null
+                  else metaCell(tagIx).asInstanceOf[String],
+                  if (propsCell == null) null
+                  else java.lang.Long.valueOf(propsCell.length.toLong),
+                  if (propsCell == null) null
+                  else java.lang.Long.valueOf(propsCell.map(
+                    _._2.asInstanceOf[java.lang.Long].longValue).sum),
+                  corrupt = false)
+              } catch {
+                case _: ClassCastException | _: IndexOutOfBoundsException =>
+                  DocRow(chunk, null, null, null, null, null, null,
+                    null, null, corrupt = true)
+              }
             }
           case Left(_) =>
             Iterator(DocRow(chunk, null, null, null, null, null, null,

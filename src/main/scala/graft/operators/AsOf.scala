@@ -82,13 +82,26 @@ object AsOf {
     * keeps precedence: custom fills only where `chainAbiCol` is null,
     * the try-custom-on-primary-failure order of the reference.
     * Output adds `abi_resolved` and `abi_source` (chain/custom/none).
+    *
+    * `rowKey`: columns that, together with `keys` + `blockCol`, identify
+    * a probe ROW uniquely (e.g. global_sequence). When given, the per-row
+    * max_by groups on that slim natural key only and every other probe
+    * column rides through the aggregate as a first() buffer value — the
+    * probe's payload columns (often including the chain-ABI blob itself)
+    * never become grouping/sort keys, so a sort-based aggregate fallback
+    * sorts a few longs instead of ABI-sized strings. Identical result by
+    * construction: the group is row-unique, so each carried column is
+    * constant within it. With `rowKey` empty the historical shape (group
+    * on every probe column) is kept — callers without a unique key still
+    * get the collapse-identical-rows semantics.
     */
   def withCustomAbi(
       probe: DataFrame,
       customs: DataFrame, // keys… + starting_block, ending_block, abi
       keys: Seq[String],
       blockCol: String,
-      chainAbiCol: String): DataFrame = {
+      chainAbiCol: String,
+      rowKey: Seq[String] = Nil): DataFrame = {
     val d = broadcast(customs.select(
       keys.map(c => col(c).as(s"__k_$c")) ++ Seq(
         col("starting_block").as("__start"),
@@ -97,9 +110,22 @@ object AsOf {
     val cond = keys.map(c => col(c) === col(s"__k_$c")).reduce(_ && _) &&
       col("__start") < col(blockCol) && col(blockCol) < col("__end")
     val probeCols = probe.columns.toSeq
-    probe.join(d, cond, "left")
-      .groupBy(probeCols.map(col): _*)
-      .agg(max_by(col("__custom_abi"), col("__start")).as("__custom"))
+    val joined = probe.join(d, cond, "left")
+    val resolved =
+      if (rowKey.nonEmpty) {
+        val groupCols = (keys ++ Seq(blockCol) ++ rowKey).distinct
+        val carried = probeCols.filterNot(groupCols.contains)
+        joined
+          .groupBy(groupCols.map(col): _*)
+          .agg(max_by(col("__custom_abi"), col("__start")).as("__custom"),
+            carried.map(c => first(col(c)).as(c)): _*)
+          .select((probeCols :+ "__custom").map(col): _*)
+      } else {
+        joined
+          .groupBy(probeCols.map(col): _*)
+          .agg(max_by(col("__custom_abi"), col("__start")).as("__custom"))
+      }
+    resolved
       .withColumn("abi_resolved", coalesce(col(chainAbiCol), col("__custom")))
       .withColumn("abi_source",
         when(col(chainAbiCol).isNotNull, "chain")

@@ -470,6 +470,21 @@ object JpegCodec {
           }
           y += 1
         }
+      } else if (adobeTransform == 0) {
+        // Adobe APP14 transform 0 with 3 components: the samples ARE
+        // RGB (Photoshop emits these) — running them through the YCbCr
+        // inverse would be a silent color misread, against the
+        // decode-or-quarantine contract. Copy the planes directly.
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            out(y * width + x) = 0xff000000 | (sample(0, x, y) << 16) |
+              (sample(1, x, y) << 8) | sample(2, x, y)
+            x += 1
+          }
+          y += 1
+        }
       } else {
         var y = 0
         while (y < height) {

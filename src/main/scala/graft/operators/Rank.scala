@@ -210,12 +210,31 @@ object Rank {
     * map-side partial sums (LongType sum combines), so a 10⁶-degree hub
     * costs its edge count, never a single-reducer list.
     */
+  /** Pre-partition (and sort) an edge-scale frame by `key` before the
+    * persist that an ITERATIVE consumer will join repeatedly: the cache
+    * then carries hash(key) partitioning and key ordering, so every
+    * iteration's join reads it exchange-free (and, for sort-merge,
+    * sort-free) instead of re-exchanging the full edge list per round —
+    * one build-time shuffle buys back iterations × edge-scale exchanges
+    * (guide §2.4: keyed operations sharing one exchange). The width is
+    * pinned to the session's shuffle-partition count so the cached
+    * partitioning stays co-partitioned with the per-iteration state
+    * exchanges (an AQE-coalesced width would break co-partitioning and
+    * reintroduce the exchange on BOTH sides).
+    */
+  private[graft] def partitionEdges(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, col(key)).sortWithinPartitions(key)
+  }
+
   def pageRank(
       edges: DataFrame, // columns: src, dst (already symmetric)
       iterations: Int,
       damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src")
+    // partitioned-by-src cache: the 6 per-iteration joins read it
+    // exchange-free (see partitionEdges)
+    val edgesDeg = partitionEdges(edges.join(deg, "src"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -267,9 +286,10 @@ object Rank {
       sources: DataFrame, // column: node
       iterations: Int,
       damping: Double = 0.85): DataFrame = {
-    // same persist-and-release cache discipline as [[pageRank]]
+    // same persist-and-release cache discipline as [[pageRank]], same
+    // partitioned-by-src cache so per-iteration joins skip the exchange
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src")
+    val edgesDeg = partitionEdges(edges.join(deg, "src"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -382,14 +402,20 @@ object Rank {
         .filter(col("r_e8") >= lit(epsE8) * col("deg"))
         .select(col("node"), col("r_e8")) // deg rides on the edge row
       // |active| ≤ 1/ε by the mass argument above: broadcast is safe
+      // group on dst ALONE (dst_deg is functionally dependent on dst —
+      // one degree per node — so max() carries it unchanged): the
+      // aggregate's hash(dst) output partitioning then satisfies the
+      // full_outer join's distribution on node directly, where the old
+      // hash(dst, dst_deg) grouping forced one extra Exchange of the
+      // pushed side EVERY round (20 exchanges on the registered budget)
       val pushed = e2
         .join(broadcast(active), e2("src") === active("node"))
         .select(
           col("dst"), col("dst_deg"),
           round(lit(damping) * col("r_e8") / e2("deg")).cast("long")
             .as("c_e8"))
-        .groupBy("dst", "dst_deg")
-        .agg(sum(col("c_e8")).as("in_e8"))
+        .groupBy("dst")
+        .agg(sum(col("c_e8")).as("in_e8"), max(col("dst_deg")).as("dst_deg"))
         .select(col("dst").as("node"), col("dst_deg").as("deg"),
           col("in_e8"))
       val settled = state.select(
@@ -476,11 +502,20 @@ object Rank {
     // same persist-and-release cache discipline as [[pageRank]]; the
     // lazy NODE-sized normalize checkpoints below are the only blocks
     // that outlive the call, and the final eager checkpoint truncates
-    // the returned lineage so releasing the edge cache is safe
-    val e = edges.select(col("src"), col("dst"))
+    // the returned lineage so releasing the edge caches is safe.
+    // TWO key-partitioned cached layouts (partitionEdges): the auth
+    // half-step joins on src, the hub half-step on dst — 12 half-steps
+    // at 6 iterations, each previously re-exchanging AND re-sorting the
+    // full edge list for its sort-merge join; the partitioned+sorted
+    // caches make every half-step's edge side exchange-free and
+    // sort-free for one extra cached copy (MEMORY_AND_DISK — spills,
+    // never pins the heap).
+    val eBySrc = partitionEdges(edges.select(col("src"), col("dst")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val eByDst = partitionEdges(edges.select(col("src"), col("dst")), "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eByDst.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = nodes.count()
@@ -507,11 +542,11 @@ object Rank {
       // 61 → 90 s at 100× for HITS (the lazy-checkpointed normalize
       // state interacts badly with the SHJ build); the SMJ default wins
       auth = normalize(
-        e.join(hub, e("src") === hub("node"))
+        eBySrc.join(hub, eBySrc("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum(col("h_e8")).as("raw")),
         "a_e8")
       hub = normalize(
-        e.join(auth, e("dst") === auth("node"))
+        eByDst.join(auth, eByDst("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum(col("a_e8")).as("raw")),
         "h_e8")
     }
@@ -519,7 +554,8 @@ object Rank {
       .na.fill(0L, Seq("h_e8", "a_e8"))
       .select(col("node"), col("h_e8").as("hub_e8"), col("a_e8").as("auth_e8"))
       .localCheckpoint()
-    e.unpersist()
+    eBySrc.unpersist()
+    eByDst.unpersist()
     nodes.unpersist()
     out
   }

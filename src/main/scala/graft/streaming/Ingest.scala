@@ -90,7 +90,11 @@ object Ingest {
     if (!fs.exists(marker)) None
     else {
       val in = fs.open(marker)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      // a torn/corrupt marker (crash between create and write) must read
+      // as None — the next stamp overwrites it — not throw
+      // NumberFormatException into every subsequent micro-batch
+      try scala.util.Try(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
       finally in.close()
     }
   }
@@ -105,8 +109,14 @@ object Ingest {
     if (!current.exists(_ >= head)) {
       val marker = new Path(checkpointDir, "__graft_head")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(marker, true)
+      // write-then-rename: a crash mid-write must never leave a torn
+      // marker under the canonical name (rename is atomic on the
+      // filesystems a checkpoint dir lives on)
+      val tmp = new Path(checkpointDir, s"__graft_head.tmp")
+      val out = fs.create(tmp, true)
       try out.write(head.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(marker)) fs.delete(marker, false)
+      fs.rename(tmp, marker)
     }
   }
 

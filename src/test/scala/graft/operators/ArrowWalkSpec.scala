@@ -270,6 +270,50 @@ class ArrowWalkSpec extends SparkSpec {
     }
   }
 
+  test("compressed bodies: a batch with more values than 8x its FILE bytes decodes") {
+    // highly compressible content (identical short rows) makes the
+    // on-disk file far smaller than its uncompressed body — the r16
+    // forged-node floor (rows <= file_bytes * 8) falsely quarantined
+    // this legitimate shape; the floor must come from the DECLARED
+    // uncompressed buffer lengths when a codec is present
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import scala.jdk.CollectionConverters._
+    val n = 200000
+    val alloc = new RootAllocator()
+    val bytes =
+      try {
+        val fields = List(new Field("v",
+          FieldType.nullable(new ArrowType.Int(64, true)), null))
+        val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ch = java.nio.channels.Channels.newChannel(bos)
+        val w = new ArrowFileWriter(root, null, ch,
+          new java.util.HashMap[String, String](),
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+          org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
+        w.start()
+        root.allocateNew()
+        val v = root.getVector("v").asInstanceOf[BigIntVector]
+        (0 until n).foreach(i => v.setSafe(i, 7L))
+        root.setRowCount(n)
+        w.writeBatch()
+        w.end(); w.close(); root.close()
+        bos.toByteArray
+      } finally alloc.close()
+    assert(n.toLong > bytes.length.toLong * 8,
+      s"fixture not compressible enough to exercise the floor (${bytes.length} B)")
+    val t = ArrowWalk.table(bytes) match {
+      case Right(v) => v
+      case Left(e) => fail(s"falsely quarantined: $e")
+    }
+    assert(t.nRows === n)
+    assert(t.values(0)(n - 1) === java.lang.Long.valueOf(7L))
+  }
+
   test("compressed bodies: corrupted frame magic quarantines the file") {
     val bytes = ArrowWalk.fixture(recs, 25, compress = "zstd")
     // locate the first zstd frame magic (28 B5 2F FD LE) in the body

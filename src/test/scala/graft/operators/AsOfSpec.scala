@@ -57,6 +57,27 @@ class AsOfSpec extends SparkSpec {
     assert(out(5) === ((6L, null, "none")))
   }
 
+  test("custom-ABI slim rowKey grouping is value-identical to the full-row group") {
+    val probe = Seq(
+      (1L, "c1", 100L, "chainAbi"),
+      (2L, "c1", 100L, null),
+      (3L, "c1", 150L, null), // two overlapping defs → latest start
+      (4L, "c2", 100L, null))
+      .toDF("gs", "account", "block_num", "abi")
+    val customs = Seq(
+      ("c1", 10L, 200L, "customA"),
+      ("c1", 120L, 500L, "customB"))
+      .toDF("account", "starting_block", "ending_block", "abi")
+    def run(rk: Seq[String]) = AsOf.withCustomAbi(probe, customs,
+        keys = Seq("account"), blockCol = "block_num", chainAbiCol = "abi",
+        rowKey = rk)
+      .select($"gs", $"account", $"block_num", $"abi_resolved", $"abi_source")
+    val full = run(Nil)
+    val slim = run(Seq("gs"))
+    assert(slim.columns.toSeq === full.columns.toSeq)
+    assert(full.exceptAll(slim).count() === 0 && slim.exceptAll(full).count() === 0)
+  }
+
   test("probe rows before any dimension row carry null") {
     val probe = Seq(("a", 10L), ("a", 100L)).toDF("account", "block_num")
     val dim = Seq(("a", 50L, "v1")).toDF("account", "block", "abi")

@@ -334,6 +334,37 @@ class JpegCodecSpec extends AnyFunSuite {
     assert((p2 & 0xff) === math.round(y0 * 250.0 / 255).toInt)
   }
 
+  test("Adobe RGB: 3-component transform=0 copies planes, no YCbCr inverse") {
+    // the JDK writer's RASTER path stores 3-band samples RAW; splicing
+    // APP14 transform=0 declares them RGB (the Photoshop export shape).
+    // A decoder that still ran the YCbCr inverse would turn this uniform
+    // (200,150,100) into a very different color — the ADVICE'd silent
+    // misread.
+    val raster = java.awt.image.Raster.createInterleavedRaster(
+      java.awt.image.DataBuffer.TYPE_BYTE, 16, 16, 3, null)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      raster.setSample(x, y, 0, 200)
+      raster.setSample(x, y, 1, 150)
+      raster.setSample(x, y, 2, 100)
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = wr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(raster, null, null), param)
+    ios.close(); wr.dispose()
+    val d = JpegCodec.decode(withApp14(bos.toByteArray, 0)).get
+    assert(d.width === 16 && d.height === 16)
+    val p = d.argb(5 * 16 + 7)
+    assert(((p >> 16) & 0xff) === 200)
+    assert(((p >> 8) & 0xff) === 150)
+    assert((p & 0xff) === 100)
+  }
+
   test("CMYK: random 4-component agrees with the JDK raster decode") {
     // the foreign witness for the non-uniform path: decode the SAME
     // file with the JDK reader's raster API (its own Huffman + IDCT),

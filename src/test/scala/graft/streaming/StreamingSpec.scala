@@ -124,6 +124,18 @@ class IngestSpec extends SparkSpec {
     Ingest.startActionIngest(stream, outDir, ckpt, partitionSize = 100L)
       .awaitTermination(60000)
     assert(Ingest.checkpointHead(ckpt) === Some(maxWritten))
+    // a torn marker (crash between create and write) must read as None —
+    // never throw into every subsequent micro-batch — and the next stamp
+    // must overwrite it (write-then-rename)
+    val marker = new org.apache.hadoop.fs.Path(ckpt, "__graft_head")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close() // empty = torn
+    assert(Ingest.checkpointHead(ckpt) === None)
+    // the stream keeps running against the torn marker (no exception);
+    // it stays None because the bounded replay has no new batch to stamp
+    Ingest.startActionIngest(stream, outDir, ckpt, partitionSize = 100L)
+      .awaitTermination(60000)
+    assert(Ingest.checkpointHead(ckpt) === None)
   }
 
   test("retention: Layout.expire ages out an old range; ingest history unchanged above it") {
