@@ -23,6 +23,44 @@ object BenchSuffix {
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    // SPARK_GRAFT_SUFFIX_BOUNDED=1: stage-decompose the BOUNDED layout
+    // instead (positions generation / +range sort / full op+rollup) —
+    // the 4th-rehearsal-decade wall lives here, not in the unbounded
+    // diagnostics
+    if (sys.env.get("SPARK_GRAFT_SUFFIX_BOUNDED").contains("1")) {
+      import spark.implicits._
+      val cap = 40
+      val (_, tGen) = t {
+        docs.select(col("doc_id").cast("long").as("doc"), col("text").as("__t"))
+          .as[(Long, String)].flatMap { case (doc, tx) =>
+            val n = if (tx == null) 0 else tx.length
+            (0 until n).iterator.map(p =>
+              (doc, p, tx.substring(p, math.min(p + cap, n))))
+          }.toDF("doc", "pos", "pfx")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val parts = sys.env.get("SPARK_GRAFT_SUFFIX_PARTS").map(_.toInt).getOrElse(0)
+      val (_, tSorted) = t {
+        val p = docs.select(col("doc_id").cast("long").as("doc"), col("text").as("__t"))
+          .as[(Long, String)].flatMap { case (doc, tx) =>
+            val n = if (tx == null) 0 else tx.length
+            (0 until n).iterator.map(p =>
+              (doc, p, tx.substring(p, math.min(p + cap, n))))
+          }.toDF("doc", "pos", "pfx")
+          .repartitionByRange(if (parts > 0) parts else 78,
+            col("pfx"), col("doc"), col("pos"))
+          .sortWithinPartitions("pfx", "doc", "pos")
+        p.write.format("noop").mode("overwrite").save()
+      }
+      val (_, tOp) = t {
+        SuffixArray.boundedRepeatLengths(docs, "doc_id", "text", cap = cap,
+          nPart = parts).count()
+      }
+      println(s"""{"metric":"suffix_bounded_stages","gen_sec":$tGen,""" +
+        s""""gen_sort_sec":$tSorted,"op_sec":$tOp,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val (_, tBuildOrder) = t {
       val sa = SuffixArray.build(docs, "doc_id", "text")
       sa.order.count() // materialize the full doubling chain

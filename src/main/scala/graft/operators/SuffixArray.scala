@@ -435,7 +435,13 @@ object SuffixArray {
       .repartitionByRange(parts, col("pfx"), col("doc"), col("pos"))
       .sortWithinPartitions("pfx", "doc", "pos")
       .as[(Long, Int, String)]
-      .persist()
+    // NOT persisted (r17): caching the full prefix table costs
+    // positions × (cap + overhead) bytes of cache churn that competes
+    // with the very sorts it feeds — measured at the ×100 rehearsal the
+    // cache+checkpoint pair turned the layout super-linear. The two
+    // consumers (partition-heads collect below, neighbor scan in the
+    // caller) share the ONE range exchange through shuffle-file reuse;
+    // only the per-partition sort re-runs on the second pass.
     val pFirsts = prefixed.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.hasNext) Iterator((i, it.next())) else Iterator.empty
     }.collect().toMap
@@ -502,13 +508,35 @@ object SuffixArray {
     require(cap >= 1, "cap must be >= 1")
     val parts =
       if (nPart > 0) nPart
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val (pairs, prefixed) = cappedNeighborLcp(docs, idCol, textCol, cap, parts)
-    val out = pairs
+      else {
+        // Scale-adaptive exchange width (guide §2.2): the prefix sort
+        // carries ~(cap + row-overhead) bytes per corpus CHARACTER — a
+        // static session width turns super-linear the decade this
+        // outgrows per-task sort memory (measured at the ×100 rehearsal:
+        // ~10 GB over 32 partitions = ~350 MB/task sorts, 6.8 → 119.4 s
+        // for 10× data, pure spill). One cheap length-sum scan sizes the
+        // exchange to ~128 MB/task instead; at the swept SFs the derived
+        // width stays at the session default, so small-scale plans are
+        // unchanged. AQE cannot help here: it only coalesces DOWN from
+        // the static width, never splits an oversized sort up.
+        val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val chars = docs
+          .agg(coalesce(sum(length(col(textCol))), lit(0L))).head().getLong(0)
+        val estBytes = chars * (cap + 28L)
+        math.max(session, math.min(4096L, estBytes / (128L << 20)).toInt)
+      }
+    val (pairs, _) = cappedNeighborLcp(docs, idCol, textCol, cap, parts)
+    // One explicit exchange at the derived width feeds the
+    // positions-keyed aggregate (the session-width groupBy exchange
+    // would re-create the oversized-sort problem one operator later),
+    // and the result stays LAZY: the r16 positions-sized eager
+    // localCheckpoint wrote + pinned ~rep-table bytes per call, which —
+    // together with the prefix cache removed above — thrashed execution
+    // memory at the ×100 rehearsal (6.8 → 119.4 s for 10× data; the
+    // restructured layout measures linear again, see SCALING.md r17).
+    pairs
+      .repartition(parts, col("doc"), col("pos"))
       .groupBy(col("doc"), col("pos"))
       .agg(max(col("lcp")).as("rep_len"))
-      .localCheckpoint(eager = true)
-    prefixed.unpersist()
-    out
   }
 }
