@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
 object BenchIter {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_PARTS decouples the shuffle width from the thread
+    // count, so a width A/B is not confounded by core oversubscription
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -31,6 +35,19 @@ object BenchIter {
         val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
       }
       println(f"[benchiter] $label%-28s ${runs.map(_._1).min}%8.2f s  (rows ${runs.head._2})")
+    }
+
+    // SPARK_GRAFT_ITER=peel: time the PEEL-family operators only (the
+    // 10,000x-rehearsal width A/B) and exit
+    if (sys.env.get("SPARK_GRAFT_ITER").contains("peel")) {
+      time("kCoreChecked k=25 r=5") {
+        graft.operators.Graph.kCoreChecked(g, 25, 5).count()
+      }
+      time("labelPropagation r=4") {
+        graft.operators.Graph.labelPropagation(g, 4).count()
+      }
+      spark.stop()
+      return
     }
 
     // 30-iteration point: with the per-iteration lazy localCheckpoint

@@ -1036,10 +1036,24 @@ object SparkEntry {
     * schedule now throws (one extra peel + two metadata-sized counts)
     * instead of silently returning a superset of the core.
     */
-  private def qKcore(s: SparkSession, d: String): DataFrame =
+  private def qKcore(s: SparkSession, d: String): DataFrame = {
+    // Scale-adaptive peel width (guide §2.2): past the swept scales the
+    // per-round survivor-join SMJ sorts carry the full edge list and go
+    // spill-bound at the static session width (clean ×100-rehearsal A/B:
+    // 275.5 → 142.1 s at width 96 vs 32, same 32 threads). Derive the
+    // width from the lineitem scan size — the edge list is the distinct
+    // (customer, supplier) projection of it — at ~one partition per
+    // 12 MB of parquet (≈100 MB of sorted edge rows per task). At the
+    // swept SFs the derived width never exceeds the session default and
+    // nPart stays 0: the historical plan, byte-identical.
+    val liBytes = T.lineitem(s, d).queryExecution.optimizedPlan.stats.sizeInBytes
+    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = (liBytes / (12L << 20)).min(BigInt(4096)).toInt
     graft.operators.Graph.kCoreChecked(
-      Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 25, 5)
+      Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 25, 5,
+      nPart = if (derived > session) derived else 0)
       .orderBy(col("node"))
+  }
 
   /** 6-iteration HITS over the DIRECTED customer→supplier trade edges
     * (hubs = broad buyers, authorities = widely-bought-from suppliers);
