@@ -32,3 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // context mid-run (observed 2026-08-12).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// The driver shells `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from stdout. Under the default LoggedOutput strategy the
+// forked JVM's stdout is re-emitted log-prefixed ("[info] {...}") and sbt
+// appends a "[success] Total time ..." epilogue — BENCH_r16/r17 both
+// recorded parsed:null because of exactly that framing. StdoutOutput
+// hands the forked process the real stdout (no prefix), and showSuccess
+// drops the epilogue, so the JSON line is the last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false

@@ -185,7 +185,12 @@ object Bench {
       "q_asof_join", "q_latest_per_key", "q_sessionize", "q_json_extract",
       "q_dedup_exact", "q_ngram_jaccard", "q_ann_cosine", "q_ann_ivf",
       "q_embed_neardup", "q_semdedup", "q_span_dedup", "q_lm_score",
-      "q_tfidf_topk")
+      "q_tfidf_topk",
+      // r17 verdict ask #3: the heavy tier was invisible per-query (all
+      // 16 rows above are sub-2 s) — additions only, the line stays ~1 KB
+      "q_stream_join", "q_kcore", "q_hits", "q_ppr_auto", "q_label_prop",
+      "q_pagerank", "q_7z_ingest", "q_arrow_ingest", "q_stream_cardinality",
+      "q_suffix_dedup_bounded")
     // a rename that orphans a headline name must fail loudly, not silently
     // drop its per-query entry from the bench line
     val orphaned = headline.filterNot(SparkEntry.queries.keySet)
@@ -217,8 +222,24 @@ object Bench {
     // a judge-side inference.
     val allocStalled =
       Seq(allocStart, allocMid, allocEnd).max > 0.2
+    // Escape control chars too (r17 ADVICE): AnalysisException messages
+    // embed newlines/tabs (plan fragments); one unescaped \n would render
+    // the sidecar invalid JSON and defeat the machine-detectable goal.
+    def jstr(v: String): String = {
+      val sb = new StringBuilder
+      v.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
     val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jstr(v) + "\""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total_${results.size}_queries","value":$total,"unit":"sec","queries":$qs,"probe_start_sec":${fmt(probeStart)},"probe_mid_sec":${fmt(probeMid)},"probe_end_sec":${fmt(probeEnd)},"bw_probe_start_gbs":${fmt(bwStart)},"bw_probe_end_gbs":${fmt(bwEnd)},"alloc_probe_start_sec":${fmt(allocStart)},"alloc_probe_mid_sec":${fmt(allocMid)},"alloc_probe_end_sec":${fmt(allocEnd)},"contended":$contended,"alloc_stalled":$allocStalled,"n_errors":${errors.size}$passesInfo,"sf":"$sfDir"}"""

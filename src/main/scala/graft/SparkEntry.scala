@@ -5505,41 +5505,43 @@ object SparkEntry {
     // plans batches throughout it.
     val width = graft.streaming.StreamScale.partitionsFor(
       graft.streaming.StreamScale.dirBytes(s, raw))
-    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", width.toString)
-    val q = graft.streaming.Ingest.startActionIngest(
-      s.readStream.schema(all.schema).parquet(raw), hist, ckpt,
-      partitionSize = 100L, trigger = Trigger.ProcessingTime("100 milliseconds"))
-    def countHist(): Long =
-      try s.read.parquet(hist).count() catch { case _: Exception => -1L }
-    def awaitCount(expect: Long): Unit = {
-      val deadline = System.currentTimeMillis() + 120000
-      while (countHist() != expect && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      require(countHist() == expect,
-        s"handoff ingest stalled: ${countHist()} of $expect rows")
-    }
-    try {
-      // 100 merged transfers + 20 custom trx (blocks 300-319) x 4 actions
-      awaitCount(180)
-      // attach: record the indexed head, like the reference's currentBlockNum
-      val attach = s.read.parquet(hist)
-        .agg(max(col("block_num"))).head().getLong(0) // metadata-sized
-      require(attach == 319L, s"unexpected attach block $attach")
-      // live tail arrives AFTER attach, re-sending the last 10 blocks
-      // (at-least-once delivery) — appended while the query keeps running
-      all.filter(col("block_num") >= 310).write.mode("append").parquet(raw)
-      awaitCount(340) // 180 + 160 live rows, 40 of them duplicates
-      val histDf = s.read.parquet(hist)
-      graft.streaming.Replay.handoff(
-          graft.streaming.Replay.replay(histDf, 100L, attach, batchSize = 25)
-            .drop("batch_seq"),
-          histDf.filter(col("block_num") >= 310), liveStartBlock = attach + 1)
-        .select(col("global_sequence"), col("block_num"))
-        .orderBy(col("global_sequence"))
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    // withShuffleWidth (not a bare conf.set): if startActionIngest itself
+    // throws, the width is still restored — a leaked floor-4 width would
+    // silently distort every subsequent query in a bench sweep (r17
+    // ADVICE). The result DataFrame still evaluates at the caller under
+    // the restored session width, as documented above.
+    graft.streaming.StreamScale.withShuffleWidth(s, width) {
+      val q = graft.streaming.Ingest.startActionIngest(
+        s.readStream.schema(all.schema).parquet(raw), hist, ckpt,
+        partitionSize = 100L, trigger = Trigger.ProcessingTime("100 milliseconds"))
+      def countHist(): Long =
+        try s.read.parquet(hist).count() catch { case _: Exception => -1L }
+      def awaitCount(expect: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        while (countHist() != expect && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        require(countHist() == expect,
+          s"handoff ingest stalled: ${countHist()} of $expect rows")
+      }
+      try {
+        // 100 merged transfers + 20 custom trx (blocks 300-319) x 4 actions
+        awaitCount(180)
+        // attach: record the indexed head, like the reference's currentBlockNum
+        val attach = s.read.parquet(hist)
+          .agg(max(col("block_num"))).head().getLong(0) // metadata-sized
+        require(attach == 319L, s"unexpected attach block $attach")
+        // live tail arrives AFTER attach, re-sending the last 10 blocks
+        // (at-least-once delivery) — appended while the query keeps running
+        all.filter(col("block_num") >= 310).write.mode("append").parquet(raw)
+        awaitCount(340) // 180 + 160 live rows, 40 of them duplicates
+        val histDf = s.read.parquet(hist)
+        graft.streaming.Replay.handoff(
+            graft.streaming.Replay.replay(histDf, 100L, attach, batchSize = 25)
+              .drop("batch_seq"),
+            histDf.filter(col("block_num") >= 310), liveStartBlock = attach + 1)
+          .select(col("global_sequence"), col("block_num"))
+          .orderBy(col("global_sequence"))
+      } finally q.stop()
     }
   }
 

@@ -382,23 +382,36 @@ object ArrowWalk {
     // cannot push the floor to effectively-unbounded.
     val bitCapacity: Long =
       if (codec < 0) bytes.length.toLong * 8
-      else bufs.foldLeft(0L) { (acc, b) =>
-        val s = bodyStart + b.off
-        val declared =
-          if (b.len >= 8 && s >= 0 && s + 8 <= bytes.length) {
-            var u = 0L; var k = 0
-            while (k < 8) { u |= (bytes(s.toInt + k) & 0xffL) << (8 * k); k += 1 }
-            if (u == -1L) b.len - 8 else u
-          } else b.len
-        acc + math.min(math.max(declared, 0L), 1L << 34) // 2 GiB/buffer clamp
-      } * 8
+      else {
+        // Declared lengths are ATTACKER-CONTROLLED until nextBuf's
+        // decode check fires — and zero-length buffers never reach it.
+        // Bound the floor by a max plausible decompression ratio over
+        // the file's ACTUAL bytes (4096x is far beyond any real zstd/lz4
+        // frame on data that genuinely carries that many values; the
+        // honest constant-column witness in ArrowWalkSpec is ~8x), so a
+        // tiny forged file can never push the floor to giant-allocation
+        // scale no matter what its prefixes or buffer count claim.
+        val maxTotal = bytes.length.toLong * 4096
+        val declaredTotal = bufs.foldLeft(0L) { (acc, b) =>
+          val s = bodyStart + b.off
+          val declared =
+            if (b.len >= 8 && s >= 0 && s + 8 <= bytes.length) {
+              var u = 0L; var k = 0
+              while (k < 8) { u |= (bytes(s.toInt + k) & 0xffL) << (8 * k); k += 1 }
+              if (u == -1L) b.len - 8 else u
+            } else b.len
+          acc + math.min(math.max(declared, 0L), maxTotal)
+        }
+        math.min(declaredTotal, maxTotal) * 8
+      }
     var ni = 0
     def nextNode(): (Int, Long) = {
       val p = fb.vecElem(nodesVec, ni, 16); ni += 1
       val len = fb.i64(p)
       // forged node lengths must not drive giant boxed allocations
-      // before a buffer bounds check fires
-      require(len >= 0 && len <= bitCapacity + 64,
+      // before a buffer bounds check fires — and must fit an Int, or
+      // len.toInt would wrap to negative/garbage counts downstream
+      require(len >= 0 && len <= bitCapacity + 64 && len <= Int.MaxValue,
         "field node length out of range")
       (len.toInt, fb.i64(p + 8))
     }

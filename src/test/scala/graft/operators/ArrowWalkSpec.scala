@@ -314,6 +314,46 @@ class ArrowWalkSpec extends SparkSpec {
     assert(t.values(0)(n - 1) === java.lang.Long.valueOf(7L))
   }
 
+  test("forged declared-length prefix cannot inflate the node floor") {
+    // r17 ADVICE (high): the capacity floor trusted ATTACKER-CONTROLLED
+    // declared uncompressed lengths (clamped only at 16 GiB/buffer), so a
+    // tiny forged file could authorize near-Int.MaxValue node lengths —
+    // a giant boxed allocation before any decode check fires. The floor
+    // is now clamped to 4096x the file's ACTUAL bytes; forge both the
+    // declared prefix (1 TiB) and the field-node length and the file must
+    // quarantine at the range guard, never allocate.
+    val bytes = ArrowWalk.fixture(recs, 25, compress = "zstd")
+    // the 8 bytes before the first zstd frame magic are that buffer's
+    // declared uncompressed length — forge it to 1 TiB
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (bytes(i) & 0xff) == 0x28 && (bytes(i + 1) & 0xff) == 0xb5 &&
+      (bytes(i + 2) & 0xff) == 0x2f && (bytes(i + 3) & 0xff) == 0xfd)
+    assert(at.isDefined && at.get >= 8, "no zstd frame in compressed fixture")
+    val huge = 1L << 40
+    (0 until 8).foreach(k =>
+      bytes(at.get - 8 + k) = ((huge >> (8 * k)) & 0xff).toByte)
+    // forge every field-node length (25 rows, LE i64) to a value far above
+    // the file-relative floor but still Int-representable, so this is a
+    // witness of the ratio clamp specifically (not the toInt guard)
+    val forgedLen = math.max(bytes.length.toLong * 4096 * 8 * 2, 100000000L)
+    assert(forgedLen <= Int.MaxValue,
+      s"fixture unexpectedly large (${bytes.length} B) for a clean witness")
+    val pat = (0 until 8).map(k => ((25L >> (8 * k)) & 0xff).toByte)
+    var i = 0
+    var patched = 0
+    while (i <= bytes.length - 8) {
+      if ((0 until 8).forall(k => bytes(i + k) == pat(k))) {
+        (0 until 8).foreach(k =>
+          bytes(i + k) = ((forgedLen >> (8 * k)) & 0xff).toByte)
+        patched += 1
+        i += 8
+      } else i += 1
+    }
+    assert(patched >= 1, "no LE i64 row-count pattern found to forge")
+    assert(ArrowWalk.table(bytes).isLeft,
+      "forged node length must quarantine, not decode or allocate")
+  }
+
   test("compressed bodies: corrupted frame magic quarantines the file") {
     val bytes = ArrowWalk.fixture(recs, 25, compress = "zstd")
     // locate the first zstd frame magic (28 B5 2F FD LE) in the body
