@@ -42,3 +42,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // drops the epilogue, so the JSON line is the last stdout line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -12,14 +12,21 @@ object PlanDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args(1).split(",").toSeq
                 else Seq("q1_agg")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same degradation knob as Bench: at fixture SFs the static planner
+    // broadcasts node-scale sides that would NOT fit at a real corpus —
+    // disable broadcasts so the dump shows the 100 TB join shape
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")) {
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"==== $n")
@@ -97,18 +104,65 @@ object PlanDump {
               (coalesce(col("s.r_e8"), lit(0L)) +
                 coalesce(col("g.in_e8"), lit(0L))).as("r_e8"))
             .explain("formatted")
-        case "kcore_round" =>
+        case "kcore_round" | "kcore_round_r17" =>
+          // ONE peel round, un-checkpointed. "kcore_round_r17" rebuilds
+          // the historical shape (src-join first, dst-join last, edge
+          // list re-exchanged per round); "kcore_round" is the shipped
+          // r18 shape: pinned dst-keyed cache + dst-join first so the
+          // degree aggregate reuses the src-join's partitioning.
           import org.apache.spark.sql.functions._
-          val edges = operators.Rank.tradeGraph(
+          import org.apache.spark.storage.StorageLevel
+          val edges0 = operators.Rank.tradeGraph(
             Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 1000000L)
+          val edges =
+            if (n == "kcore_round_r17") edges0
+            else {
+              val e = operators.Rank.partitionEdges(edges0, "dst")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              e.count() // materialize, as kCoreChecked's lifecycle does
+              e
+            }
           val deg = edges.groupBy(col("src").as("node"))
             .agg(count(lit(1)).as("deg"))
           val alive = deg.filter(col("deg") >= 25).select("node")
-          edges
-            .join(alive.select(col("node").as("src")), "src")
-            .join(alive.select(col("node").as("dst")), "dst")
+          (if (n == "kcore_round_r17")
+            edges
+              .join(alive.select(col("node").as("src")), "src")
+              .join(alive.select(col("node").as("dst")), "dst")
+          else
+            edges
+              .join(alive.select(col("node").as("dst")), "dst")
+              .join(alive.select(col("node").as("src")), "src"))
             .groupBy(col("src").as("node"))
             .agg(count(lit(1)).as("deg"))
+            .explain("formatted")
+        case "labelprop_round" | "labelprop_round_r17" =>
+          // ONE label-propagation round, un-checkpointed.
+          // "labelprop_round_r17" is the historical shape (edge list
+          // re-exchanged + re-sorted by dst every round);
+          // "labelprop_round" reads the shipped pinned dst-keyed cache.
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.storage.StorageLevel
+          val edges0 = operators.Rank.tradeGraph(
+            Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 1000000L)
+          val edges =
+            if (n == "labelprop_round_r17") edges0
+            else {
+              val e = operators.Rank.partitionEdges(edges0, "dst")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              e.count()
+              e
+            }
+          val nodes = edges.select(col("src").as("node")).distinct()
+          val labels = nodes.withColumn("label", col("node"))
+          edges
+            .join(labels.select(col("node").as("dst"), col("label")), "dst")
+            .groupBy(col("src").as("node"), col("label"))
+            .agg(count(lit(1)).as("__c"))
+            .groupBy("node")
+            .agg(max(struct(col("__c"), (-col("label")).as("__neg")))
+              .as("__best"))
+            .select(col("node"), (-col("__best.__neg")).as("label"))
             .explain("formatted")
         case _ =>
           SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1036,24 +1036,16 @@ object SparkEntry {
     * schedule now throws (one extra peel + two metadata-sized counts)
     * instead of silently returning a superset of the core.
     */
-  private def qKcore(s: SparkSession, d: String): DataFrame = {
-    // Scale-adaptive peel width (guide §2.2): past the swept scales the
-    // per-round survivor-join SMJ sorts carry the full edge list and go
-    // spill-bound at the static session width (clean ×100-rehearsal A/B:
-    // 275.5 → 142.1 s at width 96 vs 32, same 32 threads). Derive the
-    // width from the lineitem scan size — the edge list is the distinct
-    // (customer, supplier) projection of it — at ~one partition per
-    // 12 MB of parquet (≈100 MB of sorted edge rows per task). At the
-    // swept SFs the derived width never exceeds the session default and
-    // nPart stays 0: the historical plan, byte-identical.
-    val liBytes = T.lineitem(s, d).queryExecution.optimizedPlan.stats.sizeInBytes
-    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val derived = (liBytes / (12L << 20)).min(BigInt(4096)).toInt
+  private def qKcore(s: SparkSession, d: String): DataFrame =
+    // The r17 derived-width knob (nPart) is reverted: the clean
+    // matched-window A/B it was waiting on measured width 96 29% WORSE
+    // than 32 at the ×100 rehearsal (plans/r18/BENCH_r18_kcore_width_ab
+    // .json) — the peel is shuffle-volume-bound, so the fix is FEWER
+    // exchanges (kCoreChecked's pinned dst-keyed edge cache + the
+    // aggregate-reuses-join-partitioning round shape), not wider ones.
     graft.operators.Graph.kCoreChecked(
-      Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 25, 5,
-      nPart = if (derived > session) derived else 0)
+      Rank.tradeGraph(T.orders(s, d), T.lineitem(s, d), 1000000L), 25, 5)
       .orderBy(col("node"))
-  }
 
   /** 6-iteration HITS over the DIRECTED customer→supplier trade edges
     * (hubs = broad buyers, authorities = widely-bought-from suppliers);

@@ -437,27 +437,28 @@ object Graph {
     * `edges` must already contain both directions. Returns the
     * surviving nodes with their induced degree.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int, nPart: Int = 0): DataFrame = {
-    // nPart > 0 pins the two per-round survivor joins to an explicit
-    // width (both join inputs repartitioned by the join key, so the
-    // sort-merge runs at nPart with no extra exchange): the per-round
-    // SMJ sorts carry the full edge list, and past the scale where an
-    // edge partition outgrows per-task sort memory the static session
-    // width goes spill-bound — a clean same-box A/B at the ×100
-    // rehearsal (32 threads both arms, width 32 vs 96) measured the
-    // whole peel 275.5 → 142.1 s. nPart = 0 keeps the planner's own
-    // exchanges (byte-identical plan to the historical shape — callers
-    // pass a width only when the derived scale demands one).
-    def byKey(df: DataFrame, key: String): DataFrame =
-      if (nPart > 0) df.repartition(nPart, col(key)) else df
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // The r17 nPart width knob is REVERTED: the clean matched-window A/B
+    // it was waiting on (plans/r18/BENCH_r18_kcore_width_ab.json, ×100
+    // rehearsal, 32 threads both arms) measured width 96 29% WORSE than
+    // 32 (154.3 → 199.8 s) — the peel is shuffle-volume-bound (guide
+    // §2.2 block growth), not per-task-sort-memory-bound.
+    //
+    // What replaced it (guide §2.4): the dst-membership join runs FIRST
+    // and the src-membership join LAST, so the degree aggregate's
+    // required hash(src) distribution is already established by the
+    // second join — the per-round aggregate exchange disappears, and
+    // when `edges` arrives hash(dst)-partitioned (kCoreChecked pins
+    // that layout in a persisted cache) the first join's edge side is
+    // exchange-free too. Join order is semantics-free here: both joins
+    // are independent membership filters on an inner join.
     var deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     (1 to rounds).foreach { _ =>
       val alive = deg.filter(col("deg") >= k).select("node")
-      deg = byKey(edges, "src")
-        .join(byKey(alive.select(col("node").as("src")), "src"), "src")
-        .transform(j => byKey(j, "dst"))
-        .join(byKey(alive.select(col("node").as("dst")), "dst"), "dst")
+      deg = edges
+        .join(alive.select(col("node").as("dst")), "dst")
+        .join(alive.select(col("node").as("src")), "src")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .localCheckpoint(eager = false)
@@ -476,20 +477,25 @@ object Graph {
     * driver actions. Throws when under-budgeted instead of returning
     * the superset.
     */
-  def kCoreChecked(edges: DataFrame, k: Int, rounds: Int,
-      nPart: Int = 0): DataFrame = {
-    def byKey(df: DataFrame, key: String): DataFrame =
-      if (nPart > 0) df.repartition(nPart, col(key)) else df
-    val core = kCore(edges, k, rounds, nPart).localCheckpoint(eager = true)
-    val next = byKey(edges, "src")
-      .join(byKey(core.select(col("node").as("src")), "src"), "src")
-      .transform(j => byKey(j, "dst"))
-      .join(byKey(core.select(col("node").as("dst")), "dst"), "dst")
+  def kCoreChecked(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // Pinned dst-keyed edge layout (the HITS dual-cache recipe, r17):
+    // every peel round's first membership join reads the edge list
+    // exchange-free AND sort-free from this cache instead of
+    // re-exchanging it per round. kCoreChecked owns an eager lifecycle
+    // already (the convergence counts), so it can persist and release
+    // safely; plain [[kCore]] stays a single lazy DAG.
+    val eByDst = Rank.partitionEdges(edges, "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val core = kCore(eByDst, k, rounds).localCheckpoint(eager = true)
+    val next = eByDst
+      .join(core.select(col("node").as("dst")), "dst")
+      .join(core.select(col("node").as("src")), "src")
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
     val before = core.count()
     val after = next.count()
+    eByDst.unpersist()
     if (after != before)
       throw new IllegalStateException(
         s"kCore(k=$k, rounds=$rounds) has not converged: one more peel " +
@@ -506,23 +512,36 @@ object Graph {
     * engine-reproducible and the oracle can unroll the identical
     * rounds as SQL CTEs. Fixed round count by design: synchronous LPA
     * can 2-cycle on bipartite structure, so convergence detection
-    * would not terminate anyway, and a fixed schedule keeps the whole
-    * run one lazy DAG (no per-round driver action).
+    * would not terminate anyway, and a fixed schedule keeps every
+    * round lazy (no per-round driver action — the only action is the
+    * node-sized exit snapshot that lets the edge cache be released).
     *
-    * Per round: one edge⋈labels shuffle join, one (node, label) count
-    * aggregate, one struct-argmax aggregate — `max(struct(cnt,
-    * −label))` picks (max count, min label) with NO window, so the
-    * round cost is three bounded exchanges at any scale. Plans are
-    * lazily checkpointed per round (the PageRank lineage lesson).
+    * Per round: one edge⋈labels join reading the pinned dst-keyed edge
+    * cache (exchange-free, sort-free on the edge side), one (node,
+    * label) count aggregate, one struct-argmax aggregate — `max(struct(
+    * cnt, −label))` picks (max count, min label) with NO window. Plans
+    * are lazily checkpointed per round (the PageRank lineage lesson).
     *
     * `edges` must already contain both directions for undirected
     * semantics ([[Rank.tradeGraph]] does).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // Pinned dst-keyed edge layout (guide §2.4, the HITS dual-cache
+    // recipe): every round's edges⋈labels join previously re-exchanged
+    // AND re-sorted the full edge list by dst — the labels side is the
+    // one that changes per round, and it is node-scale; the edge side
+    // is round-invariant and belongs in a partitioned+sorted cache read
+    // exchange-free and sort-free. One build-time shuffle buys back
+    // `rounds` edge-scale exchange+sorts. MEMORY_AND_DISK (spills,
+    // never pins heap); released after the eager node-sized exit
+    // snapshot truncates the returned lineage (the pageRank/HITS
+    // persist-and-release discipline).
+    val eByDst = Rank.partitionEdges(edges, "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = eByDst.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     (1 to rounds).foreach { _ =>
-      val incoming = edges
+      val incoming = eByDst
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
@@ -533,6 +552,8 @@ object Graph {
         .select(col("node"), (-col("__best.__neg")).as("label"))
         .localCheckpoint(eager = false)
     }
-    labels
+    val out = labels.localCheckpoint()
+    eByDst.unpersist()
+    out
   }
 }
