@@ -49,6 +49,17 @@ object BenchIter {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_ITER=pr: time the registered-budget pageRank/HITS only
+    // (the width A/B needs the 6-iteration points, not the decade sweep)
+    if (sys.env.get("SPARK_GRAFT_ITER").contains("pr")) {
+      time("pageRank it=6") { Rank.pageRank(g, 6).count() }
+      val e6 = Rank.tradeEdges(Tables.orders(spark, sfDir),
+        Tables.lineitem(spark, sfDir), 1000000L).localCheckpoint()
+      e6.count()
+      time("hits it=6") { Rank.hits(e6, 6).count() }
+      spark.stop()
+      return
+    }
 
     // 30-iteration point: with the per-iteration lazy localCheckpoint
     // the wall must stay linear in iterations (flat per-iteration cost);
