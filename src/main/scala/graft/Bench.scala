@@ -151,6 +151,12 @@ object Bench {
           includeDiagnostics || !SparkEntry.diagnosticOnly(name) }
         .map { case (name, fn) =>
         spark.sparkContext.setJobDescription(s"bench:$name")
+        // SPARK_GRAFT_TRACE=1: stderr start marker per query, so any
+        // engine WARN in the captured log attributes to a query by
+        // timestamp (the WindowExec single-partition attribution ask).
+        // Off by default — the driver's recorded tails stay unchanged.
+        if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
+          Console.err.println(s"[bench] start $name")
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir)) catch {
           case e: Throwable =>

@@ -49,10 +49,52 @@ object BenchIter {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_ITER=prjoin: interleaved A/B of the per-iteration join
+    // strategy (shuffle-hash hint vs SMJ against the sorted cache) — 3
+    // pairs, arms alternating inside ONE JVM so box drift hits both
+    if (sys.env.get("SPARK_GRAFT_ITER").contains("prjoin")) {
+      for (i <- 1 to 3) {
+        time(s"pageRank it=6 SHJ  #$i") {
+          Rank.pageRankImpl(g, 6, 0.85, useShj = true).count()
+        }
+        time(s"pageRank it=6 SMJ  #$i") {
+          Rank.pageRankImpl(g, 6, 0.85, useShj = false).count()
+        }
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_ITER=pr: time the registered-budget pageRank/HITS only
     // (the width A/B needs the 6-iteration points, not the decade sweep)
     if (sys.env.get("SPARK_GRAFT_ITER").contains("pr")) {
+      // stage-level attribution: where do the per-iteration seconds go?
+      // (the UI is disabled in bench runs; this is its one-shot stand-in)
+      val stages = new scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val m = i.taskMetrics
+            stages.synchronized {
+              stages += ((i.name.take(60),
+                i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+                m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+            }
+          }
+        })
+      // it=1 next to it=6 splits the fixed cost (graph build + caches)
+      // from the per-iteration marginal cost: marginal = (t6 - t1) / 5
+      time("pageRank it=1") { Rank.pageRank(g, 1).count() }
+      stages.clear()
       time("pageRank it=6") { Rank.pageRank(g, 6).count() }
+      println("[benchiter] pageRank it=6 stages (2 runs), by wall desc:")
+      stages.synchronized {
+        stages.sortBy(-_._2).take(24).foreach { case (n, ms, sr, sw) =>
+          println(f"[benchiter]   ${ms / 1000.0}%7.2f s  read=${sr / 1e6}%8.1f MB  write=${sw / 1e6}%8.1f MB  $n")
+        }
+      }
+      stages.clear()
       val e6 = Rank.tradeEdges(Tables.orders(spark, sfDir),
         Tables.lineitem(spark, sfDir), 1000000L).localCheckpoint()
       e6.count()

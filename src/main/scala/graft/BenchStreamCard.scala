@@ -24,6 +24,31 @@ object BenchStreamCard {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Micro-batch attribution: per-batch durationMs breakdown + state
+    // store metrics, so "the stream phase is slow" decomposes further
+    // into source scan (addBatch minus state) vs state commit vs
+    // offset/walCommit bookkeeping.
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          val st = p.stateOperators.map { s =>
+            f"rows=${s.numRowsTotal} commitMs=${s.commitTimeMs} memKB=${s.memoryUsedBytes / 1024}"
+          }.mkString(" | ")
+          println(f"[streamcard]   batch ${p.batchId}: rows=${p.numInputRows} " +
+            f"addBatch=${d.getOrDefault("addBatch", 0L)}ms " +
+            f"getBatch=${d.getOrDefault("getBatch", 0L)}ms " +
+            f"latestOffset=${d.getOrDefault("latestOffset", 0L)}ms " +
+            f"queryPlanning=${d.getOrDefault("queryPlanning", 0L)}ms " +
+            f"walCommit=${d.getOrDefault("walCommit", 0L)}ms " +
+            f"commitOffsets=${d.getOrDefault("commitOffsets", 0L)}ms " +
+            f"state[$st]")
+        }
+      })
     Tables.events(spark, sfDir).count() // warm the source
 
     def t[A](f: => A): (Double, A) = {

@@ -60,6 +60,31 @@ object PlanDump {
             .groupBy("dst")
             .agg(sum(col("contrib_e8")).as("in_e8"))
             .explain("formatted")
+        case "pagerank_round2" =>
+          // TWO power-iterations with the first lazily checkpointed
+          // exactly as pageRank does — shows what partitioning the
+          // iteration-N ranks actually carry INTO iteration N+1 (the
+          // one-round case above feeds the join from the cache itself,
+          // which hides whether the checkpoint preserves hash(node)).
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.storage.StorageLevel
+          val edges = operators.Rank.tradeGraph(
+            Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 1000000L)
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          val edgesDeg = operators.Rank.partitionEdges(edges.join(deg, "src"), "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val nodes = edgesDeg.select(col("src").as("node")).distinct()
+          nodes.count()
+          var ranks = nodes.select(col("node"), lit(100L).as("pr_e8"))
+          def iter(r: org.apache.spark.sql.DataFrame) = edgesDeg
+            .join(r.hint("shuffle_hash"), edgesDeg("src") === r("node"))
+            .select(col("dst"),
+              round(col("pr_e8") / col("deg")).cast("long").as("contrib_e8"))
+            .groupBy("dst")
+            .agg(sum(col("contrib_e8")).as("in_e8"))
+            .select(col("dst").as("node"), col("in_e8").as("pr_e8"))
+          ranks = iter(ranks).localCheckpoint(eager = false)
+          iter(ranks).explain("formatted")
         case "ppr_round" | "ppr_round_r16" =>
           // ONE forward-push round, un-checkpointed, so the per-round
           // exchange shape is visible. "ppr_round_r16" rebuilds the

@@ -47,8 +47,9 @@ object Gaps {
     */
   def detect(df: DataFrame, seqCol: String): DataFrame = {
     // constant partition key: intended single-partition plan (the
-    // bucketed variant is the scale path); keeps WindowExec's
-    // no-partition warning out of the noise real regressions use
+    // bucketed variant is the scale path). NOTE: Spark 4's
+    // EliminateWindowPartitions prunes the foldable key, so the
+    // WindowExec WARN still fires — see PLANS.md's attribution table
     val w = Window.partitionBy(lit(1)).orderBy(col(seqCol))
     df.select(col(seqCol))
       .distinct()
@@ -75,7 +76,8 @@ object Gaps {
       .agg(min("seq").as("__min"), max("seq").as("__max"),
         count("*").as("__cnt"), collect_list("seq").as("__vals"))
     // constant partition key: the frame is bucket summaries (~n/bucketSize
-    // rows) — single-partition by design, warning-free by the lit key
+    // rows) — single-partition by design (the foldable key is pruned by
+    // the optimizer, so the WindowExec WARN still fires; see PLANS.md)
     val w = Window.partitionBy(lit(1)).orderBy(col("__b"))
     val withNext = perBucket
       .withColumn("__next_min", lead(col("__min"), 1).over(w))

@@ -230,7 +230,20 @@ object Rank {
   def pageRank(
       edges: DataFrame, // columns: src, dst (already symmetric)
       iterations: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, iterations, damping, useShj = true)
+
+  /** [[pageRank]] with the per-iteration join strategy exposed for the
+    * BenchIter A/B: the shuffle-hash hint predates the sorted
+    * partitioned edge cache (r17) — with the cache sorted by src, SMJ
+    * no longer re-sorts the edge side, so the hint's rationale needs
+    * re-measuring (HITS measured the hint WORSE post-cache).
+    */
+  private[graft] def pageRankImpl(
+      edges: DataFrame,
+      iterations: Int,
+      damping: Double,
+      useShj: Boolean): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // partitioned-by-src cache: the 6 per-iteration joins read it
     // exchange-free (see partitionEdges)
@@ -249,8 +262,9 @@ object Rank {
       // not the sort above it — measured the dominant cost at 100×);
       // SHJ builds a per-partition map of the node-sized rank state
       // instead, which is exactly the side that fits
+      val rside = if (useShj) ranks.hint("shuffle_hash") else ranks
       ranks = edgesDeg
-        .join(ranks.hint("shuffle_hash"), edgesDeg("src") === ranks("node"))
+        .join(rside, edgesDeg("src") === rside("node"))
         .select(
           col("dst"),
           round(col("pr_e8") / col("deg")).cast("long").as("contrib_e8"))

@@ -132,7 +132,8 @@ object StateEndpoints {
       .withColumn("__b", floor(col("block_num") / blockBucket))
     val wIn = Window.partitionBy(col("__b")).orderBy(col("block_num"))
     // constant partition key: one row per bucket — single-partition by
-    // design, warning-free by the lit key
+    // design (the foldable key is pruned by EliminateWindowPartitions,
+    // so the WindowExec WARN still fires; see PLANS.md)
     val wBuckets = Window.partitionBy(lit(1)).orderBy(col("__b"))
     val prevBucketMax = b.groupBy(col("__b"))
       .agg(max(col("block_num")).as("__bmax"))

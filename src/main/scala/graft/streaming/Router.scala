@@ -108,7 +108,9 @@ object Replay {
       .filter(col("block_num").between(startBlock, endBlock))
       .withColumn("__b", floor(col("block_num") / blockBucket))
     // constant partition key: bucket-summary frame (~blocks/blockBucket
-    // rows) — single-partition by design, warning-free by the lit key
+    // rows) — single-partition by design (Spark 4's
+    // EliminateWindowPartitions prunes the foldable key, so the
+    // WindowExec WARN still fires; attribution: PLANS.md)
     val wBuckets = Window.partitionBy(lit(1)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = slice.groupBy(col("__b"))
